@@ -1,0 +1,442 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The declared relational operator surface (SURVEY.md §2.B, Q01–Q22).
+  *
+  * Each query generalizes an operation the reference performs against its
+  * admin tables (citations in each Scaladoc are reference `file:line`) into a
+  * deterministic, DuckDB-verifiable query over the driver fixtures. All
+  * queries are pure logical-plan builders — Catalyst handles pushdown,
+  * pruning, and join strategy; broadcast hints are applied only where a
+  * dimension side is known-small at every scale factor (region/nation/
+  * customer/part are dimensions of the fixture star schema).
+  */
+object Relational {
+
+  /** Q01 — full-scan projection.
+    * Ref: session.query(DTO) full scans, sqlalchemy_batch_repository.py:34-38.
+    * Column pruning reaches the parquet scan (ReadSchema shows 4 cols). */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), asLong(col("l_linenumber")).as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 — timestamp range predicate (retention scan shape).
+    * Ref: ts < cutoff scans, sqlalchemy_batch_log_repository.py:32-35. */
+  def q02FilterTs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("ts") < tsLit("2024-01-08 00:00:00"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        tsMicros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+
+  /** Q03a — equality predicate on a key column.
+    * Ref: filter name == value, sqlalchemy_batch_repository.py:53. */
+  def q03EqFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_custkey") === 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        fmtDate(col("o_orderdate")).as("o_orderdate_s"))
+      .orderBy("o_orderkey")
+
+  /** Q03 — latest-by-timestamp (ORDER BY ts DESC LIMIT 1).
+    * Ref: get_latest, sqlalchemy_batch_repository.py:47-56. */
+  def q03Latest(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_custkey") === 42L)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        fmtDate(col("o_orderdate")).as("o_orderdate_s"))
+
+  /** Q04 — previous-by-timestamp (ORDER BY ts DESC OFFSET 1 LIMIT 1).
+    * Ref: get_previous, sqlalchemy_batch_repository.py:76-86 — OFFSET 1
+    * because the in-progress row is already inserted (batch_runner.py:199-208). */
+  def q04Previous(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .filter(col("o_custkey") === 42L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        fmtDate(col("o_orderdate")).as("o_orderdate_s"))
+  }
+
+  /** Q04a — null-semantics predicate + JSON extraction over events.props.
+    * Ref: nullable error fields, admin_orm.py:40-41; JSON is [EXT]. */
+  def q04aJsonNull(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("props").isNotNull)
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Q05 — case-insensitive equality (ILIKE with no wildcards).
+    * Ref: name ilike, sqlalchemy_job_repository.py:35 — pure case folding,
+    * so lower(a)=lower(b), not a pattern match. */
+  def q05CaseInsensitive(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(lower(col("p_brand")) === lower(lit("bRaNd#4")))
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy("p_partkey")
+
+  /** Q06 — retention split count (rows expiring vs surviving a cutoff).
+    * Ref: delete_old_entries, sqlalchemy_batch_log_repository.py:29-36. */
+  def q06Retention(s: SparkSession, d: String): DataFrame = {
+    val cutoff = tsLit("2024-01-15 00:00:00")
+    events(s, d).agg(
+      asLong(sum(when(col("ts") < cutoff, 1).otherwise(0))).as("n_expired"),
+      asLong(sum(when(col("ts") >= cutoff, 1).otherwise(0))).as("n_kept"))
+  }
+
+  /** Q07 — earliest-by-timestamp as min aggregate.
+    * Ref: get_earliest, sqlalchemy_batch_log_repository.py:42-51. */
+  def q07MinTs(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(fmtTs(min(col("ts"))).as("min_ts_s"))
+
+  /** Q08 — last-successful-ts per group: filtered groupBy + max.
+    * Ref: get_last_successful_ts, sqlalchemy_job_repository.py:67-82. */
+  def q08GroupMaxTs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("value") > 0)
+      .groupBy("event_type")
+      .agg(fmtTs(max(col("ts"))).as("max_ts_s"))
+      .orderBy("event_type")
+
+  /** Q09 — duplicate detection by grouped count > 1.
+    * Ref: check_for_duplicate_job_names, batch_runner.py:542-548. */
+  def q09Duplicates(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"), fmtDate(col("o_orderdate")).as("o_orderdate_s"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("o_custkey", "o_orderdate_s")
+
+  /** Q10 — parent–child FK join + per-parent aggregate (flattened form of
+    * the batches→jobs→test_results nesting, admin_orm.py:105-129).
+    * orders⋈lineitem is the fixture's fact-fact join: at scale both sides
+    * shuffle on orderkey (sort-merge); no broadcast. */
+  def q10JoinNest(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("o_orderkey")
+
+  private def ordersInRange(s: SparkSession, d: String, lo: String, hi: String) =
+    orders(s, d)
+      .filter(col("o_orderdate") >= tsLit(lo) && col("o_orderdate") < tsLit(hi))
+      .select("o_custkey").distinct()
+
+  /** Q11 — set intersection via left-semi join.
+    * Ref: BatchDelta.common_jobs, batch_delta.py:13-18. */
+  def q11Semi(s: SparkSession, d: String): DataFrame =
+    ordersInRange(s, d, "1995-01-01 00:00:00", "1995-07-01 00:00:00")
+      .join(ordersInRange(s, d, "1996-01-01 00:00:00", "1996-07-01 00:00:00"),
+        Seq("o_custkey"), "left_semi")
+      .orderBy("o_custkey")
+
+  /** Q12 — set difference via left-anti join.
+    * Ref: BatchDelta.newly_broken_jobs, batch_delta.py:20-25. */
+  def q12Anti(s: SparkSession, d: String): DataFrame =
+    ordersInRange(s, d, "1995-01-01 00:00:00", "1995-07-01 00:00:00")
+      .join(ordersInRange(s, d, "1996-01-01 00:00:00", "1996-07-01 00:00:00"),
+        Seq("o_custkey"), "left_anti")
+      .orderBy("o_custkey")
+
+  /** Q13 — conditional pass/fail counting.
+    * Ref: sum(1 for r if r.test_passed), batch_runner.py:453-459. */
+  def q13CondAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        asLong(sum(when(col("l_discount") > 0.05, 1).otherwise(0))).as("n_high"),
+        asLong(sum(when(col("l_discount") <= 0.05, 1).otherwise(0))).as("n_low"))
+      .orderBy("l_returnflag")
+
+  /** Q15 — timestamp arithmetic: day deltas between order date and first/last
+    * shipment. Ref: ExecutionMillis.calculate, value_objects.py:397-400. */
+  def q15DateArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .select(col("o_orderkey"),
+        asLong(datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))))
+          .as("d_first"),
+        asLong(datediff(to_date(col("last_ship")), to_date(col("o_orderdate"))))
+          .as("d_last"))
+      .orderBy("o_orderkey")
+
+  /** Q16 — right-truncation to the last N chars (Python s[-n:] semantics:
+    * short strings pass through whole).
+    * Ref: message truncation to last 2000 chars, value_objects.py:526-531. */
+  def q16SubstrTail(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) <= 80, col("text"))
+          .otherwise(substring(col("text"), -80, 80)).as("tail"))
+      .orderBy("doc_id")
+
+  /** Q16a — union of disjoint slices.
+    * Ref: concat of parallel BatchStatus lists, batch_runner.py:42-46. */
+  def q16aUnion(s: SparkSession, d: String): DataFrame = {
+    def slice(lo: String, hi: String) =
+      orders(s, d)
+        .filter(col("o_orderdate") >= tsLit(lo) && col("o_orderdate") < tsLit(hi))
+        .select(col("o_orderkey"), fmtDate(col("o_orderdate")).as("o_orderdate_s"))
+    slice("1995-01-01 00:00:00", "1995-04-01 00:00:00")
+      .unionByName(slice("2001-06-01 00:00:00", "2002-01-01 00:00:00"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q17 — ranking window: latest-2-per-key (window form of Q03/Q04).
+    * Ref: latest/previous per name, sqlalchemy_batch_repository.py:47-86. */
+  def q17WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), asLong(col("rn")).as("rn"), col("o_orderkey"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q18 — top-k by measure with deterministic tie-break.
+    * Ref: ORDER BY ts DESC listings, tests/e2e/test_runner.py:412-416.
+    * TakeOrderedAndProject: no full sort, no shuffle of the full table. */
+  def q18TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Q19 — grouped multi-aggregate (TPC-H Q1 shape); generalizes the
+    * reference's single-measure aggregates (batch_runner.py:453-459). */
+  def q19Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q19a — star-schema join chain: region⋈nation⋈customer⋈orders⋈lineitem,
+    * revenue per region. Dimensions are broadcast (small at every SF);
+    * orders⋈lineitem stays a shuffled join on orderkey. */
+  def q19aRegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dim = broadcast(
+      region(s, d)
+        .join(nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .select(col("n_nationkey"), col("r_name")))
+    val cust = broadcast(
+      customer(s, d).join(dim, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name")))
+    orders(s, d).join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  /** Q20 — rollup (grouping sets) over the geography dimension [EXT].
+    * Declared through the SQL surface (the engine exposes both DataFrame and
+    * `spark.sql` entry points; Catalyst plans them identically). */
+  def q20Rollup(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(r_name, '(all)') AS r, coalesce(n_name, '(all)') AS n,
+         |round(sum(c_acctbal), 2) AS bal
+         |FROM parquet.`$d/region.parquet` JOIN parquet.`$d/nation.parquet`
+         |  ON r_regionkey = n_regionkey
+         |JOIN parquet.`$d/customer.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (r_name, n_name) ORDER BY r, n""".stripMargin)
+
+  /** Q21 — analytic frame: per-user running sum + lag over event time [EXT]. */
+  def q21RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q22 — date parts + formatting over data.
+    * Ref: strftime formatting, batch_log_entry.py:49-51. */
+  def q22DateParts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(asLong(year(col("o_orderdate"))).as("yr"),
+        date_format(col("o_orderdate"), "yyyy").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("yr")
+
+  /** All declared queries keyed by the SparkEntry / oracle name. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (q01ScanProject _),
+    "q02_filter_ts" -> (q02FilterTs _),
+    "q03_eq_filter" -> (q03EqFilter _),
+    "q03_latest" -> (q03Latest _),
+    "q04_previous" -> (q04Previous _),
+    "q04a_json_null" -> (q04aJsonNull _),
+    "q05_case_insensitive" -> (q05CaseInsensitive _),
+    "q06_retention" -> (q06Retention _),
+    "q07_min_ts" -> (q07MinTs _),
+    "q08_group_max_ts" -> (q08GroupMaxTs _),
+    "q09_duplicates" -> (q09Duplicates _),
+    "q10_join_nest" -> (q10JoinNest _),
+    "q11_semi" -> (q11Semi _),
+    "q12_anti" -> (q12Anti _),
+    "q13_cond_agg" -> (q13CondAgg _),
+    "q15_date_arith" -> (q15DateArith _),
+    "q16_substr_tail" -> (q16SubstrTail _),
+    "q16a_union" -> (q16aUnion _),
+    "q17_window_rank" -> (q17WindowRank _),
+    "q18_topk" -> (q18TopK _),
+    "q19_agg" -> (q19Agg _),
+    "q19a_region_revenue" -> (q19aRegionRevenue _),
+    "q20_rollup" -> (q20Rollup _),
+    "q21_running_sum" -> (q21RunningSum _),
+    "q22_date_parts" -> (q22DateParts _),
+  )
+
+  /** DuckDB oracle SQL for each query (driver runs these over the same
+    * parquet files; column names/aliases must match the Spark output). */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |l_quantity, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_filter_ts" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00' ORDER BY event_id""".stripMargin,
+    "q03_eq_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+    "q03_latest" ->
+      """SELECT o_orderkey, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "q04_previous" ->
+      """SELECT o_orderkey, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1 OFFSET 1""".stripMargin,
+    "q04a_json_null" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+        |FROM events WHERE props IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_case_insensitive" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE lower(p_brand) = lower('bRaNd#4') ORDER BY p_partkey""".stripMargin,
+    "q06_retention" ->
+      """SELECT count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |AS n_expired,
+        |count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') AS n_kept
+        |FROM events""".stripMargin,
+    "q07_min_ts" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts_s
+        |FROM events""".stripMargin,
+    "q08_group_max_ts" ->
+      """SELECT event_type, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts_s
+        |FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q09_duplicates" ->
+      """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |count(*) AS n FROM orders GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY o_custkey, o_orderdate_s""".stripMargin,
+    "q10_join_nest" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q11_semi" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |AND o_custkey IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01')
+        |ORDER BY o_custkey""".stripMargin,
+    "q12_anti" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |AND o_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01')
+        |ORDER BY o_custkey""".stripMargin,
+    "q13_cond_agg" ->
+      """SELECT l_returnflag,
+        |count(*) FILTER (WHERE l_discount > 0.05) AS n_high,
+        |count(*) FILTER (WHERE l_discount <= 0.05) AS n_low
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_date_arith" ->
+      """SELECT o_orderkey,
+        |CAST(datediff('day', o_orderdate, min(l_shipdate)) AS BIGINT) AS d_first,
+        |CAST(datediff('day', o_orderdate, max(l_shipdate)) AS BIGINT) AS d_last
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+    "q16_substr_tail" ->
+      """SELECT doc_id, CASE WHEN length(text) <= 80 THEN text
+        |ELSE substring(text, length(text) - 79, 80) END AS tail
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16a_union" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |UNION ALL
+        |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+        |  AND o_orderdate < TIMESTAMP '2002-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_window_rank" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |round(avg(l_discount), 2) AS avg_disc, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19a_region_revenue" ->
+      """SELECT r_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q20_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r, coalesce(n_name, '(all)') AS n,
+        |round(sum(c_acctbal), 2) AS bal
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY r, n""".stripMargin,
+    "q21_running_sum" ->
+      """SELECT user_id, event_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        |round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+        |  AS prev_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q22_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |strftime(o_orderdate, '%Y') AS label, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY yr""".stripMargin,
+  )
+}
