@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftext.hashExpressions
+
+/** Public fingerprinting functions backed by native Catalyst expressions
+  * (see org.apache.spark.sql.graftext.hashExpressions). */
+object Hashes {
+  /** Polynomial rolling hash (Karp–Rabin) of a string → BIGINT. */
+  def rollingHash(c: Column): Column = hashExpressions.rollingHash(c)
+
+  /** 64-bit SimHash over whitespace tokens → BIGINT. */
+  def simHash(c: Column): Column = hashExpressions.simHash(c)
+}

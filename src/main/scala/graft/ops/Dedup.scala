@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.Tables._
+import graft.functions.Hashes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication operators over `documents` (SURVEY.md §2 E1):
+  * exact (hash-groupBy), exact n-gram Jaccard (co-occurrence join — the
+  * scalable form: no O(n²) cross join, work is proportional to shared
+  * shingles), MinHash+LSH banding (candidate generation at scale), and
+  * SimHash (native expression). */
+object Dedup {
+
+  /** Word 3-shingles per doc, distinct, as (doc_id, s) rows. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin))).as("s"))
+
+  /** E1 — exact duplicate groups by normalized-text hash.
+    * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard
+    * first dedup pass (hash is computed scan-side, so the shuffle carries
+    * 32-byte keys, not documents). */
+  def e1ExactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy("keeper")
+
+  /** E1 — exact n-gram Jaccard near-dup pairs (threshold 0.2) via shingle
+    * co-occurrence: explode distinct shingles, self-join on shingle to get
+    * |A∩B| as a count, then Jaccard from per-doc shingle counts. Equi-join
+    * on the shingle key shuffles only (doc_id, shingle) pairs — survives
+    * scale-up where a pairwise cross join would not. */
+  def e1NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("x"), col("da") === col("x.doc_id"))
+      .join(sz.as("y"), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
+      .filter(col("j") >= 0.2)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** MinHash signature array (64 perms via seeded xxhash64) + 16 LSH bands
+    * of 4. Signature is computed per-row from the shingle array (no shuffle);
+    * banding turns near-dup search into an equi-join on (band, band_hash). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until 64).map(k =>
+      expr(s"array_min(transform(sh, x -> xxhash64(x, $k)))"))
+    val bandCols = (0 until 16).map(b =>
+      expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}])"))
+    shingles(s, d)
+      .groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
+      .withColumn("sig", array(sigCols: _*))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  /** E1 — MinHash+LSH near-dup pairs: candidates from band collisions,
+    * verified with exact Jaccard ≥ 0.2 on the shingle sets. Rows-only check
+    * (LSH recall vs the exact pass is asserted in ScalaTest, not DuckDB). */
+  def e1MinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sets = shingles(s, d).groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(sets.as("p"), col("da") === col("p.doc_id"))
+      .join(sets.as("q"), col("db") === col("q.doc_id"))
+      .withColumn("i", size(array_intersect(col("p.sh"), col("q.sh"))))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("p.n") + col("q.n") - col("i"))).as("j"))
+      .filter(col("j") >= 0.2)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** E1 — SimHash fingerprints (native codegen'd expression). Rows-only. */
+  def e1Simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Hashes.simHash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** E1 — SimHash near-dup pairs: 4 bands of 16 bits as the LSH key, then
+    * exact Hamming distance ≤ 12 via bit_count(xor). Rows-only. */
+  def e1SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .select(col("doc_id"), Hashes.simHash(col("text")).as("sh"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "array(sh & 65535, shiftright(sh, 16) & 65535, shiftright(sh, 32) & 65535, shiftright(sh, 48) & 65535)"))
+        .as(Seq("band", "bh")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.sh ^ y.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("da", "db")
+  }
+
+  /** E1/E2 — embedding near-dup pairs: exact cosine within label blocks,
+    * threshold 0.35. Dot/norm math is double-accumulated in index order so
+    * the DuckDB oracle (list_cosine_similarity over DOUBLE[]) is bit-equal. */
+  def e2EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Similarity.withNorm(embeddings(s, d))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", Similarity.cosine)
+      .filter(col("sim") >= 0.35)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("va", "vb")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_exact_dedup" -> (e1ExactDedup _),
+    "e1_ngram_jaccard" -> (e1NgramJaccard _),
+    "e1_minhash_pairs" -> (e1MinhashPairs _),
+    "e1_simhash" -> (e1Simhash _),
+    "e1_simhash_pairs" -> (e1SimhashPairs _),
+    "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
+        |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "e1_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
+        |       toks[CAST(i AS INT) + 2]))) AS s FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2 ORDER BY da, db""".stripMargin,
+    "e2_embedding_neardup" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY va, vb""".stripMargin,
+  )
+}

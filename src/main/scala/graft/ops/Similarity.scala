@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** [EXT] Similarity search over `embeddings` (SURVEY.md §2 E2): brute-force
+  * cosine top-k as the exactness baseline, and a random-hyperplane LSH
+  * variant as the scale path (bucketing turns the O(n²) pairwise search into
+  * an equi-join on the signature). Dot products accumulate in doubles in
+  * index order so results are bit-comparable with the DuckDB oracle. */
+object Similarity {
+
+  /** Adds the L2 norm (double) of the embedding as column `nrm`. */
+  def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(expr(
+      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+
+  /** Cosine similarity between a.embedding and b.embedding given aliased
+    * sides with precomputed norms (withNorm). */
+  def cosine: Column =
+    expr("""aggregate(zip_with(a.embedding, b.embedding,
+           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |  0.0D, (acc, v) -> acc + v)""".stripMargin) / (col("a.nrm") * col("b.nrm"))
+
+  /** E2 — brute-force cosine top-3 neighbors per vector within its label
+    * block. The label blocking bounds the pairwise work (this mirrors a
+    * sharded ANN index: at 100 TB the "label" is the IVF cell / LSH bucket). */
+  def e2CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a.vec_id").as("vec_id"), asLong(col("rn")).as("rn"),
+        col("b.vec_id").as("other_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id", "rn")
+  }
+
+  /** Deterministic random hyperplanes: component p,i derived from a seeded
+    * per-(plane,dim) hash, mapped to ±1. Reproducible across sessions. */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** E2 — ANN via random-hyperplane LSH: 12-bit signatures bucket the
+    * vectors; the top-1 neighbor is searched within the bucket only.
+    * Rows-only check (recall vs e2_cosine_topk asserted in ScalaTest). */
+  def e2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val pl = planes(12, 64)
+    val bitCols = pl.toIndexedSeq.zipWithIndex.map { case (p, i) =>
+      when(expr(
+        s"""aggregate(zip_with(embedding, ${planeArrSql(p)},
+           |  (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)""".stripMargin) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    val sig = withNorm(embeddings(s, d))
+      .withColumn("bucket", bitCols.reduce(_ + _))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  private def planeArrSql(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1.0D" else "-1.0D").mkString("array(", ", ", ")")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_cosine_topk" -> (e2CosineTopk _),
+    "e2_ann_lsh" -> (e2AnnLsh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2_cosine_topk" ->
+      """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
+        |FROM (SELECT a.vec_id, b.vec_id AS other_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS sim,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+  )
+}

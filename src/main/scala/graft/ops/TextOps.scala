@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.Tables._
+import graft.functions.Hashes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** [EXT] Text-analysis operators over the `documents` table (SURVEY.md §2
+  * E3): token statistics, quality scoring, corpus-trained language ID
+  * (Cavnar–Trenkle n-gram profiles), token frequency, and fingerprinting via
+  * the native rolling-hash expression. All are single-pass, shuffle-light
+  * plans: per-row lambdas for shingling/token math, one groupBy where a
+  * corpus-level aggregate is required. */
+object TextOps {
+
+  /** E3 — per-document token/char counts: whitespace tokens plus a BPE-ish
+    * regex sub-token count (letter runs / digit runs / other singletons). */
+  def e3Tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        asLong(size(split(col("text"), " "))).as("n_tokens"),
+        asLong(length(col("text"))).as("n_chars"),
+        asLong(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+          .as("n_subtokens"))
+      .orderBy("doc_id")
+
+  /** E3 — corpus language breakdown. */
+  def e3LangProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(length(col("text")))).as("total_chars"),
+        round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** E3 — quality scoring: stopword ratio, mean token length, and a composite
+    * [0,1] score favoring longer documents with low stopword density. */
+  def e3Quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(
+        "filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))")))
+      .withColumn("letters", length(regexp_replace(col("text"), " ", "")))
+      .select(col("doc_id"),
+        asLong(col("nt")).as("n_tokens"),
+        round(col("nsw") / col("nt"), 4).as("stopword_ratio"),
+        round(col("letters") / col("nt"), 4).as("avg_token_len"),
+        round(least(lit(1.0), col("nt") / 100.0) * (lit(1.0) - col("nsw") / col("nt")), 4)
+          .as("score"))
+      .orderBy("doc_id")
+
+  /** E3 — language ID via Cavnar–Trenkle character-trigram profiles, trained
+    * on the corpus itself (lang labels): rank trigrams per language, keep the
+    * top 100, score each document by how many of its distinct trigrams hit
+    * each profile, predict the argmax (ties → lexicographically first lang).
+    * Integer scores keep the DuckDB oracle exact. The profile is tiny and
+    * broadcast; the only shuffles are the two groupBys. */
+  def e3LangId(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))"))
+          .as("g"))
+    val top = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("rk") <= 100)
+      .select(col("lang").as("cand_lang"), col("g"))
+    val score = tri.select("doc_id", "g").distinct()
+      .join(broadcast(top), "g")
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("s"))
+    score
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("s").desc, col("cand_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("s").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** E3 — corpus token frequency, top 20. */
+  def e3TokenFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** E3 — document fingerprint via the native rolling-hash Catalyst
+    * expression (codegen'd; see graftext.hashExpressions). */
+  def e3Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Hashes.rollingHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_tokens" -> (e3Tokens _),
+    "e3_lang_profile" -> (e3LangProfile _),
+    "e3_quality" -> (e3Quality _),
+    "e3_langid" -> (e3LangId _),
+    "e3_token_freq" -> (e3TokenFreq _),
+    "e3_fingerprint" -> (e3Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e3_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |  AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e3_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e3_quality" ->
+      """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to'))) AS nsw,
+        |  length(replace(text, ' ', '')) AS letters FROM documents)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |round(CAST(nsw AS DOUBLE) / nt, 4) AS stopword_ratio,
+        |round(CAST(letters AS DOUBLE) / nt, 4) AS avg_token_len,
+        |round(least(1.0, CAST(nt AS DOUBLE) / 100.0) * (1.0 - CAST(nsw AS DOUBLE) / nt), 4)
+        |  AS score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "e3_langid" ->
+      """WITH tri AS (SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, length(lower(text)) - 1),
+        |    i -> substring(lower(text), CAST(i AS INT), 3))) AS g FROM documents),
+        |top AS (SELECT lang AS cand_lang, g FROM (
+        |  SELECT lang, g, row_number() OVER (
+        |    PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+        |  FROM tri GROUP BY lang, g) WHERE rk <= 100),
+        |score AS (SELECT doc_id, cand_lang, count(*) AS s
+        |  FROM (SELECT DISTINCT doc_id, g FROM tri) dg JOIN top USING (g)
+        |  GROUP BY doc_id, cand_lang)
+        |SELECT doc_id, cand_lang AS pred_lang, s AS score FROM (
+        |  SELECT doc_id, cand_lang, s, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn FROM score)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "e3_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "e3_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |  (a, b) -> (a * 131 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
