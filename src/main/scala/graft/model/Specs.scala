@@ -1,0 +1,90 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** One data-quality assertion returned by JobSpec.test
+  * (job_spec.py:56-61, simple_job_test_result.py). */
+final case class SimpleTestResult(testName: String, failureMessage: Option[String]) {
+  def passed: Boolean = failureMessage.isEmpty
+}
+object SimpleTestResult {
+  def passing(name: String): SimpleTestResult = SimpleTestResult(name, None)
+  def failing(name: String, msg: String): SimpleTestResult =
+    SimpleTestResult(name, Some(msg))
+}
+
+/** Structured log sink passed to jobs (domain/job_logger.py:6-17). */
+trait JobLogger {
+  def debug(msg: String): Unit
+  def info(msg: String): Unit
+  def error(msg: String): Unit
+  def exception(e: Throwable): Unit = error(Exceptions.render(e))
+}
+
+/** A named job: the user transformation surface (job_spec.py:18-79).
+  * `run` composes DataFrame operations — that is where control crosses
+  * driver → executors. Cadence/retry knobs mirror the reference defaults. */
+trait JobSpec {
+  def name: String
+  def dependencies: Seq[String] = Nil
+  def maxRetries: Int = 0
+  /** Skip when seconds-since-last-success < this (strict > runs —
+    * batch_runner.py:188-190). */
+  def minSecondsBetweenRefreshes: Long = 0
+  /** Re-test only when seconds-since-last-test >= this (>= compare —
+    * batch_runner.py:423). */
+  def minSecondsBetweenTests: Long = 0
+  /** Enforced via job-group cancellation — a documented deviation: the
+    * reference declares but never enforces it (job_spec.py:63-65). */
+  def timeoutSeconds: Option[Long] = None
+  def run(spark: SparkSession, logger: JobLogger): JobStatus
+  def test(spark: SparkSession, logger: JobLogger): Seq[SimpleTestResult] = Nil
+  /** Compensation hooks (job_spec.py:40-46; invoked batch_runner.py:294-321).
+    * Returned substitute jobs re-run, recursion depth-capped by the runner
+    * (the reference recurses unbounded). */
+  def onExecutionError(errorMessage: String): Option[JobSpec] = None
+  def onTestFailure(results: Seq[JobTestResult]): Option[JobSpec] = None
+}
+
+/** Constructor-driven JobSpec (SimpleJobSpec, job_spec.py:82-143). */
+final case class SimpleJob(
+    override val name: String,
+    override val dependencies: Seq[String] = Nil,
+    override val maxRetries: Int = 0,
+    override val minSecondsBetweenRefreshes: Long = 0,
+    override val minSecondsBetweenTests: Long = 0,
+    override val timeoutSeconds: Option[Long] = None,
+    runFn: (SparkSession, JobLogger) => JobStatus,
+    testFn: (SparkSession, JobLogger) => Seq[SimpleTestResult] =
+      (_, _) => Nil) extends JobSpec {
+  Validate.name(name, "job name")
+  def run(spark: SparkSession, logger: JobLogger): JobStatus = runFn(spark, logger)
+  override def test(spark: SparkSession, logger: JobLogger): Seq[SimpleTestResult] =
+    testFn(spark, logger)
+}
+
+/** A named unit of scheduling (batch_spec.py:23-77, create_batch:121-137). */
+final case class Batch(
+    name: String,
+    jobs: Seq[JobSpec],
+    skipTests: Boolean = false,
+    timeoutSeconds: Option[Long] = None) {
+  Validate.name(name, "batch name")
+}
+
+object Exceptions {
+  /** Exception → structured text: type, message, frames
+    * (exceptions.py:98-134). */
+  def render(e: Throwable): String = {
+    val frames = e.getStackTrace.take(10)
+      .map(f => s"  at ${f.getClassName}.${f.getMethodName}(${f.getFileName}:${f.getLineNumber})")
+      .mkString("\n")
+    Validate.message(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}\n$frames")
+  }
+}
+
+final case class DuplicateJobNamesError(names: Map[String, Int]) extends RuntimeException(
+  s"the following job names were included more than once: ${names.toSeq.sortBy(_._1).map { case (n, c) => s"$n ($c)" }.mkString(", ")}")
+
+final case class DependencyErrors(errors: Seq[String]) extends RuntimeException(
+  errors.sorted.mkString("; "))

@@ -1,0 +1,250 @@
+package graft.store
+
+import java.time.Instant
+
+import graft.model._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flat admin-table rows (DTO layer). Mirrors admin_orm.py:34-93: five
+  * relational tables — batches, jobs, job_test_results, batch_log, job_log —
+  * with FK columns instead of nesting; nesting is reconstructed with joins
+  * when a BatchStatus is materialized (the reference does the same through
+  * ORM relationships, admin_orm.py:105-129). */
+final case class BatchRow(
+    id: String, name: String, execution_millis: Option[Long],
+    execution_error_occurred: Option[Boolean],
+    execution_error_message: Option[String],
+    running: Boolean, ts: Instant)
+
+final case class JobRow(
+    id: String, batch_id: String, job_name: String,
+    execution_millis: Option[Long], execution_error_occurred: Option[Boolean],
+    execution_error_message: Option[String], running: Boolean,
+    skipped: Boolean, skipped_reason: Option[String], ts: Instant)
+
+final case class JobTestRow(
+    id: String, job_id: String, test_name: String, test_passed: Boolean,
+    test_failure_message: Option[String], ts: Instant)
+
+final case class LogRow(
+    id: String, parent_id: String, log_level: String, message: String,
+    ts: Instant)
+
+/** Admin bookkeeping store over parquet tables under `root`.
+  *
+  * Write discipline (SURVEY.md §7 hard parts): parquet has no MERGE, so
+  * upsert/retention are read → rewrite-to-temp → atomic-ish swap. Writing to
+  * a temp dir first means we never overwrite a table that is feeding the
+  * plan that computes its replacement. Reads are always fresh (no caching)
+  * so mid-batch re-reads observe every prior write — the read-after-write
+  * discipline the reference gets from its RDBMS (batch_runner.py:338-340).
+  *
+  * Scale note: admin tables grow with runs × jobs, not with data volume —
+  * the rewrite-based upsert is O(table) but the table is tiny relative to
+  * the data plane. Log appends are buffered per job/batch (Loggers.scala),
+  * never row-at-a-time files.
+  */
+final class AdminStore(val spark: SparkSession, val root: String) {
+  import spark.implicits._
+
+  /** All store I/O serializes on this driver-side lock: concurrent parquet
+    * appends into one directory share the _temporary staging dir (one job's
+    * commit/abort can clobber another's files), and a reader racing a
+    * swapWrite could observe a half-renamed table. Admin I/O is tiny and
+    * infrequent, so the lock costs nothing; batch parallelism
+    * (BatchRunner.runInParallel) is about the data-plane stages, which don't
+    * touch this lock. */
+  private val ioLock = new Object
+
+  val BATCHES = "batches"
+  val JOBS = "jobs"
+  val JOB_TEST_RESULTS = "job_test_results"
+  val BATCH_LOG = "batch_log"
+  val JOB_LOG = "job_log"
+
+  private def path(table: String) = s"$root/$table"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(table: String): Boolean = fs.exists(new Path(path(table)))
+
+  private def readOr[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] =
+    if (exists(table)) spark.read.parquet(path(table)).as[T]
+    else spark.emptyDataset[T]
+
+  def batches: Dataset[BatchRow] = readOr[BatchRow](BATCHES)
+  def jobs: Dataset[JobRow] = readOr[JobRow](JOBS)
+  def jobTestResults: Dataset[JobTestRow] = readOr[JobTestRow](JOB_TEST_RESULTS)
+  def batchLog: Dataset[LogRow] = readOr[LogRow](BATCH_LOG)
+  def jobLog: Dataset[LogRow] = readOr[LogRow](JOB_LOG)
+
+  def appendBatches(rows: Seq[BatchRow]): Unit = append(BATCHES, rows.toDS().toDF())
+  def appendJobs(rows: Seq[JobRow]): Unit = append(JOBS, rows.toDS().toDF())
+  def appendJobTests(rows: Seq[JobTestRow]): Unit =
+    append(JOB_TEST_RESULTS, rows.toDS().toDF())
+  def appendBatchLog(rows: Seq[LogRow]): Unit = append(BATCH_LOG, rows.toDS().toDF())
+  def appendJobLog(rows: Seq[LogRow]): Unit = append(JOB_LOG, rows.toDS().toDF())
+
+  private def append(table: String, df: DataFrame): Unit = ioLock.synchronized {
+    df.coalesce(1).write.mode(SaveMode.Append).parquet(path(table))
+    spark.catalog.refreshByPath(path(table))
+  }
+
+  /** Merge-by-PK (repo.update semantics, sqlalchemy_batch_repository.py and
+    * test_batch_repository.py:60-102): replace rows whose `id` appears in
+    * `rows`, keep the rest. */
+  def upsertBatches(rows: Seq[BatchRow]): Unit = ioLock.synchronized {
+    upsert(BATCHES, rows.map(_.id), batches.toDF(), rows.toDS().toDF())
+  }
+  def upsertJobs(rows: Seq[JobRow]): Unit = ioLock.synchronized {
+    upsert(JOBS, rows.map(_.id), jobs.toDF(), rows.toDS().toDF())
+  }
+
+  // NOTE: `current` must be constructed inside the ioLock (the file listing
+  // happens at DataFrame creation; a concurrent swap between listing and
+  // execution would leave it pointing at deleted files).
+  private def upsert(table: String, ids: Seq[String], current: DataFrame,
+      fresh: DataFrame): Unit = ioLock.synchronized {
+    if (!exists(table)) { append(table, fresh); return }
+    val kept = current.filter(!col("id").isin(ids: _*))
+    swapWrite(table, kept.unionByName(fresh))
+  }
+
+  /** Retention rewrite: keep rows with ts >= cutoff
+    * (delete_old_entries, sqlalchemy_batch_log_repository.py:29-36).
+    * Returns the number of rows deleted. */
+  def deleteOlderThan(table: String, cutoff: Instant): Long = ioLock.synchronized {
+    if (!exists(table)) return 0L
+    val df = spark.read.parquet(path(table))
+    val cutoffLit = lit(java.sql.Timestamp.from(cutoff))
+    val n = df.filter(col("ts") < cutoffLit).count()
+    if (n > 0) swapWrite(table, df.filter(col("ts") >= cutoffLit))
+    n
+  }
+
+  /** Cascade delete of batches (+ child jobs, test results) older than the
+    * cutoff — explicit cascade like sqlalchemy_batch_repository.py:31-41. */
+  def deleteBatchesOlderThan(cutoff: Instant): Long = ioLock.synchronized {
+    if (!exists(BATCHES)) return 0L
+    val cutoffLit = lit(java.sql.Timestamp.from(cutoff))
+    val old = batches.toDF().filter(col("ts") < cutoffLit).select("id")
+    val n = old.count()
+    if (n == 0) return 0L
+    val oldIds = old.as[String].collect().toSeq
+    val oldJobIds =
+      if (exists(JOBS))
+        jobs.toDF().filter(col("batch_id").isin(oldIds: _*))
+          .select("id").as[String].collect().toSeq
+      else Nil
+    if (exists(JOB_TEST_RESULTS) && oldJobIds.nonEmpty)
+      swapWrite(JOB_TEST_RESULTS,
+        jobTestResults.toDF().filter(!col("job_id").isin(oldJobIds: _*)))
+    if (exists(JOBS))
+      swapWrite(JOBS, jobs.toDF().filter(!col("batch_id").isin(oldIds: _*)))
+    swapWrite(BATCHES, batches.toDF().filter(col("ts") >= cutoffLit))
+    n
+  }
+
+  /** Rewrite `table` from a plan that reads the table itself: write to a
+    * temp dir, then swap directories. Never overwrite-in-place mid-read. */
+  private def swapWrite(table: String, df: DataFrame): Unit = {
+    val tmp = new Path(s"${path(table)}.tmp${System.nanoTime()}")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path(table))
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"failed to swap $tmp -> $dst")
+    // drop Spark's cached file listing for the old generation of the table
+    spark.catalog.refreshByPath(dst.toString)
+  }
+
+  // ---- Read queries (the reference's repository surface, §2.B shapes) ----
+
+  private def byNameDesc(df: DataFrame, nameCol: String, name: String): DataFrame =
+    // case-insensitive match = ilike without wildcards
+    // (sqlalchemy_job_repository.py:35)
+    df.filter(lower(col(nameCol)) === name.toLowerCase)
+      .orderBy(col("ts").desc, col("id").desc)
+
+  /** Latest run of a batch (get_latest, sqlalchemy_batch_repository.py:47-56). */
+  def latestBatch(name: String): Option[BatchStatus] = ioLock.synchronized {
+    byNameDesc(batches.toDF(), "name", name).as[BatchRow]
+      .take(1).headOption.map(hydrate)
+  }
+
+  /** Stored state of one batch run, by id (fresh read). */
+  def batchById(id: String): Option[BatchStatus] = ioLock.synchronized {
+    batches.filter(_.id == id).collect().headOption.map(hydrate)
+  }
+
+  /** Previous run — OFFSET 1 because the current in-progress row is already
+    * inserted (sqlalchemy_batch_repository.py:76-86). */
+  def previousBatch(name: String): Option[BatchStatus] = ioLock.synchronized {
+    byNameDesc(batches.toDF(), "name", name).as[BatchRow]
+      .take(2).drop(1).headOption.map(hydrate)
+  }
+
+  /** Reconstruct the nested BatchStatus from the flat tables (the join +
+    * collect form of the ORM relationships, admin_orm.py:105-129). */
+  def hydrate(b: BatchRow): BatchStatus = {
+    val jobRows = jobs.filter(_.batch_id == b.id).collect().toSeq
+    val jobIds = jobRows.map(_.id)
+    val tests =
+      if (jobIds.isEmpty) Map.empty[String, Seq[JobTestRow]]
+      else jobTestResults.toDF().filter(col("job_id").isin(jobIds: _*))
+        .as[JobTestRow].collect().toSeq.groupBy(_.job_id)
+    val results = jobRows.sortBy(_.ts).map { j =>
+      val status: JobStatus =
+        if (j.running) JobStatus.InProgress
+        else if (j.skipped) JobStatus.Skipped(j.skipped_reason.getOrElse(""))
+        else if (j.execution_error_occurred.contains(true))
+          JobStatus.Failed(j.execution_error_message.getOrElse(""))
+        else JobStatus.Successful
+      JobResult(j.id, j.batch_id, j.job_name, status, j.execution_millis,
+        tests.getOrElse(j.id, Nil).sortBy(_.test_name).map(t =>
+          JobTestResult(t.id, t.job_id, t.test_name, t.test_passed,
+            t.test_failure_message, t.ts)),
+        j.ts)
+    }
+    BatchStatus(b.id, b.name, results, b.execution_millis,
+      b.execution_error_message, b.running, b.ts)
+  }
+
+  /** Last successful run ts of a job: flag-filtered max
+    * (get_last_successful_ts, sqlalchemy_job_repository.py:67-82). */
+  def lastSuccessfulTs(jobName: String): Option[Instant] = ioLock.synchronized {
+    maxTs(jobs.toDF()
+      .filter(lower(col("job_name")) === jobName.toLowerCase)
+      .filter(!col("running") && !col("skipped") &&
+        col("execution_error_occurred") === false), max(col("ts")))
+  }
+
+  /** Test results of the most recent non-skipped run of a job
+    * (latest_test_results, batch_runner.py:411-443). */
+  def latestTestResults(jobName: String): Seq[JobTestRow] = ioLock.synchronized {
+    val latestJob = jobs.toDF()
+      .filter(lower(col("job_name")) === jobName.toLowerCase)
+      .filter(!col("running") && !col("skipped"))
+      .orderBy(col("ts").desc, col("id").desc)
+      .as[JobRow].take(1).headOption
+    latestJob.map(j => jobTestResults.filter(_.job_id == j.id).collect().toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** Earliest log ts (get_earliest, sqlalchemy_batch_log_repository.py:42-51). */
+  def earliestBatchLogTs: Option[Instant] = ioLock.synchronized {
+    maxTs(batchLog.toDF(), min(col("ts")))
+  }
+
+  private def maxTs(df: DataFrame, aggCol: org.apache.spark.sql.Column): Option[Instant] =
+    df.agg(aggCol).collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0)).map(_.toInstant))
+
+  /** Regression delta between the latest two runs
+    * (get_latest_batch_delta, sqlalchemy_batch_repository.py:58-74). */
+  def batchDelta(name: String): Option[BatchDelta] =
+    latestBatch(name).map(cur => BatchDelta(cur, previousBatch(name)))
+}

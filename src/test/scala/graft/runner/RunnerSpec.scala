@@ -1,0 +1,231 @@
+package graft.runner
+
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.TestSpark
+import graft.model._
+import graft.store.AdminStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runner e2e — reproduces the reference's five runner scenarios
+  * (tests/e2e/test_runner.py:333-724) plus cadence/retry/compensation/
+  * timeout semantics, against a real local SparkSession and parquet admin
+  * store with an injectable clock (conftest.py:46-59 StaticTimestampAdapter). */
+class RunnerSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  final class StepClock(var at: Instant) extends Clock {
+    def now(): Instant = at
+    def advance(seconds: Long): Unit = at = at.plusSeconds(seconds)
+  }
+
+  private def fixture() = {
+    val clock = new StepClock(Instant.parse("2024-06-01T12:00:00Z"))
+    val store = new AdminStore(spark, TestSpark.tmpDir("runner"))
+    (clock, store, new BatchRunner(spark, store, clock))
+  }
+
+  private def okJob(name: String, deps: Seq[String] = Nil): JobSpec =
+    SimpleJob(name, dependencies = deps,
+      runFn = (_, log) => { log.info(s"$name ran"); JobStatus.Successful })
+
+  private def badJob(name: String, deps: Seq[String] = Nil): JobSpec =
+    SimpleJob(name, dependencies = deps,
+      runFn = (_, _) => JobStatus.Failed(s"$name exploded"))
+
+  test("happy path: real query job + passing test recorded in admin store (test_runner.py:344-465)") {
+    val (_, store, runner) = fixture()
+    val out = TestSpark.tmpDir("rev") + "/revenue"
+    val job = SimpleJob("revenue_by_region",
+      runFn = (s, log) => {
+        val df = graft.ops.Relational.q19aRegionRevenue(s, TestSpark.sf0001)
+        df.write.mode("overwrite").parquet(out)
+        log.info("wrote revenue_by_region")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val n = s.read.parquet(out).count()
+        if (n == 5) Seq(SimpleTestResult.passing("five regions"))
+        else Seq(SimpleTestResult.failing("five regions", s"got $n rows"))
+      })
+    val status = runner.run(Batch("smoke", Seq(job)))
+    assert(!status.running && status.errorMessage.isEmpty)
+    assert(status.jobResults.map(_.jobName) == Seq("revenue_by_region"))
+    assert(status.jobResults.head.testResults.forall(_.passed))
+    // admin store agrees after fresh reads
+    val stored = store.latestBatch("smoke").get
+    assert(!stored.running && stored.brokenJobs.isEmpty)
+    assert(stored.jobResults.head.testResults.map(_.testName) == Seq("five regions"))
+    assert(store.jobLog.count() > 0 && store.batchLog.count() > 0)
+  }
+
+  test("unresolved dependency rejected (test_runner.py: unresolved deps)") {
+    val (_, _, runner) = fixture()
+    val e = intercept[DependencyErrors](
+      runner.run(Batch("badbatch", Seq(okJob("aaa", deps = Seq("ghost"))))))
+    assert(e.getMessage.contains("unresolved"))
+  }
+
+  test("dependency declared after dependent job rejected — no topo sort (batch_runner.py:551-593)") {
+    val (_, _, runner) = fixture()
+    val e = intercept[DependencyErrors](
+      runner.run(Batch("badbatch", Seq(okJob("bbb", deps = Seq("aaa")), okJob("aaa")))))
+    assert(e.getMessage.contains("comes after"))
+  }
+
+  test("duplicate job names rejected (batch_runner.py:542-548)") {
+    val (_, _, runner) = fixture()
+    intercept[DuplicateJobNamesError](
+      runner.run(Batch("badbatch", Seq(okJob("same"), okJob("same")))))
+  }
+
+  test("failed batch writes failure row and rethrows (batch_runner.py:120-138)") {
+    val (_, store, runner) = fixture()
+    intercept[DependencyErrors](
+      runner.run(Batch("boombatch", Seq(okJob("aaa", deps = Seq("ghost"))))))
+    val b = store.latestBatch("boombatch").get
+    assert(!b.running && b.errorMessage.exists(_.contains("unresolved")))
+  }
+
+  test("skip only when ALL deps skipped/failed (batch_runner.py:160-177)") {
+    val (_, store, runner) = fixture()
+    val status = runner.run(Batch("skipsbatch", Seq(
+      badJob("aaa"), okJob("bbb"), okJob("ccc", deps = Seq("aaa")),
+      okJob("ddd", deps = Seq("aaa", "bbb")))))
+    val byName = status.jobResults.map(r => r.jobName -> r.status).toMap
+    assert(byName("aaa").isInstanceOf[JobStatus.Failed])
+    assert(byName("bbb") == JobStatus.Successful)
+    // c: its only dep failed -> skipped
+    assert(byName("ccc").isInstanceOf[JobStatus.Skipped])
+    // d: one dep ok, one failed -> NOT skipped, but pre-handler fails it
+    // because ANY hard-failed dep fails the job (batch_runner.py:326-380)
+    byName("ddd") match {
+      case JobStatus.Failed(msg) => assert(msg.contains("failed to execute"))
+      case other => fail(s"expected ddd to fail via pre-handler, got $other")
+    }
+    val stored = store.latestBatch("skipsbatch").get
+    assert(stored.jobResults.find(_.jobName == "ccc").get.skipped)
+  }
+
+  test("dependency test failures fail the dependent job (batch_runner.py:346-367)") {
+    val (_, _, runner) = fixture()
+    val flaky = SimpleJob("flaky",
+      runFn = (_, _) => JobStatus.Successful,
+      testFn = (_, _) => Seq(SimpleTestResult.failing("always", "nope")))
+    val status = runner.run(Batch("testfail", Seq(flaky, okJob("down", deps = Seq("flaky")))))
+    val down = status.jobResults.find(_.jobName == "down").get
+    down.status match {
+      case JobStatus.Failed(msg) => assert(msg.contains("failed their tests"))
+      case other => fail(s"expected failure, got $other")
+    }
+  }
+
+  test("refresh cadence: strict > gate (batch_runner.py:188-190)") {
+    val (clock, _, runner) = fixture()
+    val runs = new AtomicInteger(0)
+    def job = SimpleJob("cadenced", minSecondsBetweenRefreshes = 300,
+      runFn = (_, _) => { runs.incrementAndGet(); JobStatus.Successful })
+    runner.run(Batch("cadence", Seq(job)))
+    assert(runs.get == 1)
+    clock.advance(300) // exactly min -> 300 > 300 is false -> skip
+    val s2 = runner.run(Batch("cadence", Seq(job)))
+    assert(runs.get == 1)
+    assert(s2.jobResults.head.status.isInstanceOf[JobStatus.Skipped])
+    clock.advance(1) // 301 > 300 -> runs
+    runner.run(Batch("cadence", Seq(job)))
+    assert(runs.get == 2)
+  }
+
+  test("test cadence: >= gate (batch_runner.py:423)") {
+    val (clock, _, runner) = fixture()
+    val tested = new AtomicInteger(0)
+    def job = SimpleJob("tcad", minSecondsBetweenTests = 300,
+      runFn = (_, _) => JobStatus.Successful,
+      testFn = (_, _) => { tested.incrementAndGet()
+        Seq(SimpleTestResult.passing("t")) })
+    runner.run(Batch("testcad", Seq(job)))
+    assert(tested.get == 1)
+    clock.advance(299)
+    runner.run(Batch("testcad", Seq(job)))
+    assert(tested.get == 1) // 299 >= 300 false -> skipped
+    clock.advance(1)
+    runner.run(Batch("testcad", Seq(job)))
+    assert(tested.get == 2) // 300 >= 300 true -> re-tested
+  }
+
+  test("retry up to maxRetries (batch_runner.py:503-539)") {
+    val (_, _, runner) = fixture()
+    val attempts = new AtomicInteger(0)
+    val job = SimpleJob("retrying", maxRetries = 2,
+      runFn = (_, _) =>
+        if (attempts.incrementAndGet() < 3) JobStatus.Failed("not yet")
+        else JobStatus.Successful)
+    val status = runner.run(Batch("retrybatch", Seq(job)))
+    assert(attempts.get == 3)
+    assert(status.jobResults.head.status == JobStatus.Successful)
+  }
+
+  test("compensation hook substitutes a repair job, depth-capped (batch_runner.py:294-321)") {
+    val (_, _, runner) = fixture()
+    val repaired = new AtomicInteger(0)
+    val repair = SimpleJob("repair_main",
+      runFn = (_, _) => { repaired.incrementAndGet(); JobStatus.Successful })
+    val main = new JobSpec {
+      val name = "main_job"
+      def run(s: org.apache.spark.sql.SparkSession, l: JobLogger): JobStatus =
+        JobStatus.Failed("broken")
+      override def onExecutionError(msg: String): Option[JobSpec] = Some(repair)
+    }
+    val status = runner.run(Batch("compbatch", Seq(main)))
+    assert(repaired.get == 1)
+    assert(status.jobResults.head.status == JobStatus.Successful)
+  }
+
+  test("per-job timeout enforced via job-group cancellation (deviation: job_spec.py:63-65 never enforced)") {
+    val (_, _, runner) = fixture()
+    val job = SimpleJob("sleepy", timeoutSeconds = Some(1),
+      runFn = (_, _) => { Thread.sleep(5000); JobStatus.Successful })
+    val status = runner.run(Batch("timeoutbatch", Seq(job)))
+    status.jobResults.head.status match {
+      case JobStatus.Failed(msg) => assert(msg.contains("timed out"))
+      case other => fail(s"expected timeout failure, got $other")
+    }
+  }
+
+  test("parallel batches share one session and all get recorded (batch_runner.py:36-46)") {
+    val (clock, store, _) = fixture()
+    val batches = (1 to 3).map(i => Batch(s"par_$i", Seq(okJob(s"job_$i"))))
+    val statuses = BatchRunner.runInParallel(spark, store, batches,
+      maxParallel = 3, clock = clock)
+    assert(statuses.length == 3)
+    assert(statuses.forall(s => !s.running && s.errorMessage.isEmpty))
+    (1 to 3).foreach(i => assert(store.latestBatch(s"par_$i").nonEmpty))
+  }
+
+  test("batch delta across consecutive runs (batch_delta.py:8-39)") {
+    val (clock, store, runner) = fixture()
+    runner.run(Batch("deltabatch", Seq(badJob("aaa"), okJob("bbb"))))
+    clock.advance(3600)
+    runner.run(Batch("deltabatch", Seq(okJob("aaa"), badJob("bbb"))))
+    val d = store.batchDelta("deltabatch").get
+    assert(d.commonJobs == Set("aaa", "bbb"))
+    assert(d.newlyBrokenJobs == Set("bbb"))
+    assert(d.newlyFixedJobs == Set("aaa"))
+  }
+
+  test("admin batch deletes old logs and its test passes (delete_old_logs.py:11-86)") {
+    val (clock, store, runner) = fixture()
+    // seed old logs (5 days back) and fresh ones
+    val old = clock.at.minusSeconds(5 * 86400)
+    store.appendBatchLog(Seq(graft.store.LogRow(Validate.newId(), "b" * 32,
+      "INFO", "ancient", old)))
+    store.appendJobLog(Seq(graft.store.LogRow(Validate.newId(), "j" * 32,
+      "INFO", "ancient", old)))
+    val status = runner.run(AdminBatch(store, clock))
+    assert(status.jobResults.head.status == JobStatus.Successful)
+    assert(status.jobResults.head.testResults.forall(_.passed))
+    assert(store.batchLog.toDF().filter(col("message") === "ancient").count() == 0)
+  }
+}
