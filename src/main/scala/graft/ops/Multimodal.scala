@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal-column plumbing (SURVEY.md builder prompt): media
+  * treated as opaque `binary` columns with typed metadata, decoded /
+  * feature-extracted / frame-sampled via `mapPartitions` (the Scala
+  * equivalent of mapInPandas batching: one iterator pass per partition,
+  * constant memory, no per-row UDF dispatch).
+  *
+  * The decode step is STUBBED: this container has no image/audio libraries,
+  * so `RealCodec.decode` is an unimplemented hook (???) and every pipeline
+  * runs on `DeterministicFakeCodec`, which derives "pixels" from the blob
+  * bytes. The Spark-side plumbing — blob schema, metadata struct, partition
+  * iteration, feature schema — is real and oracle-verified (the fake decode
+  * is pure arithmetic on bytes, so DuckDB can recompute every feature).
+  */
+object Multimodal {
+
+  final case class DecodedMedia(nBytes: Int, meanPixel: Double)
+
+  /** Decode boundary. A production build would plug javax.imageio / ffmpeg
+    * here; the interface is the contract the plumbing is tested against. */
+  trait BlobCodec extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedMedia
+  }
+
+  /** STUB — real decoding needs media libraries not present in this
+    * environment. Kept unimplemented on purpose. */
+  object RealCodec extends BlobCodec {
+    def decode(bytes: Array[Byte]): DecodedMedia = ???
+  }
+
+  /** Deterministic stand-in: "pixels" are the raw bytes scaled to [0,1]. */
+  object DeterministicFakeCodec extends BlobCodec {
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      DecodedMedia(bytes.length,
+        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0)
+    }
+  }
+
+  final case class BlobRow(doc_id: Long, blob: Array[Byte], width: Int,
+      height: Int, format: String)
+  final case class BlobFeatures(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, n_frames: Long, mean_pixel: Double)
+
+  /** Ingest: attach a binary column + typed metadata to each document.
+    * (In production the blob comes off object storage; here it is the UTF-8
+    * text bytes, which keeps every downstream feature recomputable in SQL.) */
+  def withBlobs(s: SparkSession, d: String): Dataset[BlobRow] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("blob"),
+        (lit(64) + (col("doc_id") % 16) * 16).cast("int").as("width"),
+        lit(64).as("height"),
+        lit("fake/raw").as("format"))
+      .as[BlobRow]
+  }
+
+  /** E5 — batched decode + feature extraction via mapPartitions: one codec
+    * instance per partition, lazy iterator (no partition materialization). */
+  def e5BlobFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val codec: BlobCodec = DeterministicFakeCodec
+    withBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = codec.decode(r.blob)
+          BlobFeatures(r.doc_id, m.nBytes.toLong, r.width.toLong, r.height.toLong,
+            1L + m.nBytes / 256, math.rint(m.meanPixel * 10000) / 10000)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** E5 — frame sampling: split the blob into 256-byte "frames", keep every
+    * 2nd frame, fingerprint each (rolling hash of the frame's text slice).
+    * Generator-style explode keeps this a narrow, shuffle-free map. */
+  def e5FrameSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        ((length(col("text")) - 1) / 256).cast("long").as("max_frame"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("max_frame"))).as("frame_id"))
+      .filter(col("frame_id") % 2 === 0)
+      .select(col("doc_id"), col("frame_id"),
+        length(expr("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)"))
+          .cast("long").as("frame_len"),
+        graft.functions.Hashes.rollingHash(
+          expr("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)")).as("frame_fp"))
+      .orderBy("doc_id", "frame_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e5_blob_features" -> (e5BlobFeatures _),
+    "e5_frame_sample" -> (e5FrameSample _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the fake decode is pure byte arithmetic → DuckDB recomputes it exactly
+    "e5_blob_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS width,
+        |CAST(64 AS BIGINT) AS height,
+        |CAST(1 + length(text) // 256 AS BIGINT) AS n_frames,
+        |round(list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |  (a, b) -> a + b) / CAST(length(text) AS DOUBLE) / 255.0, 4) AS mean_pixel
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e5_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  unnest(range(0, 1 + (length(text) - 1) // 256)) AS frame_id
+        |  FROM documents)
+        |SELECT doc_id, frame_id,
+        |CAST(length(substring(text, CAST(frame_id * 256 + 1 AS INT), 256)) AS BIGINT)
+        |  AS frame_len,
+        |list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    range(1, length(substring(text, CAST(frame_id * 256 + 1 AS INT), 256)) + 1),
+        |    i -> CAST(unicode(substring(substring(text, CAST(frame_id * 256 + 1 AS INT), 256),
+        |      CAST(i AS INT), 1)) AS BIGINT))),
+        |  (a, b) -> (a * 131 + b) % 1000000007) AS frame_fp
+        |FROM f WHERE frame_id % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** [EXT] Structured Streaming surface over `events` (SURVEY.md §2 E4).
+  * The reference is batch-only; these are the streaming extensions a
+  * training-data pipeline needs. Design rule: every aggregation that can
+  * run identically in batch mode is ALSO exposed as a declared batch query
+  * (e4a tumbling windows, e4c session windows) so the DuckDB oracle can
+  * verify the same expression the stream runs; watermark/late-data and
+  * stateful dedup behavior are streaming-only and covered by ScalaTest
+  * against file-source streams. */
+object StreamOps {
+
+  /** E4a — tumbling 1-hour counts, batch mode (same window() expression a
+    * stream would run; verified vs DuckDB time_bucket). */
+  def e4aTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("bucket", "event_type")
+
+  /** E4c — sessionization: session_window with a 30-minute gap, batch mode.
+    * The oracle reproduces it with gaps-and-islands SQL. */
+  def e4cSessions(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming form of e4a: file-source stream → watermarked tumbling agg.
+    * Returns the started query writing to an in-memory sink `sinkName`. */
+  def streamTumbling(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
+  /** E4d — stateful dedup on event_id within the watermark. */
+  def streamDedup(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e4a_tumbling" -> (e4aTumbling _),
+    "e4c_sessions" -> (e4cSessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e4a_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "e4c_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      > INTERVAL '30 minutes' OR
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, value, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM ordered)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.functions.MinHashAgg
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("blob ingest keeps binary + typed metadata schema") {
+    val blobs = Multimodal.withBlobs(spark, TestSpark.sf0001)
+    val schema = blobs.schema
+    assert(schema("blob").dataType.typeName == "binary")
+    assert(schema("width").dataType.typeName == "integer")
+    val first = blobs.orderBy("doc_id").head()
+    assert(first.blob.nonEmpty && first.format == "fake/raw")
+  }
+
+  test("mapPartitions decode produces one feature row per blob") {
+    val feats = Multimodal.e5BlobFeatures(spark, TestSpark.sf0001)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(feats.count() == docs)
+    val r = feats.head()
+    assert(r.getAs[Double]("mean_pixel") > 0 && r.getAs[Double]("mean_pixel") < 1)
+  }
+
+  test("RealCodec decode is an explicit stub (unimplemented hook)") {
+    assertThrows[NotImplementedError](
+      Multimodal.RealCodec.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("MinHash Aggregator estimates Jaccard within tolerance") {
+    val agg = new MinHashAgg(128).toColumn
+    def shingles(text: String): Seq[String] = {
+      val t = text.split(' '); t.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy dog and walks far away home"
+    val sa = shingles(a).toDS().select(agg).as[Array[Long]].head()
+    val sb = shingles(b).toDS().select(agg).as[Array[Long]].head()
+    val setA = shingles(a).toSet
+    val setB = shingles(b).toSet
+    val trueJ = setA.intersect(setB).size.toDouble / setA.union(setB).size
+    val estJ = MinHashAgg.estimateJaccard(sa, sb)
+    assert(math.abs(trueJ - estJ) < 0.2, s"true=$trueJ est=$estJ")
+    // identical inputs → identical signatures
+    val sa2 = shingles(a).toDS().select(agg).as[Array[Long]].head()
+    assert(sa.sameElements(sa2))
+  }
+
+  test("csv/json/orc roundtrip preserves schema and values") {
+    val df = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus", $"o_orderdate")
+      .orderBy("o_orderkey").limit(100)
+    val base = TestSpark.tmpDir("formats")
+    Formats.writeCsv(df, s"$base/csv")
+    Formats.writeJson(df, s"$base/json")
+    Formats.writeOrc(df, s"$base/orc")
+    val expected = df.collect().map(_.toSeq).toSeq
+    val fromCsv = Formats.readCsv(spark, s"$base/csv", df.schema)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val fromJson = Formats.readJson(spark, s"$base/json", df.schema)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val fromOrc = Formats.readOrc(spark, s"$base/orc")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(fromCsv == expected)
+    assert(fromJson == expected)
+    assert(fromOrc == expected)
+  }
+}
