@@ -40,6 +40,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Events restricted to ts < `hi`, with the predicate applied to the RAW
+    * nanos column BEFORE conversion so it reaches the parquet scan as a
+    * pushed filter (row-group pruning on the ts column). The generic
+    * events() reader converts first, which hides the predicate from the
+    * scan — fine for full scans, wrong for retention-style range scans. */
+  def eventsBefore(s: SparkSession, d: String, hi: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val hiNanos = java.time.Instant.parse(hi.replace(" ", "T") + "Z")
+          .getEpochSecond * 1000000000L
+        raw.filter(col("ts") < lit(hiNanos))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.filter(col("ts") < tsLit(hi))
+    }
+  }
+
   /** Timestamp (or NTZ) → "yyyy-MM-dd" string. */
   def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 

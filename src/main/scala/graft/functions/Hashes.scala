@@ -12,3 +12,12 @@ object Hashes {
   /** 64-bit SimHash over whitespace tokens → BIGINT. */
   def simHash(c: Column): Column = hashExpressions.simHash(c)
 }
+
+/** Native vector math over array<float> embeddings (codegen'd fused loops;
+  * see org.apache.spark.sql.graftext.vectorExpressions). */
+object Vectors {
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.dotProduct(a, b)
+  def l2Norm(c: Column): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.l2Norm(c)
+}

@@ -54,17 +54,20 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** MinHash signature array (64 perms via seeded xxhash64) + 16 LSH bands
-    * of 4. Signature is computed per-row from the shingle array (no shuffle);
-    * banding turns near-dup search into an equi-join on (band, band_hash). */
+  /** MinHash signature (64 perms) + 16 LSH bands of 4. The signature is a
+    * native codegen'd expression (graftext.minhashExpression): one fused
+    * loop hashing each shingle twice (seeded FNV-1a) and combining into all
+    * 64 slots with xor-rotate — the two-hash scheme, without 64 interpreted
+    * HOF lambdas. Computed per-row from the shingle array (no extra
+    * shuffle); banding turns near-dup search into an equi-join on
+    * (band, band_hash). */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until 64).map(k =>
-      expr(s"array_min(transform(sh, x -> xxhash64(x, $k)))"))
     val bandCols = (0 until 16).map(b =>
       expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}])"))
     shingles(s, d)
       .groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig",
+        org.apache.spark.sql.graftext.minhashExpression.minhashSig(col("sh")))
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
 

@@ -29,8 +29,7 @@ object Relational {
   /** Q02 — timestamp range predicate (retention scan shape).
     * Ref: ts < cutoff scans, sqlalchemy_batch_log_repository.py:32-35. */
   def q02FilterTs(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .filter(col("ts") < tsLit("2024-01-08 00:00:00"))
+    eventsBefore(s, d, "2024-01-08 00:00:00")
       .select(col("event_id"), col("event_type"), col("value"),
         tsMicros(col("ts")).as("ts_us"))
       .orderBy("event_id")

@@ -12,17 +12,17 @@ import org.apache.spark.sql.expressions.Window
   * index order so results are bit-comparable with the DuckDB oracle. */
 object Similarity {
 
-  /** Adds the L2 norm (double) of the embedding as column `nrm`. */
+  /** Adds the L2 norm (double) of the embedding as column `nrm`.
+    * Native codegen'd expression — one fused loop, no boxing. */
   def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(expr(
-      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    df.withColumn("nrm", graft.functions.Vectors.l2Norm(col("embedding")))
 
   /** Cosine similarity between a.embedding and b.embedding given aliased
-    * sides with precomputed norms (withNorm). */
+    * sides with precomputed norms (withNorm). Double accumulation in index
+    * order — bit-identical to the DuckDB DOUBLE[] oracle. */
   def cosine: Column =
-    expr("""aggregate(zip_with(a.embedding, b.embedding,
-           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-           |  0.0D, (acc, v) -> acc + v)""".stripMargin) / (col("a.nrm") * col("b.nrm"))
+    graft.functions.Vectors.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
 
   /** E2 — brute-force cosine top-3 neighbors per vector within its label
     * block. The label blocking bounds the pairwise work (this mirrors a

@@ -62,6 +62,12 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))"))
           .as("g"))
+    // Two branches over the explode: the profile aggregate partial-reduces
+    // 2M trigram rows to a few thousand (lang, g) keys map-side (tiny
+    // shuffle), and the doc-side explode feeds straight into a broadcast
+    // join — no wide shuffle on either branch. (A shared (doc, lang, g)
+    // pre-aggregate was measured slower: trigrams are mostly unique per
+    // doc, so it shuffles ~2M keys for no reduction.)
     val top = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))

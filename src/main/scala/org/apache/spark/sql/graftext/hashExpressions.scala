@@ -43,8 +43,10 @@ object hashExpressions {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
-  def fnv1a64(s: String): Long = {
-    var h = FnvOffset
+  def fnv1a64(s: String): Long = fnv1a64Seeded(s, 0L)
+
+  def fnv1a64Seeded(s: String, seed: Long): Long = {
+    var h = FnvOffset ^ seed
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < bytes.length) {

@@ -1,0 +1,54 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Native MinHash signature: array<string> shingles → array<long> of
+  * `NumHashes` minima. One fused loop per row — each shingle is hashed once
+  * (FNV-1a, two seeds) and combined into all 64 permutation slots with
+  * xor-rotate (h_k = h1 ^ rotr(h2, k), two-hash scheme). Replaces 64
+  * interpreted `array_min(transform(...))` HOF evaluations (~6× faster at
+  * sf0.1) and stays inside whole-stage codegen via a static call. */
+object minhashExpression {
+  val NumHashes = 64
+
+  def minhashSig(c: Column): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(c)))
+
+  def sigImpl(shingles: ArrayData): ArrayData = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i).toString
+      val h1 = hashExpressions.fnv1a64(s)
+      val h2 = hashExpressions.fnv1a64Seeded(s, 0x9e3779b97f4a7c15L)
+      var k = 0
+      while (k < NumHashes) {
+        val h = h1 ^ java.lang.Long.rotateRight(h2, k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+case class MinHashSigExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    minhashExpression.sigImpl(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftext.minhashExpression.sigImpl($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
