@@ -4,9 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    // Warm the JVM (classloading, codegen, parquet footer reads) so the
-    // first measured query isn't charged session startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the JVM (classloading, codegen, parquet footer reads across all
+    // fixture tables) so the first measured query isn't charged startup.
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -13,6 +13,17 @@ object Hashes {
   def simHash(c: Column): Column = hashExpressions.simHash(c)
 }
 
+/** Native n-gram generators (codegen'd fused loops; see
+  * org.apache.spark.sql.graftext.ngramExpressions). */
+object Ngrams {
+  /** Character n-grams of a string → array<string>. */
+  def charNgrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.ngramExpressions.charNgrams(c, n)
+  /** Word n-shingles (space-joined) → array<string>. */
+  def wordShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.ngramExpressions.wordShingles(c, n)
+}
+
 /** Native vector math over array<float> embeddings (codegen'd fused loops;
   * see org.apache.spark.sql.graftext.vectorExpressions). */
 object Vectors {

@@ -12,15 +12,15 @@ import org.apache.spark.sql.functions._
   * SimHash (native expression). */
 object Dedup {
 
-  /** Word 3-shingles per doc, distinct, as (doc_id, s) rows. */
+  /** Word 3-shingles per doc, distinct, as (doc_id, s) rows. Shingling is a
+    * native fused-loop expression (graftext.ngramExpressions) — documents
+    * with fewer than 3 tokens yield an empty array and drop out at the
+    * explode, matching the previous size-filtered HOF formulation. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                 element_at(toks, i + 2)))""".stripMargin))).as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Ngrams.wordShingles(col("text"), 3))).as("s"))
 
   /** E1 — exact duplicate groups by normalized-text hash.
     * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard

@@ -42,26 +42,16 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
-  /** Deterministic random hyperplanes: component p,i derived from a seeded
-    * per-(plane,dim) hash, mapped to ±1. Reproducible across sessions. */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
   /** E2 — ANN via random-hyperplane LSH: 12-bit signatures bucket the
-    * vectors; the top-1 neighbor is searched within the bucket only.
-    * Rows-only check (recall vs e2_cosine_topk asserted in ScalaTest). */
+    * vectors; the top-1 neighbor is searched within the bucket only. The
+    * signature is a native fused-loop expression with hash-derived ±1
+    * planes (deterministic everywhere, nothing to broadcast). Rows-only
+    * check (structure + true-cosine property asserted in ScalaTest). */
   def e2AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val pl = planes(12, 64)
-    val bitCols = pl.toIndexedSeq.zipWithIndex.map { case (p, i) =>
-      when(expr(
-        s"""aggregate(zip_with(embedding, ${planeArrSql(p)},
-           |  (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)""".stripMargin) >= 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }
     val sig = withNorm(embeddings(s, d))
-      .withColumn("bucket", bitCols.reduce(_ + _))
+      .withColumn("bucket",
+        org.apache.spark.sql.graftext.hyperplaneExpression
+          .hyperplaneSig(col("embedding"), 12))
     val w = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("sim").desc, col("b.vec_id"))
     sig.as("a")
@@ -74,9 +64,6 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
-
-  private def planeArrSql(p: Array[Double]): String =
-    p.map(v => if (v > 0) "1.0D" else "-1.0D").mkString("array(", ", ", ")")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_cosine_topk" -> (e2CosineTopk _),

@@ -60,8 +60,7 @@ object TextOps {
     val tri = documents(s, d)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))"))
-          .as("g"))
+        explode(graft.functions.Ngrams.charNgrams(col("t"), 3)).as("g"))
     // Two branches over the explode: the profile aggregate partial-reduces
     // 2M trigram rows to a few thousand (lang, g) keys map-side (tiny
     // shuffle), and the doc-side explode feeds straight into a broadcast
