@@ -303,6 +303,14 @@ final class BatchRunner(
 }
 
 object BatchRunner {
+  /** Convenience: run the built-in admin batch (run_admin,
+    * batch_runner.py:19-33). */
+  def runAdmin(spark: SparkSession, store: AdminStore,
+      clock: Clock = Clock.System, daysToKeep: Int = 3,
+      logToConsole: Boolean = false): BatchStatus =
+    new BatchRunner(spark, store, clock, logToConsole)
+      .run(AdminBatch(store, clock, daysToKeep))
+
   private lazy val jobEc: ExecutionContext = ExecutionContext.fromExecutorService(
     java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-job"); t.setDaemon(true); t

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic samples from a ScalaCheck generator. */
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("saltedJoin equals the plain join on a skewed dataset") {
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = (1 to 200).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", nSalts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 1L))
+      .toDF("k")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedCount(df, "k", nSalts = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("property: message truncation keeps exactly the last 2000 chars") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 5000)
+      c <- Gen.alphaNumChar
+    } yield c.toString * n
+    samples(gen, 50, seed = 7L).foreach { s =>
+      val t = graft.model.Validate.message(s)
+      assert(t.length == math.min(s.length, 2000))
+      assert(s.endsWith(t))
+    }
+  }
+
+  test("property: MinHash estimate tracks true Jaccard on random token sets") {
+    val agg = new graft.functions.MinHashAgg(256).toColumn
+    val gen = Gen.listOfN(40, Gen.oneOf((1 to 60).map(i => s"tok$i")))
+    samples(Gen.zip(gen, gen), 8, seed = 11L).foreach { case (la, lb) =>
+      val sa = la.distinct
+      val sb = lb.distinct
+      val sigA = sa.toDS().select(agg).as[Array[Long]].head()
+      val sigB = sb.toDS().select(agg).as[Array[Long]].head()
+      val trueJ = sa.intersect(sb).size.toDouble / (sa ++ sb).distinct.size
+      val estJ = graft.functions.MinHashAgg.estimateJaccard(sigA, sigB)
+      assert(math.abs(trueJ - estJ) < 0.25, s"true=$trueJ est=$estJ")
+    }
+  }
+}
