@@ -20,6 +20,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    functions.Registry.registerAll(spark)
     spark
   }
 }

@@ -38,10 +38,15 @@ object Dedup {
     * on the shingle key shuffles only (doc_id, shingle) pairs — survives
     * scale-up where a pairwise cross join would not. */
   def e1NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // Join on the 64-bit shingle hash, not the string: the exchange carries
+    // (doc_id, hash) = 16 bytes/row and the join compares longs. Distinct
+    // shingle count is ~10^6 here (~10^9 at 100 TB) — collision probability
+    // stays negligible against 2^64, and both LSH variants verify
+    // candidates on exact shingle sets anyway.
+    val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
     inter

@@ -26,6 +26,17 @@ object StreamOps {
         col("event_type"), col("n"), col("total"))
       .orderBy("bucket", "event_type")
 
+  /** E4a — sliding windows: 1-hour windows every 30 minutes, batch mode.
+    * Each event lands in exactly two windows; the oracle materializes both
+    * bucket starts per row. */
+  def e4bSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"))
+      .orderBy("bucket", "event_type")
+
   /** E4c — sessionization: session_window with a 30-minute gap, batch mode.
     * The oracle reproduces it with gaps-and-islands SQL. */
   def e4cSessions(s: SparkSession, d: String): DataFrame =
@@ -63,6 +74,7 @@ object StreamOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e4a_tumbling" -> (e4aTumbling _),
+    "e4b_sliding" -> (e4bSliding _),
     "e4c_sessions" -> (e4cSessions _),
   )
 
@@ -72,6 +84,13 @@ object StreamOps {
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
         |count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "e4b_sliding" ->
+      """WITH b AS (SELECT event_type,
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |    AS wstart FROM events)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |count(*) AS n FROM b GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "e4c_sessions" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, value,
