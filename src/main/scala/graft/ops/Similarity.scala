@@ -65,9 +65,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — ANN via IVF (inverted file index): coarse cells from
+    * deterministically-seeded vectors, every vector assigned to its nearest
+    * cell (one broadcast join against the tiny seed set), then the top-1
+    * neighbor searched within the cell only. At 100 TB the seed set becomes
+    * trained centroids and `nProbe > 1` cells are searched; the plan shape
+    * — broadcast-assign, then an equi-join on cell id — is the same.
+    * Rows-only check (structural properties asserted in ScalaTest). */
+  def e2AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = e.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val assigned = e.join(broadcast(seeds))
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")))
+      .withColumn("c_rn", row_number().over(assignW))
+      .filter(col("c_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_ann_lsh" -> (e2AnnLsh _),
+    "e2_ann_ivf" -> (e2AnnIvf _),
   )
 
   val oracles: Map[String, String] = Map(

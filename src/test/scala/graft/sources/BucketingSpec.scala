@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("bucketed join plans without an exchange on either side") {
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", buckets = 8)
+    // disable auto-broadcast so the shuffle-vs-bucketing effect is visible
+    // (at real scale neither side broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"), physical)
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$physical")
+      // and it is still correct
+      val expect = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF ANN: deterministic, one row per covered vector, sims are true cosines") {
+    import spark.implicits._
+    val run1 = graft.ops.Similarity.e2AnnIvf(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val run2 = graft.ops.Similarity.e2AnnIvf(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run1.nonEmpty && run1.sameElements(run2))
+    assert(run1.map(_._1).distinct.length == run1.length)
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    run1.take(50).foreach { case (v, n, sim) =>
+      assert(math.abs(cos(emb(v), emb(n)) - sim) < 1e-3)
+    }
+  }
+}
