@@ -282,6 +282,39 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("yr")
 
+  /** Q10b — nested-array form of the parent–child join: children collected
+    * into a per-parent array of structs sorted by line number (the
+    * collect_list(struct) pattern the admin store uses to materialize
+    * nested BatchStatus), then re-flattened to scalars for the oracle. */
+  def q10bNested(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+        .as("items"))
+      .select(col("o_orderkey"),
+        asLong(size(col("items"))).as("n_items"),
+        asLong(col("items")(0)("l_linenumber")).as("first_line"),
+        col("items")(size(col("items")) - 1)("l_quantity").as("last_qty"))
+      .orderBy("o_orderkey")
+
+  /** Q04b — JSON object keys as a map: parse props into map<string,string>,
+    * explode the keys, count. Exercises from_json + map + generator. */
+  def q04bJsonKeys(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(explode(map_keys(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Q23 — exact decimal aggregation: sums in DECIMAL(18,2) are exact, so
+    * no rounding contract is needed; output cast to double at the end. */
+  def q23Decimal(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("dec_sum"))
+      .select(col("l_returnflag"), col("dec_sum").cast("double").as("total"))
+      .orderBy("l_returnflag")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -296,6 +329,9 @@ object Relational {
     "q08_group_max_ts" -> (q08GroupMaxTs _),
     "q09_duplicates" -> (q09Duplicates _),
     "q10_join_nest" -> (q10JoinNest _),
+    "q10b_nested" -> (q10bNested _),
+    "q04b_json_keys" -> (q04bJsonKeys _),
+    "q23_decimal" -> (q23Decimal _),
     "q11_semi" -> (q11Semi _),
     "q12_anti" -> (q12Anti _),
     "q13_cond_agg" -> (q13CondAgg _),
@@ -361,6 +397,25 @@ object Relational {
         |round(sum(l_quantity), 2) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q10b_nested" ->
+      """WITH items AS (SELECT o_orderkey,
+        |  array_agg(struct_pack(l_linenumber := l_linenumber,
+        |      l_quantity := l_quantity)
+        |    ORDER BY l_linenumber, l_quantity) AS arr
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey)
+        |SELECT o_orderkey, CAST(len(arr) AS BIGINT) AS n_items,
+        |CAST(arr[1].l_linenumber AS BIGINT) AS first_line,
+        |arr[len(arr)].l_quantity AS last_qty
+        |FROM items ORDER BY o_orderkey""".stripMargin,
+    "q04b_json_keys" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "q23_decimal" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_semi" ->
       """SELECT DISTINCT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'

@@ -36,6 +36,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("flatMapGroupsWithState accumulates per-user state (custom state op)") {
+    val q = Stateful.streamUserState(spark, stagedDir, schema, "state_sink")
+    q.awaitTermination(60000)
+    // final snapshot per user must equal the batch aggregate
+    val got = spark.table("state_sink")
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n"), max(col("last_event_id")).as("last_event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = graft.Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream (E4d)") {
     // duplicate every event by writing the same data twice into the source
     val dir = TestSpark.tmpDir("dupstream") + "/events"
