@@ -14,6 +14,9 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR mode so BatchRunner.runInParallel's per-batch scheduler pools
+      // actually isolate batches (pools are a no-op under default FIFO)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")

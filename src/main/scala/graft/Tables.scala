@@ -49,8 +49,8 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        val hiNanos = java.time.Instant.parse(hi.replace(" ", "T") + "Z")
-          .getEpochSecond * 1000000000L
+        val inst = java.time.Instant.parse(hi.replace(" ", "T") + "Z")
+        val hiNanos = inst.getEpochSecond * 1000000000L + inst.getNano
         raw.filter(col("ts") < lit(hiNanos))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.filter(col("ts") < tsLit(hi))

@@ -33,14 +33,19 @@ object Multimodal {
     def decode(bytes: Array[Byte]): DecodedMedia = ???
   }
 
-  /** Deterministic stand-in: "pixels" are the raw bytes scaled to [0,1]. */
+  /** Deterministic stand-in: nBytes is the raw blob size; "pixels" are the
+    * code points of the UTF-8-decoded blob scaled by 1/255 (code points —
+    * not raw bytes — so the DuckDB oracle's unicode() arithmetic matches on
+    * non-ASCII content too). */
   object DeterministicFakeCodec extends BlobCodec {
     def decode(bytes: Array[Byte]): DecodedMedia = {
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
       var sum = 0L
       var i = 0
-      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      while (i < cps.length) { sum += cps(i); i += 1 }
       DecodedMedia(bytes.length,
-        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0)
+        if (cps.isEmpty) 0.0 else sum.toDouble / cps.length / 255.0)
     }
   }
 
@@ -72,8 +77,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val m = codec.decode(r.blob)
+          // half-away-from-zero rounding, matching SQL round() semantics
+          // (math.rint is half-even and can disagree at .00005 boundaries)
           BlobFeatures(r.doc_id, m.nBytes.toLong, r.width.toLong, r.height.toLong,
-            1L + m.nBytes / 256, math.rint(m.meanPixel * 10000) / 10000)
+            1L + m.nBytes / 256, math.floor(m.meanPixel * 10000 + 0.5) / 10000)
         }
       }
       .toDF()
@@ -105,10 +112,12 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     // the fake decode is pure byte arithmetic → DuckDB recomputes it exactly
     "e5_blob_features" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      // n_bytes/n_frames measure BYTES (strlen); mean_pixel averages code
+      // points (unicode over chars) — matching the codec exactly
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS width,
         |CAST(64 AS BIGINT) AS height,
-        |CAST(1 + length(text) // 256 AS BIGINT) AS n_frames,
+        |CAST(1 + strlen(text) // 256 AS BIGINT) AS n_frames,
         |round(list_reduce(list_transform(range(1, length(text) + 1),
         |    i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
         |  (a, b) -> a + b) / CAST(length(text) AS DOUBLE) / 255.0, 4) AS mean_pixel

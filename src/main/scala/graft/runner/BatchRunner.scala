@@ -20,8 +20,9 @@ import org.apache.spark.sql.SparkSession
   *     in the list, no topological sort (batch_runner.py:551-593);
   *   - skip-if-deps-failed fires only when ALL deps ended skipped/failed
   *     (batch_runner.py:160-177), while pre-handlers fail the job when ANY
-  *     dep hard-failed or had test failures (batch_runner.py:326-380) — two
-  *     different gates;
+  *     dep HARD-failed (test failures alone never block; they only join the
+  *     error message when a hard failure also exists —
+  *     batch_runner.py:347-367) — two different gates;
   *   - refresh cadence runs on strict `secondsSince > min`
   *     (batch_runner.py:188-190); test cadence re-tests on
   *     `secondsSince >= min` (batch_runner.py:423);
@@ -43,7 +44,9 @@ final class BatchRunner(
   private def millisBetween(a: Instant, b: Instant): Long =
     JDuration.between(a, b).toMillis
 
-  /** Top-level batch executor (run_batch, batch_runner.py:49-141). */
+  /** Top-level batch executor (run_batch, batch_runner.py:49-141).
+    * batch.timeoutSeconds is enforced here (documented deviation — the
+    * reference declares it on BatchSpec but never reads it). */
   def run(batch: Batch): BatchStatus = {
     val start = clock.now()
     val batchId = Validate.newId()
@@ -52,7 +55,18 @@ final class BatchRunner(
     store.appendBatches(Seq(BatchRow(batchId, batch.name, None, None, None,
       running = true, ts = start)))
     try {
-      val results = runBatchOrFail(batch, batchId, blog)
+      val results = batch.timeoutSeconds match {
+        case None => runBatchOrFail(batch, batchId, blog)
+        case Some(t) =>
+          implicit val ec: ExecutionContext = BatchRunner.jobEc
+          val fut = Future(runBatchOrFail(batch, batchId, blog))
+          try Await.result(fut, t.seconds)
+          catch {
+            case _: concurrent.TimeoutException =>
+              throw new RuntimeException(
+                s"Batch [${batch.name}] timed out after $t seconds")
+          }
+      }
       val end = clock.now()
       store.upsertBatches(Seq(BatchRow(batchId, batch.name,
         Some(millisBetween(start, end)),
@@ -143,7 +157,7 @@ final class BatchRunner(
           JobResult(jobId, batchId, job.name, JobStatus.Failed(err),
             Some(millisBetween(start, clock.now())), Nil, clock.now())
         case None =>
-          val (status, millis) = runWithRetry(job, jlog, retries = 0)
+          val (status, millis) = runWithRetry(job, jlog, retries = 0, start)
           val afterRun = clock.now()
           status match {
             case JobStatus.Failed(msg) =>
@@ -171,6 +185,9 @@ final class BatchRunner(
     } finally jlog.flush(store)
   }
 
+  /** Faithful to batch_runner.py:347-367: the job fails only when a
+    * dependency HARD-failed (raised); dependency test failures alone do NOT
+    * block — they only join the message when a hard failure also exists. */
   private def preHandlerErrors(batch: Batch, batchId: String,
       job: JobSpec): Option[String] = {
     if (job.dependencies.isEmpty) return None
@@ -179,32 +196,39 @@ final class BatchRunner(
     val deps = status.map(_.jobResults.filter(r => job.dependencies.contains(r.jobName)))
       .getOrElse(Nil)
     val hardFailed = deps.filter(_.status.isInstanceOf[JobStatus.Failed])
+      .map(_.jobName).sorted
     val testFailed = deps.filter(r => r.testResults.exists(!_.passed))
-    if (hardFailed.nonEmpty)
-      Some(s"The following dependencies of [${job.name}] failed to execute: " +
-        hardFailed.map(_.jobName).sorted.mkString(", "))
-    else if (testFailed.nonEmpty)
-      Some(s"The following dependencies of [${job.name}] failed their tests: " +
-        testFailed.map(_.jobName).sorted.mkString(", "))
+      .map(_.jobName).sorted
+    if (hardFailed.nonEmpty && testFailed.nonEmpty)
+      Some(s"The following dependencies failed to execute: " +
+        s"${hardFailed.mkString(", ")} and the following jobs had test " +
+        s"failures: ${testFailed.mkString(", ")}")
+    else if (hardFailed.nonEmpty)
+      Some(s"The following dependencies failed to execute: ${hardFailed.mkString(", ")}")
     else None
   }
 
-  /** Retry loop (run_job_with_retry, batch_runner.py:503-539), with the
-    * per-attempt timeout enforcement. */
-  private def runWithRetry(job: JobSpec, jlog: JobLogger,
-      retries: Int): (JobStatus, Long) = {
-    val start = clock.now()
-    val status =
-      try runWithTimeout(job, jlog)
-      catch { case NonFatal(e) => JobStatus.Failed(Exceptions.render(e)) }
-    val millis = millisBetween(start, clock.now())
-    status match {
-      case JobStatus.Failed(_) if retries < job.maxRetries =>
-        jlog.info(s"Retrying [${job.name}] (${retries + 1}/${job.maxRetries})...")
-        runWithRetry(job, jlog, retries + 1)
-      case s => (s, millis)
+  /** Retry loop, faithful to run_job_with_retry (batch_runner.py:503-539):
+    * retries fire only on RAISED exceptions — a returned JobStatus.Failed is
+    * final (the reference's `except:` never sees it); on exhausted retries
+    * the exception re-raises (caught by runJob → failure + compensation);
+    * executionMillis spans the whole retry loop (start_time is threaded
+    * through every attempt). A timeout produces a returned Failed status,
+    * so timeouts do not retry (documented choice — the reference has no
+    * enforced timeouts at all). */
+  private def runWithRetry(job: JobSpec, jlog: JobLogger, retries: Int,
+      start: Instant): (JobStatus, Long) =
+    try {
+      val status = runWithTimeout(job, jlog)
+      (status, millisBetween(start, clock.now()))
+    } catch {
+      case NonFatal(_) if retries < job.maxRetries =>
+        jlog.info(s"Running retry ${retries + 1} of ${job.maxRetries}...")
+        runWithRetry(job, jlog, retries + 1, start)
+      case NonFatal(e) =>
+        jlog.info(s"[${job.name}] failed after ${job.maxRetries} retries.")
+        throw e
     }
-  }
 
   private def runWithTimeout(job: JobSpec, jlog: JobLogger): JobStatus =
     job.timeoutSeconds match {

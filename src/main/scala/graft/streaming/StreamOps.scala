@@ -58,7 +58,9 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
-      .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+      // update mode: the watermark actually purges window state (in
+      // complete mode it would be a no-op and state would grow unbounded)
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
   /** E4d — stateful dedup on event_id within the watermark. */
@@ -92,10 +94,12 @@ object StreamOps {
         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
         |count(*) AS n FROM b GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "e4c_sessions" ->
+      // gap >= (not >): Spark's session_window merges only on strict window
+      // overlap, so an exactly-gap-sized silence starts a NEW session
       """WITH ordered AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      > INTERVAL '30 minutes' OR
+        |      >= INTERVAL '30 minutes' OR
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -26,13 +26,15 @@ object ngramExpressions {
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(c), n))
 
   def charNgramsImpl(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    val count = str.length - n + 1
+    // index by code points, not UTF-16 units — SQL substring (and the
+    // DuckDB oracle) walk code points, and surrogate pairs must not split
+    val cps = s.toString.codePoints().toArray
+    val count = cps.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
     var i = 0
     while (i < count) {
-      out(i) = UTF8String.fromString(str.substring(i, i + n))
+      out(i) = UTF8String.fromString(new String(cps, i, n))
       i += 1
     }
     new GenericArrayData(out)

@@ -109,16 +109,30 @@ class RunnerSpec extends AnyFunSuite {
     assert(stored.jobResults.find(_.jobName == "ccc").get.skipped)
   }
 
-  test("dependency test failures fail the dependent job (batch_runner.py:346-367)") {
+  test("dependency test failures alone do NOT block the dependent job (batch_runner.py:347-367)") {
     val (_, _, runner) = fixture()
     val flaky = SimpleJob("flaky",
       runFn = (_, _) => JobStatus.Successful,
       testFn = (_, _) => Seq(SimpleTestResult.failing("always", "nope")))
     val status = runner.run(Batch("testfail", Seq(flaky, okJob("down", deps = Seq("flaky")))))
-    val down = status.jobResults.find(_.jobName == "down").get
-    down.status match {
-      case JobStatus.Failed(msg) => assert(msg.contains("failed their tests"))
-      case other => fail(s"expected failure, got $other")
+    // the reference raises only on hard execution failures; a dep with test
+    // failures but successful execution does not block its dependents
+    assert(status.jobResults.find(_.jobName == "down").get.status ==
+      JobStatus.Successful)
+  }
+
+  test("hard-failed + test-failed deps produce the combined message (batch_runner.py:358-364)") {
+    val (_, _, runner) = fixture()
+    val flaky = SimpleJob("flaky",
+      runFn = (_, _) => JobStatus.Successful,
+      testFn = (_, _) => Seq(SimpleTestResult.failing("always", "nope")))
+    val status = runner.run(Batch("combined", Seq(
+      badJob("dead"), flaky, okJob("down", deps = Seq("dead", "flaky")))))
+    status.jobResults.find(_.jobName == "down").get.status match {
+      case JobStatus.Failed(msg) =>
+        assert(msg.contains("failed to execute: dead"))
+        assert(msg.contains("had test failures: flaky"))
+      case other => fail(s"expected combined failure, got $other")
     }
   }
 
@@ -155,16 +169,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(tested.get == 2) // 300 >= 300 true -> re-tested
   }
 
-  test("retry up to maxRetries (batch_runner.py:503-539)") {
+  test("retry fires only on raised exceptions, up to maxRetries (batch_runner.py:503-539)") {
     val (_, _, runner) = fixture()
     val attempts = new AtomicInteger(0)
     val job = SimpleJob("retrying", maxRetries = 2,
       runFn = (_, _) =>
-        if (attempts.incrementAndGet() < 3) JobStatus.Failed("not yet")
+        if (attempts.incrementAndGet() < 3) throw new RuntimeException("not yet")
         else JobStatus.Successful)
     val status = runner.run(Batch("retrybatch", Seq(job)))
     assert(attempts.get == 3)
     assert(status.jobResults.head.status == JobStatus.Successful)
+  }
+
+  test("a RETURNED failed status is final — no retry (reference `except:` semantics)") {
+    val (_, _, runner) = fixture()
+    val attempts = new AtomicInteger(0)
+    val job = SimpleJob("noretry", maxRetries = 5,
+      runFn = (_, _) => { attempts.incrementAndGet(); JobStatus.Failed("nope") })
+    val status = runner.run(Batch("noretrybatch", Seq(job)))
+    assert(attempts.get == 1)
+    assert(status.jobResults.head.status.isInstanceOf[JobStatus.Failed])
+  }
+
+  test("batch-level timeout is enforced (deviation: batch_spec.py:61-63 never read)") {
+    val (_, store, runner) = fixture()
+    val slow = SimpleJob("sleeper",
+      runFn = (_, _) => { Thread.sleep(5000); JobStatus.Successful })
+    val e = intercept[RuntimeException](
+      runner.run(Batch("slowbatch", Seq(slow), timeoutSeconds = Some(1))))
+    assert(e.getMessage.contains("timed out"))
+    val b = store.latestBatch("slowbatch").get
+    assert(b.errorMessage.exists(_.contains("timed out")))
   }
 
   test("compensation hook substitutes a repair job, depth-capped (batch_runner.py:294-321)") {

@@ -24,9 +24,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming tumbling agg matches the batch window() result (E4a/E4b)") {
     val q = StreamOps.streamTumbling(spark, stagedDir, schema, "tumbling_sink")
     q.awaitTermination(60000)
+    // update-mode sink may hold one cumulative row per micro-batch per
+    // window; counts only grow, so max(n) is the final value
     val streamed = spark.table("tumbling_sink")
-      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        col("event_type"), col("n"))
+      .groupBy(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(max(col("n")).as("n"))
       .orderBy("bucket", "event_type")
       .collect()
     val batch = StreamOps.e4aTumbling(spark, TestSpark.sf0001)
