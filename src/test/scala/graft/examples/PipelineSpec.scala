@@ -1,0 +1,37 @@
+package graft.examples
+
+import graft.TestSpark
+import graft.model.JobStatus
+import graft.runner.BatchRunner
+import graft.store.AdminStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("training-data curation batch runs end-to-end and curates the corpus") {
+    val out = TestSpark.tmpDir("pipeline")
+    val store = new AdminStore(spark, s"$out/admin")
+    val status = new BatchRunner(spark, store)
+      .run(TrainingDataPipeline.batch(TestSpark.sf001, out))
+    assert(status.brokenJobs.isEmpty, s"broken: ${status.brokenJobs}")
+    assert(status.jobResults.map(_.jobName) == Seq("dedup_documents",
+      "quality_filter", "featurize", "publish_corpus"))
+    assert(status.jobResults.forall(_.status == JobStatus.Successful))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val nIn = graft.Tables.documents(spark, TestSpark.sf001).count()
+    val nOut = corpus.count()
+    assert(nOut > 0 && nOut < nIn, s"expected curation to drop docs: $nOut of $nIn")
+    // near-dup losers (jaccard >= 0.8, higher doc_id) are gone
+    val losers = graft.ops.Dedup.e1NgramJaccard(spark, TestSpark.sf001)
+      .filter(col("jaccard") >= 0.8).select("db").distinct()
+    assert(corpus.join(losers, corpus("doc_id") === losers("db"), "left_semi")
+      .count() == 0)
+    // features present
+    assert(corpus.columns.toSet.contains("fingerprint"))
+    // admin store recorded the run with passing tests
+    val stored = store.latestBatch("training_data_curation").get
+    assert(stored.jobResults.flatMap(_.testResults).forall(_.passed))
+  }
+}
