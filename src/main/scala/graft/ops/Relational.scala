@@ -315,6 +315,26 @@ object Relational {
       .select(col("l_returnflag"), col("dec_sum").cast("double").as("total"))
       .orderBy("l_returnflag")
 
+  /** Q24 — exact distinct counting per group (the exact form; the engine
+    * also exposes approx_count_distinct/HLL for the 100 TB path where a
+    * 2% error is a fair trade for no distinct shuffle). */
+  def q24Distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Q25 — exact percentiles (continuous interpolation, matching DuckDB
+    * quantile_cont). approx_percentile is the sketch alternative at scale. */
+  def q25Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+      .orderBy("l_returnflag")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -332,6 +352,8 @@ object Relational {
     "q10b_nested" -> (q10bNested _),
     "q04b_json_keys" -> (q04bJsonKeys _),
     "q23_decimal" -> (q23Decimal _),
+    "q24_distinct" -> (q24Distinct _),
+    "q25_percentile" -> (q25Percentile _),
     "q11_semi" -> (q11Semi _),
     "q12_anti" -> (q12Anti _),
     "q13_cond_agg" -> (q13CondAgg _),
@@ -415,6 +437,15 @@ object Relational {
     "q23_decimal" ->
       """SELECT l_returnflag,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_semi" ->
       """SELECT DISTINCT o_custkey FROM orders

@@ -42,6 +42,21 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned parquet layout prunes partitions on the filter") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.tmpDir("partitioned") + "/events"
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Formats.writePartitioned(ev, dir, Seq("day"))
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val scan = read.queryExecution.executedPlan.toString
+    // partition filter must reach the scan; only the matching day directory
+    // is read (pruned file index)
+    assert(scan.contains("PartitionFilters"), scan)
+    val expect = ev.filter(col("day") === "2024-01-02").count()
+    assert(read.count() == expect && expect > 0)
+  }
+
   test("IVF ANN: deterministic, one row per covered vector, sims are true cosines") {
     import spark.implicits._
     val run1 = graft.ops.Similarity.e2AnnIvf(spark, TestSpark.sf001)
