@@ -335,6 +335,54 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Q26 — as-of join (point-in-time): for every click event, the latest
+    * error event of the same user at or before it. Spark has no native
+    * as-of join; the scalable formulation is union both sides, sort within
+    * the user partition, and carry the last error id forward with an
+    * ignore-nulls last_value window — one shuffle on user_id, no range
+    * explosion, works at any history length. Errors sort before clicks at
+    * equal timestamps to preserve the >= (at-or-before) semantics. Oracle:
+    * DuckDB's native ASOF LEFT JOIN. */
+  def q26AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("bigint").as("err_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("side"), col("event_id").as("err_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("prev_error_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("prev_error_id"))
+      .orderBy("event_id")
+  }
+
+  /** Q27 — range (interval) join: per click, how many views by the same
+    * user within the following 5 minutes. Spark plans this as an equi-join
+    * on user_id with the range as a post-join filter — the blocking key
+    * bounds the pair explosion (at 100 TB the key would be (user, coarse
+    * time bucket) so each side only meets neighbors in adjacent buckets). */
+  def q27RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    clicks
+      .join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") > col("ts") &&
+          col("v_ts") <= col("ts") + expr("INTERVAL 5 MINUTES"),
+        "left")
+      .groupBy("event_id")
+      .agg(asLong(sum(when(col("v_ts").isNotNull, 1).otherwise(0))).as("n_views"))
+      .orderBy("event_id")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -354,6 +402,8 @@ object Relational {
     "q23_decimal" -> (q23Decimal _),
     "q24_distinct" -> (q24Distinct _),
     "q25_percentile" -> (q25Percentile _),
+    "q26_asof_join" -> (q26AsofJoin _),
+    "q27_range_join" -> (q27RangeJoin _),
     "q11_semi" -> (q11Semi _),
     "q12_anti" -> (q12Anti _),
     "q13_cond_agg" -> (q13CondAgg _),
@@ -447,6 +497,22 @@ object Relational {
         |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_asof_join" ->
+      """SELECT c.event_id, e.event_id AS prev_error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q27_range_join" ->
+      """SELECT c.event_id,
+        |count(v.v_ts) AS n_views
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id AS v_user, ts AS v_ts FROM events
+        |      WHERE event_type = 'view') v
+        |  ON c.user_id = v.v_user AND v.v_ts > c.ts
+        |  AND v.v_ts <= c.ts + INTERVAL '5 minutes'
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
     "q11_semi" ->
       """SELECT DISTINCT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
