@@ -4,10 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    // JMH-style warmup: run every query once at the smallest scale factor
-    // (whole-stage codegen compiles per plan SHAPE, not per path, so the
-    // compiled classes and parquet footers are hot when measurement starts).
-    val warmDir = "/root/testdata/sf0.001"
+    // JMH-style warmup: run every query once at the smallest scale factor.
+    // Best-effort — it heats the JVM, classloading, and the plan shapes the
+    // small scale produces (AQE may still pick different join strategies at
+    // the measured scale and compile those inside the measurement). Falls
+    // back to the measured dir if the warm dir is absent.
+    val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val warmDir =
+      if (new java.io.File(warmDir0).isDirectory) warmDir0
+      else { System.err.println(s"[bench] warm dir $warmDir0 missing; warming on $sfDir"); sfDir }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *                   >= 0.8 keeps the lower doc_id),
   *   2. quality    — keep documents above a quality score threshold,
   *   3. features   — attach token counts, language guess, fingerprints,
-  *   4. publish    — write the curated corpus, with a data test asserting
-  *                   no survivor pair is near-duplicate.
+  *   4. publish    — write the curated corpus, with data tests asserting it
+  *                   is non-empty and exact-duplicate-free (the near-dup
+  *                   absence property is asserted in PipelineSpec).
   *
   * Each job reads its predecessor's output table: the pipeline is restart-
   * able per job, cadence-gated, and every run is recorded in the admin
@@ -54,13 +55,14 @@ object TrainingDataPipeline {
     val quality = SimpleJob("quality_filter", dependencies = Seq("dedup_documents"),
       runFn = (s, log) => {
         val docs = s.read.parquet(deduped)
+        val sw = TextOps.Stopwords.map(w => s"'$w'").mkString(",")
         val scored = docs
-          .withColumn("nt", size(split(col("text"), " ")))
+          .withColumn("n_tokens", size(split(col("text"), " ")))
           .withColumn("nsw", size(expr(
-            "filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))")))
-          .withColumn("score",
-            least(lit(1.0), col("nt") / 100.0) * (lit(1.0) - col("nsw") / col("nt")))
-        scored.filter(col("score") >= 0.2).drop("nt", "nsw")
+            s"filter(split(text, ' '), t -> t IN ($sw))")))
+          .withColumn("score", TextOps.qualityScore(col("n_tokens"), col("nsw")))
+        // keep n_tokens so downstream jobs read it instead of re-tokenizing
+        scored.filter(col("score") >= 0.2).drop("nsw")
           .write.mode("overwrite").parquet(filtered)
         log.info(s"quality filter wrote $filtered")
         JobStatus.Successful
@@ -70,7 +72,6 @@ object TrainingDataPipeline {
       runFn = (s, log) => {
         val docs = s.read.parquet(filtered)
         docs
-          .withColumn("n_tokens", size(split(col("text"), " ")))
           .withColumn("fingerprint", Hashes.rollingHash(col("text")))
           .withColumn("simhash", Hashes.simHash(col("text")))
           .write.mode("overwrite").parquet(features)

@@ -34,20 +34,31 @@ object TextOps {
         round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
       .orderBy("lang")
 
+  /** Stopword list shared by the quality score and its consumers. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Composite [0,1] quality score favoring longer documents with low
+    * stopword density, given token-count and stopword-count columns. The
+    * single definition the declared query AND pipelines filter on. */
+  def qualityScore(nt: org.apache.spark.sql.Column,
+      nsw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(1.0), nt / 100.0) * (lit(1.0) - nsw / nt)
+
+  private def stopwordFilterSql: String =
+    s"filter(split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")}))"
+
   /** E3 — quality scoring: stopword ratio, mean token length, and a composite
     * [0,1] score favoring longer documents with low stopword density. */
   def e3Quality(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("nt", size(split(col("text"), " ")))
-      .withColumn("nsw", size(expr(
-        "filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))")))
+      .withColumn("nsw", size(expr(stopwordFilterSql)))
       .withColumn("letters", length(regexp_replace(col("text"), " ", "")))
       .select(col("doc_id"),
         asLong(col("nt")).as("n_tokens"),
         round(col("nsw") / col("nt"), 4).as("stopword_ratio"),
         round(col("letters") / col("nt"), 4).as("avg_token_len"),
-        round(least(lit(1.0), col("nt") / 100.0) * (lit(1.0) - col("nsw") / col("nt")), 4)
-          .as("score"))
+        round(qualityScore(col("nt"), col("nsw")), 4).as("score"))
       .orderBy("doc_id")
 
   /** E3 — language ID via Cavnar–Trenkle character-trigram profiles, trained

@@ -50,9 +50,10 @@ class BucketingSpec extends AnyFunSuite {
     Formats.writePartitioned(ev, dir, Seq("day"))
     val read = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
     val scan = read.queryExecution.executedPlan.toString
-    // partition filter must reach the scan; only the matching day directory
-    // is read (pruned file index)
-    assert(scan.contains("PartitionFilters"), scan)
+    // the day predicate must appear INSIDE the scan's PartitionFilters list
+    // (the key itself is always printed, even empty, so check the content)
+    assert(!scan.contains("PartitionFilters: []"), scan)
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(scan).isDefined, scan)
     val expect = ev.filter(col("day") === "2024-01-02").count()
     assert(read.count() == expect && expect > 0)
   }
