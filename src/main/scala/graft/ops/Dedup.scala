@@ -22,6 +22,20 @@ object Dedup {
         explode(array_distinct(
           graft.functions.Ngrams.wordShingles(col("text"), 3))).as("s"))
 
+  /** Distinct 64-bit shingle hashes per doc — the dedup hot path. Hashes
+    * are computed inside the shingling loop (word_shingle_hashes), so no
+    * shingle string is ever materialized; joins and MinHash run on longs.
+    * Collision risk over 2^64 is negligible at any realistic corpus size. */
+  private def shingleHashArr(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashArr(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
+
   /** E1 — exact duplicate groups by normalized-text hash.
     * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard
     * first dedup pass (hash is computed scan-side, so the shuffle carries
@@ -39,11 +53,9 @@ object Dedup {
     * scale-up where a pairwise cross join would not. */
   def e1NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // Join on the 64-bit shingle hash, not the string: the exchange carries
-    // (doc_id, hash) = 16 bytes/row and the join compares longs. Distinct
-    // shingle count is ~10^6 here (~10^9 at 100 TB) — collision probability
-    // stays negligible against 2^64, and both LSH variants verify
-    // candidates on exact shingle sets anyway.
-    val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // (doc_id, hash) = 16 bytes/row and the join compares longs; the hash
+    // is computed inside the native shingling loop (no strings built).
+    val sh = shingleHashes(s, d)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -69,10 +81,9 @@ object Dedup {
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val bandCols = (0 until 16).map(b =>
       expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}])"))
-    shingles(s, d)
-      .groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
+    shingleHashArr(s, d)
       .withColumn("sig",
-        org.apache.spark.sql.graftext.minhashExpression.minhashSig(col("sh")))
+        org.apache.spark.sql.graftext.minhashExpression.minhashSigFromHashes(col("hs")))
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
 
@@ -87,8 +98,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sets = shingles(s, d).groupBy("doc_id")
-      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
+    val sets = shingleHashArr(s, d)
+      .select(col("doc_id"), col("hs").as("sh"), size(col("hs")).as("n"))
     cand
       .join(sets.as("p"), col("da") === col("p.doc_id"))
       .join(sets.as("q"), col("db") === col("q.doc_id"))

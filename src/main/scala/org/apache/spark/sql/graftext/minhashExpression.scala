@@ -19,6 +19,38 @@ object minhashExpression {
   def minhashSig(c: Column): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(c)))
 
+  /** Signature from pre-hashed shingles (array<long>, e.g.
+    * word_shingle_hashes output): skips string hashing entirely — h1/h2
+    * derive from each input hash with splitmix-style finalizers. */
+  def minhashSigFromHashes(c: Column): Column =
+    ExpressionUtils.column(MinHashSigLongsExpr(ExpressionUtils.expression(c)))
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def sigFromLongsImpl(hashes: ArrayData): ArrayData = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = hashes.getLong(i)
+      val h1 = mix(h0)
+      val h2 = mix(h0 ^ 0x5851f42d4c957f2dL)
+      var k = 0
+      while (k < NumHashes) {
+        val h = h1 ^ java.lang.Long.rotateRight(h2, k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def sigImpl(shingles: ArrayData): ArrayData = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     val n = shingles.numElements()
@@ -37,6 +69,20 @@ object minhashExpression {
     }
     new GenericArrayData(sig)
   }
+}
+
+case class MinHashSigLongsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    minhashExpression.sigFromLongsImpl(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftext.minhashExpression.sigFromLongsImpl($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigLongsExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig_hashes"
 }
 
 case class MinHashSigExpr(child: Expression)

@@ -40,6 +40,37 @@ object ngramExpressions {
     new GenericArrayData(out)
   }
 
+  /** Word n-shingles as 64-bit FNV-1a hashes, computed incrementally over
+    * token bytes with a space separator — no shingle strings are ever
+    * materialized. The dedup hot path: join/minhash on these longs. */
+  def wordShingleHashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashesExpr(ExpressionUtils.expression(c), n))
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  def wordShingleHashesImpl(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(' ')
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= FnvPrime }
+        val bytes = toks(i + j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = 0
+        while (k < bytes.length) { h ^= (bytes(k) & 0xffL); h *= FnvPrime; k += 1 }
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
     val toks = s.toString.split(' ')
     val count = toks.length - n + 1
@@ -74,6 +105,21 @@ case class CharNgramsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
     copy(child = c)
   override def prettyName: String = "char_ngrams"
+}
+
+case class WordShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ngramExpressions.wordShingleHashesImpl(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftext.ngramExpressions.wordShingleHashesImpl($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingleHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "word_shingle_hashes"
 }
 
 case class WordShinglesExpr(child: Expression, n: Int)
