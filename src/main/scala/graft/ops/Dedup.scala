@@ -36,6 +36,24 @@ object Dedup {
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashArr(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
 
+  /** Document-frequency cap for the pairwise paths. The co-occurrence join
+    * costs Σ_s df(s)² — one super-common shingle ruins it at scale, so
+    * shingles shared by more than this many documents are dropped from the
+    * Jaccard computation (standard stop-shingle filtering in web-scale
+    * dedup). At the fixture scales no shingle reaches the cap (max df 25 at
+    * sf0.1), so results are unchanged; at 100 TB this bounds the join. */
+  val MaxShingleDf = 256
+
+  /** (doc_id, h) shingle-hash rows with hot shingles removed. The hot list
+    * is tiny by construction → broadcast anti join, no extra shuffle of the
+    * big side beyond the df count. */
+  private def rareShingleHashes(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashes(s, d)
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** E1 — exact duplicate groups by normalized-text hash.
     * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard
     * first dedup pass (hash is computed scan-side, so the shuffle carries
@@ -55,7 +73,9 @@ object Dedup {
     // Join on the 64-bit shingle hash, not the string: the exchange carries
     // (doc_id, hash) = 16 bytes/row and the join compares longs; the hash
     // is computed inside the native shingling loop (no strings built).
-    val sh = shingleHashes(s, d)
+    // Hot shingles are df-capped (see rareShingleHashes) — Jaccard is
+    // computed over the discriminative shingle sets.
+    val sh = rareShingleHashes(s, d)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -98,8 +118,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sets = shingleHashArr(s, d)
-      .select(col("doc_id"), col("hs").as("sh"), size(col("hs")).as("n"))
+    // verify on the same df-capped shingle sets e1NgramJaccard uses, so the
+    // LSH output is exactly a subset of the exact pass
+    val sets = rareShingleHashes(s, d).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"), count(lit(1)).as("n"))
     cand
       .join(sets.as("p"), col("da") === col("p.doc_id"))
       .join(sets.as("q"), col("db") === col("q.doc_id"))
@@ -168,10 +190,12 @@ object Dedup {
     "e1_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, len(toks) - 1),
         |  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
         |       toks[CAST(i AS INT) + 2]))) AS s FROM t),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 256),
+        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
