@@ -18,17 +18,18 @@ import org.apache.spark.sql.graftext.hashExpressions
 final class MinHashAgg(numHashes: Int)
     extends Aggregator[String, Array[Long], Array[Long]] {
 
-  private def seededHash(s: String, seed: Int): Long =
-    // FNV-1a of the shingle, mixed with a murmur-style seed scramble
-    java.lang.Long.rotateLeft(hashExpressions.fnv1a64(s), seed) ^
-      (seed.toLong * 0x9e3779b97f4a7c15L)
-
   def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // two-hash xor-rotate scheme shared with minhashExpression.sigImpl:
+    // h_k = h1 ^ rotr(h2, k) with independently seeded h1/h2 is a proper
+    // pairwise-independent-style family — rotating a SINGLE hash correlates
+    // the "permutations" and degrades the Jaccard estimator.
+    val h1 = hashExpressions.fnv1a64(shingle)
+    val h2 = hashExpressions.fnv1a64Seeded(shingle, 0x9e3779b97f4a7c15L)
     var k = 0
     while (k < numHashes) {
-      val h = seededHash(shingle, k)
+      val h = h1 ^ java.lang.Long.rotateRight(h2, k)
       if (h < buf(k)) buf(k) = h
       k += 1
     }

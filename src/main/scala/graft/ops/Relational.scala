@@ -229,16 +229,21 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Q19a — star-schema join chain: region⋈nation⋈customer⋈orders⋈lineitem,
-    * revenue per region. Dimensions are broadcast (small at every SF);
-    * orders⋈lineitem stays a shuffled join on orderkey. */
+    * revenue per region. Only the FIXED-SIZE dimensions (region: 5 rows,
+    * nation: 25 rows at every SF) carry a broadcast hint. Customer grows
+    * linearly with scale factor (~15M rows at sf100; far beyond any
+    * broadcast budget at 100 TB), so its join is deliberately unhinted —
+    * AQE broadcasts it while it fits under autoBroadcastJoinThreshold and
+    * falls back to a shuffled hash join when it doesn't, which a forced
+    * hint would override. Plan-asserted in RelationalPlanSpec. */
   def q19aRegionRevenue(s: SparkSession, d: String): DataFrame = {
     val dim = broadcast(
       region(s, d)
         .join(nation(s, d), col("r_regionkey") === col("n_regionkey"))
         .select(col("n_nationkey"), col("r_name")))
-    val cust = broadcast(
+    val cust =
       customer(s, d).join(dim, col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("r_name")))
+        .select(col("c_custkey"), col("r_name"))
     orders(s, d).join(cust, col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("r_name")
@@ -362,19 +367,32 @@ object Relational {
   }
 
   /** Q27 — range (interval) join: per click, how many views by the same
-    * user within the following 5 minutes. Spark plans this as an equi-join
-    * on user_id with the range as a post-join filter — the blocking key
-    * bounds the pair explosion (at 100 TB the key would be (user, coarse
-    * time bucket) so each side only meets neighbors in adjacent buckets). */
+    * user within the following 5 minutes. Implemented as a TIME-BUCKETED
+    * equi-join: both sides are keyed by (user_id, 5-minute bucket), views
+    * are replicated into their own bucket and the previous one, and the
+    * exact range predicate is applied inside the join. A click in bucket b
+    * can only match views in buckets {b, b+1} (the window span equals the
+    * bucket width), so the two-way replication makes every valid pair meet
+    * on EXACTLY one bucket equality — no duplicates, no missed pairs.
+    * Scale rationale: a bare user_id join is quadratic per key for a power
+    * user with years of history; with the bucket in the join key each click
+    * only meets the views of its own two buckets, so work stays linear in
+    * events per (user, 5-minute window) at any history length. Shuffle key
+    * cardinality (user × bucket) also spreads hot users across partitions.
+    * Probe-verified near-linear under 10× replication (SCALE.md). */
   def q27RangeJoin(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
+    val bucketUs = 300000000L // 5 minutes in microseconds = window span
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id"), col("ts"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr(s"unix_micros(ts) div $bucketUs").as("cb"))
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        expr(s"unix_micros(ts) div $bucketUs").as("vb0"))
+      .withColumn("vb", explode(array(col("vb0"), col("vb0") - 1)))
     clicks
       .join(views,
-        col("user_id") === col("v_user") &&
+        col("user_id") === col("v_user") && col("cb") === col("vb") &&
           col("v_ts") > col("ts") &&
           col("v_ts") <= col("ts") + expr("INTERVAL 5 MINUTES"),
         "left")

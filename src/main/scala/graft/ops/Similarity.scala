@@ -65,16 +65,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** E2 — ANN via IVF (inverted file index): coarse cells from
-    * deterministically-seeded vectors, every vector assigned to its nearest
-    * cell (one broadcast join against the tiny seed set), then the top-1
-    * neighbor searched within the cell only. At 100 TB the seed set becomes
-    * trained centroids and `nProbe > 1` cells are searched; the plan shape
-    * — broadcast-assign, then an equi-join on cell id — is the same.
-    * Rows-only check (structural properties asserted in ScalaTest). */
+  /** Number of IVF coarse cells. FIXED, not a fraction of the corpus: the
+    * seed set is broadcast, so it must stay O(k) however large the data
+    * gets (a `vec_id % m === 0` filter would grow the broadcast linearly
+    * with the corpus — a TB-scale broadcast at 100 TB). */
+  val IvfCells = 8
+
+  /** E2 — ANN via IVF (inverted file index): `IvfCells` coarse cells chosen
+    * as the vectors with the k SMALLEST xxhash64(vec_id) — deterministic,
+    * uniformly sampled, and computed with one distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps, no full sort, no extra
+    * shuffle). Every vector is assigned to its nearest cell (one broadcast
+    * join against the fixed-size seed set), then the top-1 neighbor is
+    * searched within the cell only. At 100 TB the seed set becomes trained
+    * centroids and `nProbe > 1` cells are searched; the plan shape —
+    * O(k) broadcast-assign, then an equi-join on cell id — is the same.
+    * Rows-only check (structural properties asserted in ScalaTest,
+    * including seed-count invariance under corpus replication). */
   def e2AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val seeds = e.filter(col("vec_id") % 125 === 0)
+    val seeds = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(IvfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     val assignW = Window.partitionBy(col("vec_id"))

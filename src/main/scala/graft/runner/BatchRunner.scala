@@ -32,7 +32,14 @@ import org.apache.spark.sql.SparkSession
   *   - per-job timeoutSeconds is enforced here via Future + job-group
   *     cancellation — a documented deviation: the reference declares the
   *     knob but never enforces it (job_spec.py:63-65, only the pool-level
-  *     future.get(timeout) exists, batch_runner.py:46).
+  *     future.get(timeout) exists, batch_runner.py:46);
+  *   - run() RETHROWS scheduler-level exceptions (DependencyErrors,
+  *     duplicate names) after persisting the failure row, where the
+  *     reference's run_batch catches run_batch_or_fail exceptions and
+  *     returns a failed BatchStatus (batch_runner.py:98-110) — a documented
+  *     deviation (test-pinned in RunnerSpec): invalid batch declarations
+  *     are programming errors and should fail loudly, not be recorded as a
+  *     routine failed run.
   */
 final class BatchRunner(
     spark: SparkSession,
@@ -211,8 +218,10 @@ final class BatchRunner(
   /** Retry loop, faithful to run_job_with_retry (batch_runner.py:503-539):
     * retries fire only on RAISED exceptions — a returned JobStatus.Failed is
     * final (the reference's `except:` never sees it); on exhausted retries
-    * the exception re-raises (caught by runJob → failure + compensation);
-    * executionMillis spans the whole retry loop (start_time is threaded
+    * the exception re-raises and runJob's catch turns it into a Failed
+    * result WITHOUT compensation — matching the reference, where
+    * compensation fires only on a returned JobFailed status, never on the
+    * raised path; executionMillis spans the whole retry loop (start_time is threaded
     * through every attempt). A timeout produces a returned Failed status,
     * so timeouts do not retry (documented choice — the reference has no
     * enforced timeouts at all). */

@@ -149,14 +149,29 @@ final class AdminStore(val spark: SparkSession, val root: String) {
   }
 
   /** Rewrite `table` from a plan that reads the table itself: write to a
-    * temp dir, then swap directories. Never overwrite-in-place mid-read. */
+    * temp dir, then swap directories. Never overwrite-in-place mid-read.
+    * Durability: the old generation is renamed ASIDE (not deleted) before
+    * the new one moves in, so a crash at any point leaves either the old or
+    * the new table on disk — the closest a directory store gets to the
+    * reference's transactional RDBMS upsert. The `.old` copy is removed
+    * only after the swap succeeds; a stale one from a prior crash is
+    * cleaned up on the next write. */
   private def swapWrite(table: String, df: DataFrame): Unit = {
     val tmp = new Path(s"${path(table)}.tmp${System.nanoTime()}")
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new Path(path(table))
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
+    val old = new Path(s"${path(table)}.old")
+    fs.delete(old, true) // stale backup from a previous crash, if any
+    val hadOld = fs.exists(dst) && {
+      if (!fs.rename(dst, old))
+        throw new IllegalStateException(s"failed to set aside $dst -> $old")
+      true
+    }
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(old, dst) // restore; leaves tmp for inspection
       throw new IllegalStateException(s"failed to swap $tmp -> $dst")
+    }
+    fs.delete(old, true)
     // drop Spark's cached file listing for the old generation of the table
     spark.catalog.refreshByPath(dst.toString)
   }

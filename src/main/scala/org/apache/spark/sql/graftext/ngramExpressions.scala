@@ -50,7 +50,10 @@ object ngramExpressions {
   private final val FnvPrime = 0x100000001b3L
 
   def wordShingleHashesImpl(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split(' ')
+    // limit -1 keeps trailing empty tokens, matching the HOF formulation
+    // (split(text, ' ') in SQL) and the DuckDB oracle's string_split —
+    // Scala's default split(char) would silently drop them.
+    val toks = s.toString.split(" ", -1)
     val count = toks.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
@@ -72,7 +75,8 @@ object ngramExpressions {
   }
 
   def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split(' ')
+    // limit -1: see wordShingleHashesImpl — trailing empty tokens are kept
+    val toks = s.toString.split(" ", -1)
     val count = toks.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
