@@ -133,14 +133,19 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** E1 — SimHash fingerprints (native codegen'd expression). Rows-only. */
+  /** E1 — SimHash fingerprints (native codegen'd expression). Oracle:
+    * DuckDB recomputes the full FNV-1a + bit-majority pipeline in HUGEINT
+    * arithmetic (see oracles below) — exact for ASCII text, where the
+    * oracle's per-character code points equal the UTF-8 bytes the Scala
+    * implementation hashes. */
   def e1Simhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), Hashes.simHash(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** E1 — SimHash near-dup pairs: 4 bands of 16 bits as the LSH key, then
-    * exact Hamming distance ≤ 12 via bit_count(xor). Rows-only. */
+    * exact Hamming distance ≤ 12 via bit_count(xor). Oracle-checked (the
+    * DuckDB side recomputes signatures + banding exactly). */
   def e1SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = documents(s, d)
       .select(col("doc_id"), Hashes.simHash(col("text")).as("sh"))
@@ -153,7 +158,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        expr("bit_count(x.sh ^ y.sh)").as("hamming"))
+        expr("bit_count(x.sh ^ y.sh)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
       .orderBy("da", "db")
@@ -183,7 +188,51 @@ object Dedup {
     "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
   )
 
+  /** DuckDB replica of graftext.hashExpressions.simHashImpl as a CTE
+    * yielding (doc_id, sh): per-token FNV-1a 64 evaluated in HUGEINT
+    * arithmetic (DuckDB BIGINT multiplication traps on overflow, so the
+    * wrap-around is done explicitly mod 2^64; XOR only touches the low
+    * byte, so it is spliced in via BIGINT xor on h%256), then the
+    * bit-majority vote and a final unsigned→signed fold to match Spark's
+    * LongType. Exact for ASCII text (fixture max code point is 121), where
+    * unicode(char) equals the UTF-8 byte the Scala loop hashes. */
+  private val simhashCte: String =
+    """hs AS (
+      |  SELECT doc_id, len(list_filter(string_split(text,' '), t -> t <> '')) AS n,
+      |    list_transform(list_filter(string_split(text,' '), t -> t <> ''), tok ->
+      |      list_reduce(
+      |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |          list_transform(range(1, length(tok)+1),
+      |            i -> CAST(unicode(substring(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+      |        (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+      |                   * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+      |    ) AS hws
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN u >= CAST(power(2,63) AS HUGEINT)
+      |              THEN u - CAST(power(2,64) AS HUGEINT) ELSE u END AS BIGINT) AS sh
+      |  FROM (SELECT doc_id,
+      |    list_sum(list_transform(range(0, 64), b ->
+      |      CASE WHEN 2 * len(list_filter(hws, h -> (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1)) > n
+      |           THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS u
+      |  FROM hs))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e1_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "e1_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (
+         |  SELECT doc_id, sh, unnest([0,1,2,3]) AS band,
+         |    unnest([sh & 65535, (sh >> 16) & 65535, (sh >> 32) & 65535, (sh >> 48) & 65535]) AS bh
+         |  FROM sig)
+         |SELECT da, db, hamming FROM (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |WHERE hamming <= 12 ORDER BY da, db""".stripMargin,
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
