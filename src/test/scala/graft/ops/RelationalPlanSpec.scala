@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the round-1 "weak"-flagged queries: the
+  * scale fix is the PLAN SHAPE, so the shape itself is pinned here (the
+  * value-level behavior is pinned by the DuckDB oracles). */
+class RelationalPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Runs `f` with auto-broadcast disabled, so only explicit broadcast()
+    * hints produce BroadcastHashJoins — making hints visible in the plan. */
+  private def withoutAutoBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); f }
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    // AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — keep only the final section so operators
+    // aren't double-counted
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q19a: only the fixed-size dim is hint-broadcast; customer is size-gated") {
+    withoutAutoBroadcast {
+      val plan = finalPlan(Relational.q19aRegionRevenue(spark, TestSpark.sf001))
+      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      // exactly one broadcast join: customer⋈(region⋈nation), whose dim side
+      // carries the explicit hint. The orders⋈customer join must NOT be a
+      // broadcast when the size-gate is off — a forced customer hint (the
+      // round-1 scale hazard) would make this 2.
+      assert(nBhj == 1, s"expected 1 hinted broadcast join, got $nBhj:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fact-side joins must shuffle when broadcast is gated off:\n$plan")
+    }
+  }
+
+  test("q27: the range join's equi-keys include the 5-minute time bucket") {
+    withoutAutoBroadcast {
+      val plan = finalPlan(Relational.q27RangeJoin(spark, TestSpark.sf001))
+      val joinLine = plan.linesIterator
+        .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(joinLine.isDefined, s"expected a shuffled join:\n$plan")
+      // both bucket columns must be in the join key list (not just the
+      // post-join condition) — that's what bounds per-key work at scale
+      assert(joinLine.get.contains("cb#") && joinLine.get.contains("vb#"),
+        s"bucket keys missing from join keys: ${joinLine.get}")
+    }
+  }
+
+  test("IVF: seed count is fixed at IvfCells regardless of corpus size") {
+    val e = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    def seedCount(df: DataFrame): Long =
+      df.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(Similarity.IvfCells).count()
+    assert(seedCount(e) == Similarity.IvfCells)
+    // 3x-replicated corpus (new vec_ids) -> seed count unchanged: the
+    // broadcast stays O(k) as the corpus grows
+    val big = (0 until 3).map(i =>
+      e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+      .reduce(_.unionByName(_))
+    assert(seedCount(big) == Similarity.IvfCells)
+    // and the query plan actually computes seeds with a distributed top-k
+    val plan = Similarity.e2AnnIvf(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed selection should be a distributed top-k:\n$plan")
+  }
+}

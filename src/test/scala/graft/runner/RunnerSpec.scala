@@ -250,6 +250,51 @@ class RunnerSpec extends AnyFunSuite {
     assert(d.newlyFixedJobs == Set("aaa"))
   }
 
+  test("config-generic batch: jobs run against the configured uow, closed in finally (batch_spec.py:23-137)") {
+    val (_, store, runner) = fixture()
+    // the "uow": a configured output root handle with a close flag —
+    // standing in for the reference's SqlAlchemy UnitOfWork
+    final case class EtlConfig(outRoot: String, expectedRegions: Long)
+    final class OutputUow(val root: String) {
+      var closed = false
+      def pathFor(table: String): String = s"$root/$table"
+    }
+    var created: OutputUow = null
+    val spec = SimpleBatchSpec[EtlConfig, OutputUow](
+      name = "configured",
+      createUowFn = cfg => { created = new OutputUow(cfg.outRoot); created },
+      createJobsFn = uow => Seq(
+        SimpleJob("write_revenue",
+          runFn = (s, log) => {
+            graft.ops.Relational.q19aRegionRevenue(s, TestSpark.sf0001)
+              .write.mode("overwrite").parquet(uow.pathFor("revenue"))
+            log.info(s"wrote to ${uow.pathFor("revenue")}")
+            JobStatus.Successful
+          },
+          testFn = (s, _) => {
+            val n = s.read.parquet(uow.pathFor("revenue")).count()
+            if (n == 5) Seq(SimpleTestResult.passing("regions present"))
+            else Seq(SimpleTestResult.failing("regions present", s"got $n"))
+          })),
+      closeUowFn = _.closed = true)
+    val cfg = EtlConfig(TestSpark.tmpDir("uow"), expectedRegions = 5)
+    val status = runner.run(spec, cfg)
+    assert(!status.running && status.errorMessage.isEmpty)
+    assert(status.jobResults.head.testResults.forall(_.passed))
+    assert(created != null && created.closed, "uow must be closed after the run")
+    assert(spark.read.parquet(s"${cfg.outRoot}/revenue").count() == 5)
+    // uow is closed even when the batch raises (finally semantics,
+    // batch_runner.py:112)
+    var uow2: OutputUow = null
+    val badSpec = SimpleBatchSpec[EtlConfig, OutputUow](
+      name = "configured_bad",
+      createUowFn = cfg => { uow2 = new OutputUow(cfg.outRoot); uow2 },
+      createJobsFn = _ => Seq(okJob("zzz", deps = Seq("ghost"))),
+      closeUowFn = _.closed = true)
+    intercept[DependencyErrors](runner.run(badSpec, cfg))
+    assert(uow2 != null && uow2.closed)
+  }
+
   test("admin batch deletes old logs and its test passes (delete_old_logs.py:11-86)") {
     val (clock, store, runner) = fixture()
     // seed old logs (5 days back) and fresh ones

@@ -98,6 +98,40 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.jobTestResults.count() == 0)
   }
 
+  test("upsert rewrite cost stays ~flat as the jobs table grows to 1,000 rows") {
+    // The store's upsert is an O(table) parquet rewrite (AdminStore.scala
+    // swapWrite) — acceptable because admin tables are BOOKKEEPING, bounded
+    // by jobs-per-day x retention, not by data volume. This quantifies the
+    // claim: the per-upsert wall time at 1,000 resident rows must stay
+    // within a small factor of the time at 100 rows (fixed costs dominate:
+    // plan + task launch + one tiny file). Generous 5x bound to stay
+    // CI-stable; measured values are printed for the record.
+    val st = newStore()
+    def jobRows(from: Int, n: Int): Seq[JobRow] = (from until from + n).map(i =>
+      JobRow(f"j$i%030d", f"b$i%030d", s"job_$i", Some(1L), Some(false), None,
+        running = false, skipped = false, None,
+        t("2024-01-01T00:00:00Z").plusSeconds(i.toLong)))
+    def timeUpserts(reps: Int): Double = {
+      val t0 = System.nanoTime()
+      (0 until reps).foreach { r =>
+        st.upsertJobs(Seq(jobRows(r, 1).head.copy(execution_millis = Some(2L))))
+      }
+      (System.nanoTime() - t0) / 1e9 / reps
+    }
+    st.appendJobs(jobRows(0, 100))
+    timeUpserts(2) // warm the write path before measuring
+    val at100 = timeUpserts(5)
+    st.appendJobs(jobRows(100, 900))
+    assert(st.jobs.count() == 1000)
+    val at1000 = timeUpserts(5)
+    info(f"per-upsert: ${at100 * 1000}%.0f ms @100 rows, ${at1000 * 1000}%.0f ms @1000 rows")
+    assert(at1000 < at100 * 5 + 0.2,
+      f"upsert cost grew superlinearly: ${at100}%.3fs @100 -> ${at1000}%.3fs @1000")
+    // correctness after the churn: upserted rows replaced, not duplicated
+    assert(st.jobs.count() == 1000)
+    assert(st.jobs.filter(_.execution_millis.contains(2L)).count() >= 5)
+  }
+
   test("hydrate reconstructs nested status from flat tables (admin_orm.py:105-129)") {
     val st = newStore()
     st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-02T00:00:00Z"))))
