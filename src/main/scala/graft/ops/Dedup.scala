@@ -99,17 +99,22 @@ object Dedup {
     * shuffle); banding turns near-dup search into an equi-join on
     * (band, band_hash). */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val bandCols = (0 until 16).map(b =>
-      expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}])"))
+    // band keys via the mix-fold band_hashes expression (not xxhash64):
+    // equally collision-resistant for banding, and — because splitmix64 is
+    // plain arithmetic — exactly replicable by the DuckDB oracle, which
+    // makes the whole LSH pipeline oracle-checkable.
+    val mh = org.apache.spark.sql.graftext.minhashExpression
     shingleHashArr(s, d)
-      .withColumn("sig",
-        org.apache.spark.sql.graftext.minhashExpression.minhashSigFromHashes(col("hs")))
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .withColumn("sig", mh.minhashSigFromHashes(col("hs")))
+      .select(col("doc_id"),
+        posexplode(mh.bandHashes(col("sig"), 4)).as(Seq("band", "bh")))
   }
 
   /** E1 — MinHash+LSH near-dup pairs: candidates from band collisions,
-    * verified with exact Jaccard ≥ 0.2 on the shingle sets. Rows-only check
-    * (LSH recall vs the exact pass is asserted in ScalaTest, not DuckDB). */
+    * verified with exact Jaccard ≥ 0.2 on the shingle sets. Oracle-checked
+    * end to end (minhashPairsOracle replicates signature + banding in
+    * DuckDB); LSH recall vs the exact pass is additionally asserted in
+    * ScalaTest. */
   def e1MinhashPairs(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
     val cand = bands.as("x")
@@ -218,7 +223,76 @@ object Dedup {
       |           THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS u
       |  FROM hs))""".stripMargin
 
+  /** DuckDB replica of the FULL MinHash+LSH pipeline (shingle FNV hashes →
+    * two-hash xor-rotate signature → mix-fold band hashes → candidate join
+    * → exact-Jaccard verify). See OracleSql for the HUGEINT arithmetic
+    * conventions. Every stage mirrors a Scala loop exactly:
+    * wordShingleHashesImpl = FNV-1a of the joined shingle string;
+    * sigFromLongsImpl = min over signed(mix(h) ^ rotr(mix(h^XC), k));
+    * bandHashesImpl = mix-fold over each band's 4 slots. */
+  private val minhashPairsOracle: String = {
+    import OracleSql._
+    val shingleCtes =
+      s"""toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |shing AS (
+         |  SELECT DISTINCT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(range(1, length(s)+1),
+         |          i -> CAST(unicode(substring(s, CAST(i AS INT), 1)) AS HUGEINT))),
+         |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |                 * 1099511628211) % $M) AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+         |           tk[CAST(i AS INT) + 2])) AS s FROM toks)),
+         |hot AS (SELECT h FROM shing GROUP BY h HAVING count(*) > $MaxShingleDf),
+         |sh AS (SELECT doc_id, h FROM shing WHERE h NOT IN (SELECT h FROM hot))""".stripMargin
+    val h12 =
+      s"""h1t_in AS (SELECT doc_id, h FROM sh),
+         |${mixCtes("h1t", "h", "h1", Seq("doc_id", "h"))},
+         |h2t_in AS (SELECT doc_id, h1, xor(h, $XC) AS hx FROM h1t),
+         |${mixCtes("h2t", "hx", "h2", Seq("doc_id", "h1"))}""".stripMargin
+    val sig =
+      s"""sig AS (
+         |  SELECT doc_id, k,
+         |    min(${toSigned("u")}) AS s
+         |  FROM (
+         |    SELECT doc_id, k.range AS k,
+         |      xor(h1, (h2 // CAST(power(2, k.range) AS HUGEINT)) +
+         |              (h2 % CAST(power(2, k.range) AS HUGEINT)) * CAST(power(2, 64 - k.range) AS HUGEINT)) AS u
+         |    FROM h2t, range(0, 64) k)
+         |  GROUP BY doc_id, k)""".stripMargin
+    val bands =
+      s"""slots AS (
+         |  SELECT doc_id, k // 4 AS band,
+         |    list(CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + $M ELSE CAST(s AS HUGEINT) END ORDER BY k) AS su
+         |  FROM sig GROUP BY doc_id, k // 4),
+         |f1_in AS (SELECT doc_id, band, su, xor($BandSeed, su[1]) AS s1 FROM slots),
+         |${mixCtes("f1", "s1", "g1", Seq("doc_id", "band", "su"))},
+         |f2_in AS (SELECT doc_id, band, su, xor(g1, su[2]) AS s2 FROM f1),
+         |${mixCtes("f2", "s2", "g2", Seq("doc_id", "band", "su"))},
+         |f3_in AS (SELECT doc_id, band, su, xor(g2, su[3]) AS s3 FROM f2),
+         |${mixCtes("f3", "s3", "g3", Seq("doc_id", "band", "su"))},
+         |f4_in AS (SELECT doc_id, band, xor(g3, su[4]) AS s4 FROM f3),
+         |${mixCtes("f4", "s4", "bh", Seq("doc_id", "band"))}""".stripMargin
+    val pairs =
+      s"""cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM f4 x JOIN f4 y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM cand JOIN inter USING (da, db)
+         |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2 ORDER BY da, db""".stripMargin
+    s"WITH $shingleCtes,\n$h12,\n$sig,\n$bands,\n$pairs"
+  }
+
   val oracles: Map[String, String] = Map(
+    "e1_minhash_pairs" -> minhashPairsOracle,
     "e1_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,

@@ -45,8 +45,9 @@ object Similarity {
   /** E2 — ANN via random-hyperplane LSH: 12-bit signatures bucket the
     * vectors; the top-1 neighbor is searched within the bucket only. The
     * signature is a native fused-loop expression with hash-derived ±1
-    * planes (deterministic everywhere, nothing to broadcast). Rows-only
-    * check (structure + true-cosine property asserted in ScalaTest). */
+    * planes (deterministic everywhere, nothing to broadcast). Oracle-checked
+    * (annLshOracle replicates the plane derivation and signed accumulation
+    * exactly); structure + true-cosine property also asserted in ScalaTest. */
   def e2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val sig = withNorm(embeddings(s, d))
       .withColumn("bucket",
@@ -80,12 +81,14 @@ object Similarity {
     * searched within the cell only. At 100 TB the seed set becomes trained
     * centroids and `nProbe > 1` cells are searched; the plan shape —
     * O(k) broadcast-assign, then an equi-join on cell id — is the same.
-    * Rows-only check (structural properties asserted in ScalaTest,
-    * including seed-count invariance under corpus replication). */
+    * Oracle-checked (annIvfOracle replicates seed sampling, assignment,
+    * and in-cell search); seed-count invariance under corpus replication
+    * is asserted in ScalaTest. */
   def e2AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = e
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
       .limit(IvfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -117,7 +120,77 @@ object Similarity {
     "e2_ann_ivf" -> (e2AnnIvf _),
   )
 
+  /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
+    * search: plane signs from the same splitmix-style mix of (plane, dim),
+    * signed accumulation in index order (±1.0 * x is IEEE-exact, so the
+    * reduce matches the Scala loop bit for bit), then bucket join and
+    * deterministic top-1. Dim is pinned to the fixture's 64; nPlanes 12. */
+  private val annLshOracle: String = {
+    import OracleSql._
+    s"""WITH pl0 AS (
+       |  SELECT p.range AS p, i.range AS i,
+       |    (CAST(p.range AS HUGEINT) * $A + CAST(i.range AS HUGEINT) * $C1) % $M AS z0
+       |  FROM range(0, 12) p, range(0, 64) i),
+       |pl1 AS (SELECT p, i, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM pl0),
+       |pl2 AS (SELECT p, i, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM pl1),
+       |planes AS (
+       |  SELECT p, list(CASE WHEN xor(z2, z2 >> 31) % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+       |  FROM pl2 GROUP BY p),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |accs AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, 65), i -> sgn[CAST(i AS INT)] * e[CAST(i AS INT)])),
+       |      (a, b) -> a + b) AS acc
+       |  FROM emb, planes),
+       |sig AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN acc >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM accs GROUP BY vec_id),
+       |j AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(x.e, y.e) AS sim
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  JOIN emb x ON x.vec_id = a.vec_id JOIN emb y ON y.vec_id = b.vec_id)
+       |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn FROM j)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of the IVF path: seeds are the IvfCells vec_ids with
+    * the smallest signed splitmix64(vec_id) (= minhashExpression.mix64),
+    * assignment is argmax cosine over seeds with the same tie-break, then
+    * top-1 within the cell. */
+  private val annIvfOracle: String = {
+    import OracleSql._
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mx0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $A) % $M AS z0 FROM emb),
+       |mx1 AS (SELECT vec_id, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM mx0),
+       |mx2 AS (SELECT vec_id, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM mx1),
+       |mx AS (SELECT vec_id, ${toSigned("xor(z2, z2 >> 31)")} AS m FROM mx2),
+       |seeds AS (
+       |  SELECT e.vec_id AS cell, e.e AS ce
+       |  FROM emb e JOIN mx ON e.vec_id = mx.vec_id
+       |  ORDER BY mx.m, e.vec_id LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT emb.vec_id, emb.e, s.cell,
+       |      row_number() OVER (PARTITION BY emb.vec_id
+       |        ORDER BY list_cosine_similarity(emb.e, s.ce) DESC, s.cell) AS crn
+       |    FROM emb, seeds s)
+       |  WHERE crn = 1)
+       |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(a.e, b.e) AS sim,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e2_ann_lsh" -> annLshOracle,
+    "e2_ann_ivf" -> annIvfOracle,
     "e2_cosine_topk" ->
       """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
         |FROM (SELECT a.vec_id, b.vec_id AS other_id,

@@ -57,7 +57,8 @@ class RelationalPlanSpec extends AnyFunSuite {
   test("IVF: seed count is fixed at IvfCells regardless of corpus size") {
     val e = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
     def seedCount(df: DataFrame): Long =
-      df.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      df.orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
         .limit(Similarity.IvfCells).count()
     assert(seedCount(e) == Similarity.IvfCells)
     // 3x-replicated corpus (new vec_ids) -> seed count unchanged: the
