@@ -72,6 +72,20 @@ final case class Batch(
   Validate.name(name, "batch name")
 }
 
+/** Typed runtime config (domain/cfg.py:8-20): `adminRoot` stands in for
+  * the reference's admin_engine_uri — the parquet directory store IS the
+  * admin database here; `adminSchema` maps to a subdirectory (the
+  * reference's SchemaName("etl") default); retention default mirrors
+  * DaysToKeep(3). Users extend this (the reference Config is an ABC) to
+  * carry their own batch settings into BatchSpec.createUow. */
+class GraftConfig(
+    val adminRoot: String,
+    val adminSchema: String = "etl",
+    val daysLogsToKeep: Int = 3) {
+  /** Directory the admin store lives in (uri + schema). */
+  def adminPath: String = s"$adminRoot/$adminSchema"
+}
+
 /** Config-generic batch seam (BatchSpec[Cfg], batch_spec.py:23-77): a batch
   * parameterized by a typed per-batch config. `createUow(config)` builds
   * the user-resource handle — the reference's lime_uow UnitOfWork; here any

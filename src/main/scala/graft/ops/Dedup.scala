@@ -169,6 +169,47 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** E1 — dedup-cluster resolution: connected components over the near-dup
+    * pair graph (e1NgramJaccard edges), each document labeled with its
+    * cluster's canonical keeper (minimum doc_id in the component).
+    * Singleton documents are their own cluster. This is the step a real
+    * curation pipeline runs AFTER near-dup pairing: pairs alone don't say
+    * which copies to drop; components do.
+    *
+    * Implementation: iterative min-label propagation — each round, every
+    * vertex takes the min of its own label and its neighbors' labels; the
+    * loop ends when no label changes. Each round is ONE shuffle
+    * (join + groupBy on doc_id) and rounds are bounded by the component
+    * diameter — near-dup clusters are shallow (dozens of docs), so 2-4
+    * rounds in practice. localCheckpoint truncates the growing lineage
+    * each round. At 100 TB the same loop runs with the large-star/
+    * small-star optimization to cut the round count; the per-round plan
+    * (equi-join + min-agg) is unchanged. The driver-side convergence
+    * check reads ONE count per round — no data is collected. */
+  def e1DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = e1NgramJaccard(s, d).select(col("da"), col("db"))
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true)
+    var labels = documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels, edges("db") === labels("doc_id"))
+        .select(edges("da").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.cluster") < col("p.cluster")).count()
+      labels = next
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** E1/E2 — embedding near-dup pairs: exact cosine within label blocks,
     * threshold 0.35. Dot/norm math is double-accumulated in index order so
     * the DuckDB oracle (list_cosine_similarity over DOUBLE[]) is bit-equal. */
@@ -190,8 +231,29 @@ object Dedup {
     "e1_minhash_pairs" -> (e1MinhashPairs _),
     "e1_simhash" -> (e1Simhash _),
     "e1_simhash_pairs" -> (e1SimhashPairs _),
+    "e1_dedup_clusters" -> (e1DedupClusters _),
     "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
   )
+
+  /** Shared CTE block: word-3-shingle sets (df-capped) + pairwise
+    * intersection sizes — the common core of the Jaccard-pair and
+    * cluster oracles. Yields CTEs `sh` (doc_id, s), `sz` (doc_id, n),
+    * `inter` (da, db, i), and `jp` (da, db, jaccard ≥ 0.2). */
+  private val jaccardCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, len(toks) - 1),
+       |  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
+       |       toks[CAST(i AS INT) + 2]))) AS s FROM t),
+       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $MaxShingleDf),
+       |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |  FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2)""".stripMargin
 
   /** DuckDB replica of graftext.hashExpressions.simHashImpl as a CTE
     * yielding (doc_id, sh): per-token FNV-1a 64 evaluated in HUGEINT
@@ -311,20 +373,18 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "e1_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |  range(1, len(toks) - 1),
-        |  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
-        |       toks[CAST(i AS INT) + 2]))) AS s FROM t),
-        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 256),
-        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
-        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2 ORDER BY da, db""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
+    "e1_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT da AS a, db AS b FROM jp
+         |  UNION SELECT db, da FROM jp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b)
+         |SELECT v AS doc_id, min(lab) AS cluster FROM reach
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
     "e2_embedding_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

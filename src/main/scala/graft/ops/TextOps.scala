@@ -109,7 +109,36 @@ object TextOps {
       .select(col("doc_id"), Hashes.rollingHash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** E3 — top-3 characteristic terms per document by tf·idf. The idf is
+    * the log-free inverse document-frequency RATIO (N/df): integer tf, N,
+    * and df make the score an exactly-reproducible rational (one IEEE
+    * division both engines round identically), so the oracle stays exact —
+    * ln() across libms is not bit-stable. Plan shape at scale: token
+    * explode → (token df) aggregate (vocabulary-bounded, map-side
+    * combined) broadcast back → per-doc window top-k. N arrives via a
+    * 1-row broadcast cross join, not a collected scalar. */
+  def e3Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), asLong(col("rk")).as("rk"), col("token"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_tfidf" -> (e3Tfidf _),
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
     "e3_quality" -> (e3Quality _),
@@ -119,6 +148,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    CAST(tf AS DOUBLE) * n_docs / df AS score
+        |  FROM tf JOIN idf USING (token), n)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, round(score, 4) AS score
+        |FROM (SELECT doc_id, token, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "e3_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |CAST(length(text) AS BIGINT) AS n_chars,

@@ -349,6 +349,17 @@ final class BatchRunner(
 }
 
 object BatchRunner {
+  /** Module-level run_batch(batch, config) (batch_runner.py:49-61): builds
+    * the admin store from the config's uri+schema — here a parquet
+    * directory — and executes the config-generic spec against it. The
+    * reference's BatchSpec.run(config=...) sugar maps to this. */
+  def runBatch[Cfg <: GraftConfig](spark: SparkSession, spec: BatchSpec[Cfg],
+      config: Cfg, clock: Clock = Clock.System,
+      logToConsole: Boolean = false): BatchStatus = {
+    val store = new AdminStore(spark, config.adminPath)
+    new BatchRunner(spark, store, clock, logToConsole).run(spec, config)
+  }
+
   /** Convenience: run the built-in admin batch (run_admin,
     * batch_runner.py:19-33). */
   def runAdmin(spark: SparkSession, store: AdminStore,

@@ -295,6 +295,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(uow2 != null && uow2.closed)
   }
 
+  test("module-level runBatch builds the store from a typed config (cfg.py + batch_runner.py:49)") {
+    val root = TestSpark.tmpDir("cfgrun")
+    final class MyConfig(val tag: String) extends GraftConfig(adminRoot = root)
+    val spec = SimpleBatchSpec[MyConfig, String](
+      name = "cfg_batch",
+      createUowFn = _.tag,
+      createJobsFn = tag => Seq(SimpleJob(s"job_$tag",
+        runFn = (_, _) => JobStatus.Successful)))
+    val status = BatchRunner.runBatch(spark, spec, new MyConfig("prod"))
+    assert(!status.running && status.jobResults.map(_.jobName) == Seq("job_prod"))
+    // store landed under adminRoot/adminSchema (SchemaName("etl") default)
+    val store = new AdminStore(spark, s"$root/etl")
+    assert(store.latestBatch("cfg_batch").nonEmpty)
+  }
+
   test("admin batch deletes old logs and its test passes (delete_old_logs.py:11-86)") {
     val (clock, store, runner) = fixture()
     // seed old logs (5 days back) and fresh ones
