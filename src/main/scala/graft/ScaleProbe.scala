@@ -56,9 +56,9 @@ object ScaleProbe {
       s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems  (N=$n)")
 
     Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
-      "e3_langid", "e3_tokens",
+      "e1_dedup_clusters", "e3_langid", "e3_tokens", "e3_tfidf",
       "q19a_region_revenue", "q27_range_join",
-      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions").foreach { q =>
+      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids").foreach { q =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, out).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%10d rows")

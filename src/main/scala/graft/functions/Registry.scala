@@ -35,5 +35,15 @@ object Registry {
     reg.createOrReplaceTempFunction("hyperplane_sig",
       exprs => HyperplaneSigExpr(exprs(0), intArg(exprs(1), "hyperplane_sig(n)")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      exprs => WordShingleHashesExpr(exprs(0),
+        intArg(exprs(1), "word_shingle_hashes(n)")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig_hashes",
+      exprs => MinHashSigLongsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mix64",
+      exprs => Mix64Expr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("band_hashes",
+      exprs => BandHashesExpr(exprs(0), intArg(exprs(1), "band_hashes(n)")),
+      "scala_udf")
   }
 }

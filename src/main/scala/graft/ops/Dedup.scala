@@ -44,14 +44,21 @@ object Dedup {
     * sf0.1), so results are unchanged; at 100 TB this bounds the join. */
   val MaxShingleDf = 256
 
-  /** (doc_id, h) shingle-hash rows with hot shingles removed. The hot list
-    * is tiny by construction → broadcast anti join, no extra shuffle of the
-    * big side beyond the df count. */
+  /** (doc_id, h) shingle-hash rows with hot shingles removed, MATERIALIZED
+    * once (localCheckpoint): every consumer references this table 2-4
+    * times (self-join sides, df counts, set sizes), and without
+    * materialization each reference re-scans documents and re-shingles the
+    * corpus. Dedup pipelines at scale always persist the exploded shingle
+    * table before the pairwise stage — on a cluster this is persist(DISK)/
+    * a checkpoint; in-process it is a local checkpoint. Also truncates
+    * lineage for the cluster-propagation loop built on top. The hot list
+    * is tiny by construction → broadcast anti join, no extra shuffle of
+    * the big side beyond the df count. */
   private def rareShingleHashes(s: SparkSession, d: String): DataFrame = {
     val sh = shingleHashes(s, d)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("h")
-    sh.join(broadcast(hot), Seq("h"), "left_anti")
+    sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(true)
   }
 
   /** E1 — exact duplicate groups by normalized-text hash.

@@ -63,6 +63,32 @@ object StreamOps {
       .writeStream.outputMode("update").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4e — stream-stream interval join: the streaming form of q27 (views
+    * by the same user within 5 minutes after each click). Both sides carry
+    * watermarks and the join condition bounds the event-time gap, so Spark
+    * derives state-retention windows for BOTH buffers — each side keeps
+    * ~watermark+interval of history per key and purges the rest, which is
+    * what makes the join runnable forever at 100 TB/day. Inner join: a
+    * pair is emitted once both events have arrived. */
+  def streamClickViewJoin(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery = {
+    val ev = s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    clicks.join(views,
+        expr("""user_id = v_user AND
+                v_ts > c_ts AND v_ts <= c_ts + INTERVAL 5 MINUTES"""))
+      .select(col("event_id"), col("v_event"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** E4d — stateful dedup on event_id within the watermark. */
   def streamDedup(s: SparkSession, dir: String, schema: StructType,
       sinkName: String): StreamingQuery =

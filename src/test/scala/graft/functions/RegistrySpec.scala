@@ -15,7 +15,11 @@ class RegistrySpec extends AnyFunSuite {
         |size(char_ngrams(t, 3)) AS ncg, size(word_shingles(t, 2)) AS nws,
         |vec_dot(v, v) AS dd, vec_l2norm(v) AS nn,
         |size(minhash_sig(word_shingles(t, 2))) AS nsig,
-        |hyperplane_sig(v, 4) AS hp
+        |hyperplane_sig(v, 4) AS hp,
+        |size(word_shingle_hashes(t, 2)) AS nwsh,
+        |size(minhash_sig_hashes(word_shingle_hashes(t, 2))) AS nsig2,
+        |mix64(42L) AS mx,
+        |size(band_hashes(minhash_sig(word_shingles(t, 2)), 4)) AS nbands
         |FROM reg_probe""".stripMargin).head()
     assert(row.getAs[Long]("rh") ==
       "hello world of spark".foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L))
@@ -25,6 +29,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("nn") - math.sqrt(5.0)) < 1e-9)
     assert(row.getAs[Int]("nsig") == 64)
     assert(row.getAs[Long]("hp") >= 0 && row.getAs[Long]("hp") < 16)
+    assert(row.getAs[Int]("nwsh") == 3)
+    assert(row.getAs[Int]("nsig2") == 64)
+    assert(row.getAs[Long]("mx") ==
+      org.apache.spark.sql.graftext.minhashExpression.mix(42L))
+    assert(row.getAs[Int]("nbands") == 16)
   }
 
   test("SQL and Column APIs agree") {

@@ -98,6 +98,20 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.jobTestResults.count() == 0)
   }
 
+  test("swapWrite survives a stale .old backup from a simulated crash") {
+    val st = newStore()
+    st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    // simulate a crash that left the set-aside copy behind
+    val stale = new java.io.File(s"${st.root}/batches.old/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(stale.toPath, "leftover")
+    // the next rewrite must clean it up and swap normally
+    st.upsertBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:05:00Z"))))
+    assert(!stale.getParentFile.exists(), "stale .old dir must be removed")
+    assert(st.batches.count() == 1)
+    assert(st.latestBatch("nightly").get.executionMillis.contains(5L))
+  }
+
   test("upsert rewrite cost stays ~flat as the jobs table grows to 1,000 rows") {
     // The store's upsert is an O(table) parquet rewrite (AdminStore.scala
     // swapWrite) — acceptable because admin tables are BOOKKEEPING, bounded

@@ -56,6 +56,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs (E4e)") {
+    // sf0.001 has no click->view pair inside 5 minutes; stage sf0.01
+    val dir = TestSpark.tmpDir("ssj") + "/events"
+    graft.Tables.events(spark, TestSpark.sf001)
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamOps.streamClickViewJoin(spark, dir,
+      spark.read.parquet(dir).schema, "ssj_sink")
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_sink").count()
+    // batch equivalent: q27's inner pair count on the same data
+    val ev = graft.Tables.events(spark, TestSpark.sf001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val want = clicks.join(views,
+      col("user_id") === col("v_user") && col("v_ts") > col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES")).count()
+    assert(got == want && want > 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream (E4d)") {
     // duplicate every event by writing the same data twice into the source
     val dir = TestSpark.tmpDir("dupstream") + "/events"
