@@ -406,6 +406,47 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q28 — PIVOT: order counts per year pivoted by order status. The
+    * status values are passed EXPLICITLY — `pivot(col)` without values
+    * runs an extra distinct job to discover them, a full scan you never
+    * want at 100 TB; with values the pivot is a single pass of
+    * conditional aggregates. Oracle: portable FILTER aggregation. */
+  def q28Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(asLong(year(col("o_orderdate"))).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("yr"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("yr")
+
+  /** Q20b — CUBE over the geography dimension (all grouping-set
+    * combinations, completing q20's rollup). SQL surface like q20. */
+  def q20bCube(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(r_name, '(all)') AS r, coalesce(n_name, '(all)') AS n,
+         |round(sum(c_acctbal), 2) AS bal
+         |FROM parquet.`$d/region.parquet` JOIN parquet.`$d/nation.parquet`
+         |  ON r_regionkey = n_regionkey
+         |JOIN parquet.`$d/customer.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY CUBE (r_name, n_name) ORDER BY r, n""".stripMargin)
+
+  /** Q21b — TIME-RANGE window frame: per user, the rolling sum of event
+    * values over the trailing 10 minutes (RANGE frame over epoch seconds,
+    * complementing q21's ROWS frame). One shuffle on user_id; the frame
+    * is evaluated with a sliding pointer inside each sorted partition —
+    * no self-join, no per-row rescans, history-length-independent. */
+  def q21bTimeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+      .rangeBetween(-600L, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("rolling_10m"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -438,8 +479,11 @@ object Relational {
     "q19_agg" -> (q19Agg _),
     "q19a_region_revenue" -> (q19aRegionRevenue _),
     "q20_rollup" -> (q20Rollup _),
+    "q20b_cube" -> (q20bCube _),
     "q21_running_sum" -> (q21RunningSum _),
+    "q21b_time_window" -> (q21bTimeWindow _),
     "q22_date_parts" -> (q22DateParts _),
+    "q28_pivot" -> (q28Pivot _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -536,6 +580,24 @@ object Relational {
         |  ON c.user_id = v.v_user AND v.v_ts > c.ts
         |  AND v.v_ts <= c.ts + INTERVAL '5 minutes'
         |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+    "q28_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q20b_cube" ->
+      """SELECT coalesce(r_name, '(all)') AS r, coalesce(n_name, '(all)') AS n,
+        |round(sum(c_acctbal), 2) AS bal
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (r_name, n_name) ORDER BY r, n""".stripMargin,
+    "q21b_time_window" ->
+      """SELECT user_id, event_id,
+        |round(sum(value) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts) // 1000000
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS rolling_10m
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q11_semi" ->
       """SELECT DISTINCT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
