@@ -83,7 +83,14 @@ object TextOps {
         Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
       .filter(col("rk") <= 100)
       .select(col("lang").as("cand_lang"), col("g"))
-    val score = tri.select("doc_id", "g").distinct()
+    // doc-side distinct trigrams are deduped PER ROW (array_distinct on
+    // the ngram array) before the explode — a free row-local operation
+    // that replaces a (doc, gram) distinct, i.e. a ~2M-key shuffle, with
+    // nothing. The profile side above still counts every occurrence.
+    val docTri = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Ngrams.charNgrams(lower(col("text")), 3))).as("g"))
+    val score = docTri
       .join(broadcast(top), "g")
       .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("s"))
     score
