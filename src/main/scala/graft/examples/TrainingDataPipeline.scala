@@ -36,12 +36,19 @@ object TrainingDataPipeline {
       runFn = (s, log) => {
         val docs = graft.Tables.documents(s, sfDir)
         val exactKeep = Dedup.e1ExactDedup(s, sfDir).select("keeper")
-        val nearDupLosers = Dedup.e1NgramJaccard(s, sfDir)
-          .filter(col("jaccard") >= 0.8)
-          .select(col("db").as("doc_id")).distinct()
+        // cluster-based keeper selection: resolve connected components of
+        // the >= 0.8 near-dup graph and drop every non-canonical member.
+        // Pair-based drops (remove every `db`) miss docs whose only path
+        // to the cluster minimum runs through a LARGER doc_id — components
+        // catch those.
+        val pairs = Dedup.e1NgramJaccard(s, sfDir)
+          .filter(col("jaccard") >= 0.8).select("da", "db")
+        val losers = Dedup
+          .connectedComponents(docs.select(col("doc_id")), pairs)
+          .filter(col("cluster") =!= col("doc_id")).select("doc_id")
         docs
           .join(exactKeep, docs("doc_id") === exactKeep("keeper"), "left_semi")
-          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .join(losers, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(deduped)
         log.info(s"dedup wrote $deduped")
         JobStatus.Successful

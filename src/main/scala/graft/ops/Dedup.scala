@@ -193,12 +193,23 @@ object Dedup {
     * small-star optimization to cut the round count; the per-round plan
     * (equi-join + min-agg) is unchanged. The driver-side convergence
     * check reads ONE count per round — no data is collected. */
-  def e1DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = e1NgramJaccard(s, d).select(col("da"), col("db"))
+  def e1DedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      documents(s, d).select(col("doc_id")),
+      e1NgramJaccard(s, d).select(col("da"), col("db")))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected edge list (da, db):
+    * every vertex in `vertices` (column doc_id) is labeled with the
+    * minimum doc_id reachable through the pairs — its canonical cluster
+    * id. The reusable core of e1DedupClusters (see its Scaladoc for the
+    * scale analysis); also the keeper-selection step of the curation
+    * pipeline example. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
-    var labels = documents(s, d)
+    var labels = vertices
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
@@ -214,7 +225,7 @@ object Dedup {
         .filter(col("n.cluster") < col("p.cluster")).count()
       labels = next
     }
-    labels.orderBy("doc_id")
+    labels
   }
 
   /** E1/E2 — embedding near-dup pairs: exact cosine within label blocks,
