@@ -66,30 +66,33 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Number of IVF coarse cells. FIXED, not a fraction of the corpus: the
-    * seed set is broadcast, so it must stay O(k) however large the data
-    * gets (a `vec_id % m === 0` filter would grow the broadcast linearly
-    * with the corpus — a TB-scale broadcast at 100 TB). */
-  val IvfCells = 8
+  /** IVF cell count for a corpus of n vectors: ceil(√n), the textbook
+    * sizing — per-cell population ~√n keeps BOTH the broadcast
+    * (k seeds ~ √n; ~80 MB at 10^11 vectors) and the within-cell search
+    * (n·√n total pairwise work instead of n²/k with fixed k) bounded. */
+  def ivfCells(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
 
-  /** E2 — ANN via IVF (inverted file index): `IvfCells` coarse cells chosen
-    * as the vectors with the k SMALLEST xxhash64(vec_id) — deterministic,
+  /** E2 — ANN via IVF (inverted file index): ceil(√n) coarse cells chosen
+    * as the vectors with the smallest splitmix64(vec_id) — deterministic,
     * uniformly sampled, and computed with one distributed top-k
     * (TakeOrderedAndProject: per-partition heaps, no full sort, no extra
-    * shuffle). Every vector is assigned to its nearest cell (one broadcast
-    * join against the fixed-size seed set), then the top-1 neighbor is
-    * searched within the cell only. At 100 TB the seed set becomes trained
-    * centroids and `nProbe > 1` cells are searched; the plan shape —
-    * O(k) broadcast-assign, then an equi-join on cell id — is the same.
-    * Oracle-checked (annIvfOracle replicates seed sampling, assignment,
-    * and in-cell search); seed-count invariance under corpus replication
-    * is asserted in ScalaTest. */
+    * shuffle). The one driver-side action is a COUNT to size the cell
+    * grid — an aggregate (index-build metadata), not a row collect;
+    * real IVF systems likewise size/train their centroid set in a
+    * separate build phase. Every vector is assigned to its nearest cell
+    * (one broadcast join against the √n-sized seed set), then the top-1
+    * neighbor is searched within the cell only. At 100 TB the seeds
+    * become trained centroids and `nProbe > 1` cells are searched; the
+    * plan shape — broadcast-assign, then an equi-join on cell id — is
+    * the same. Oracle-checked (annIvfOracle replicates the √n sizing via
+    * a subquery LIMIT, seed sampling, assignment, and in-cell search);
+    * √n seed growth under corpus replication is asserted in ScalaTest. */
   def e2AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = e
       .orderBy(org.apache.spark.sql.graftext.minhashExpression
         .mix64(col("vec_id")), col("vec_id"))
-      .limit(IvfCells)
+      .limit(ivfCells(e.count()))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     val assignW = Window.partitionBy(col("vec_id"))
@@ -171,7 +174,8 @@ object Similarity {
        |seeds AS (
        |  SELECT e.vec_id AS cell, e.e AS ce
        |  FROM emb e JOIN mx ON e.vec_id = mx.vec_id
-       |  ORDER BY mx.m, e.vec_id LIMIT $IvfCells),
+       |  ORDER BY mx.m, e.vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |assigned AS (
        |  SELECT vec_id, e, cell FROM (
        |    SELECT emb.vec_id, emb.e, s.cell,

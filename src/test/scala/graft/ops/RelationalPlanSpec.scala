@@ -54,19 +54,21 @@ class RelationalPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF: seed count is fixed at IvfCells regardless of corpus size") {
+  test("IVF: seed count grows as sqrt(n), not linearly with the corpus") {
     val e = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
     def seedCount(df: DataFrame): Long =
       df.orderBy(org.apache.spark.sql.graftext.minhashExpression
         .mix64(col("vec_id")), col("vec_id"))
-        .limit(Similarity.IvfCells).count()
-    assert(seedCount(e) == Similarity.IvfCells)
-    // 3x-replicated corpus (new vec_ids) -> seed count unchanged: the
-    // broadcast stays O(k) as the corpus grows
+        .limit(Similarity.ivfCells(df.count())).count()
+    val n = e.count()
+    assert(seedCount(e) == math.ceil(math.sqrt(n.toDouble)).toLong)
+    // 3x-replicated corpus (new vec_ids) -> seeds grow sqrt(3)x (~1.73x),
+    // NOT 3x: the broadcast stays sublinear as the corpus grows (the
+    // round-1 hazard was an O(n) seed set)
     val big = (0 until 3).map(i =>
       e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
       .reduce(_.unionByName(_))
-    assert(seedCount(big) == Similarity.IvfCells)
+    assert(seedCount(big) == math.ceil(math.sqrt(3.0 * n)).toLong)
     // and the query plan actually computes seeds with a distributed top-k
     val plan = Similarity.e2AnnIvf(spark, TestSpark.sf001)
       .queryExecution.executedPlan.toString
