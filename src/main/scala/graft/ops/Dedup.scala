@@ -214,16 +214,21 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // the vertex's own (pre-round) label rides along as `old` so the
+      // convergence check is a filter over the materialized round result —
+      // no extra join against the previous generation
       val viaNeighbor = edges
         .join(labels, edges("db") === labels("doc_id"))
-        .select(edges("da").as("doc_id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+        .select(edges("da").as("doc_id"), col("cluster"),
+          lit(false).as("self"))
+      val next = labels.withColumn("self", lit(true))
+        .unionByName(viaNeighbor)
+        .groupBy("doc_id")
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("self"), col("cluster"))).as("old"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster") < col("p.cluster")).count()
-      labels = next
+      changed = next.filter(col("cluster") < col("old")).count()
+      labels = next.select("doc_id", "cluster")
     }
     labels
   }
