@@ -58,7 +58,10 @@ object Dedup {
     val sh = shingleHashes(s, d)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("h")
-    sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(true)
+    // LAZY checkpoint: materializes on the first action and is reused by
+    // every later reference, but merely CONSTRUCTING the query (e.g. to
+    // print its plan) stays free of Spark jobs.
+    sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(false)
   }
 
   /** E1 — exact duplicate groups by normalized-text hash.
@@ -98,42 +101,36 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** MinHash signature (64 perms) + 16 LSH bands of 4. The signature is a
-    * native codegen'd expression (graftext.minhashExpression): one fused
-    * loop hashing each shingle twice (seeded FNV-1a) and combining into all
-    * 64 slots with xor-rotate — the two-hash scheme, without 64 interpreted
-    * HOF lambdas. Computed per-row from the shingle array (no extra
-    * shuffle); banding turns near-dup search into an equi-join on
-    * (band, band_hash). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    // band keys via the mix-fold band_hashes expression (not xxhash64):
-    // equally collision-resistant for banding, and — because splitmix64 is
-    // plain arithmetic — exactly replicable by the DuckDB oracle, which
-    // makes the whole LSH pipeline oracle-checkable.
-    val mh = org.apache.spark.sql.graftext.minhashExpression
-    shingleHashArr(s, d)
-      .withColumn("sig", mh.minhashSigFromHashes(col("hs")))
-      .select(col("doc_id"),
-        posexplode(mh.bandHashes(col("sig"), 4)).as(Seq("band", "bh")))
-  }
-
   /** E1 — MinHash+LSH near-dup pairs: candidates from band collisions,
     * verified with exact Jaccard ≥ 0.2 on the shingle sets. Oracle-checked
     * end to end (minhashPairsOracle replicates signature + banding in
     * DuckDB); LSH recall vs the exact pass is additionally asserted in
-    * ScalaTest. */
+    * ScalaTest.
+    *
+    * The whole pipeline derives from ONE materialization of the df-capped
+    * shingle table: `sets` (per-doc capped shingle-hash sets) feeds the
+    * signature, the banding, AND both sides of the verification join —
+    * critically, the signature input is the SAME capped set the Jaccard
+    * paths and the oracle use (an uncapped signature would silently
+    * diverge from the oracle the moment a real corpus has a boilerplate
+    * shingle past the cap). Band keys use the mix-fold band_hashes
+    * expression (not xxhash64): equally collision-resistant for banding,
+    * and — being splitmix64 arithmetic — exactly replicable in DuckDB. */
   def e1MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d)
+    val mh = org.apache.spark.sql.graftext.minhashExpression
+    val sets = rareShingleHashes(s, d).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bands = sets
+      .withColumn("sig", mh.minhashSigFromHashes(col("sh")))
+      .select(col("doc_id"),
+        posexplode(mh.bandHashes(col("sig"), 4)).as(Seq("band", "bh")))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // verify on the same df-capped shingle sets e1NgramJaccard uses, so the
-    // LSH output is exactly a subset of the exact pass
-    val sets = rareShingleHashes(s, d).groupBy("doc_id")
-      .agg(collect_set(col("h")).as("sh"), count(lit(1)).as("n"))
     cand
       .join(sets.as("p"), col("da") === col("p.doc_id"))
       .join(sets.as("q"), col("db") === col("q.doc_id"))
@@ -200,16 +197,21 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Min-label propagation over an undirected edge list (da, db):
-    * every vertex in `vertices` (column doc_id) is labeled with the
-    * minimum doc_id reachable through the pairs — its canonical cluster
-    * id. The reusable core of e1DedupClusters (see its Scaladoc for the
-    * scale analysis); also the keeper-selection step of the curation
-    * pipeline example. */
+    * every vertex in `vertices` (column doc_id) — and every edge
+    * endpoint, which is unioned in so a partial vertex list cannot stall
+    * propagation or hide candidate labels — is labeled with the minimum
+    * doc_id reachable through the pairs, its canonical cluster id. The
+    * reusable core of e1DedupClusters (see its Scaladoc for the scale
+    * analysis); also the keeper-selection step of the curation pipeline
+    * example. */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
     var labels = vertices
+      .select(col("doc_id"))
+      .unionByName(edges.select(col("da").as("doc_id")))
+      .distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     var changed = 1L

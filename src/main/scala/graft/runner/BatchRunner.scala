@@ -368,6 +368,14 @@ object BatchRunner {
     new BatchRunner(spark, store, clock, logToConsole)
       .run(AdminBatch(store, clock, daysToKeep))
 
+  /** run_admin from a typed config (cfg.py): both the store location and
+    * the retention window come from the config — this is what makes
+    * GraftConfig.daysLogsToKeep effective. */
+  def runAdmin(spark: SparkSession, config: GraftConfig, clock: Clock,
+      logToConsole: Boolean): BatchStatus =
+    runAdmin(spark, new AdminStore(spark, config.adminPath), clock,
+      config.daysLogsToKeep, logToConsole)
+
   private lazy val jobEc: ExecutionContext = ExecutionContext.fromExecutorService(
     java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-job"); t.setDaemon(true); t

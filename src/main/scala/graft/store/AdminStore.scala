@@ -69,7 +69,24 @@ final class AdminStore(val spark: SparkSession, val root: String) {
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists(table: String): Boolean = fs.exists(new Path(path(table)))
+  /** Table existence WITH crash recovery: a crash between swapWrite's two
+    * renames leaves the live dir missing and the `.old` backup present —
+    * restore the backup here (the gate every read and write passes
+    * through) so no generation is ever lost. A `.old` found NEXT TO a
+    * live dir is the superseded generation (crash after the new table
+    * moved in) and is cleaned up by the next swapWrite instead. */
+  private def exists(table: String): Boolean = {
+    val dst = new Path(path(table))
+    if (!fs.exists(dst)) ioLock.synchronized {
+      val old = new Path(s"${path(table)}.old")
+      if (!fs.exists(dst) && fs.exists(old)) {
+        if (!fs.rename(old, dst))
+          throw new IllegalStateException(s"failed to restore $old -> $dst")
+        spark.catalog.refreshByPath(dst.toString)
+      }
+    }
+    fs.exists(dst)
+  }
 
   private def readOr[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] =
     if (exists(table)) spark.read.parquet(path(table)).as[T]

@@ -82,6 +82,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels edge endpoints missing from the vertex list") {
+    // vertex list only knows doc 3, but the chain 1-2-3 must still resolve
+    // to cluster 1 (a partial vertex list must not stall propagation)
+    val vertices = Seq(3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val labels = Dedup.connectedComponents(vertices, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet

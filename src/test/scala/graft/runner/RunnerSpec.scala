@@ -310,6 +310,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(store.latestBatch("cfg_batch").nonEmpty)
   }
 
+  test("config-driven runAdmin honors daysLogsToKeep from the config (cfg.py retention)") {
+    val clock = new StepClock(Instant.parse("2024-06-01T12:00:00Z"))
+    val root = TestSpark.tmpDir("cfgadmin")
+    val config = new GraftConfig(adminRoot = root, daysLogsToKeep = 10)
+    val store = new AdminStore(spark, config.adminPath)
+    // a log row 5 days old: inside the 10-day config window, outside the
+    // class default of 3 — survival proves the config value is wired
+    store.appendBatchLog(Seq(graft.store.LogRow(Validate.newId(), "b" * 32,
+      "INFO", "fiveDaysOld", clock.at.minusSeconds(5 * 86400))))
+    val status = BatchRunner.runAdmin(spark, config, clock, logToConsole = false)
+    assert(status.jobResults.head.status == JobStatus.Successful)
+    assert(store.batchLog.toDF()
+      .filter(col("message") === "fiveDaysOld").count() == 1)
+  }
+
   test("admin batch deletes old logs and its test passes (delete_old_logs.py:11-86)") {
     val (clock, store, runner) = fixture()
     // seed old logs (5 days back) and fresh ones

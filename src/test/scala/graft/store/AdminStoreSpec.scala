@@ -112,6 +112,21 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.latestBatch("nightly").get.executionMillis.contains(5L))
   }
 
+  test("crash between swap renames is recovered: .old restores as the live table") {
+    val st = newStore()
+    st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    st.upsertBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:05:00Z"))))
+    // simulate a crash AFTER dst -> .old but BEFORE tmp -> dst: the live
+    // dir is gone and only the backup generation remains
+    val live = new java.io.File(s"${st.root}/batches")
+    val old = new java.io.File(s"${st.root}/batches.old")
+    assert(live.renameTo(old))
+    // any read must transparently restore the backup — no history lost
+    assert(st.batches.count() == 1)
+    assert(st.latestBatch("nightly").get.executionMillis.contains(5L))
+    assert(live.exists() && !old.exists())
+  }
+
   test("upsert rewrite cost stays ~flat as the jobs table grows to 1,000 rows") {
     // The store's upsert is an O(table) parquet rewrite (AdminStore.scala
     // swapWrite) — acceptable because admin tables are BOOKKEEPING, bounded
