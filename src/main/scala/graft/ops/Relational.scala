@@ -447,6 +447,37 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q29 — FULL OUTER join: per-nation customer counts vs (filtered)
+    * supplier counts, preserving nations that appear on either side only.
+    * Completes the join matrix (inner/left/semi/anti/asof/range/full).
+    * Both inputs are pre-aggregated so the outer join runs on ~25-row
+    * sides regardless of scale — aggregate-then-join, not join-then-
+    * aggregate. */
+  def q29FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = supplier(s, d).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("ck") === col("sk"), "full_outer")
+      .select(asLong(coalesce(col("ck"), col("sk"))).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Q16b — INTERSECT / EXCEPT (distinct set semantics): brands carried by
+    * both even- and odd-keyed parts vs brands exclusive to even-keyed
+    * parts, labeled and unioned. Set ops plan as aggregates + joins —
+    * no special operator needed at scale. */
+  def q16bSetOps(s: SparkSession, d: String): DataFrame = {
+    val even = part(s, d).filter(col("p_partkey") % 2 === 0).select("p_brand")
+    val odd = part(s, d).filter(col("p_partkey") % 2 === 1).select("p_brand")
+    even.intersect(odd).withColumn("which", lit("both"))
+      .unionByName(even.except(odd).withColumn("which", lit("even_only")))
+      .orderBy("which", "p_brand")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -484,6 +515,8 @@ object Relational {
     "q21b_time_window" -> (q21bTimeWindow _),
     "q22_date_parts" -> (q22DateParts _),
     "q28_pivot" -> (q28Pivot _),
+    "q29_full_outer" -> (q29FullOuter _),
+    "q16b_set_ops" -> (q16bSetOps _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -580,6 +613,25 @@ object Relational {
         |  ON c.user_id = v.v_user AND v.v_ts > c.ts
         |  AND v.v_ts <= c.ts + INTERVAL '5 minutes'
         |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+    "q29_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |p AS (SELECT s_nationkey AS sk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        |SELECT CAST(coalesce(ck, sk) AS BIGINT) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN p ON ck = sk ORDER BY nationkey""".stripMargin,
+    "q16b_set_ops" ->
+      """SELECT p_brand, 'both' AS which FROM (
+        |  SELECT p_brand FROM part WHERE p_partkey % 2 = 0
+        |  INTERSECT
+        |  SELECT p_brand FROM part WHERE p_partkey % 2 = 1)
+        |UNION ALL
+        |SELECT p_brand, 'even_only' AS which FROM (
+        |  SELECT p_brand FROM part WHERE p_partkey % 2 = 0
+        |  EXCEPT
+        |  SELECT p_brand FROM part WHERE p_partkey % 2 = 1)
+        |ORDER BY which, p_brand""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |count(*) FILTER (o_orderstatus = 'F') AS n_f,
