@@ -48,6 +48,40 @@ object StreamOps {
         col("n_events"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** E4f — funnel analysis: per user, purchases completing the ordered
+    * chain view → click → purchase with each step strictly later than and
+    * within 24 hours of the previous. Implemented with CASCADING
+    * ignore-nulls last_value windows (carry the latest view time forward;
+    * mark clicks within window of it as qualified; carry the latest
+    * qualified click forward; test purchases against it) — ONE shuffle on
+    * user_id and a single sorted pass per partition, where the naive
+    * 3-way self-join explodes quadratically per active user. Checking the
+    * LAST qualified predecessor is sufficient: an earlier one is strictly
+    * further away, so the windows are monotone. All comparisons run on
+    * integer epoch micros so the DuckDB oracle is exact. */
+  def e4fFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winUs = 86400000000L // 24 hours in microseconds (fixture events are hours apart)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tu"))
+      .withColumn("view_tu",
+        last(when(col("event_type") === "view", col("tu")), ignoreNulls = true)
+          .over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("view_tu").isNotNull &&
+          col("tu") > col("view_tu") && col("tu") <= col("view_tu") + winUs,
+          col("tu")))
+      .withColumn("qclick_tu", last(col("qc"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("qclick_tu").isNotNull &&
+        col("tu") > col("qclick_tu") && col("tu") <= col("qclick_tu") + winUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_funnels"), min(col("tu")).as("first_purchase_us"))
+      .orderBy("user_id")
+  }
+
   /** Streaming form of e4a: file-source stream → watermarked tumbling agg.
     * Returns the started query writing to an in-memory sink `sinkName`. */
   def streamTumbling(s: SparkSession, dir: String, schema: StructType,
@@ -104,9 +138,28 @@ object StreamOps {
     "e4a_tumbling" -> (e4aTumbling _),
     "e4b_sliding" -> (e4bSliding _),
     "e4c_sessions" -> (e4cSessions _),
+    "e4f_funnel" -> (e4fFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e4f_funnel" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+        |  FROM events),
+        |s1 AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN tu END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_tu
+        |  FROM ev),
+        |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND view_tu IS NOT NULL
+        |    AND tu > view_tu AND tu <= view_tu + 86400000000 THEN tu END AS qc
+        |  FROM s1),
+        |s3 AS (SELECT *, last_value(qc IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qclick_tu
+        |  FROM s2)
+        |SELECT user_id, count(*) AS n_funnels, min(tu) AS first_purchase_us
+        |FROM s3 WHERE event_type = 'purchase' AND qclick_tu IS NOT NULL
+        |  AND tu > qclick_tu AND tu <= qclick_tu + 86400000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e4a_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
