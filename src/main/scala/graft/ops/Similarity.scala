@@ -160,10 +160,10 @@ object Similarity {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
-  /** DuckDB replica of the IVF path: seeds are the IvfCells vec_ids with
-    * the smallest signed splitmix64(vec_id) (= minhashExpression.mix64),
-    * assignment is argmax cosine over seeds with the same tie-break, then
-    * top-1 within the cell. */
+  /** DuckDB replica of the IVF path: seeds are the ceil(√n) vec_ids with
+    * the smallest signed splitmix64(vec_id) (= minhashExpression.mix64,
+    * the √n via a subquery LIMIT), assignment is argmax cosine over seeds
+    * with the same tie-break, then top-1 within the cell. */
   private val annIvfOracle: String = {
     import OracleSql._
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
