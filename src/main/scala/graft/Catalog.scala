@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * BOTH engines. Events get the nanos→timestamp normalization from
   * Tables.events so SQL users see a plain timestamp column. */
 object Catalog {
+  /** The complete registered-view list (same names as the oracle gate's
+    * table set — keep in sync with tools/check_oracle.py TABLES). */
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
 
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    tableNames.foreach(t =>
-      Tables.table(spark, dir, t).createOrReplaceTempView(t))
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-  }
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+               else Tables.table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
 }

@@ -48,35 +48,39 @@ object StreamOps {
         col("n_events"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** Funnel step window (24 h in µs; fixture events are hours apart).
+    * Interpolated into BOTH the Spark query and the oracle SQL — one
+    * constant, no silent divergence on retuning. */
+  private val FunnelWindowUs = 86400000000L
+
   /** E4f — funnel analysis: per user, purchases completing the ordered
     * chain view → click → purchase with each step strictly later than and
-    * within 24 hours of the previous. Implemented with CASCADING
-    * ignore-nulls last_value windows (carry the latest view time forward;
-    * mark clicks within window of it as qualified; carry the latest
-    * qualified click forward; test purchases against it) — ONE shuffle on
-    * user_id and a single sorted pass per partition, where the naive
-    * 3-way self-join explodes quadratically per active user. Checking the
-    * LAST qualified predecessor is sufficient: an earlier one is strictly
-    * further away, so the windows are monotone. All comparisons run on
-    * integer epoch micros so the DuckDB oracle is exact. */
+    * within 24 hours of the previous. Implemented with CASCADING windows
+    * over a STRICTLY-EARLIER range frame (max view time among rows with
+    * smaller epoch-micros; mark clicks within window of it as qualified;
+    * max qualified click, same frame; test purchases against it) — ONE
+    * shuffle on user_id and a single sorted pass per partition, where the
+    * naive 3-way self-join explodes quadratically per active user. The
+    * range frame (RANGE ... 1 PRECEDING on integer micros) excludes
+    * same-timestamp rows, so tied events can never qualify each other and
+    * the latest strictly-earlier qualified predecessor is always the best
+    * witness (monotone). Integer epoch-micro comparisons keep the DuckDB
+    * oracle exact. */
   def e4fFunnel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val winUs = 86400000000L // 24 hours in microseconds (fixture events are hours apart)
+    val w = Window.partitionBy("user_id").orderBy(col("tu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("tu"))
       .withColumn("view_tu",
-        last(when(col("event_type") === "view", col("tu")), ignoreNulls = true)
-          .over(w))
+        max(when(col("event_type") === "view", col("tu"))).over(w))
       .withColumn("qc",
         when(col("event_type") === "click" && col("view_tu").isNotNull &&
-          col("tu") > col("view_tu") && col("tu") <= col("view_tu") + winUs,
-          col("tu")))
-      .withColumn("qclick_tu", last(col("qc"), ignoreNulls = true).over(w))
+          col("tu") <= col("view_tu") + FunnelWindowUs, col("tu")))
+      .withColumn("qclick_tu", max(col("qc")).over(w))
       .filter(col("event_type") === "purchase" && col("qclick_tu").isNotNull &&
-        col("tu") > col("qclick_tu") && col("tu") <= col("qclick_tu") + winUs)
+        col("tu") <= col("qclick_tu") + FunnelWindowUs)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_funnels"), min(col("tu")).as("first_purchase_us"))
       .orderBy("user_id")
@@ -143,23 +147,23 @@ object StreamOps {
 
   val oracles: Map[String, String] = Map(
     "e4f_funnel" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
-        |  FROM events),
-        |s1 AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN tu END
-        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_tu
-        |  FROM ev),
-        |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND view_tu IS NOT NULL
-        |    AND tu > view_tu AND tu <= view_tu + 86400000000 THEN tu END AS qc
-        |  FROM s1),
-        |s3 AS (SELECT *, last_value(qc IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY tu, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qclick_tu
-        |  FROM s2)
-        |SELECT user_id, count(*) AS n_funnels, min(tu) AS first_purchase_us
-        |FROM s3 WHERE event_type = 'purchase' AND qclick_tu IS NOT NULL
-        |  AND tu > qclick_tu AND tu <= qclick_tu + 86400000000
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+         |  FROM events),
+         |s1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tu END)
+         |    OVER (PARTITION BY user_id ORDER BY tu
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_tu
+         |  FROM ev),
+         |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND view_tu IS NOT NULL
+         |    AND tu <= view_tu + $FunnelWindowUs THEN tu END AS qc
+         |  FROM s1),
+         |s3 AS (SELECT *, max(qc) OVER (
+         |    PARTITION BY user_id ORDER BY tu
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qclick_tu
+         |  FROM s2)
+         |SELECT user_id, count(*) AS n_funnels, min(tu) AS first_purchase_us
+         |FROM s3 WHERE event_type = 'purchase' AND qclick_tu IS NOT NULL
+         |  AND tu <= qclick_tu + $FunnelWindowUs
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e4a_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,

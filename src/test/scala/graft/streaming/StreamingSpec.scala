@@ -77,6 +77,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("funnel counts a tied-timestamp purchase via its earlier qualified click (E4f)") {
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("funnel")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(h: Int) = new java.sql.Timestamp(t0 + h * 3600000L)
+    // click 3 and the purchase share a timestamp: the strictly-earlier
+    // range frame must not let them witness each other, but the t=10h
+    // qualified click still completes the funnel
+    Seq(
+      (1L, 1L, "view", ts(0)),
+      (1L, 2L, "click", ts(10)),
+      (1L, 3L, "click", ts(20)),
+      (1L, 4L, "purchase", ts(20)),
+      (2L, 5L, "purchase", ts(5))) // no view/click chain -> no funnel
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = StreamOps.e4fFunnel(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 1L)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream (E4d)") {
     // duplicate every event by writing the same data twice into the source
     val dir = TestSpark.tmpDir("dupstream") + "/events"
