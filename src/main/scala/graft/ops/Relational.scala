@@ -478,6 +478,28 @@ object Relational {
       .orderBy("which", "p_brand")
   }
 
+  /** Q30 — histogram / binning: event values bucketed into 10 fixed-width
+    * [0,1000) bins — a single map-side computation feeding one tiny-key
+    * aggregate; the binning operator class for dashboards and distribution
+    * checks at any scale. The bucket formula is written out explicitly
+    * (floor(v/width)+1 with under/overflow bins 0 and 11, width_bucket
+    * semantics) so the oracle runs the IDENTICAL double arithmetic —
+    * DuckDB 1.0 has no width_bucket, and matching an engine-internal
+    * formula bit-for-bit is a worse bet than sharing one. Bounds are
+    * fixed constants (data-independent binning; a data-dependent version
+    * would first compute min/max as its own tiny aggregate). */
+  def q30Histogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        when(col("value") < 0.0, 0L)
+          .when(col("value") >= 1000.0, 11L)
+          .otherwise(floor(col("value") / 100.0).cast("long") + 1L)
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy("bucket")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -517,6 +539,7 @@ object Relational {
     "q28_pivot" -> (q28Pivot _),
     "q29_full_outer" -> (q29FullOuter _),
     "q16b_set_ops" -> (q16bSetOps _),
+    "q30_histogram" -> (q30Histogram _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -613,6 +636,12 @@ object Relational {
         |  ON c.user_id = v.v_user AND v.v_ts > c.ts
         |  AND v.v_ts <= c.ts + INTERVAL '5 minutes'
         |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+    "q30_histogram" ->
+      """SELECT CASE WHEN value < 0.0 THEN 0
+        |  WHEN value >= 1000.0 THEN 11
+        |  ELSE CAST(floor(value / 100.0) AS BIGINT) + 1 END AS bucket,
+        |count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q29_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
         |  FROM customer GROUP BY 1),

@@ -144,7 +144,22 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** E3 — text normalization: the standard LLM-pipeline cleaning pass
+    * (lowercase, strip non-alphanumerics to spaces, collapse runs of
+    * whitespace, trim) as pure scan-side column expressions — no shuffle,
+    * codegen'd regexes, same throughput shape as a projection. */
+  def e3Normalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("clean",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .select(col("doc_id"), col("clean"),
+        asLong(size(split(col("clean"), " "))).as("n_tokens"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_normalize" -> (e3Normalize _),
     "e3_tfidf" -> (e3Tfidf _),
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
@@ -155,6 +170,14 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_normalize" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |  ' +', ' ', 'g')) AS clean,
+        |CAST(len(string_split(trim(regexp_replace(
+        |  regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |  ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e3_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (
