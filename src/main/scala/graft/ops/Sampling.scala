@@ -39,9 +39,28 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** E6 — deterministic train/val/test split (90/5/5): the split a doc
+    * lands in is a pure function of its id (same hash gate as the
+    * sampler), so the assignment is stable across runs, engines, and
+    * incremental backfills — a document can never leak from train to test
+    * because a job re-ran. Scan-side, no shuffle beyond the count. */
+  def e6TrainValTest(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("slot",
+        pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(col("doc_id"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(100L)))
+      .withColumn("split",
+        when(col("slot") < 90, "train")
+          .when(col("slot") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
+    "e6_train_val_test" -> (e6TrainValTest _),
   )
 
   /** mix64(doc_id) & Long.MaxValue (unsigned u mod 2^63), then mod 100. */
@@ -66,5 +85,17 @@ object Sampling {
     "e6_sample_ids" ->
       s"""WITH $slotCtes
          |SELECT doc_id, lang FROM sampled ORDER BY doc_id""".stripMargin,
+    "e6_train_val_test" -> {
+      import OracleSql._
+      s"""WITH mx0 AS (SELECT doc_id, lang, (CAST(doc_id AS HUGEINT) + $A) % $M AS z0 FROM documents),
+         |mx1 AS (SELECT doc_id, lang, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM mx0),
+         |mx2 AS (SELECT doc_id, lang, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM mx1),
+         |slots AS (SELECT doc_id, lang,
+         |  (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot FROM mx2)
+         |SELECT CASE WHEN slot < 90 THEN 'train'
+         |  WHEN slot < 95 THEN 'val' ELSE 'test' END AS split,
+         |lang, count(*) AS n, min(doc_id) AS first_doc
+         |FROM slots GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
   )
 }
