@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Deterministic sampling for corpus curation (SURVEY.md §2 E6).
@@ -10,21 +10,37 @@ import org.apache.spark.sql.functions._
   * reproducible across runs, engines, and backfills, and composable with
   * incremental processing (a record's membership never changes). The
   * standard trick: hash the key, keep the record iff the hash lands under
-  * the rate. No shuffle, no state, scan-side filter. */
+  * the rate. No shuffle, no state, scan-side filter.
+  *
+  * Each PURPOSE gets its own salt: slot(id, SampleSalt) for sampling and
+  * slot(id, SplitSalt) for the train/val/test split are independent hash
+  * streams, so composing sample-then-split keeps ~90/5/5 proportions
+  * inside the sample. With a shared stream the sampled slots (< 20) would
+  * be a subset of the train slots (< 90) and the sample would contain
+  * zero val/test docs. */
 object Sampling {
 
+  /** Purpose salts for the slot stream. Distinct per use so derived
+    * memberships are pairwise independent; mirrored in the oracles. */
+  val SampleSalt = 0x5a3c1e9f7b2d4865L
+  val SplitSalt  = 0x26f0b5e3d891a74cL
+
+  /** slot in [0,100) as a pure function of (key, purpose-salt):
+    * splitmix64(key ^ salt) with the sign bit cleared, mod 100. */
+  def slot(key: Column, salt: Long): Column =
+    pmod(org.apache.spark.sql.graftext.minhashExpression
+      .mix64(key.bitwiseXOR(lit(salt)))
+      .bitwiseAND(lit(Long.MaxValue)), lit(100L))
+
   /** E6 — 20% per-language stratified sample: membership is
-    * splitmix64(doc_id) mod 100 < 20, evaluated per stratum so every
+    * slot(doc_id, SampleSalt) < 20, evaluated per stratum so every
     * language keeps ~20% regardless of corpus skew. The mix64 expression
-    * is the oracle-replicable scrambler (see OracleSql); the sign bit is
-    * cleared so the modulus is over [0, 2^63). Plan: a narrow scan-side
-    * filter — no shuffle, no sampling state, same sample at any scale. */
+    * is the oracle-replicable scrambler (see OracleSql). Plan: a narrow
+    * scan-side filter — no shuffle, no sampling state, same sample at any
+    * scale. */
   def e6StratifiedSample(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("slot",
-        pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(col("doc_id"))
-          .bitwiseAND(lit(Long.MaxValue)), lit(100L)))
-      .filter(col("slot") < 20)
+      .filter(slot(col("doc_id"), SampleSalt) < 20)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -34,21 +50,19 @@ object Sampling {
     * pipeline actually materializes). */
   def e6SampleIds(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .filter(pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(col("doc_id"))
-        .bitwiseAND(lit(Long.MaxValue)), lit(100L)) < 20)
+      .filter(slot(col("doc_id"), SampleSalt) < 20)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
   /** E6 — deterministic train/val/test split (90/5/5): the split a doc
-    * lands in is a pure function of its id (same hash gate as the
-    * sampler), so the assignment is stable across runs, engines, and
-    * incremental backfills — a document can never leak from train to test
-    * because a job re-ran. Scan-side, no shuffle beyond the count. */
+    * lands in is a pure function of its id — a SplitSalt-keyed slot
+    * stream independent of the sampler's — so the assignment is stable
+    * across runs, engines, and incremental backfills, and sample∘split
+    * compositions keep all three splits populated. Scan-side, no shuffle
+    * beyond the final aggregate. */
   def e6TrainValTest(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("slot",
-        pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(col("doc_id"))
-          .bitwiseAND(lit(Long.MaxValue)), lit(100L)))
+      .withColumn("slot", slot(col("doc_id"), SplitSalt))
       .withColumn("split",
         when(col("slot") < 90, "train")
           .when(col("slot") < 95, "val")
@@ -63,39 +77,33 @@ object Sampling {
     "e6_train_val_test" -> (e6TrainValTest _),
   )
 
-  /** mix64(doc_id) & Long.MaxValue (unsigned u mod 2^63), then mod 100. */
-  private val slotCtes: String = {
+  /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
+    * `slot` (doc_id and both salts are positive longs, so the xor stays
+    * below 2^63 and the unsigned HUGEINT carry matches Spark exactly). */
+  private def slotCtes(salt: Long): String = {
     import OracleSql._
-    s"""mx0 AS (SELECT doc_id, lang, (CAST(doc_id AS HUGEINT) + $A) % $M AS z0 FROM documents),
+    s"""mx0 AS (SELECT doc_id, lang,
+       |  (xor(CAST(doc_id AS HUGEINT), CAST('$salt' AS HUGEINT)) + $A) % $M AS z0 FROM documents),
        |mx1 AS (SELECT doc_id, lang, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM mx0),
        |mx2 AS (SELECT doc_id, lang, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM mx1),
-       |sampled AS (
-       |  SELECT doc_id, lang
-       |  FROM (SELECT doc_id, lang,
-       |    (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot FROM mx2)
-       |  WHERE slot < 20)""".stripMargin
+       |slots AS (SELECT doc_id, lang,
+       |  (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot FROM mx2)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "e6_stratified_sample" ->
-      s"""WITH $slotCtes
+      s"""WITH ${slotCtes(SampleSalt)}
          |SELECT lang, count(*) AS n_sampled,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+         |FROM slots WHERE slot < 20 GROUP BY lang ORDER BY lang""".stripMargin,
     "e6_sample_ids" ->
-      s"""WITH $slotCtes
-         |SELECT doc_id, lang FROM sampled ORDER BY doc_id""".stripMargin,
-    "e6_train_val_test" -> {
-      import OracleSql._
-      s"""WITH mx0 AS (SELECT doc_id, lang, (CAST(doc_id AS HUGEINT) + $A) % $M AS z0 FROM documents),
-         |mx1 AS (SELECT doc_id, lang, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM mx0),
-         |mx2 AS (SELECT doc_id, lang, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM mx1),
-         |slots AS (SELECT doc_id, lang,
-         |  (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot FROM mx2)
+      s"""WITH ${slotCtes(SampleSalt)}
+         |SELECT doc_id, lang FROM slots WHERE slot < 20 ORDER BY doc_id""".stripMargin,
+    "e6_train_val_test" ->
+      s"""WITH ${slotCtes(SplitSalt)}
          |SELECT CASE WHEN slot < 90 THEN 'train'
          |  WHEN slot < 95 THEN 'val' ELSE 'test' END AS split,
          |lang, count(*) AS n, min(doc_id) AS first_doc
-         |FROM slots GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
-    },
+         |FROM slots GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
   )
 }

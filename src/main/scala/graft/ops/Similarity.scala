@@ -72,14 +72,26 @@ object Similarity {
     * (n·√n total pairwise work instead of n²/k with fixed k) bounded. */
   def ivfCells(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
 
+  /** Corpus row count, memoized per (session, path). Sizing the cell grid
+    * needs ONE count — index-build metadata, like a real IVF train phase —
+    * but query CONSTRUCTION must not re-run a Spark job every time the
+    * query map is traversed (Plans dump, SparkEntry.queries iteration).
+    * The cache bounds it to once per corpus per session; everything else
+    * about the query stays lazy. */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def countOnce(s: SparkSession, d: String, df: DataFrame): Long =
+    corpusCount.computeIfAbsent((s, d), _ => java.lang.Long.valueOf(df.count())).longValue()
+
   /** E2 — ANN via IVF (inverted file index): ceil(√n) coarse cells chosen
     * as the vectors with the smallest splitmix64(vec_id) — deterministic,
     * uniformly sampled, and computed with one distributed top-k
     * (TakeOrderedAndProject: per-partition heaps, no full sort, no extra
     * shuffle). The one driver-side action is a COUNT to size the cell
-    * grid — an aggregate (index-build metadata), not a row collect;
-    * real IVF systems likewise size/train their centroid set in a
-    * separate build phase. Every vector is assigned to its nearest cell
+    * grid — an aggregate (index-build metadata), not a row collect,
+    * memoized per corpus (countOnce) so repeated query construction
+    * stays job-free; real IVF systems likewise size/train their
+    * centroid set in a separate build phase. Every vector is assigned to its nearest cell
     * (one broadcast join against the √n-sized seed set), then the top-1
     * neighbor is searched within the cell only. At 100 TB the seeds
     * become trained centroids and `nProbe > 1` cells are searched; the
@@ -92,7 +104,7 @@ object Similarity {
     val seeds = e
       .orderBy(org.apache.spark.sql.graftext.minhashExpression
         .mix64(col("vec_id")), col("vec_id"))
-      .limit(ivfCells(e.count()))
+      .limit(ivfCells(countOnce(s, d, e)))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     val assignW = Window.partitionBy(col("vec_id"))

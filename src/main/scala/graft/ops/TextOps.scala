@@ -121,8 +121,12 @@ object TextOps {
     * and df make the score an exactly-reproducible rational (one IEEE
     * division both engines round identically), so the oracle stays exact —
     * ln() across libms is not bit-stable. Plan shape at scale: token
-    * explode → (token df) aggregate (vocabulary-bounded, map-side
-    * combined) broadcast back → per-doc window top-k. N arrives via a
+    * explode → (token df) aggregate (map-side combined) joined back →
+    * per-doc window top-k. The df side is NOT hint-broadcast: real
+    * vocabulary is open-ended (typos, numbers, multilingual), so a forced
+    * broadcast is an OOM hazard at 100 TB — AQE size-gates it instead
+    * (broadcasts when it measures small, shuffles when it doesn't), the
+    * same treatment q19a gives the customer dimension. N arrives via a
     * 1-row broadcast cross join, not a collected scalar. */
   def e3Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -132,7 +136,7 @@ object TextOps {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "token")
+      .join(df, "token")
       .join(broadcast(n))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
     scored

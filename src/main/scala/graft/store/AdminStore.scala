@@ -174,6 +174,12 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     * only after the swap succeeds; a stale one from a prior crash is
     * cleaned up on the next write. */
   private def swapWrite(table: String, df: DataFrame): Unit = {
+    // GC tmp dirs orphaned by a previous crash (between write and rename)
+    // or a failed swap (tmp is intentionally kept then). They are uniquely
+    // named, so without this sweep crash loops would accumulate dead data
+    // forever — same discipline as the stale .old delete below.
+    Option(fs.globStatus(new Path(s"${path(table)}.tmp*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     val tmp = new Path(s"${path(table)}.tmp${System.nanoTime()}")
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new Path(path(table))

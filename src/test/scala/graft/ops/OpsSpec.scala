@@ -92,6 +92,36 @@ class OpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("sampler and splitter use independent hash streams: a sampled corpus keeps all three splits") {
+    // With a shared slot stream the 20% sample (slot < 20) is a subset of
+    // 'train' (slot < 90) and sample-then-split degenerates to train-only.
+    // The per-purpose salts must keep the composition ~90/5/5.
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val sampled = docs.filter(Sampling.slot(col("doc_id"), Sampling.SampleSalt) < 20)
+      .withColumn("slot", Sampling.slot(col("doc_id"), Sampling.SplitSalt))
+      .withColumn("split",
+        when(col("slot") < 90, "train").when(col("slot") < 95, "val")
+          .otherwise("test"))
+    val counts = sampled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"),
+      s"sample∘split lost splits: $counts")
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("IVF query construction is job-free after the one memoized sizing count") {
+    val sc = spark.sparkContext
+    Similarity.e2AnnIvf(spark, TestSpark.sf001) // first build may run the count
+    // any job launched by the second construction runs on THIS thread and
+    // inherits the group; concurrent suites' jobs land in their own groups
+    sc.setJobGroup("ivf-construction-probe", "construction must be job-free")
+    try Similarity.e2AnnIvf(spark, TestSpark.sf001)
+    finally sc.clearJobGroup()
+    val ran = sc.statusTracker.getJobIdsForGroup("ivf-construction-probe")
+    assert(ran.isEmpty,
+      s"building the IVF query ran ${ran.length} Spark job(s); sizing must be memoized")
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet

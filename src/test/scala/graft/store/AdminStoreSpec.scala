@@ -112,6 +112,24 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.latestBatch("nightly").get.executionMillis.contains(5L))
   }
 
+  test("swapWrite garbage-collects orphaned .tmp dirs from prior crashes") {
+    val st = newStore()
+    st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    // simulate crash debris: uniquely-named tmp dirs a failed/interrupted
+    // swap left behind (these are never reused, so only a sweep removes them)
+    val root = new java.io.File(st.root)
+    val junk1 = new java.io.File(root, "batches.tmp111/part-junk")
+    val junk2 = new java.io.File(root, "batches.tmp222/part-junk")
+    Seq(junk1, junk2).foreach { f =>
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, "dead")
+    }
+    st.upsertBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:05:00Z"))))
+    val leftover = root.listFiles().map(_.getName).filter(_.startsWith("batches.tmp"))
+    assert(leftover.isEmpty, s"orphaned tmp dirs not collected: ${leftover.mkString(",")}")
+    assert(st.batches.count() == 1)
+  }
+
   test("crash between swap renames is recovered: .old restores as the live table") {
     val st = newStore()
     st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
