@@ -235,6 +235,61 @@ object Dedup {
     labels
   }
 
+  /** E1 — train/test contamination check (decontamination): for every doc
+    * in the 'test' split (the SplitSalt-keyed hash split — Sampling), the
+    * number of 'train' docs it shares at least one word-3-shingle with and
+    * how many of its own shingles are contaminated. This is the standard
+    * benchmark-decontamination pass an LLM data pipeline runs before
+    * publishing a training corpus. Plan: ONE equi-join on the 64-bit
+    * shingle hash between the (tiny) test-side shingle table and the
+    * (huge) train side — split membership is a scan-side hash filter on
+    * both sides of the SAME materialized shingle table, and the df cap
+    * (rareShingleHashes) bounds the join fan-out exactly as it does for
+    * Jaccard. At 100 TB the test side is small enough to broadcast or
+    * bloom-filter against the train scan; the equi-join shape is already
+    * the right one. */
+  def e1Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = rareShingleHashes(s, d)
+    val slot = Sampling.slot(col("doc_id"), Sampling.SplitSalt)
+    val train = sh.filter(slot < 90)
+    val test = sh.filter(slot >= 95)
+    test.as("te").join(train.as("tr"), col("te.h") === col("tr.h"))
+      .groupBy(col("te.doc_id").as("doc_id"))
+      .agg(countDistinct(col("tr.doc_id")).as("n_train_docs"),
+        countDistinct(col("te.h")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Non-overlapping word segments of `SegmentWords` tokens per document
+    * (trailing partial segment kept), deduped within the doc. */
+  val SegmentWords = 10
+
+  /** E1 — segment-level (sub-document) dedup: split every document into
+    * consecutive 10-word segments, find segments occurring in 2+ documents,
+    * and report each document's duplicated-segment ratio — the
+    * boilerplate-removal / substring-dedup pass (à la the 50-token-window
+    * dedup used on web corpora) at a granularity exact doc-level dedup
+    * cannot see. Plan: explode segments → df count (map-side combined) →
+    * join back on the segment key → per-doc aggregate. The join key here
+    * is the segment STRING for oracle exactness; the 100 TB variant keys
+    * on a 64-bit segment hash exactly like the shingle paths (16-byte
+    * exchange rows), same plan shape. */
+  def e1SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $SegmentWords),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i * $SegmentWords + 1, $SegmentWords)))"""
+          .stripMargin))).as("seg"))
+    val dfc = segs.groupBy("seg").agg(count(lit(1)).as("df"))
+    segs.join(dfc, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        round(col("n_dup_segments") / col("n_segments"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** E1/E2 — embedding near-dup pairs: exact cosine within label blocks,
     * threshold 0.35. Dot/norm math is double-accumulated in index order so
     * the DuckDB oracle (list_cosine_similarity over DOUBLE[]) is bit-equal. */
@@ -257,6 +312,8 @@ object Dedup {
     "e1_simhash" -> (e1Simhash _),
     "e1_simhash_pairs" -> (e1SimhashPairs _),
     "e1_dedup_clusters" -> (e1DedupClusters _),
+    "e1_contamination" -> (e1Contamination _),
+    "e1_segment_dedup" -> (e1SegmentDedup _),
     "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
   )
 
@@ -410,6 +467,31 @@ object Dedup {
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b)
          |SELECT v AS doc_id, min(lab) AS cluster FROM reach
          |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "e1_contamination" ->
+      s"""WITH $jaccardCtes,
+         |${Sampling.slotCtes(Sampling.SplitSalt)},
+         |tr AS (SELECT sh.doc_id, s FROM sh JOIN slots USING (doc_id)
+         |  WHERE slot < 90),
+         |te AS (SELECT sh.doc_id, s FROM sh JOIN slots USING (doc_id)
+         |  WHERE slot >= 95)
+         |SELECT te.doc_id AS doc_id,
+         |  count(DISTINCT tr.doc_id) AS n_train_docs,
+         |  count(DISTINCT te.s) AS n_shared_shingles
+         |FROM te JOIN tr ON te.s = tr.s
+         |GROUP BY te.doc_id ORDER BY doc_id""".stripMargin,
+    "e1_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |segs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, ((len(toks) - 1) // $SegmentWords) + 1),
+         |    i -> array_to_string(
+         |      toks[CAST(i * $SegmentWords + 1 AS INT) : CAST((i + 1) * $SegmentWords AS INT)],
+         |      ' ')))) AS seg FROM t),
+         |dfc AS (SELECT seg, count(*) AS df FROM segs GROUP BY seg)
+         |SELECT doc_id, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+         |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+         |FROM segs JOIN dfc USING (seg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e2_embedding_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -500,6 +500,81 @@ object Relational {
         round(max(col("value")), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Q31 — correlated EXISTS: customers holding at least one big 1996
+    * order. EXISTS is declared as a LEFT SEMI join on the key — the
+    * optimizer's own decorrelation target — so the probe side is scanned
+    * once, the candidate set is aggregate-free, and AQE can broadcast it
+    * when the predicate is selective. No count(*)>0 subquery per row,
+    * which is the quadratic trap a correlated EXISTS invites. */
+  def q31Exists(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d)
+      .filter(col("o_totalprice") > 400000 && year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q32 — GROUPING SETS: order counts/totals by status, by priority, and
+    * overall in ONE pass (the general form behind q20 rollup / q20b cube).
+    * Spark plans this as a single Expand + aggregate — one scan, one
+    * shuffle regardless of how many sets are listed. SQL surface like q20. */
+  def q32GroupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS st,
+         |coalesce(o_orderpriority, '(all)') AS pri,
+         |count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY st, pri""".stripMargin)
+
+  /** Q33 — distribution ranks: quartile (ntile), percent_rank and
+    * cume_dist of customer balances WITHIN each market segment. The
+    * partition keeps the sort distributed (a global ORDER BY window would
+    * serialize to one partition — the q04_previous warning, fatal at
+    * scale); percent_rank/cume_dist are exact integer rationals, so the
+    * oracle stays bit-clean at round(4). */
+  def q33Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        asLong(ntile(4).over(w)).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Q34 — collection aggregate: per customer, the sorted distinct order
+    * years as a count + joined string. collect_set is bounded here by the
+    * year domain (single-digit cardinality per customer), which is the
+    * contract that makes a collect aggregate scale-safe — unbounded
+    * collect_list of raw rows is the anti-pattern. String output keeps
+    * the array comparable across engines. */
+  def q34ArrayAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_set(year(col("o_orderdate")).cast("string"))).as("ys"))
+      .select(col("o_custkey"), asLong(size(col("ys"))).as("n_years"),
+        array_join(col("ys"), ",").as("years"))
+      .orderBy("o_custkey")
+
+  /** Q35 — scalar string-function surface (upper/replace/locate/substr/
+    * reverse/length) in one scan-side projection: zero shuffles, fully
+    * codegen'd, the reference's row-level string toolkit re-expressed as
+    * native columnar expressions. */
+  def q35StringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        expr("replace(p_name, ' ', '_')").as("snake"),
+        asLong(instr(col("p_name"), "widget")).as("pos_widget"),
+        substring(col("p_name"), 1, 4).as("head4"),
+        reverse(col("p_name")).as("rev"),
+        asLong(length(col("p_name"))).as("len"))
+      .orderBy("p_partkey")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -540,6 +615,11 @@ object Relational {
     "q29_full_outer" -> (q29FullOuter _),
     "q16b_set_ops" -> (q16bSetOps _),
     "q30_histogram" -> (q30Histogram _),
+    "q31_exists" -> (q31Exists _),
+    "q32_grouping_sets" -> (q32GroupingSets _),
+    "q33_ntile" -> (q33Ntile _),
+    "q34_array_agg" -> (q34ArrayAgg _),
+    "q35_string_funcs" -> (q35StringFuncs _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -755,5 +835,41 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |strftime(o_orderdate, '%Y') AS label, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY yr""".stripMargin,
+    "q31_exists" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        |  AND year(o.o_orderdate) = 1996)
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS st,
+        |coalesce(o_orderpriority, '(all)') AS pri,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
+    "q33_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |round(percent_rank() OVER w, 4) AS pr,
+        |round(cume_dist() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q34_array_agg" ->
+      """WITH ys AS (SELECT o_custkey,
+        |  list_sort(list_distinct(list(CAST(year(o_orderdate) AS VARCHAR)))) AS ys
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(len(ys) AS BIGINT) AS n_years,
+        |array_to_string(ys, ',') AS years
+        |FROM ys ORDER BY o_custkey""".stripMargin,
+    "q35_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |replace(p_name, ' ', '_') AS snake,
+        |CAST(strpos(p_name, 'widget') AS BIGINT) AS pos_widget,
+        |substring(p_name, 1, 4) AS head4,
+        |reverse(p_name) AS rev,
+        |CAST(length(p_name) AS BIGINT) AS len
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }

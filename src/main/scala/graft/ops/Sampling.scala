@@ -79,8 +79,9 @@ object Sampling {
 
   /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
     * `slot` (doc_id and both salts are positive longs, so the xor stays
-    * below 2^63 and the unsigned HUGEINT carry matches Spark exactly). */
-  private def slotCtes(salt: Long): String = {
+    * below 2^63 and the unsigned HUGEINT carry matches Spark exactly).
+    * Shared with the Dedup contamination oracle. */
+  private[ops] def slotCtes(salt: Long): String = {
     import OracleSql._
     s"""mx0 AS (SELECT doc_id, lang,
        |  (xor(CAST(doc_id AS HUGEINT), CAST('$salt' AS HUGEINT)) + $A) % $M AS z0 FROM documents),

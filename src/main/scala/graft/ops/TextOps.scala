@@ -148,6 +148,43 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** E3 — within-document repetition quality (the Gopher-style repetition
+    * filters): duplicate-word fraction, duplicate-2-gram fraction, and
+    * top-word fraction, plus the keep/drop decision a curation pipeline
+    * filters on. All ratios are integer-count rationals (one IEEE division
+    * both engines round identically), so the oracle is exact. Plan shape:
+    * the duplicate fractions are SCAN-SIDE (size vs array_distinct size on
+    * the row's own token/2-gram arrays — no shuffle at all); only the
+    * top-word count needs an aggregate, and that explode → (doc, token)
+    * count partial-reduces map-side before its shuffle. At 100 TB this is
+    * one narrow pass + one combiner-friendly aggregate per document. */
+  def e3Repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g2", graft.functions.Ngrams.wordShingles(col("text"), 2))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("nd"),
+        size(col("g2")).as("n2"),
+        size(array_distinct(col("g2"))).as("nd2"))
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"),
+        asLong(col("n")).as("n_tokens"),
+        round((col("n") - col("nd")) / col("n"), 4).as("dup_word_frac"),
+        when(col("n2") > 0,
+          round((col("n2") - col("nd2")) / col("n2"), 4)).otherwise(0.0)
+          .as("dup_2gram_frac"),
+        round(col("top") / col("n"), 4).as("top_word_frac"),
+        when((col("n") - col("nd")) / col("n") <= 0.5 &&
+          col("top") / col("n") <= 0.3, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** E3 — text normalization: the standard LLM-pipeline cleaning pass
     * (lowercase, strip non-alphanumerics to spaces, collapse runs of
     * whitespace, trim) as pure scan-side column expressions — no shuffle,
@@ -171,6 +208,7 @@ object TextOps {
     "e3_langid" -> (e3LangId _),
     "e3_token_freq" -> (e3TokenFreq _),
     "e3_fingerprint" -> (e3Fingerprint _),
+    "e3_repetition" -> (e3Repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +276,25 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "e3_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+        |  greatest(len(toks) - 1, 0) AS n2,
+        |  len(list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS nd2
+        |  FROM t),
+        |top AS (SELECT doc_id, max(c) AS top FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |round(CAST(n - nd AS DOUBLE) / n, 4) AS dup_word_frac,
+        |CASE WHEN n2 > 0 THEN round(CAST(n2 - nd2 AS DOUBLE) / n2, 4)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        |round(CAST(top AS DOUBLE) / n, 4) AS top_word_frac,
+        |CAST(CASE WHEN CAST(n - nd AS DOUBLE) / n <= 0.5
+        |  AND CAST(top AS DOUBLE) / n <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM b JOIN top ON b.doc_id = top.doc_id ORDER BY b.doc_id""".stripMargin,
     "e3_fingerprint" ->
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(0 AS BIGINT),
