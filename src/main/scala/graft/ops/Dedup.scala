@@ -54,15 +54,25 @@ object Dedup {
     * lineage for the cluster-propagation loop built on top. The hot list
     * is tiny by construction → broadcast anti join, no extra shuffle of
     * the big side beyond the df count. */
-  private def rareShingleHashes(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashes(s, d)
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("h")
-    // LAZY checkpoint: materializes on the first action and is reused by
-    // every later reference, but merely CONSTRUCTING the query (e.g. to
-    // print its plan) stays free of Spark jobs.
-    sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(false)
-  }
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def rareShingleHashes(s: SparkSession, d: String): DataFrame =
+    // Memoized per (session, corpus): FIVE declared queries (jaccard,
+    // minhash, clusters, contamination, and the pipeline example) derive
+    // from this table, and without the cache each one re-shingles the
+    // corpus into its own checkpoint. A real pipeline materializes the
+    // shingle table once per corpus and fans every dedup stage out from
+    // it — this is that, in-process.
+    shingleCache.computeIfAbsent((s, d), _ => {
+      val sh = shingleHashes(s, d)
+      val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("h")
+      // LAZY checkpoint: materializes on the first action and is reused by
+      // every later reference, but merely CONSTRUCTING the query (e.g. to
+      // print its plan) stays free of Spark jobs.
+      sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(false)
+    })
 
   /** E1 — exact duplicate groups by normalized-text hash.
     * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard
@@ -275,11 +285,14 @@ object Dedup {
     * on a 64-bit segment hash exactly like the shingle paths (16-byte
     * exchange rows), same plan shape. */
   def e1SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    // referenced twice (df-count side + join-back side): checkpoint so the
+    // corpus is scanned and segmented once, lazily (no job at construction)
     val segs = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $SegmentWords),
            |  i -> concat_ws(' ', slice(split(text, ' '), i * $SegmentWords + 1, $SegmentWords)))"""
           .stripMargin))).as("seg"))
+      .localCheckpoint(false)
     val dfc = segs.groupBy("seg").agg(count(lit(1)).as("df"))
     segs.join(dfc, "seg")
       .groupBy("doc_id")
