@@ -56,7 +56,8 @@ object ScaleProbe {
       s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems  (N=$n)")
 
     Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
-      "e1_dedup_clusters", "e3_langid", "e3_tokens", "e3_tfidf",
+      "e1_dedup_clusters", "e1_contamination", "e1_segment_dedup",
+      "e3_langid", "e3_tokens", "e3_tfidf", "e3_repetition",
       "q19a_region_revenue", "q27_range_join",
       "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids").foreach { q =>
       val t0 = System.nanoTime()

@@ -575,6 +575,30 @@ object Relational {
         asLong(length(col("p_name"))).as("len"))
       .orderBy("p_partkey")
 
+  /** Q36 — correlated scalar subquery ("orders above their customer's
+    * average"), decorrelated as one aggregate + equi-join — the optimizer-
+    * friendly form of the per-row subquery (which would rescan orders per
+    * row). The comparison runs in INTEGER cents (price_cents * n > sum_
+    * cents) so the boundary predicate is exact — a double avg's value
+    * depends on partial-sum order, which is the kind of engine-dependent
+    * bit drift that poisons cross-engine comparisons. The displayed
+    * average is ALSO rounded in integer cents ((2·sum+n) div 2n =
+    * half-up) before the one exact /100 display division — round(double)
+    * differs between engines on a half-way double (Spark rounds the
+    * decimal string, DuckDB the binary value). */
+  def q36ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val c = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val agg = c.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("cnt"))
+    c.join(agg, col("o_custkey") === col("k"))
+      .filter(col("cents") * col("cnt") > col("sc"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (expr("(2 * sc + cnt) div (2 * cnt)").cast("double") / 100.0)
+          .as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -620,6 +644,7 @@ object Relational {
     "q33_ntile" -> (q33Ntile _),
     "q34_array_agg" -> (q34ArrayAgg _),
     "q35_string_funcs" -> (q35StringFuncs _),
+    "q36_scalar_subquery" -> (q36ScalarSubquery _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -863,6 +888,15 @@ object Relational {
         |SELECT o_custkey, CAST(len(ys) AS BIGINT) AS n_years,
         |array_to_string(ys, ',') AS years
         |FROM ys ORDER BY o_custkey""".stripMargin,
+    "q36_scalar_subquery" ->
+      """WITH c AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |agg AS (SELECT o_custkey AS k, CAST(sum(cents) AS BIGINT) AS sc,
+        |  count(*) AS cnt FROM c GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |CAST((2 * sc + cnt) // (2 * cnt) AS DOUBLE) / 100.0 AS cust_avg
+        |FROM c JOIN agg ON o_custkey = k
+        |WHERE cents * cnt > sc ORDER BY o_orderkey""".stripMargin,
     "q35_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname,
         |replace(p_name, ' ', '_') AS snake,

@@ -99,7 +99,32 @@ object Similarity {
     * the same. Oracle-checked (annIvfOracle replicates the √n sizing via
     * a subquery LIMIT, seed sampling, assignment, and in-cell search);
     * √n seed growth under corpus replication is asserted in ScalaTest. */
-  def e2AnnIvf(s: SparkSession, d: String): DataFrame = {
+  def e2AnnIvf(s: SparkSession, d: String): DataFrame = ivfSearch(s, d, 1)
+
+  /** E2 — IVF with nProbe=2: the recall/cost dial every production IVF
+    * index exposes. The BUILD side stays indexed under its single nearest
+    * cell; the PROBE side fans each query vector out to its top-2 cells,
+    * so the candidate set doubles (and so does join work — linearly in
+    * nProbe, never quadratically) while recall can only improve: the
+    * nProbe=1 candidates are a subset, asserted as a monotone-sim property
+    * in ScalaTest. Oracle-checked like the base path. */
+  def e2AnnIvf2(s: SparkSession, d: String): DataFrame = ivfSearch(s, d, 2)
+
+  /** Vectors with their top-`nProbe` cells by cosine (ties to the lower
+    * cell id), via one broadcast of the √n seed set. */
+  private def ivfAssigned(e: DataFrame, seeds: DataFrame, nProbe: Int): DataFrame = {
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    e.join(broadcast(seeds))
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")))
+      .withColumn("c_rn", row_number().over(assignW))
+      .filter(col("c_rn") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
+  private def ivfSearch(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = e
       .orderBy(org.apache.spark.sql.graftext.minhashExpression
@@ -107,19 +132,12 @@ object Similarity {
       .limit(ivfCells(countOnce(s, d, e)))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cell"))
-    val assigned = e.join(broadcast(seeds))
-      .withColumn("c_sim",
-        graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")))
-      .withColumn("c_rn", row_number().over(assignW))
-      .filter(col("c_rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val build = ivfAssigned(e, seeds, 1)
+    val probe = if (nProbe == 1) build else ivfAssigned(e, seeds, nProbe)
     val w = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("sim").desc, col("b.vec_id"))
-    assigned.as("a")
-      .join(assigned.as("b"),
+    probe.as("a")
+      .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
       .withColumn("rn", row_number().over(w))
@@ -133,6 +151,7 @@ object Similarity {
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_ann_lsh" -> (e2AnnLsh _),
     "e2_ann_ivf" -> (e2AnnIvf _),
+    "e2_ann_ivf2" -> (e2AnnIvf2 _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -175,8 +194,10 @@ object Similarity {
   /** DuckDB replica of the IVF path: seeds are the ceil(√n) vec_ids with
     * the smallest signed splitmix64(vec_id) (= minhashExpression.mix64,
     * the √n via a subquery LIMIT), assignment is argmax cosine over seeds
-    * with the same tie-break, then top-1 within the cell. */
-  private val annIvfOracle: String = {
+    * with the same tie-break, then top-1 within the probed cell(s) —
+    * build side indexed under its top-1 cell, probe side fanned out to
+    * its top-`nProbe` cells. */
+  private def annIvfOracle(nProbe: Int): String = {
     import OracleSql._
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |mx0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $A) % $M AS z0 FROM emb),
@@ -188,25 +209,26 @@ object Similarity {
        |  FROM emb e JOIN mx ON e.vec_id = mx.vec_id
        |  ORDER BY mx.m, e.vec_id
        |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-       |assigned AS (
-       |  SELECT vec_id, e, cell FROM (
-       |    SELECT emb.vec_id, emb.e, s.cell,
-       |      row_number() OVER (PARTITION BY emb.vec_id
-       |        ORDER BY list_cosine_similarity(emb.e, s.ce) DESC, s.cell) AS crn
-       |    FROM emb, seeds s)
-       |  WHERE crn = 1)
+       |ranked AS (
+       |  SELECT emb.vec_id, emb.e, s.cell,
+       |    row_number() OVER (PARTITION BY emb.vec_id
+       |      ORDER BY list_cosine_similarity(emb.e, s.ce) DESC, s.cell) AS crn
+       |  FROM emb, seeds s),
+       |build AS (SELECT vec_id, e, cell FROM ranked WHERE crn = 1),
+       |probe AS (SELECT vec_id, e, cell FROM ranked WHERE crn <= $nProbe)
        |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    list_cosine_similarity(a.e, b.e) AS sim,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
-       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  FROM probe a JOIN build b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "e2_ann_lsh" -> annLshOracle,
-    "e2_ann_ivf" -> annIvfOracle,
+    "e2_ann_ivf" -> annIvfOracle(1),
+    "e2_ann_ivf2" -> annIvfOracle(2),
     "e2_cosine_topk" ->
       """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
         |FROM (SELECT a.vec_id, b.vec_id AS other_id,

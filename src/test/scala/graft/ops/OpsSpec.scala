@@ -122,6 +122,22 @@ class OpsSpec extends AnyFunSuite {
       s"building the IVF query ran ${ran.length} Spark job(s); sizing must be memoized")
   }
 
+  test("IVF nProbe=2 never finds a worse neighbor than nProbe=1") {
+    // the nProbe=1 candidate set is a subset of the nProbe=2 set (build
+    // side is identical; the probe side only gains a second cell), so the
+    // best-found similarity per vector must be monotone in nProbe
+    val s1 = Similarity.e2AnnIvf(spark, TestSpark.sf001)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toMap
+    val s2 = Similarity.e2AnnIvf2(spark, TestSpark.sf001)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toMap
+    assert(s1.keySet.subsetOf(s2.keySet),
+      "every vector covered at nProbe=1 must stay covered at nProbe=2")
+    val worse = s1.filter { case (v, sim) => s2(v) < sim - 1e-9 }
+    assert(worse.isEmpty, s"nProbe=2 found worse neighbors: ${worse.take(5)}")
+    // and the wider probe actually improves something on this fixture
+    assert(s1.exists { case (v, sim) => s2(v) > sim + 1e-9 } || s1 == s2)
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
