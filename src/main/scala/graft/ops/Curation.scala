@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-curation composites over `documents` — the queries a
+  * training-data pipeline runs ON TOP of the individual dedup/quality
+  * operators (SURVEY.md §2 E1/E3): per-source health stats (the per-domain
+  * aggregation every web-corpus pipeline uses to find boilerplate-heavy
+  * sources) and the final curated-document selection combining near-dup
+  * cluster keepers, repetition filters, and quality thresholds. */
+object Curation {
+
+  /** E7 — per-source corpus stats: document count, language spread, mean
+    * quality score, and the exact-duplicate fraction (docs whose normalized
+    * fingerprint occurs 2+ times corpus-wide). Sources with high dup_frac /
+    * low avg_quality are the ones a pipeline drops or down-weights
+    * wholesale. Plan: fingerprint + token counts are scan-side; one
+    * aggregate on the 32-byte fp (map-side combined), one equi-join back,
+    * one aggregate on source. Nothing is broadcast-forced — at 100 TB the
+    * fp table is corpus-sized and AQE keeps both shuffles honest. */
+  def e7SourceStats(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(TextOps.stopwordFilterSql)))
+    val nfp = docs.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    docs.join(nfp, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(TextOps.qualityScore(col("nt"), col("nsw"))), 4).as("avg_quality"),
+        sum(when(col("nfp") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_frac", round(col("n_dup_docs") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  /** E7 — the curated corpus: documents that survive ALL of (a) near-dup
+    * cluster keeper selection (doc_id == its cluster's canonical min id —
+    * singletons keep themselves), (b) the Gopher-style repetition filter,
+    * and (c) a quality-score threshold. This is the single query a
+    * pipeline ships as its output table; each input reuses the declared
+    * operator's exact definition, so the composite stays oracle-checkable
+    * end to end. Plan: three narrow per-doc tables equi-joined on doc_id —
+    * the cluster loop dominates, and it runs over edge endpoints only
+    * (see Dedup.connectedComponents). */
+  def e7Curated(s: SparkSession, d: String): DataFrame = {
+    val keepers = Dedup.e1DedupClusters(s, d)
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+    val q = TextOps.e3Quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val rep = TextOps.e3Repetition(s, d).select(col("doc_id"), col("keep"))
+    q.join(rep, "doc_id").join(keepers, "doc_id")
+      .filter(col("score") >= 0.5 && col("keep") === 1L)
+      .select("doc_id", "n_tokens", "score")
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_source_stats" -> (e7SourceStats _),
+    "e7_curated" -> (e7Curated _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e7_source_stats" ->
+      """WITH f AS (SELECT source, lang, md5(lower(trim(text))) AS fp,
+        |  len(string_split(text, ' ')) AS nt,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to'))) AS nsw
+        |  FROM documents),
+        |nfp AS (SELECT fp, count(*) AS nfp FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |round(avg(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+        |  * (1.0 - CAST(nsw AS DOUBLE) / nt)), 4) AS avg_quality,
+        |CAST(sum(CASE WHEN nfp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |round(sum(CASE WHEN nfp >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+        |FROM f JOIN nfp USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "e7_curated" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
+         |edges AS (SELECT da AS a, db AS b FROM jp
+         |  UNION SELECT db, da FROM jp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |clus AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+         |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score
+         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents)),
+         |rept AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |repb AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+         |  FROM rept),
+         |reptop AS (SELECT doc_id, max(c) AS top FROM (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM rept) GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |rep AS (SELECT b.doc_id,
+         |  CASE WHEN CAST(n - nd AS DOUBLE) / n <= 0.5
+         |    AND CAST(top AS DOUBLE) / n <= 0.3 THEN 1 ELSE 0 END AS keep
+         |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id)
+         |SELECT q.doc_id AS doc_id, n_tokens, score
+         |FROM q JOIN clus ON q.doc_id = clus.doc_id AND q.doc_id = clus.cluster
+         |JOIN rep ON q.doc_id = rep.doc_id
+         |WHERE score >= 0.5 AND keep = 1 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -218,9 +218,15 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
-    var labels = vertices
-      .select(col("doc_id"))
-      .unionByName(edges.select(col("da").as("doc_id")))
+    // The propagation loop runs ONLY over edge endpoints: a vertex with no
+    // near-dup edge can never receive a smaller label, so it is its own
+    // cluster by construction and is attached with one left join at the
+    // end. Near-dup edges are a tiny fraction of any real corpus (pairs <<
+    // documents), so every per-round shuffle moves the endpoint set, not
+    // the corpus — at 100 TB this is the difference between iterating over
+    // gigabytes and iterating over the full scan.
+    var labels = edges
+      .select(col("da").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
@@ -242,7 +248,14 @@ object Dedup {
       changed = next.filter(col("cluster") < col("old")).count()
       labels = next.select("doc_id", "cluster")
     }
-    labels
+    // Singletons (and any vertex absent from the edge list) keep their own
+    // id; endpoint vertices not in `vertices` are still emitted, matching
+    // the previous vertices ∪ endpoints semantics.
+    vertices.select(col("doc_id"))
+      .unionByName(labels.select(col("doc_id")))
+      .distinct()
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** E1 — train/test contamination check (decontamination): for every doc
@@ -334,7 +347,7 @@ object Dedup {
     * intersection sizes — the common core of the Jaccard-pair and
     * cluster oracles. Yields CTEs `sh` (doc_id, s), `sz` (doc_id, n),
     * `inter` (da, db, i), and `jp` (da, db, jaccard ≥ 0.2). */
-  private val jaccardCtes: String =
+  private[ops] val jaccardCtes: String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -147,11 +147,68 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — per-label centroids (the k-means M-step / vector-quantization
+    * codebook): per (label, dim) mean of the embedding coordinate, flat
+    * (label, dim, c, n) output. Plan: posexplode → ONE aggregate on
+    * (label, dim) — 640 keys regardless of corpus size, so the shuffle
+    * partial-reduces map-side to nothing; this is how codebooks and class
+    * prototypes are computed over billions of vectors. Means are rounded
+    * (4dp) for cross-engine float-sum determinism, like every double
+    * aggregate in the declared set. */
+  def e2Centroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("c"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
+  /** Per-label centroid vectors as array<double> with their L2 norm —
+    * the broadcast-ready codebook built from e2Centroids' aggregate. */
+  private def centroidArrays(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("c"))
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("cen"))
+      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+
+  /** E2 — nearest-centroid assignment (the k-means E-step, and the
+    * prototype classifier a labeling pipeline runs over unlabeled vectors):
+    * each vector goes to the label whose centroid it is most cosine-similar
+    * to (ties → lower label). The codebook is k rows — broadcast — so the
+    * scan side never shuffles: at 100 TB this is one narrow pass over the
+    * vectors. Cosine here is double HOF math (not vec_dot) because the
+    * centroid is array<double>; the candidate set is n·k rows, so the
+    * lambda overhead is bounded by k, not by corpus width. */
+  def e2VqAssign(s: SparkSession, d: String): DataFrame = {
+    val cen = centroidArrays(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("ed"))
+      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("clabel"))
+    e.join(broadcast(cen))
+      .withColumn("sim",
+        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("enrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred_label"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_ann_lsh" -> (e2AnnLsh _),
     "e2_ann_ivf" -> (e2AnnIvf _),
     "e2_ann_ivf2" -> (e2AnnIvf2 _),
+    "e2_centroids" -> (e2Centroids _),
+    "e2_vq_assign" -> (e2VqAssign _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -225,10 +282,36 @@ object Similarity {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared centroid CTE (per-label per-dim rounded means; dim pinned to
+    * the fixture's 64) for the centroid and assignment oracles. */
+  private val centroidCte: String =
+    """cend AS (
+      |  SELECT label, i.range AS dim,
+      |    round(avg(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)), 4) AS c,
+      |    count(*) AS n
+      |  FROM embeddings, range(0, 64) i
+      |  GROUP BY label, i.range)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),
+    "e2_centroids" ->
+      s"""WITH $centroidCte
+         |SELECT label, CAST(dim AS INT) AS dim, c, n FROM cend
+         |ORDER BY label, dim""".stripMargin,
+    "e2_vq_assign" ->
+      s"""WITH $centroidCte,
+         |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
+         |  FROM cend GROUP BY label),
+         |sims AS (
+         |  SELECT e.vec_id, e.label, c.clabel,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cen) AS sim
+         |  FROM embeddings e, cen c)
+         |SELECT vec_id, label, clabel AS pred_label, round(sim, 4) AS sim FROM (
+         |  SELECT vec_id, label, clabel, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+         |  FROM sims) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e2_cosine_topk" ->
       """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
         |FROM (SELECT a.vec_id, b.vec_id AS other_id,

@@ -44,7 +44,7 @@ object TextOps {
       nsw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(lit(1.0), nt / 100.0) * (lit(1.0) - nsw / nt)
 
-  private def stopwordFilterSql: String =
+  private[ops] def stopwordFilterSql: String =
     s"filter(split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")}))"
 
   /** E3 — quality scoring: stopword ratio, mean token length, and a composite
