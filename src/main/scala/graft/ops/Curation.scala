@@ -38,11 +38,16 @@ object Curation {
 
   /** E7 — the curated corpus: documents that survive ALL of (a) near-dup
     * cluster keeper selection (doc_id == its cluster's canonical min id —
-    * singletons keep themselves), (b) the Gopher-style repetition filter,
-    * and (c) a quality-score threshold. This is the single query a
-    * pipeline ships as its output table; each input reuses the declared
-    * operator's exact definition, so the composite stays oracle-checkable
-    * end to end. Plan: three narrow per-doc tables equi-joined on doc_id —
+    * singletons keep themselves), (b) a repetition filter on the 2-gram
+    * duplicate fraction and top-word fraction, and (c) a quality-score
+    * threshold. This is the single query a pipeline ships as its output
+    * table; each input reuses the declared operator's exact (rounded)
+    * definition, so the composite stays oracle-checkable end to end. The
+    * repetition gate uses the 2-gram fraction rather than e3Repetition's
+    * word-level keep flag: on a closed-vocabulary corpus the word-level
+    * fraction is just a length proxy (0.94-correlated with the quality
+    * score here), while repeated 2-grams remain a genuine repetition
+    * signal. Plan: three narrow per-doc tables equi-joined on doc_id —
     * the cluster loop dominates, and it runs over edge endpoints only
     * (see Dedup.connectedComponents). */
   def e7Curated(s: SparkSession, d: String): DataFrame = {
@@ -51,9 +56,11 @@ object Curation {
       .select("doc_id")
     val q = TextOps.e3Quality(s, d)
       .select(col("doc_id"), col("n_tokens"), col("score"))
-    val rep = TextOps.e3Repetition(s, d).select(col("doc_id"), col("keep"))
+    val rep = TextOps.e3Repetition(s, d)
+      .select(col("doc_id"), col("dup_2gram_frac"), col("top_word_frac"))
     q.join(rep, "doc_id").join(keepers, "doc_id")
-      .filter(col("score") >= 0.5 && col("keep") === 1L)
+      .filter(col("score") >= 0.5 &&
+        col("dup_2gram_frac") <= 0.05 && col("top_word_frac") <= 0.3)
       .select("doc_id", "n_tokens", "score")
       .orderBy("doc_id")
   }
@@ -94,19 +101,23 @@ object Curation {
          |    len(list_filter(string_split(text, ' '),
          |      t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents)),
          |rept AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |repb AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+         |repb AS (SELECT doc_id, len(toks) AS n, greatest(len(toks) - 1, 0) AS n2,
+         |  len(list_distinct(list_transform(range(1, len(toks)),
+         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS nd2
          |  FROM rept),
          |reptop AS (SELECT doc_id, max(c) AS top FROM (
          |  SELECT doc_id, tok, count(*) AS c FROM (
          |    SELECT doc_id, unnest(toks) AS tok FROM rept) GROUP BY doc_id, tok)
          |  GROUP BY doc_id),
          |rep AS (SELECT b.doc_id,
-         |  CASE WHEN CAST(n - nd AS DOUBLE) / n <= 0.5
-         |    AND CAST(top AS DOUBLE) / n <= 0.3 THEN 1 ELSE 0 END AS keep
+         |  CASE WHEN n2 > 0 THEN round(CAST(n2 - nd2 AS DOUBLE) / n2, 4)
+         |    ELSE 0.0 END AS d2,
+         |  round(CAST(top AS DOUBLE) / n, 4) AS tw
          |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id)
          |SELECT q.doc_id AS doc_id, n_tokens, score
          |FROM q JOIN clus ON q.doc_id = clus.doc_id AND q.doc_id = clus.cluster
          |JOIN rep ON q.doc_id = rep.doc_id
-         |WHERE score >= 0.5 AND keep = 1 ORDER BY doc_id""".stripMargin,
+         |WHERE score >= 0.5 AND d2 <= 0.05 AND tw <= 0.3
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -202,9 +202,20 @@ object Dedup {
     * check reads ONE count per round — no data is collected. */
   def e1DedupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(
-      documents(s, d).select(col("doc_id")),
-      e1NgramJaccard(s, d).select(col("da"), col("db")))
+      documents(s, d).select(col("doc_id")), jaccardPairs(s, d))
       .orderBy("doc_id")
+
+  /** Near-dup pair table (da, db), materialized once per corpus (lazy
+    * localCheckpoint) like the shingle table it derives from: the cluster
+    * resolution, the curated-corpus composite, and the pipeline example
+    * all consume the SAME pair table — a real pipeline writes near-dup
+    * pairs once and fans its downstream stages out from that table, not
+    * re-running the pairwise join per consumer. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.computeIfAbsent((s, d), _ =>
+      e1NgramJaccard(s, d).select(col("da"), col("db")).localCheckpoint(false))
 
   /** Min-label propagation over an undirected edge list (da, db):
     * every vertex in `vertices` (column doc_id) — and every edge
@@ -225,10 +236,13 @@ object Dedup {
     // documents), so every per-round shuffle moves the endpoint set, not
     // the corpus — at 100 TB this is the difference between iterating over
     // gigabytes and iterating over the full scan.
+    // Initial label = min(self, direct neighbors) — exactly what the first
+    // propagation round would compute from identity labels, folded into the
+    // init aggregate so the loop starts one round ahead.
     var labels = edges
-      .select(col("da").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .groupBy(col("da").as("doc_id"))
+      .agg(min(col("db")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {

@@ -599,6 +599,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Q37 — deterministic mode: the most frequent l_quantity per return
+    * flag (ties → smallest value), as a count + row_number pipeline — the
+    * exact, engine-portable form of MODE() (whose tie-breaking is
+    * implementation-defined). Plan: one (flag, qty) aggregate that
+    * partial-reduces map-side to the tiny value domain, then a window over
+    * the grouped table — the window never sees raw rows, so the sort is
+    * bounded by |flags|×|quantities| at any corpus size. */
+  def q37Mode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity"))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q38 — statistical aggregates: sample stddev/variance of quantity and
+    * the quantity↔extended-price correlation per return flag. All three are
+    * single-pass merge-able aggregates (central-moment accumulators), so
+    * they partial-reduce map-side like sum/count — one small shuffle.
+    * Rounded at 4dp: both engines use numerically-stable accumulation and
+    * agree far past the rounding digit. */
+  def q38Stats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+      .orderBy("l_returnflag")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -645,11 +679,26 @@ object Relational {
     "q34_array_agg" -> (q34ArrayAgg _),
     "q35_string_funcs" -> (q35StringFuncs _),
     "q36_scalar_subquery" -> (q36ScalarSubquery _),
+    "q37_mode" -> (q37Mode _),
+    "q38_stats" -> (q38Stats _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q37_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q38_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(var_samp(l_quantity), 4) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |l_quantity, l_extendedprice FROM lineitem

@@ -86,6 +86,26 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** E4g — weekly cohort retention: users grouped by their first-activity
+    * week (the cohort), counted in each later week they were active —
+    * the standard retention triangle every event pipeline reports. Plan:
+    * per-user min (map-side combined) + per-(user, week) distinct, both
+    * shuffling on user_id, then a co-partitioned join (no third shuffle —
+    * both sides already hash on user_id) and one final small aggregate on
+    * (cohort, offset). Integer week offsets and counts keep the oracle
+    * exact at any scale. */
+  def e4gCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    ev.distinct().join(firstWk, "user_id")
+      .withColumn("week_offset", expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(fmtDate(col("cohort")).as("cohort"), col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   /** Streaming form of e4a: file-source stream → watermarked tumbling agg.
     * Returns the started query writing to an in-memory sink `sinkName`. */
   def streamTumbling(s: SparkSession, dir: String, schema: StructType,
@@ -143,9 +163,19 @@ object StreamOps {
     "e4b_sliding" -> (e4bSliding _),
     "e4c_sessions" -> (e4cSessions _),
     "e4f_funnel" -> (e4fFunnel _),
+    "e4g_cohort" -> (e4gCohort _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e4g_cohort" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY act.wk, fw.cohort ORDER BY cohort, week_offset""".stripMargin,
     "e4f_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
          |  FROM events),
