@@ -59,7 +59,9 @@ object ScaleProbe {
       "e1_dedup_clusters", "e1_contamination", "e1_segment_dedup",
       "e3_langid", "e3_tokens", "e3_tfidf", "e3_repetition",
       "q19a_region_revenue", "q27_range_join",
-      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids").foreach { q =>
+      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids",
+      "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
+      "e4g_cohort").foreach { q =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, out).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%10d rows")

@@ -86,9 +86,9 @@ object Curation {
         |FROM f JOIN nfp USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin,
     "e7_curated" ->
-      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
-         |edges AS (SELECT da AS a, db AS b FROM jp
-         |  UNION SELECT db, da FROM jp),
+      s"""WITH RECURSIVE ${Dedup.minhashCtes},
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
          |reach(v, lab) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

@@ -184,7 +184,7 @@ object Dedup {
   }
 
   /** E1 — dedup-cluster resolution: connected components over the near-dup
-    * pair graph (e1NgramJaccard edges), each document labeled with its
+    * pair graph (the LSH-verified minhashPairTable edges), each document labeled with its
     * cluster's canonical keeper (minimum doc_id in the component).
     * Singleton documents are their own cluster. This is the step a real
     * curation pipeline runs AFTER near-dup pairing: pairs alone don't say
@@ -202,7 +202,7 @@ object Dedup {
     * check reads ONE count per round — no data is collected. */
   def e1DedupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(
-      documents(s, d).select(col("doc_id")), jaccardPairs(s, d))
+      documents(s, d).select(col("doc_id")), minhashPairTable(s, d))
       .orderBy("doc_id")
 
   /** Near-dup pair table (da, db), materialized once per corpus (lazy
@@ -210,12 +210,18 @@ object Dedup {
     * resolution, the curated-corpus composite, and the pipeline example
     * all consume the SAME pair table — a real pipeline writes near-dup
     * pairs once and fans its downstream stages out from that table, not
-    * re-running the pairwise join per consumer. */
+    * re-running the pairwise join per consumer. The pairs come from the
+    * MinHash+LSH path (banded candidates, exact-Jaccard verified), NOT the
+    * exact co-occurrence join: the 10× ScaleProbe measures LSH producing
+    * the identical pair set ~17× faster (the exact join's Σdf² fan-out is
+    * quadratic in duplication density — it is the small-scale verifier,
+    * the LSH table is what a pipeline ships at 100 TB). Oracle-exact:
+    * the DuckDB side replicates signature + banding + verification. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  private def minhashPairTable(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent((s, d), _ =>
-      e1NgramJaccard(s, d).select(col("da"), col("db")).localCheckpoint(false))
+      e1MinhashPairs(s, d).select(col("da"), col("db")).localCheckpoint(false))
 
   /** Min-label propagation over an undirected edge list (da, db):
     * every vertex in `vertices` (column doc_id) — and every edge
@@ -414,7 +420,7 @@ object Dedup {
     * wordShingleHashesImpl = FNV-1a of the joined shingle string;
     * sigFromLongsImpl = min over signed(mix(h) ^ rotr(mix(h^XC), k));
     * bandHashesImpl = mix-fold over each band's 4 slots. */
-  private val minhashPairsOracle: String = {
+  private val minhashCtesBlock: String = {
     import OracleSql._
     val shingleCtes =
       s"""toks AS (
@@ -467,13 +473,21 @@ object Dedup {
          |  FROM f4 x JOIN f4 y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
-         |FROM cand JOIN inter USING (da, db)
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |mhp AS (SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |  FROM cand JOIN inter USING (da, db)
          |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2 ORDER BY da, db""".stripMargin
-    s"WITH $shingleCtes,\n$h12,\n$sig,\n$bands,\n$pairs"
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2)""".stripMargin
+    s"$shingleCtes,\n$h12,\n$sig,\n$bands,\n$pairs"
   }
+
+  /** The full MinHash+LSH CTE chain ending in `mhp` (da, db, jaccard) —
+    * shared by the pair, cluster, and curated-corpus oracles, mirroring
+    * the shared pair table on the Spark side (minhashPairTable). */
+  private[ops] val minhashCtes: String = minhashCtesBlock
+
+  private val minhashPairsOracle: String =
+    s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
     "e1_minhash_pairs" -> minhashPairsOracle,
@@ -498,9 +512,9 @@ object Dedup {
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
     "e1_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (SELECT da AS a, db AS b FROM jp
-         |  UNION SELECT db, da FROM jp),
+      s"""WITH RECURSIVE $minhashCtesBlock,
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
          |reach(v, lab) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

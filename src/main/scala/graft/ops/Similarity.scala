@@ -189,16 +189,19 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("ed"))
       .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("clabel"))
+    // argmax as a regular aggregate — max(struct(sim, -label)) picks the
+    // highest sim with ties to the LOWER label — so the n·k candidate rows
+    // partial-combine map-side to one row per vector BEFORE the shuffle;
+    // a row_number window here would instead shuffle and sort all n·k rows
+    // on vec_id.
     e.join(broadcast(cen))
       .withColumn("sim",
         expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
           (col("enrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("pred_label"),
-        round(col("sim"), 4).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"))
+      .select(col("vec_id"), col("label"),
+        (-col("m.nl")).as("pred_label"), round(col("m.sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 

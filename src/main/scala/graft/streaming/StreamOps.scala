@@ -147,6 +147,21 @@ object StreamOps {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** E4h — stream-static enrichment join: each micro-batch of the event
+    * stream is joined to a STATIC dimension (no watermark, no join state —
+    * the static side is simply re-scanned/broadcast per micro-batch, and
+    * picks up no streaming semantics). This is how a pipeline enriches an
+    * event stream with a user/segment table at any scale; state cost is
+    * zero because only stream-stream joins buffer rows. */
+  def streamStaticEnrich(s: SparkSession, dir: String, schema: StructType,
+      dim: org.apache.spark.sql.DataFrame, sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .join(dim, "user_id")
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
   /** E4d — stateful dedup on event_id within the watermark. */
   def streamDedup(s: SparkSession, dir: String, schema: StructType,
       sinkName: String): StreamingQuery =

@@ -75,4 +75,36 @@ class RelationalPlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"seed selection should be a distributed top-k:\n$plan")
   }
+
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    // At 100 TB a selective dimension filter should reach the fact scan as
+    // a runtime bloom filter (Spark's InjectRuntimeFilter), cutting the
+    // shuffled fact rows before the join. The feature is size-gated by
+    // default (10 GB application side), so the gates are lowered here to
+    // prove the plan shape the production config would produce.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = graft.Tables.orders(spark, TestSpark.sf001)
+        .filter(col("o_totalprice") > 500000.0)
+        .select("o_orderkey")
+      val li = graft.Tables.lineitem(spark, TestSpark.sf001)
+        .select("l_orderkey", "l_quantity")
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n$optimized")
+      // and the filtered result is still correct
+      val expect = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() == expect.count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -56,6 +56,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("stream-static enrichment join matches the batch join (E4h)") {
+    val dim = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 4)
+    val q = StreamOps.streamStaticEnrich(spark, stagedDir, schema, dim,
+      "enrich_sink")
+    q.awaitTermination(60000)
+    val got = spark.table("enrich_sink")
+      .orderBy("segment").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = graft.Tables.events(spark, TestSpark.sf0001)
+      .join(dim, "user_id")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .orderBy("segment").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs (E4e)") {
     // sf0.001 has no click->view pair inside 5 minutes; stage sf0.01
     val dir = TestSpark.tmpDir("ssj") + "/events"
