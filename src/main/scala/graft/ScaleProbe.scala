@@ -32,6 +32,12 @@ object ScaleProbe {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
+    // "reuse" as any arg: skip synthesis when the replicated corpus is
+    // already on disk (iterating on one query's plan at a fixed N).
+    val reuse = args.contains("reuse") &&
+      new java.io.File(s"$out/documents.parquet").isDirectory
+    if (!reuse) {
+
     // documents / embeddings / events: offset the entity ids; events keeps
     // user_id AND event_id structure so per-user history length is constant
     write("documents", replicate(Tables.documents(spark, src), n,
@@ -51,17 +57,27 @@ object ScaleProbe {
     Seq("region", "nation").foreach { t =>
       write(t, spark.read.parquet(s"$src/$t.parquet"))
     }
+    }
     println(s"corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/events.parquet").count()} events, " +
       s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems  (N=$n)")
 
-    Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
+    // The exact pairwise verifier (and anything consuming it) is
+    // quadratic in duplication density BY DESIGN — measuring it at 10×
+    // documents that; at ≥100× it is excluded (arg 2 = "linear") so the
+    // probe exercises only the declared scale paths.
+    val full = Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
       "e1_dedup_clusters", "e1_contamination", "e1_segment_dedup",
       "e3_langid", "e3_tokens", "e3_tfidf", "e3_repetition",
       "q19a_region_revenue", "q27_range_join",
       "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids",
       "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
-      "e4g_cohort").foreach { q =>
+      "e4g_cohort")
+    val probes =
+      if (args.lift(1).contains("linear") || n >= 100)
+        full.filterNot(Set("e1_ngram_jaccard"))
+      else full
+    probes.foreach { q =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, out).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%10d rows")

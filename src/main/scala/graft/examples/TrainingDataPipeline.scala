@@ -40,8 +40,9 @@ object TrainingDataPipeline {
         // the >= 0.8 near-dup graph and drop every non-canonical member.
         // Pair-based drops (remove every `db`) miss docs whose only path
         // to the cluster minimum runs through a LARGER doc_id — components
-        // catch those.
-        val pairs = Dedup.e1NgramJaccard(s, sfDir)
+        // catch those. Pairs come from the LSH path (the production shape;
+        // e1NgramJaccard is the small-scale exact verifier of the same set).
+        val pairs = Dedup.e1MinhashPairs(s, sfDir)
           .filter(col("jaccard") >= 0.8).select("da", "db")
         val losers = Dedup
           .connectedComponents(docs.select(col("doc_id")), pairs)

@@ -51,6 +51,14 @@ object Curation {
     * the cluster loop dominates, and it runs over edge endpoints only
     * (see Dedup.connectedComponents). */
   def e7Curated(s: SparkSession, d: String): DataFrame = {
+    // BOTH dedup gates, in the order a production pipeline applies them:
+    // the exact-fingerprint pass catches identical copies (the near-dup
+    // graph deliberately cannot see documents whose every shingle is
+    // df-capped as boilerplate — the 100× ScaleProbe caught exactly this:
+    // without the exact gate, a doc duplicated past the cap re-enters the
+    // corpus once per copy), then near-dup cluster keepers.
+    val exactKeepers = Dedup.e1ExactDedup(s, d)
+      .select(col("keeper").as("doc_id"))
     val keepers = Dedup.e1DedupClusters(s, d)
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
@@ -58,7 +66,7 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("score"))
     val rep = TextOps.e3Repetition(s, d)
       .select(col("doc_id"), col("dup_2gram_frac"), col("top_word_frac"))
-    q.join(rep, "doc_id").join(keepers, "doc_id")
+    q.join(rep, "doc_id").join(keepers, "doc_id").join(exactKeepers, "doc_id")
       .filter(col("score") >= 0.5 &&
         col("dup_2gram_frac") <= 0.05 && col("top_word_frac") <= 0.3)
       .select("doc_id", "n_tokens", "score")
@@ -113,10 +121,13 @@ object Curation {
          |  CASE WHEN n2 > 0 THEN round(CAST(n2 - nd2 AS DOUBLE) / n2, 4)
          |    ELSE 0.0 END AS d2,
          |  round(CAST(top AS DOUBLE) / n, 4) AS tw
-         |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id)
+         |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id),
+         |exk AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text))))
          |SELECT q.doc_id AS doc_id, n_tokens, score
          |FROM q JOIN clus ON q.doc_id = clus.doc_id AND q.doc_id = clus.cluster
          |JOIN rep ON q.doc_id = rep.doc_id
+         |JOIN exk ON q.doc_id = exk.doc_id
          |WHERE score >= 0.5 AND d2 <= 0.05 AND tw <= 0.3
          |ORDER BY doc_id""".stripMargin,
   )

@@ -24,6 +24,7 @@ object Sampling {
     * memberships are pairwise independent; mirrored in the oracles. */
   val SampleSalt = 0x5a3c1e9f7b2d4865L
   val SplitSalt  = 0x26f0b5e3d891a74cL
+  val WeightSalt = 0x31c9d2ab34e8f516L
 
   /** slot in [0,100) as a pure function of (key, purpose-salt):
     * splitmix64(key ^ salt) with the sign bit cleared, mod 100. */
@@ -71,10 +72,29 @@ object Sampling {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("split", "lang")
 
+  /** E6 — quality-weighted deterministic sampling: a document is kept
+    * with probability proportional to its quality score (the up-weighting
+    * a curation pipeline applies so high-quality text is over-represented
+    * without dropping the tail entirely). Membership stays a pure function
+    * of the id: keep iff slot(doc_id, WeightSalt) < floor(score·100),
+    * where score is the declared quality query's ROUNDED score — integer
+    * threshold against an independent salted stream, so the draw is
+    * reproducible, engine-portable, and composable with the other
+    * samplers. Scan-side filter; no shuffle. */
+  def e6WeightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(TextOps.stopwordFilterSql)))
+      .withColumn("score", round(TextOps.qualityScore(col("nt"), col("nsw")), 4))
+      .filter(slot(col("doc_id"), WeightSalt) < floor(col("score") * 100))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
     "e6_train_val_test" -> (e6TrainValTest _),
+    "e6_weighted_sample" -> (e6WeightedSample _),
   )
 
   /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
@@ -106,5 +126,16 @@ object Sampling {
          |  WHEN slot < 95 THEN 'val' ELSE 'test' END AS split,
          |lang, count(*) AS n, min(doc_id) AS first_doc
          |FROM slots GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "e6_weighted_sample" ->
+      s"""WITH ${slotCtes(WeightSalt)},
+         |q AS (SELECT doc_id,
+         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score
+         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents))
+         |SELECT s.doc_id AS doc_id, s.lang, q.score
+         |FROM slots s JOIN q USING (doc_id)
+         |WHERE s.slot < floor(q.score * 100) ORDER BY doc_id""".stripMargin,
   )
 }
