@@ -205,8 +205,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — k-NN classification over the IVF index: each vector's label is
+    * predicted by majority vote of its 5 nearest neighbors WITHIN its IVF
+    * cell (ties → smaller label), searched across all labels — the
+    * label-propagation / auto-labeling application of the ANN index, and
+    * unlike e2_vq_assign it is non-parametric (no centroid model). Plan:
+    * the same broadcast-assign + cell equi-join as e2_ann_ivf, then two
+    * small aggregates (vote count, argmax) that partial-combine map-side.
+    * Integer votes keep the oracle exact. */
+  def e2KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = e
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
+      .limit(ivfCells(countOnce(s, d, e)))
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val build = ivfAssigned(e, seeds, 1)
+    val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    val top5 = build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+    top5
+      .join(lbl.select(col("vec_id").as("nb"), col("label").as("nb_label")), "nb")
+      .groupBy("vec_id", "nb_label").agg(count(lit(1)).as("votes"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("votes"), (-col("nb_label")).as("nl"))).as("m"))
+      .select(col("vec_id"), (-col("m.nl")).as("pred_label"),
+        col("m.votes").as("votes"))
+      .join(lbl, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_cosine_topk" -> (e2CosineTopk _),
+    "e2_knn_classify" -> (e2KnnClassify _),
     "e2_ann_lsh" -> (e2AnnLsh _),
     "e2_ann_ivf" -> (e2AnnIvf _),
     "e2_ann_ivf2" -> (e2AnnIvf2 _),
@@ -257,9 +297,11 @@ object Similarity {
     * with the same tie-break, then top-1 within the probed cell(s) —
     * build side indexed under its top-1 cell, probe side fanned out to
     * its top-`nProbe` cells. */
-  private def annIvfOracle(nProbe: Int): String = {
+  /** IVF oracle CTE prefix ending in `build` (vec_id, e, cell — every
+    * vector under its top-1 cell) and `probe` (top-`nProbe` cells). */
+  private def ivfCtes(nProbe: Int): String = {
     import OracleSql._
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |mx0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $A) % $M AS z0 FROM emb),
        |mx1 AS (SELECT vec_id, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM mx0),
        |mx2 AS (SELECT vec_id, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM mx1),
@@ -275,7 +317,11 @@ object Similarity {
        |      ORDER BY list_cosine_similarity(emb.e, s.ce) DESC, s.cell) AS crn
        |  FROM emb, seeds s),
        |build AS (SELECT vec_id, e, cell FROM ranked WHERE crn = 1),
-       |probe AS (SELECT vec_id, e, cell FROM ranked WHERE crn <= $nProbe)
+       |probe AS (SELECT vec_id, e, cell FROM ranked WHERE crn <= $nProbe)""".stripMargin
+  }
+
+  private def annIvfOracle(nProbe: Int): String =
+    s"""WITH ${ivfCtes(nProbe)}
        |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    list_cosine_similarity(a.e, b.e) AS sim,
@@ -283,7 +329,6 @@ object Similarity {
        |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
        |  FROM probe a JOIN build b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
-  }
 
   /** Shared centroid CTE (per-label per-dim rounded means; dim pinned to
     * the fixture's 64) for the centroid and assignment oracles. */
@@ -299,6 +344,23 @@ object Similarity {
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),
+    "e2_knn_classify" ->
+      s"""WITH ${ivfCtes(1)},
+         |knn AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |vt AS (SELECT k.vec_id, l.label AS nb_label, count(*) AS votes
+         |  FROM knn k JOIN embeddings l ON k.nb = l.vec_id
+         |  WHERE k.rn <= 5 GROUP BY k.vec_id, l.label),
+         |best AS (SELECT vec_id, nb_label AS pred_label, votes,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY votes DESC, nb_label) AS brn
+         |  FROM vt)
+         |SELECT b.vec_id AS vec_id, l.label, b.pred_label, b.votes
+         |FROM best b JOIN embeddings l ON b.vec_id = l.vec_id
+         |WHERE b.brn = 1 ORDER BY vec_id""".stripMargin,
     "e2_centroids" ->
       s"""WITH $centroidCte
          |SELECT label, CAST(dim AS INT) AS dim, c, n FROM cend

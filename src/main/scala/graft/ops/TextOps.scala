@@ -199,8 +199,21 @@ object TextOps {
         asLong(size(split(col("clean"), " "))).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** E3 — language-ID confusion matrix: predicted vs labeled language
+    * counts — the evaluation table a pipeline publishes next to any
+    * classifier it runs at scale. Composes the declared e3LangId exactly;
+    * one extra (true, pred) aggregate over its per-doc output, grouped to
+    * |langs|² cells regardless of corpus size. */
+  def e3LangConfusion(s: SparkSession, d: String): DataFrame =
+    e3LangId(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_normalize" -> (e3Normalize _),
+    "e3_lang_confusion" -> (e3LangConfusion _),
     "e3_tfidf" -> (e3Tfidf _),
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
@@ -210,6 +223,25 @@ object TextOps {
     "e3_fingerprint" -> (e3Fingerprint _),
     "e3_repetition" -> (e3Repetition _),
   )
+
+  /** Cavnar–Trenkle langid oracle as a CTE chain ending in
+    * `pred` (doc_id, pred_lang, score) — shared by the per-doc and
+    * confusion-matrix oracles. */
+  private val langidCtes: String =
+    """tri AS (SELECT doc_id, lang,
+      |  unnest(list_transform(range(1, length(lower(text)) - 1),
+      |    i -> substring(lower(text), CAST(i AS INT), 3))) AS g FROM documents),
+      |top AS (SELECT lang AS cand_lang, g FROM (
+      |  SELECT lang, g, row_number() OVER (
+      |    PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+      |  FROM tri GROUP BY lang, g) WHERE rk <= 100),
+      |score AS (SELECT doc_id, cand_lang, count(*) AS s
+      |  FROM (SELECT DISTINCT doc_id, g FROM tri) dg JOIN top USING (g)
+      |  GROUP BY doc_id, cand_lang),
+      |pred AS (SELECT doc_id, cand_lang AS pred_lang, s AS score FROM (
+      |  SELECT doc_id, cand_lang, s, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn FROM score)
+      |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e3_normalize" ->
@@ -258,20 +290,13 @@ object TextOps {
         |  AS score
         |FROM q ORDER BY doc_id""".stripMargin,
     "e3_langid" ->
-      """WITH tri AS (SELECT doc_id, lang,
-        |  unnest(list_transform(range(1, length(lower(text)) - 1),
-        |    i -> substring(lower(text), CAST(i AS INT), 3))) AS g FROM documents),
-        |top AS (SELECT lang AS cand_lang, g FROM (
-        |  SELECT lang, g, row_number() OVER (
-        |    PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
-        |  FROM tri GROUP BY lang, g) WHERE rk <= 100),
-        |score AS (SELECT doc_id, cand_lang, count(*) AS s
-        |  FROM (SELECT DISTINCT doc_id, g FROM tri) dg JOIN top USING (g)
-        |  GROUP BY doc_id, cand_lang)
-        |SELECT doc_id, cand_lang AS pred_lang, s AS score FROM (
-        |  SELECT doc_id, cand_lang, s, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn FROM score)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidCtes
+         |SELECT doc_id, pred_lang, score FROM pred ORDER BY doc_id""".stripMargin,
+    "e3_lang_confusion" ->
+      s"""WITH $langidCtes
+         |SELECT d.lang, p.pred_lang, count(*) AS n
+         |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "e3_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
