@@ -104,9 +104,40 @@ object Multimodal {
           expr("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)")).as("frame_fp"))
       .orderBy("doc_id", "frame_id")
 
+  final case class BandFeature(doc_id: Long, band: Int, value: Double)
+
+  /** E5 — feature-VECTOR extraction (the blob → embedding bridge a
+    * multimodal pipeline runs before similarity search): an 8-band mean
+    * over the decoded "pixels" (band b = every 8th code point starting at
+    * b), one row per (doc, band) so the oracle compares exact scalars
+    * instead of array encodings. Same mapPartitions batching as the scalar
+    * decode — one codec pass per partition, narrow output, no shuffle. A
+    * production build swaps the stub for a real model forward pass; the
+    * batch shape (iterator in, fixed-width vector out) is the contract. */
+  def e5BandFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val cps = new String(r.blob, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          (0 until 8).map { b =>
+            var sum = 0L; var n = 0; var i = b
+            while (i < cps.length) { sum += cps(i); n += 1; i += 8 }
+            BandFeature(r.doc_id, b,
+              if (n == 0) 0.0
+              else math.floor(sum.toDouble / n / 255.0 * 10000 + 0.5) / 10000)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "band")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
+    "e5_band_features" -> (e5BandFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +153,20 @@ object Multimodal {
         |    i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
         |  (a, b) -> a + b) / CAST(length(text) AS DOUBLE) / 255.0, 4) AS mean_pixel
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e5_band_features" ->
+      // band b = code points at 1-based positions b+1, b+9, b+17, …;
+      // integer code-point sums make the one final division exact
+      """SELECT doc_id, CAST(b.range AS INT) AS band,
+        |CASE WHEN length(text) > b.range THEN
+        |  round(list_reduce(list_transform(
+        |      range(0, (length(text) - 1 - CAST(b.range AS INT)) // 8 + 1),
+        |      k -> CAST(unicode(substring(text,
+        |        CAST(b.range + 1 + k * 8 AS INT), 1)) AS BIGINT)),
+        |    (a, x) -> a + x)
+        |    / CAST((length(text) - 1 - CAST(b.range AS INT)) // 8 + 1 AS DOUBLE)
+        |    / 255.0, 4)
+        |ELSE 0.0 END AS value
+        |FROM documents, range(0, 8) b ORDER BY doc_id, band""".stripMargin,
     "e5_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |  unnest(range(0, 1 + (length(text) - 1) // 256)) AS frame_id
