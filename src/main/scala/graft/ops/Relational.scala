@@ -633,6 +633,29 @@ object Relational {
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
       .orderBy("l_returnflag")
 
+  /** Q39 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL), completing
+    * the set-op matrix next to q16b's DISTINCT forms: per nation key, the
+    * multiset intersection (min of the two multiplicities) and difference
+    * (excess of A over B) of two market segments' customer nation keys.
+    * Catalyst rewrites both to count-aggregate + replicate — shuffles on
+    * the key, no row-by-row matching — so the plan partial-reduces
+    * map-side like any aggregate. */
+  def q39SetAll(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val b = customer(s, d)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey"))
+    val ia = a.intersectAll(b)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_ia"))
+    val ea = a.exceptAll(b)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_ea"))
+    ia.join(ea, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_ia"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_ea"), lit(0L)).as("n_except_all"))
+      .orderBy("c_nationkey")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -681,6 +704,7 @@ object Relational {
     "q36_scalar_subquery" -> (q36ScalarSubquery _),
     "q37_mode" -> (q37Mode _),
     "q38_stats" -> (q38Stats _),
+    "q39_set_all" -> (q39SetAll _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
@@ -699,6 +723,18 @@ object Relational {
         |round(var_samp(l_quantity), 4) AS var_qty,
         |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q39_set_all" ->
+      """WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+        |ia AS (SELECT c_nationkey, count(*) AS n_ia FROM
+        |  (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |ea AS (SELECT c_nationkey, count(*) AS n_ea FROM
+        |  (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT coalesce(ia.c_nationkey, ea.c_nationkey) AS c_nationkey,
+        |  CAST(coalesce(n_ia, 0) AS BIGINT) AS n_intersect_all,
+        |  CAST(coalesce(n_ea, 0) AS BIGINT) AS n_except_all
+        |FROM ia FULL OUTER JOIN ea ON ia.c_nationkey = ea.c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |l_quantity, l_extendedprice FROM lineitem
