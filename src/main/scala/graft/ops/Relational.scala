@@ -335,15 +335,36 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"))
       .orderBy("l_returnflag")
 
-  /** Q25 — exact percentiles (continuous interpolation, matching DuckDB
-    * quantile_cont). approx_percentile is the sketch alternative at scale. */
-  def q25Percentile(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+  /** Q25 — exact continuous percentiles with EXPLICIT rank interpolation
+    * in INTEGER CENTS: idx = (n−1)·f, p = lo + (hi − lo)·(idx − ⌊idx⌋)
+    * over cent-valued longs, rounded with floor(p + 0.5). Builtin
+    * `percentile` vs `quantile_cont` interpolate with different FP
+    * expressions, and even a token-identical double formula dies at the
+    * boundary: the true p50 midpoint 52724.245 is stored as …2449999…95,
+    * which Spark's round (BigDecimal of the exact binary value) sends
+    * DOWN and DuckDB's double round sends UP (observed at sf0.001). In
+    * cents the midpoint is a binary-EXACT .5 (odd/2), so floor(p + 0.5)
+    * is deterministic and both engines compute the same double — the
+    * q36 integer-cents pattern. approx_percentile is the sketch
+    * alternative at scale; the within-group sort is the inherent cost
+    * of exact quantiles. */
+  def q25Percentile(s: SparkSession, d: String): DataFrame = {
+    val ranked = lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("c")) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    def interp(f: Double): org.apache.spark.sql.Column = {
+      val idx = (max(col("n")) - 1) * lit(f)
+      val lo = max(when(col("rn") === floor((col("n") - 1) * lit(f)), col("c")))
+      val hi = max(when(col("rn") === ceil((col("n") - 1) * lit(f)), col("c")))
+      floor(lo + (hi - lo) * (idx - floor(idx)) + lit(0.5)).cast("double") / 100.0
+    }
+    ranked.groupBy("l_returnflag")
+      .agg(interp(0.5).as("p50"), interp(0.95).as("p95"))
       .orderBy("l_returnflag")
+  }
 
   /** Q26 — as-of join (point-in-time): for every click event, the latest
     * error event of the same user at or before it. Spark has no native
@@ -805,11 +826,26 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q25_percentile" ->
-      """SELECT l_returnflag,
-        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_percentile" -> {
+      // mirrors the Spark plan token for token in integer CENTS
+      // (floor(lo + (hi-lo)*(idx-floor(idx)) + 0.5) / 100); fractions are
+      // CAST to DOUBLE because a bare 0.5 literal is DECIMAL in DuckDB
+      // and would change the arithmetic — see q25Percentile
+      def interp(f: String, name: String) =
+        s"""floor(max(CASE WHEN rn = floor((n - 1) * CAST($f AS DOUBLE)) THEN c END)
+           |  + (max(CASE WHEN rn = ceil((n - 1) * CAST($f AS DOUBLE)) THEN c END)
+           |     - max(CASE WHEN rn = floor((n - 1) * CAST($f AS DOUBLE)) THEN c END))
+           |    * ((max(n) - 1) * CAST($f AS DOUBLE)
+           |       - floor((max(n) - 1) * CAST($f AS DOUBLE))) + 0.5) / 100.0 AS $name""".stripMargin
+      s"""WITH ranked AS (SELECT l_returnflag,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY round(l_extendedprice * 100)) - 1 AS rn,
+         |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+         |SELECT l_returnflag,
+         |${interp("0.5", "p50")},
+         |${interp("0.95", "p95")}
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q26_asof_join" ->
       """SELECT c.event_id, e.event_id AS prev_error_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
