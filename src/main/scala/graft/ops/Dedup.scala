@@ -162,16 +162,40 @@ object Dedup {
       .select(col("doc_id"), Hashes.simHash(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Band-bucket population cap for simhash candidate generation. Unlike
+    * the MinHash band keys (64-bit hashes, cardinality grows with the
+    * corpus), a simhash band key is only 16 bits — each band has at most
+    * 65,536 buckets REGARDLESS of corpus size, so at 10^9+ docs every
+    * bucket holds ~n/65k docs and an uncapped band self-join degenerates
+    * to ~n²/65k candidate pairs: the same Σdf² blowup `MaxShingleDf`
+    * prevents on the shingle path. Buckets over the cap are dropped from
+    * candidate generation (broadcast anti join — the hot list is tiny by
+    * construction), mirrored exactly in the DuckDB oracle. At the fixture
+    * scales no bucket reaches the cap, so results are unchanged. */
+  val MaxBandBucket = 256
+
   /** E1 — SimHash near-dup pairs: 4 bands of 16 bits as the LSH key, then
     * exact Hamming distance ≤ 12 via bit_count(xor). Oracle-checked (the
-    * DuckDB side recomputes signatures + banding exactly). */
+    * DuckDB side recomputes signatures + banding exactly).
+    *
+    * Recall semantics: by pigeonhole, 4 bands of 16 bits guarantee a band
+    * collision only for hamming ≤ 3; pairs at hamming 4-12 are found only
+    * when their differing bits happen to cluster outside one band. The
+    * result is "banded candidates ∩ hamming ≤ 12" — a recall-limited LSH
+    * candidate set (faithfully mirrored by the oracle), NOT an exhaustive
+    * hamming-≤ 12 join. Hot band buckets are additionally dropped by
+    * `MaxBandBucket` (see above) so candidate generation stays linear in
+    * the corpus at scale. */
   def e1SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = documents(s, d)
       .select(col("doc_id"), Hashes.simHash(col("text")).as("sh"))
-    val bands = sig.select(col("doc_id"), col("sh"),
+    val allBands = sig.select(col("doc_id"), col("sh"),
       posexplode(expr(
         "array(sh & 65535, shiftright(sh, 16) & 65535, shiftright(sh, 32) & 65535, shiftright(sh, 48) & 65535)"))
         .as(Seq("band", "bh")))
+    val hot = allBands.groupBy("band", "bh").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > MaxBandBucket).select("band", "bh")
+    val bands = allBands.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -496,10 +520,14 @@ object Dedup {
          |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,
     "e1_simhash_pairs" ->
       s"""WITH $simhashCte,
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, sh, unnest([0,1,2,3]) AS band,
          |    unnest([sh & 65535, (sh >> 16) & 65535, (sh >> 32) & 65535, (sh >> 48) & 65535]) AS bh
-         |  FROM sig)
+         |  FROM sig),
+         |hotb AS (SELECT band, bh FROM bands0 GROUP BY band, bh
+         |  HAVING count(*) > $MaxBandBucket),
+         |bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS
+         |  (SELECT 1 FROM hotb h WHERE h.band = b.band AND h.bh = b.bh))
          |SELECT da, db, hamming FROM (
          |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
          |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming

@@ -345,20 +345,38 @@ object Relational {
     * DOWN and DuckDB's double round sends UP (observed at sf0.001). In
     * cents the midpoint is a binary-EXACT .5 (odd/2), so floor(p + 0.5)
     * is deterministic and both engines compute the same double — the
-    * q36 integer-cents pattern. approx_percentile is the sketch
-    * alternative at scale; the within-group sort is the inherent cost
-    * of exact quantiles. */
+    * q36 integer-cents pattern.
+    *
+    * Plan: exact quantiles do NOT require sorting the table inside a
+    * 3-partition window (the round-3 shape: row_number over a 3-value
+    * partition key serializes the whole sort onto 3 tasks at any scale).
+    * The values are integer cents, so the distributed form is a
+    * HISTOGRAM: groupBy (flag, cents) count — map-side combined, shuffle
+    * bounded by the VALUE DOMAIN (distinct cent values, like q37_mode),
+    * not the row count — then a cumulative window over the tiny grouped
+    * domain assigns each distinct value its covered rank range
+    * [cum−cnt, cum−1], and the interpolation ranks ⌊idx⌋/⌈idx⌉ are looked
+    * up in that range. The only window runs over the aggregated table.
+    * approx_percentile remains the sketch alternative when even the
+    * value domain is unbounded. */
   def q25Percentile(s: SparkSession, d: String): DataFrame = {
-    val ranked = lineitem(s, d)
+    val hist = lineitem(s, d)
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("l_returnflag").orderBy("c")) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag", "c")
+      .agg(count(lit(1)).as("cnt"))
+    val flagW = Window.partitionBy("l_returnflag")
+    val ranked = hist
+      // inclusive cumulative count: this value covers 0-based ranks
+      // [cum - cnt, cum - 1] of the within-flag sort order
+      .withColumn("cum", sum(col("cnt")).over(flagW.orderBy("c")))
+      .withColumn("n", sum(col("cnt")).over(flagW))
     def interp(f: Double): org.apache.spark.sql.Column = {
       val idx = (max(col("n")) - 1) * lit(f)
-      val lo = max(when(col("rn") === floor((col("n") - 1) * lit(f)), col("c")))
-      val hi = max(when(col("rn") === ceil((col("n") - 1) * lit(f)), col("c")))
+      def at(rank: org.apache.spark.sql.Column) =
+        max(when(rank.between(col("cum") - col("cnt"), col("cum") - 1), col("c")))
+      val lo = at(floor((col("n") - 1) * lit(f)))
+      val hi = at(ceil((col("n") - 1) * lit(f)))
       floor(lo + (hi - lo) * (idx - floor(idx)) + lit(0.5)).cast("double") / 100.0
     }
     ranked.groupBy("l_returnflag")

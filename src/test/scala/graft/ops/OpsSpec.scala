@@ -42,6 +42,25 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
 
+  test("simhash pairs: band buckets past MaxBandBucket are dropped from candidates") {
+    // 300 identical docs collide into the SAME bucket in all 4 bands
+    // (identical simhash), so each bucket's population is 300 >
+    // MaxBandBucket=256 — the cap must drop the bucket, yielding ZERO
+    // candidate pairs where the uncapped join would emit 300*299/2.
+    // A second corpus under the cap keeps its pairs: the filter targets
+    // hot buckets only, not collisions in general.
+    def corpus(n: Int): String = {
+      val dir = TestSpark.tmpDir(s"simhash_cap_$n")
+      (1 to n).map(i => (i.toLong, "the very same boilerplate text repeated"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    assert(Dedup.e1SimhashPairs(spark, corpus(300)).count() == 0L)
+    val under = Dedup.e1SimhashPairs(spark, corpus(10)).count()
+    assert(under == 45L, s"10 identical docs -> C(10,2)=45 pairs, got $under")
+  }
+
   test("rolling hash matches the definitional implementation and is codegen-stable") {
     val expected = "hello".foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
     val got = Seq("hello").toDF("s").select(Hashes.rollingHash($"s")).as[Long].head()

@@ -54,6 +54,34 @@ class RelationalPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q25: percentiles aggregate to a cents histogram before any window") {
+    val plan = finalPlan(Relational.q25Percentile(spark, TestSpark.sf001))
+    // the round-3 hazard: row_number over a 3-value partition key sorts the
+    // whole table in 3 window partitions (3 tasks at any scale)
+    assert(!plan.contains("row_number"),
+      s"q25 must not rank raw rows in a per-flag window:\n$plan")
+    val lines = plan.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"expected a cumulative window:\n$plan")
+    // plans print top-down, so the window's INPUT aggregate appears below
+    // it: the cumulative sum must consume the grouped (flag, cents) domain,
+    // not raw lineitem rows
+    assert(lines.drop(wIdx + 1).exists(_.contains("HashAggregate")),
+      s"the window must run over the aggregated cents histogram:\n$plan")
+  }
+
+  test("simhash pairs: hot band buckets are pruned by a broadcast anti join") {
+    // asserted on the pre-AQE plan: at fixture scale no bucket exceeds the
+    // cap, so the hot side is EMPTY and AQE's empty-relation propagation
+    // removes the anti join from the final plan entirely — the cap is free
+    // when it has nothing to drop. (The value-level behavior when a bucket
+    // IS hot is pinned in OpsSpec's 300-identical-docs test.)
+    val plan = Dedup.e1SimhashPairs(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"expected the MaxBandBucket stop-bucket anti join:\n$plan")
+  }
+
   test("IVF: seed count grows as sqrt(n), not linearly with the corpus") {
     val e = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
     def seedCount(df: DataFrame): Long =
