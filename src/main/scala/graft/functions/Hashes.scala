@@ -11,6 +11,9 @@ object Hashes {
 
   /** 64-bit SimHash over whitespace tokens → BIGINT. */
   def simHash(c: Column): Column = hashExpressions.simHash(c)
+
+  /** FNV-1a 64 of the string's UTF-8 bytes → BIGINT. */
+  def fnv64(c: Column): Column = hashExpressions.fnv64(c)
 }
 
 /** Native n-gram generators (codegen'd fused loops; see

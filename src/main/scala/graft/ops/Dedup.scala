@@ -336,11 +336,15 @@ object Dedup {
     * and report each document's duplicated-segment ratio — the
     * boilerplate-removal / substring-dedup pass (à la the 50-token-window
     * dedup used on web corpora) at a granularity exact doc-level dedup
-    * cannot see. Plan: explode segments → df count (map-side combined) →
-    * join back on the segment key → per-doc aggregate. The join key here
-    * is the segment STRING for oracle exactness; the 100 TB variant keys
-    * on a 64-bit segment hash exactly like the shingle paths (16-byte
-    * exchange rows), same plan shape. */
+    * cannot see. Plan: explode segments → hash scan-side → df count
+    * (map-side combined) → join back on the 64-bit FNV segment hash →
+    * per-doc aggregate. Segment STRINGS never leave the scan: the
+    * materialized table, both shuffles, and the join all carry 16-byte
+    * (doc_id, segh) rows — the shingle paths' key discipline applied to
+    * segments. The oracle deliberately stays keyed on the segment STRING,
+    * so the correctness gate also proves the hash-key reduction lossless
+    * (an FNV collision that merged two distinct segments would break the
+    * hash match). */
   def e1SegmentDedup(s: SparkSession, d: String): DataFrame = {
     // referenced twice (df-count side + join-back side): checkpoint so the
     // corpus is scanned and segmented once, lazily (no job at construction)
@@ -349,9 +353,10 @@ object Dedup {
         s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $SegmentWords),
            |  i -> concat_ws(' ', slice(split(text, ' '), i * $SegmentWords + 1, $SegmentWords)))"""
           .stripMargin))).as("seg"))
+      .select(col("doc_id"), Hashes.fnv64(col("seg")).as("segh"))
       .localCheckpoint(false)
-    val dfc = segs.groupBy("seg").agg(count(lit(1)).as("df"))
-    segs.join(dfc, "seg")
+    val dfc = segs.groupBy("segh").agg(count(lit(1)).as("df"))
+    segs.join(dfc, "segh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))

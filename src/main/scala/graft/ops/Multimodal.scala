@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * equivalent of mapInPandas batching: one iterator pass per partition,
   * constant memory, no per-row UDF dispatch).
   *
-  * The decode step is STUBBED: this container has no image/audio libraries,
-  * so `RealCodec.decode` is an unimplemented hook (???) and every pipeline
-  * runs on `DeterministicFakeCodec`, which derives "pixels" from the blob
-  * bytes. The Spark-side plumbing — blob schema, metadata struct, partition
-  * iteration, feature schema — is real and oracle-verified (the fake decode
-  * is pure arithmetic on bytes, so DuckDB can recompute every feature).
+  * Two codecs plug into the same decode boundary: `RealCodec` decodes real
+  * image payloads (PNG/BMP/GIF/JPEG) with JDK-builtin `javax.imageio` —
+  * no external media libraries needed — and `DeterministicFakeCodec`
+  * derives "pixels" from the blob bytes so the DuckDB oracle can recompute
+  * every feature (the driver fixtures carry text blobs, not images). The
+  * declared queries run on the fake codec for oracle exactness; RealCodec
+  * is exercised end-to-end over synthesized PNGs in MultimodalSpec.
   */
 object Multimodal {
 
@@ -27,10 +28,32 @@ object Multimodal {
     def decode(bytes: Array[Byte]): DecodedMedia
   }
 
-  /** STUB — real decoding needs media libraries not present in this
-    * environment. Kept unimplemented on purpose. */
+  /** Real image decode via JDK-builtin `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * every format the default JDK plugin set registers). meanPixel is the
+    * mean of the R/G/B channel values over all pixels, normalized to [0,1]
+    * — alpha excluded so the statistic matches the fake codec's "average
+    * intensity" semantics. Decoding happens executor-side inside the same
+    * mapPartitions batching as the fake codec (one ImageIO call per blob,
+    * no per-row UDF dispatch); ImageIO instances are not shared across
+    * threads, and none are: `decode` holds no state. */
   object RealCodec extends BlobCodec {
-    def decode(bytes: Array[Byte]): DecodedMedia = ???
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable media payload (${bytes.length} bytes)")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of the stored model
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight * 3
+      DecodedMedia(bytes.length, if (n == 0) 0.0 else sum.toDouble / n / 255.0)
+    }
   }
 
   /** Deterministic stand-in: nBytes is the raw blob size; "pixels" are the
@@ -68,12 +91,13 @@ object Multimodal {
       .as[BlobRow]
   }
 
-  /** E5 — batched decode + feature extraction via mapPartitions: one codec
-    * instance per partition, lazy iterator (no partition materialization). */
-  def e5BlobFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val codec: BlobCodec = DeterministicFakeCodec
-    withBlobs(s, d)
+  /** Batched decode + feature extraction via mapPartitions: one codec
+    * reference per partition, lazy iterator (no partition materialization).
+    * Codec-generic so the same plumbing runs the oracle-checked fake path
+    * and the real ImageIO path (MultimodalSpec). */
+  def blobFeatures(blobs: Dataset[BlobRow], codec: BlobCodec): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions { rows =>
         rows.map { r =>
           val m = codec.decode(r.blob)
@@ -86,6 +110,10 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** E5 — declared fake-codec form (oracle recomputes the byte arithmetic). */
+  def e5BlobFeatures(s: SparkSession, d: String): DataFrame =
+    blobFeatures(withBlobs(s, d), DeterministicFakeCodec)
 
   /** E5 — frame sampling: split the blob into 256-byte "frames", keep every
     * 2nd frame, fingerprint each (rolling hash of the frame's text slice).

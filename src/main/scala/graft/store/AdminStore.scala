@@ -45,18 +45,78 @@ final case class LogRow(
   * the rewrite-based upsert is O(table) but the table is tiny relative to
   * the data plane. Log appends are buffered per job/batch (Loggers.scala),
   * never row-at-a-time files.
+  *
+  * Writer safety: the reference delegates concurrent-writer correctness to
+  * its RDBMS (SERIALIZABLE sessions, tests/conftest.py:75) while
+  * run_batches_in_parallel spreads batches over OS processes
+  * (batch_runner.py:36-46). A directory store has no transaction manager,
+  * so the contract here is SINGLE WRITER PROCESS, enforced: the first
+  * mutation atomically creates `root/_LOCK` holding a process-unique token,
+  * and a store whose root is locked by a DIFFERENT process fails fast
+  * instead of interleaving swapWrite renames. All in-process instances
+  * share the token (and the per-root ioLock below), so in-JVM parallel
+  * batches stay fully supported. `close()` releases the file; after a
+  * writer crash the stale lock is reclaimed explicitly via
+  * `AdminStore.forceUnlock` (the operator step a lost RDBMS session never
+  * needs — the documented cost of a file-based store).
   */
 final class AdminStore(val spark: SparkSession, val root: String) {
   import spark.implicits._
 
+  /** Canonical identity of the admin root, so two stores built from
+    * different spellings of one directory share the same locks. */
+  private val rootKey = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
   /** All store I/O serializes on this driver-side lock: concurrent parquet
     * appends into one directory share the _temporary staging dir (one job's
     * commit/abort can clobber another's files), and a reader racing a
-    * swapWrite could observe a half-renamed table. Admin I/O is tiny and
-    * infrequent, so the lock costs nothing; batch parallelism
-    * (BatchRunner.runInParallel) is about the data-plane stages, which don't
-    * touch this lock. */
-  private val ioLock = new Object
+    * swapWrite could observe a half-renamed table. Shared JVM-wide per root
+    * so every in-process instance over one directory serializes on the same
+    * monitor. Admin I/O is tiny and infrequent, so the lock costs nothing;
+    * batch parallelism (BatchRunner.runInParallel) is about the data-plane
+    * stages, which don't touch this lock. */
+  private val ioLock = AdminStore.ioLockFor(rootKey)
+
+  private def lockPath = new Path(s"$root/_LOCK")
+
+  /** Acquire the cross-process writer lock for this root (idempotent per
+    * JVM). Atomic create-if-absent of the `_LOCK` file; a hold by another
+    * process is a fail-fast error, not a wait — admin writes are driver
+    * bookkeeping, and a second writer process is a deployment mistake. */
+  private def ensureWriterLock(): Unit = {
+    if (AdminStore.heldRoots.contains(rootKey)) return
+    val holder =
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(AdminStore.processToken.getBytes("UTF-8"))
+        finally out.close()
+        AdminStore.processToken
+      } catch {
+        case _: java.io.IOException => // exists (or raced): read the holder
+          try {
+            val in = fs.open(lockPath)
+            try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+      }
+    if (holder != AdminStore.processToken)
+      throw new IllegalStateException(
+        s"admin root '$root' is locked by another writer process " +
+          s"(_LOCK holder $holder). The admin store is single-writer per " +
+          s"process; close the other store, or if that process crashed, " +
+          s"reclaim with AdminStore.forceUnlock.")
+    AdminStore.heldRoots.add(rootKey)
+  }
+
+  /** Release this process's writer lock on the root (no-op if not held).
+    * Later writes from still-live instances simply re-acquire. */
+  def close(): Unit = ioLock.synchronized {
+    if (AdminStore.heldRoots.remove(rootKey)) fs.delete(lockPath, false)
+  }
 
   val BATCHES = "batches"
   val JOBS = "jobs"
@@ -80,6 +140,9 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     if (!fs.exists(dst)) ioLock.synchronized {
       val old = new Path(s"${path(table)}.old")
       if (!fs.exists(dst) && fs.exists(old)) {
+        // the restore is a mutation: never interleave it with a live
+        // writer process's own swap
+        ensureWriterLock()
         if (!fs.rename(old, dst))
           throw new IllegalStateException(s"failed to restore $old -> $dst")
         spark.catalog.refreshByPath(dst.toString)
@@ -106,6 +169,7 @@ final class AdminStore(val spark: SparkSession, val root: String) {
   def appendJobLog(rows: Seq[LogRow]): Unit = append(JOB_LOG, rows.toDS().toDF())
 
   private def append(table: String, df: DataFrame): Unit = ioLock.synchronized {
+    ensureWriterLock()
     df.coalesce(1).write.mode(SaveMode.Append).parquet(path(table))
     spark.catalog.refreshByPath(path(table))
   }
@@ -174,6 +238,7 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     * only after the swap succeeds; a stale one from a prior crash is
     * cleaned up on the next write. */
   private def swapWrite(table: String, df: DataFrame): Unit = {
+    ensureWriterLock()
     // GC tmp dirs orphaned by a previous crash (between write and rename)
     // or a failed swap (tmp is intentionally kept then). They are uniquely
     // named, so without this sweep crash loops would accumulate dead data
@@ -285,4 +350,31 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     * (get_latest_batch_delta, sqlalchemy_batch_repository.py:58-74). */
   def batchDelta(name: String): Option[BatchDelta] =
     latestBatch(name).map(cur => BatchDelta(cur, previousBatch(name)))
+}
+
+object AdminStore {
+  /** Writer identity of this JVM: every in-process store shares it, so the
+    * `_LOCK` file excludes other PROCESSES only (in-process writers already
+    * serialize on the per-root ioLock). */
+  private val processToken: String = java.util.UUID.randomUUID().toString
+
+  private val ioLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def ioLockFor(rootKey: String): Object =
+    ioLocks.computeIfAbsent(rootKey, _ => new Object)
+
+  /** Roots whose `_LOCK` this process currently holds. */
+  private val heldRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Reclaim a root after a writer crash left its `_LOCK` behind. Explicit
+    * and unconditional by design — the operator asserts the old writer is
+    * dead, exactly like clearing a stale RDBMS advisory lock. */
+  def forceUnlock(spark: SparkSession, root: String): Unit = {
+    val p = new Path(s"$root/_LOCK")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    heldRoots.remove(
+      fs.makeQualified(new Path(root)).toString)
+  }
 }

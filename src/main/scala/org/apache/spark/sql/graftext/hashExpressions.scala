@@ -23,6 +23,9 @@ object hashExpressions {
   def simHash(c: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(c)))
 
+  def fnv64(c: Column): Column =
+    ExpressionUtils.column(Fnv1a64Expr(ExpressionUtils.expression(c)))
+
   private final val P = 1000000007L
 
   /** Polynomial rolling hash (Karp–Rabin): h = (h*131 + codepoint) mod 1e9+7.
@@ -44,6 +47,19 @@ object hashExpressions {
   private final val FnvPrime = 0x100000001b3L
 
   def fnv1a64(s: String): Long = fnv1a64Seeded(s, 0L)
+
+  def fnv1a64Utf8(s: UTF8String): Long = {
+    // hash the UTF8String's bytes directly — no String round-trip
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
 
   def fnv1a64Seeded(s: String, seed: Long): Long = {
     var h = FnvOffset ^ seed
@@ -101,6 +117,23 @@ case class RollingHashExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHashExpr =
     copy(child = c)
   override def prettyName: String = "rolling_hash"
+}
+
+/** FNV-1a 64 of a string's UTF-8 bytes → BIGINT: the scan-side key
+  * reduction that lets shuffles carry 8-byte hashes instead of strings
+  * (segment dedup, arbitrary-key co-location at scale). */
+case class Fnv1a64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    hashExpressions.fnv1a64Utf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftext.hashExpressions.fnv1a64Utf8($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv1a64Expr =
+    copy(child = c)
+  override def prettyName: String = "fnv1a64"
 }
 
 case class SimHash64Expr(child: Expression)

@@ -27,9 +27,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_pixel") > 0 && r.getAs[Double]("mean_pixel") < 1)
   }
 
-  test("RealCodec decode is an explicit stub (unimplemented hook)") {
-    assertThrows[NotImplementedError](
+  /** Synthesize a solid-color PNG in memory; gray in [0,255]. */
+  private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("RealCodec decodes PNG bytes: mean pixel matches the painted gray") {
+    val bytes = pngBytes(8, 4, 51) // 51/255 = 0.2 exactly
+    val m = Multimodal.RealCodec.decode(bytes)
+    assert(m.nBytes == bytes.length)
+    assert(math.abs(m.meanPixel - 0.2) < 1e-9)
+    // undecodable payloads fail fast, not silently
+    assertThrows[IllegalArgumentException](
       Multimodal.RealCodec.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("RealCodec runs end-to-end through the mapPartitions plumbing") {
+    val blobs = Seq(
+      Multimodal.BlobRow(1L, pngBytes(8, 8, 0), 8, 8, "image/png"),
+      Multimodal.BlobRow(2L, pngBytes(16, 4, 255), 16, 4, "image/png"),
+      Multimodal.BlobRow(3L, pngBytes(4, 4, 102), 4, 4, "image/png"), // 0.4
+    ).toDS().repartition(2)
+    val feats = Multimodal.blobFeatures(blobs, Multimodal.RealCodec)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_pixel"))
+      .toMap
+    assert(feats(1L) == 0.0)
+    assert(feats(2L) == 1.0)
+    assert(math.abs(feats(3L) - 0.4) < 1e-4)
   }
 
   test("MinHash Aggregator estimates Jaccard within tolerance") {

@@ -179,6 +179,34 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.jobs.filter(_.execution_millis.contains(2L)).count() >= 5)
   }
 
+  test("writer lock: a root locked by another process rejects writes until reclaimed") {
+    val root = TestSpark.tmpDir("adminlock")
+    val st = new AdminStore(TestSpark.spark, root)
+    // simulate a FOREIGN process holding the root: its _LOCK with its token
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_LOCK"), "other-process-token")
+    val err = intercept[IllegalStateException] {
+      st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    }
+    assert(err.getMessage.contains("locked by another writer process"))
+    assert(!st.batches.collect().exists(_.name == "nightly")) // nothing landed
+    // operator reclaims the crashed writer's lock -> writes flow again
+    AdminStore.forceUnlock(TestSpark.spark, root)
+    st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    assert(st.batches.count() == 1)
+    // our own lock file now exists and carries this process's hold
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_LOCK")))
+    // a SECOND in-process store on the same root shares the hold: no error
+    val st2 = new AdminStore(TestSpark.spark, root)
+    st2.appendBatches(Seq(batchRow("b2", "nightly", t("2024-01-02T00:00:00Z"))))
+    assert(st.batches.count() == 2)
+    // close releases the file; the next write re-acquires cleanly
+    st.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_LOCK")))
+    st2.appendBatches(Seq(batchRow("b3", "nightly", t("2024-01-03T00:00:00Z"))))
+    assert(st.batches.count() == 3)
+  }
+
   test("hydrate reconstructs nested status from flat tables (admin_orm.py:105-129)") {
     val st = newStore()
     st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-02T00:00:00Z"))))
