@@ -342,9 +342,11 @@ object Dedup {
     * materialized table, both shuffles, and the join all carry 16-byte
     * (doc_id, segh) rows — the shingle paths' key discipline applied to
     * segments. The oracle deliberately stays keyed on the segment STRING,
-    * so the correctness gate also proves the hash-key reduction lossless
-    * (an FNV collision that merged two distinct segments would break the
-    * hash match). */
+    * so the correctness gate validates the hash-key reduction on the oracle
+    * corpora (a colliding FNV hash there would break the hash match). At
+    * production cardinalities the usual 64-bit birthday bound applies — a
+    * collision silently merges two distinct segments and nudges df /
+    * dup_ratio up; accepted, as for every 64-bit-fingerprint dedup pass. */
   def e1SegmentDedup(s: SparkSession, d: String): DataFrame = {
     // referenced twice (df-count side + join-back side): checkpoint so the
     // corpus is scanned and segmented once, lazily (no job at construction)

@@ -40,18 +40,24 @@ object Multimodal {
     def decode(bytes: Array[Byte]): DecodedMedia = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"undecodable media payload (${bytes.length} bytes)")
+      // Bulk row-at-a-time getRGB (sRGB regardless of the stored model):
+      // per-pixel getRGB(x, y) pays a color-model conversion call per pixel
+      // and is far too slow for executor-side decode of large images.
+      val w = img.getWidth
+      val row = new Array[Int](w)
       var sum = 0L
       var y = 0
       while (y < img.getHeight) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y) // sRGB regardless of the stored model
+        while (x < w) {
+          val rgb = row(x)
           sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           x += 1
         }
         y += 1
       }
-      val n = img.getWidth.toLong * img.getHeight * 3
+      val n = w.toLong * img.getHeight * 3
       DecodedMedia(bytes.length, if (n == 0) 0.0 else sum.toDouble / n / 255.0)
     }
   }

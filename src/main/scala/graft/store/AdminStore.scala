@@ -51,14 +51,23 @@ final case class LogRow(
   * run_batches_in_parallel spreads batches over OS processes
   * (batch_runner.py:36-46). A directory store has no transaction manager,
   * so the contract here is SINGLE WRITER PROCESS, enforced: the first
-  * mutation atomically creates `root/_LOCK` holding a process-unique token,
-  * and a store whose root is locked by a DIFFERENT process fails fast
-  * instead of interleaving swapWrite renames. All in-process instances
-  * share the token (and the per-root ioLock below), so in-JVM parallel
-  * batches stay fully supported. `close()` releases the file; after a
-  * writer crash the stale lock is reclaimed explicitly via
-  * `AdminStore.forceUnlock` (the operator step a lost RDBMS session never
-  * needs — the documented cost of a file-based store).
+  * mutation creates `root/_LOCK` (create-if-absent) holding this process's
+  * token + acquisition timestamp, then READS THE FILE BACK and proceeds only
+  * if its own token is what the lock actually holds — bare create-if-absent
+  * is atomic on HDFS but check-then-create on LocalFileSystem and object
+  * stores, so the read-back is what arbitrates a create/create race there
+  * (it narrows the window to the verify instant; on HDFS the create alone is
+  * decisive). A store whose root is held by a DIFFERENT process fails fast
+  * — with the holder's age in the message, so the operator can tell a
+  * crashed holder from a live one — instead of interleaving swapWrite
+  * renames. All in-process instances share the token (and the per-root
+  * ioLock below), so in-JVM parallel batches stay fully supported.
+  * `close()` releases the file; after a writer crash the stale lock is
+  * reclaimed explicitly via `AdminStore.forceUnlock` (the operator step a
+  * lost RDBMS session never needs — the documented cost of a file-based
+  * store). A read-only process can transiently acquire the lock when a read
+  * triggers crash-restore (see `exists`), but releases it as soon as the
+  * restore completes.
   */
 final class AdminStore(val spark: SparkSession, val root: String) {
   import spark.implicits._
@@ -84,39 +93,54 @@ final class AdminStore(val spark: SparkSession, val root: String) {
   private def lockPath = new Path(s"$root/_LOCK")
 
   /** Acquire the cross-process writer lock for this root (idempotent per
-    * JVM). Atomic create-if-absent of the `_LOCK` file; a hold by another
-    * process is a fail-fast error, not a wait — admin writes are driver
-    * bookkeeping, and a second writer process is a deployment mistake. */
+    * JVM). Create-if-absent of the `_LOCK` file followed by a read-back
+    * verification (see the class doc: the read-back, not the create, is
+    * what arbitrates races on filesystems where create-if-absent is
+    * check-then-create). A hold by another process is a fail-fast error,
+    * not a wait — admin writes are driver bookkeeping, and a second writer
+    * process is a deployment mistake. */
   private def ensureWriterLock(): Unit = {
     if (AdminStore.heldRoots.contains(rootKey)) return
-    val holder =
+    try {
+      val out = fs.create(lockPath, false)
       try {
-        val out = fs.create(lockPath, false)
-        try out.write(AdminStore.processToken.getBytes("UTF-8"))
-        finally out.close()
-        AdminStore.processToken
+        out.write(AdminStore.lockPayload().getBytes("UTF-8"))
+        out.close()
       } catch {
-        case _: java.io.IOException => // exists (or raced): read the holder
-          try {
-            val in = fs.open(lockPath)
-            try new String(in.readAllBytes(), "UTF-8")
-            finally in.close()
-          } catch { case _: java.io.IOException => "<unreadable>" }
+        case e: java.io.IOException =>
+          // Our own write/close failed after the create succeeded: remove
+          // the partial lock (it would otherwise read back as a foreign /
+          // unreadable holder and demand forceUnlock) and surface the real
+          // error instead of a misleading "locked by another process".
+          try out.close() catch { case _: java.io.IOException => () }
+          fs.delete(lockPath, false)
+          throw e
       }
-    if (holder != AdminStore.processToken)
+    } catch {
+      // Held (or lost a create race): fall through and read the holder.
+      // Anything else — permission, disk, connectivity — propagates.
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException        => ()
+    }
+    // Verify-after-create: trust only what the lock file actually holds.
+    val holder = AdminStore.readLock(fs, lockPath)
+    if (!holder.exists(_.token == AdminStore.processToken)) {
+      val who = holder.map(_.describe(Instant.now())).getOrElse("<unreadable>")
       throw new IllegalStateException(
         s"admin root '$root' is locked by another writer process " +
-          s"(_LOCK holder $holder). The admin store is single-writer per " +
+          s"(_LOCK holder $who). The admin store is single-writer per " +
           s"process; close the other store, or if that process crashed, " +
           s"reclaim with AdminStore.forceUnlock.")
+    }
     AdminStore.heldRoots.add(rootKey)
   }
 
   /** Release this process's writer lock on the root (no-op if not held).
     * Later writes from still-live instances simply re-acquire. */
-  def close(): Unit = ioLock.synchronized {
+  private def releaseWriterLock(): Unit =
     if (AdminStore.heldRoots.remove(rootKey)) fs.delete(lockPath, false)
-  }
+
+  def close(): Unit = ioLock.synchronized { releaseWriterLock() }
 
   val BATCHES = "batches"
   val JOBS = "jobs"
@@ -141,11 +165,17 @@ final class AdminStore(val spark: SparkSession, val root: String) {
       val old = new Path(s"${path(table)}.old")
       if (!fs.exists(dst) && fs.exists(old)) {
         // the restore is a mutation: never interleave it with a live
-        // writer process's own swap
+        // writer process's own swap. A READ-ONLY process that merely
+        // triggered crash recovery must not keep the writer lock it
+        // acquired for the restore — release it right after, or it would
+        // lock out the legitimate writer until this process exits.
+        val wasWriter = AdminStore.heldRoots.contains(rootKey)
         ensureWriterLock()
-        if (!fs.rename(old, dst))
-          throw new IllegalStateException(s"failed to restore $old -> $dst")
-        spark.catalog.refreshByPath(dst.toString)
+        try {
+          if (!fs.rename(old, dst))
+            throw new IllegalStateException(s"failed to restore $old -> $dst")
+          spark.catalog.refreshByPath(dst.toString)
+        } finally if (!wasWriter) releaseWriterLock()
       }
     }
     fs.exists(dst)
@@ -357,6 +387,45 @@ object AdminStore {
     * `_LOCK` file excludes other PROCESSES only (in-process writers already
     * serialize on the per-root ioLock). */
   private val processToken: String = java.util.UUID.randomUUID().toString
+
+  /** Parsed `_LOCK` contents: line 1 = holder token, line 2 = acquisition
+    * instant (ISO-8601), line 3 = pid@host. Lines 2-3 are diagnostics for
+    * the operator deciding whether a holder crashed; only the token
+    * arbitrates. Older single-line lock files parse as token-only. */
+  final case class LockInfo(token: String, acquiredAt: Option[Instant],
+      process: Option[String]) {
+    def describe(now: Instant): String = {
+      val age = acquiredAt.map { ts =>
+        s", acquired $ts (${java.time.Duration.between(ts, now).toSeconds}s ago)"
+      }.getOrElse(", acquisition time unknown")
+      s"$token${process.map(p => s" [$p]").getOrElse("")}$age"
+    }
+  }
+
+  private def lockPayload(): String = {
+    val proc = java.lang.ProcessHandle.current().pid().toString + "@" +
+      java.net.InetAddress.getLocalHost.getHostName
+    s"$processToken\n${Instant.now()}\n$proc"
+  }
+
+  private def readLock(fs: FileSystem, lockPath: Path): Option[LockInfo] =
+    try {
+      val in = fs.open(lockPath)
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = raw.split("\n", -1)
+      Some(LockInfo(
+        lines.headOption.getOrElse(""),
+        lines.lift(1).flatMap(s => scala.util.Try(Instant.parse(s)).toOption),
+        lines.lift(2).filter(_.nonEmpty)))
+    } catch { case _: java.io.IOException => None }
+
+  /** The current `_LOCK` holder of `root`, if any — the operator-facing
+    * probe for deciding whether a hold is stale before `forceUnlock`. */
+  def lockHolder(spark: SparkSession, root: String): Option[LockInfo] = {
+    val p = new Path(s"$root/_LOCK")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readLock(fs, p) else None
+  }
 
   private val ioLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

@@ -207,6 +207,51 @@ class AdminStoreSpec extends AnyFunSuite {
     assert(st.batches.count() == 3)
   }
 
+  test("writer lock diagnostics: holder token, process, and age surface to the operator") {
+    val root = TestSpark.tmpDir("adminlockinfo")
+    val st = new AdminStore(TestSpark.spark, root)
+    // a foreign holder with the full 3-line payload, acquired 2 min ago
+    val acquired = Instant.now().minusSeconds(120)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_LOCK"),
+      s"other-process-token\n$acquired\n12345@otherhost")
+    val err = intercept[IllegalStateException] {
+      st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    }
+    // the message carries everything the operator needs to judge staleness
+    assert(err.getMessage.contains("other-process-token"))
+    assert(err.getMessage.contains("12345@otherhost"))
+    assert(err.getMessage.contains("s ago"))
+    // the probe API exposes the same parsed view
+    val holder = AdminStore.lockHolder(TestSpark.spark, root).get
+    assert(holder.token == "other-process-token")
+    assert(holder.acquiredAt.contains(acquired))
+    assert(holder.process.contains("12345@otherhost"))
+    // legacy single-line lock files still parse (token-only)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_LOCK"), "bare-token")
+    val bare = AdminStore.lockHolder(TestSpark.spark, root).get
+    assert(bare.token == "bare-token" && bare.acquiredAt.isEmpty)
+    AdminStore.forceUnlock(TestSpark.spark, root)
+    assert(AdminStore.lockHolder(TestSpark.spark, root).isEmpty)
+  }
+
+  test("crash-restore triggered by a reader releases the writer lock afterwards") {
+    val root = TestSpark.tmpDir("adminreadrestore")
+    val st = new AdminStore(TestSpark.spark, root)
+    st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-01T00:00:00Z"))))
+    st.close()
+    // simulate a crash mid-swap: live dir missing, .old backup present
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, "batches"),
+      java.nio.file.Paths.get(root, "batches.old"))
+    val reader = new AdminStore(TestSpark.spark, root)
+    assert(reader.batches.count() == 1) // restored through the read gate
+    // the transient hold taken for the restore is gone: the legitimate
+    // writer process is not locked out by a mere reader
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_LOCK")))
+  }
+
   test("hydrate reconstructs nested status from flat tables (admin_orm.py:105-129)") {
     val st = newStore()
     st.appendBatches(Seq(batchRow("b1", "nightly", t("2024-01-02T00:00:00Z"))))
