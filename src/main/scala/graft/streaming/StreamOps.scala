@@ -53,38 +53,81 @@ object StreamOps {
     * constant, no silent divergence on retuning. */
   private val FunnelWindowUs = 86400000000L
 
-  /** E4f — funnel analysis: per user, purchases completing the ordered
-    * chain view → click → purchase with each step strictly later than and
-    * within 24 hours of the previous. Implemented with CASCADING windows
-    * over a STRICTLY-EARLIER range frame (max view time among rows with
-    * smaller epoch-micros; mark clicks within window of it as qualified;
-    * max qualified click, same frame; test purchases against it) — ONE
-    * shuffle on user_id and a single sorted pass per partition, where the
-    * naive 3-way self-join explodes quadratically per active user. The
-    * range frame (RANGE ... 1 PRECEDING on integer micros) excludes
-    * same-timestamp rows, so tied events can never qualify each other and
-    * the latest strictly-earlier qualified predecessor is always the best
-    * witness (monotone). Integer epoch-micro comparisons keep the DuckDB
-    * oracle exact. */
-  def e4fFunnel(s: SparkSession, d: String): DataFrame = {
+  /** E4f — funnel analysis over an ARBITRARY ordered step chain: per user,
+    * final-step events completing steps(0) → steps(1) → … with each step
+    * strictly later than and within `stepWindowUs` of the previous.
+    * Implemented with CASCADING windows over a STRICTLY-EARLIER range
+    * frame: reach_0 = max time of a step-0 event among strictly-earlier
+    * rows; reach_i = max time of a step-i event that itself had reach_(i-1)
+    * within window — so reach_i is the latest strictly-earlier completion
+    * of the chain prefix 0..i. ONE shuffle on user_id and a single sorted
+    * pass per partition (the cascade stacks Window nodes over the same
+    * Exchange+Sort), where the naive k-way self-join explodes
+    * combinatorially per active user. The range frame (RANGE ... 1
+    * PRECEDING on integer micros) excludes same-timestamp rows, so tied
+    * events can never qualify each other and the latest strictly-earlier
+    * qualified predecessor is always the best witness (monotone). Integer
+    * epoch-micro comparisons keep the DuckDB oracle exact. */
+  def funnel(s: SparkSession, d: String, steps: Seq[String],
+      stepWindowUs: Long, finalCol: String): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("tu"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    events(s, d)
+    val base = events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("tu"))
-      .withColumn("view_tu",
-        max(when(col("event_type") === "view", col("tu"))).over(w))
-      .withColumn("qc",
-        when(col("event_type") === "click" && col("view_tu").isNotNull &&
-          col("tu") <= col("view_tu") + FunnelWindowUs, col("tu")))
-      .withColumn("qclick_tu", max(col("qc")).over(w))
-      .filter(col("event_type") === "purchase" && col("qclick_tu").isNotNull &&
-        col("tu") <= col("qclick_tu") + FunnelWindowUs)
+      .withColumn("reach_0",
+        max(when(col("event_type") === steps.head, col("tu"))).over(w))
+    val cascaded = steps.drop(1).dropRight(1).zipWithIndex.foldLeft(base) {
+      case (df, (step, i)) =>
+        df.withColumn(s"reach_${i + 1}",
+          max(when(col("event_type") === step && col(s"reach_$i").isNotNull &&
+            col("tu") <= col(s"reach_$i") + stepWindowUs, col("tu"))).over(w))
+    }
+    val k = steps.size - 2
+    cascaded
+      .filter(col("event_type") === steps.last && col(s"reach_$k").isNotNull &&
+        col("tu") <= col(s"reach_$k") + stepWindowUs)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_funnels"), min(col("tu")).as("first_purchase_us"))
+      .agg(count(lit(1)).as("n_funnels"), min(col("tu")).as(finalCol))
       .orderBy("user_id")
   }
+
+  /** Mirror of `funnel` in DuckDB SQL, generated from the same step list
+    * and window constant so the Spark query and its oracle can never
+    * diverge on retuning. */
+  private def funnelOracle(steps: Seq[String], stepWindowUs: Long,
+      finalCol: String): String = {
+    val frame = "PARTITION BY user_id ORDER BY tu RANGE BETWEEN " +
+      "UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val ctes = Seq(
+      s"ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events)",
+      s"s0 AS (SELECT *, max(CASE WHEN event_type = '${steps.head}' THEN tu END) " +
+        s"OVER ($frame) AS reach_0 FROM ev)") ++
+      steps.drop(1).dropRight(1).zipWithIndex.map { case (step, i) =>
+        s"s${i + 1} AS (SELECT *, max(CASE WHEN event_type = '$step' " +
+          s"AND reach_$i IS NOT NULL AND tu <= reach_$i + $stepWindowUs " +
+          s"THEN tu END) OVER ($frame) AS reach_${i + 1} FROM s$i)"
+      }
+    val k = steps.size - 2
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT user_id, count(*) AS n_funnels, min(tu) AS $finalCol
+       |FROM s$k WHERE event_type = '${steps.last}' AND reach_$k IS NOT NULL
+       |  AND tu <= reach_$k + $stepWindowUs
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** The classic 3-step view → click → purchase funnel. */
+  def e4fFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(s, d, Seq("view", "click", "purchase"), FunnelWindowUs,
+      "first_purchase_us")
+
+  /** 4-step variant exercising the generalized cascade:
+    * signup → view → click → purchase. */
+  def e4f2Funnel4(s: SparkSession, d: String): DataFrame =
+    funnel(s, d, Seq("signup", "view", "click", "purchase"), FunnelWindowUs,
+      "first_purchase_us")
 
   /** E4g — weekly cohort retention: users grouped by their first-activity
     * week (the cohort), counted in each later week they were active —
@@ -178,6 +221,7 @@ object StreamOps {
     "e4b_sliding" -> (e4bSliding _),
     "e4c_sessions" -> (e4cSessions _),
     "e4f_funnel" -> (e4fFunnel _),
+    "e4f2_funnel4" -> (e4f2Funnel4 _),
     "e4g_cohort" -> (e4gCohort _),
   )
 
@@ -191,24 +235,10 @@ object StreamOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM act JOIN fw USING (user_id)
         |GROUP BY act.wk, fw.cohort ORDER BY cohort, week_offset""".stripMargin,
-    "e4f_funnel" ->
-      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
-         |  FROM events),
-         |s1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tu END)
-         |    OVER (PARTITION BY user_id ORDER BY tu
-         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_tu
-         |  FROM ev),
-         |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND view_tu IS NOT NULL
-         |    AND tu <= view_tu + $FunnelWindowUs THEN tu END AS qc
-         |  FROM s1),
-         |s3 AS (SELECT *, max(qc) OVER (
-         |    PARTITION BY user_id ORDER BY tu
-         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qclick_tu
-         |  FROM s2)
-         |SELECT user_id, count(*) AS n_funnels, min(tu) AS first_purchase_us
-         |FROM s3 WHERE event_type = 'purchase' AND qclick_tu IS NOT NULL
-         |  AND tu <= qclick_tu + $FunnelWindowUs
-         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e4f_funnel" -> funnelOracle(Seq("view", "click", "purchase"),
+      FunnelWindowUs, "first_purchase_us"),
+    "e4f2_funnel4" -> funnelOracle(Seq("signup", "view", "click", "purchase"),
+      FunnelWindowUs, "first_purchase_us"),
     "e4a_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
