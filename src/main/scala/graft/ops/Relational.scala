@@ -695,6 +695,42 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Q40 — salted two-phase aggregation over a HOT group key
+    * (Skew.saltedCount): events counted by event_type, a 5-value key, so a
+    * plain groupBy sends every row of a key to ONE reducer — the textbook
+    * hot-key aggregation. The salt stage spreads each key over 16 subkeys
+    * (first shuffle ≤ 5×16 groups spread across tasks), then the final
+    * aggregate reduces 80 partial rows. For count/sum Spark's map-side
+    * partial aggregation already compacts and salting is belt-and-braces;
+    * the declared query pins the utility's end-to-end correctness and its
+    * two-Aggregate plan shape (asserted in SkewSpec) for the
+    * collect_list-style payloads where the partial CANNOT compact. */
+  def q40SkewAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedCount(events(s, d), "event_type", 16)
+      .orderBy("event_type")
+
+  /** Q41 — salted join on a skewed key (Skew.saltedJoin): events (fact,
+    * every row carries one of 5 event_type values — total key skew) joined
+    * to a computed per-type average, reporting each type's count and summed
+    * absolute deviation. The salted form shuffles the fact side on
+    * (event_type, __salt) — 8 subkeys per hot key, so one hot key spreads
+    * over 8 tasks — and replicates the 5-row dim ×8. At fixture scale AQE
+    * happily broadcasts the replicated dim (making the salt free); the
+    * declared query pins the logical shape used when the dim is too large
+    * to broadcast and one key floods a reducer. Oracle-exact: the dim is
+    * rounded to 6dp before the deviation sum, and the sum is rounded at
+    * 2dp. */
+  def q41SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type")
+      .agg(round(avg(col("value")), 6).as("type_avg"))
+    Skew.saltedJoin(ev, dim, "event_type", 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(abs(col("value") - col("type_avg"))), 2).as("sum_absdev"))
+      .orderBy("event_type")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -744,11 +780,23 @@ object Relational {
     "q37_mode" -> (q37Mode _),
     "q38_stats" -> (q38Stats _),
     "q39_set_all" -> (q39SetAll _),
+    "q40_skew_agg" -> (q40SkewAgg _),
+    "q41_skew_join" -> (q41SkewJoin _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q40_skew_agg" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q41_skew_join" ->
+      """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(abs(value - type_avg)), 2) AS sum_absdev
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
         |  SELECT l_returnflag, l_quantity, count(*) AS n,

@@ -37,6 +37,25 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q40: the declared salted aggregation keeps the two-Aggregate salted shape") {
+    val df = Relational.q40SkewAgg(spark, TestSpark.sf001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the salt must survive optimization as a grouping key of the inner
+    // aggregate — that's what spreads a hot key over nSalts reducers
+    assert(plan.contains("__salt"), s"salt column optimized away:\n$plan")
+    val nAgg = "Aggregate".r.findAllIn(plan).length
+    assert(nAgg >= 2, s"expected partial+final Aggregate pair, got $nAgg:\n$plan")
+  }
+
+  test("q41: the declared salted join keeps __salt among the equi-join keys") {
+    val df = Relational.q41SkewJoin(spark, TestSpark.sf001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("Join Inner"))
+    assert(joinLine.isDefined, s"expected an inner join:\n$plan")
+    assert(joinLine.get.contains("__salt"),
+      s"join keys lost the salt: ${joinLine.get}")
+  }
+
   test("property: message truncation keeps exactly the last 2000 chars") {
     val gen = for {
       n <- Gen.chooseNum(0, 5000)
