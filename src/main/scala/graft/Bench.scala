@@ -38,7 +38,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // One JSON line, with the summary fields LAST: the artifact viewer
+    // tails the output, so a long queries map printed after the totals
+    // would push them out of view — key order is free to a JSON parser.
+    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

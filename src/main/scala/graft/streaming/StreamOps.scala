@@ -216,6 +216,27 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4i — streaming near-dup ingest: the e1_exact_dedup fingerprint pass
+    * run incrementally. Each arriving document is fingerprinted scan-side
+    * (md5 of normalized text — the same 128-bit key the batch pass
+    * shuffles) and `dropDuplicatesWithinWatermark` admits only the first
+    * arrival per fingerprint, purging state as the watermark advances — a
+    * re-delivered or identical-content document inside the redelivery
+    * horizon is dropped AT INGEST, and dedup state is bounded by distinct
+    * fingerprints per horizon, not corpus size. This is how a 100 TB
+    * pipeline actually ingests: the batch dedup passes (e1_*) then run
+    * over what this stage admitted. */
+  def streamFingerprintDedup(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ingest_ts", col("ingest_ts").cast("timestamp"))
+      .withWatermark("ingest_ts", "10 minutes")
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("fp"), col("doc_id"), col("source"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e4a_tumbling" -> (e4aTumbling _),
     "e4b_sliding" -> (e4bSliding _),
