@@ -68,14 +68,22 @@ object ScaleProbe {
     // probe exercises only the declared scale paths.
     val full = Seq("e1_exact_dedup", "e1_ngram_jaccard", "e1_minhash_pairs",
       "e1_dedup_clusters", "e1_contamination", "e1_segment_dedup",
+      "e1_simhash_pairs",
       "e3_langid", "e3_tokens", "e3_tfidf", "e3_repetition",
-      "q19a_region_revenue", "q27_range_join",
-      "e2_ann_lsh", "e2_ann_ivf", "e4c_sessions", "e6_sample_ids",
+      "e3_lang_confusion",
+      "q19a_region_revenue", "q27_range_join", "q25_percentile",
+      "q36_scalar_subquery", "q40_skew_agg", "q41_skew_join",
+      "e2_ann_lsh", "e2_ann_ivf", "e2_cosine_topk",
+      "e4c_sessions", "e4f_funnel", "e6_sample_ids",
       "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
       "e4g_cohort")
+    // Exact verifiers (quadratic under replication BY DESIGN) are excluded
+    // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
+    // co-occurrence; cosine_topk is the exact per-label-block baseline
+    // whose block-local pairwise work grows with the square of block size.
     val probes =
       if (args.lift(1).contains("linear") || n >= 100)
-        full.filterNot(Set("e1_ngram_jaccard"))
+        full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk"))
       else full
     probes.foreach { q =>
       val t0 = System.nanoTime()
