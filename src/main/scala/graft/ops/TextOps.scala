@@ -223,7 +223,40 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 
+  /** E3 — LM-based fluency score (the CCNet-style language-model quality
+    * gate, log-free): each document is scored by the average corpus
+    * frequency of its character trigrams under its OWN language's trigram
+    * model, in hits-per-million — fluent in-language text hits common
+    * trigrams; gibberish, boilerplate soup, or wrong-language text hits
+    * rare ones. A real pipeline scores against a KenLM model; the shape is
+    * identical (per-token model lookup + per-doc accumulate), with the
+    * model trained ON the corpus here so the operator is self-contained.
+    * Exactness: integer trigram counts, integer sums, ONE final division
+    * rounded at 4dp — no ln(), whose libm variance would break the oracle.
+    * Plan: trigram explode → (lang, g) count (map-side combined,
+    * vocabulary-bounded: |langs|×|alphabet|³ keys at ANY corpus size) →
+    * join back on (lang, g) — AQE-gated, not forced-broadcast, same
+    * treatment as the tfidf df table — → per-doc sum (map-side combined).
+    * Docs shorter than one trigram have no score row (both engines drop
+    * them identically). */
+  def e3LmScore(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Ngrams.charNgrams(lower(col("text")), 3)).as("g"))
+    val model = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val tot = model.groupBy("lang").agg(sum(col("c")).as("tot"))
+    tri.join(model, Seq("lang", "g"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("hits"))
+      .join(tot, "lang")
+      .select(col("doc_id"), asLong(col("n_tri")).as("n_tri"),
+        round(col("hits") * 1000000.0 / (col("n_tri") * col("tot")), 4)
+          .as("lm_hpm"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_lm_score" -> (e3LmScore _),
     "e3_normalize" -> (e3Normalize _),
     "e3_lang_confusion" -> (e3LangConfusion _),
     "e3_tfidf" -> (e3Tfidf _),
@@ -256,6 +289,17 @@ object TextOps {
       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_lm_score" ->
+      """WITH tri AS (SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, length(lower(text)) - 1),
+        |    i -> substring(lower(text), CAST(i AS INT), 3))) AS g FROM documents),
+        |model AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS tot FROM model GROUP BY 1),
+        |doc AS (SELECT doc_id, lang, count(*) AS n_tri, sum(c) AS hits
+        |  FROM tri JOIN model USING (lang, g) GROUP BY 1, 2)
+        |SELECT doc_id, n_tri,
+        |  round(hits * 1000000.0 / (n_tri * tot), 4) AS lm_hpm
+        |FROM doc JOIN tot USING (lang) ORDER BY doc_id""".stripMargin,
     "e3_normalize" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
