@@ -74,13 +74,20 @@ object Dedup {
       sh.join(broadcast(hot), Seq("h"), "left_anti").localCheckpoint(false)
     })
 
+  /** The canonical content fingerprint: md5 of the normalized text. ONE
+    * definition shared by the batch exact-dedup pass and the streaming
+    * ingest stage (StreamOps.streamFingerprintDedup), so a retuning of the
+    * normalization can never make the two silently diverge. */
+  def contentFingerprint(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(lower(trim(c)))
+
   /** E1 — exact duplicate groups by normalized-text hash.
     * One shuffle on the 128-bit fingerprint; at 100 TB this is the standard
     * first dedup pass (hash is computed scan-side, so the shuffle carries
     * 32-byte keys, not documents). */
   def e1ExactDedup(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .groupBy(contentFingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy("keeper")
 

@@ -249,8 +249,11 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("hits"))
       .join(tot, "lang")
+      // divide sequentially in DOUBLE (both engines, same order): a long
+      // n_tri * tot product overflows at ~2e13 trigrams/language with a
+      // 1e6-char document — exactly the corpus this is designed for
       .select(col("doc_id"), asLong(col("n_tri")).as("n_tri"),
-        round(col("hits") * 1000000.0 / (col("n_tri") * col("tot")), 4)
+        round(col("hits") * 1000000.0 / col("n_tri") / col("tot"), 4)
           .as("lm_hpm"))
       .orderBy("doc_id")
   }
@@ -298,7 +301,7 @@ object TextOps {
         |doc AS (SELECT doc_id, lang, count(*) AS n_tri, sum(c) AS hits
         |  FROM tri JOIN model USING (lang, g) GROUP BY 1, 2)
         |SELECT doc_id, n_tri,
-        |  round(hits * 1000000.0 / (n_tri * tot), 4) AS lm_hpm
+        |  round(hits * 1000000.0 / n_tri / tot, 4) AS lm_hpm
         |FROM doc JOIN tot USING (lang) ORDER BY doc_id""".stripMargin,
     "e3_normalize" ->
       """SELECT doc_id,

@@ -101,38 +101,59 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     * process is a deployment mistake. */
   private def ensureWriterLock(): Unit = {
     if (AdminStore.heldRoots.contains(rootKey)) return
-    try {
-      val out = fs.create(lockPath, false)
+    var attempt = 0
+    while (!AdminStore.heldRoots.contains(rootKey)) {
+      attempt += 1
+      val payload = AdminStore.lockPayload()
       try {
-        out.write(AdminStore.lockPayload().getBytes("UTF-8"))
-        out.close()
+        val out = fs.create(lockPath, false)
+        try {
+          out.write(payload.getBytes("UTF-8"))
+          out.close()
+        } catch {
+          case e: java.io.IOException =>
+            // Our own write/close failed after the create succeeded. Clean
+            // up the partial lock so it doesn't demand forceUnlock later —
+            // but ONLY if the file provably holds our (possibly truncated)
+            // payload: under the LocalFS create race another process may
+            // have won and written a valid lock we must not delete. An
+            // unreadable file stays put (can't prove ownership).
+            try out.close() catch { case _: java.io.IOException => () }
+            if (AdminStore.readRaw(fs, lockPath).exists(payload.startsWith(_)))
+              fs.delete(lockPath, false)
+            throw e
+        }
       } catch {
-        case e: java.io.IOException =>
-          // Our own write/close failed after the create succeeded: remove
-          // the partial lock (it would otherwise read back as a foreign /
-          // unreadable holder and demand forceUnlock) and surface the real
-          // error instead of a misleading "locked by another process".
-          try out.close() catch { case _: java.io.IOException => () }
-          fs.delete(lockPath, false)
-          throw e
+        // Held (or lost a create race): fall through and read the holder.
+        // Anything else — permission, disk, connectivity — propagates.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException        => ()
       }
-    } catch {
-      // Held (or lost a create race): fall through and read the holder.
-      // Anything else — permission, disk, connectivity — propagates.
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-      case _: java.nio.file.FileAlreadyExistsException        => ()
+      // Verify-after-create: trust only what the lock file actually holds.
+      AdminStore.readLock(fs, lockPath) match {
+        case Some(holder) if holder.token == AdminStore.processToken =>
+          AdminStore.heldRoots.add(rootKey)
+        case Some(holder) =>
+          throw new IllegalStateException(
+            s"admin root '$root' is locked by another writer process " +
+              s"(_LOCK holder ${holder.describe(Instant.now())}). The admin " +
+              s"store is single-writer per process; close the other store, " +
+              s"or if that process crashed, reclaim with " +
+              s"AdminStore.forceUnlock.")
+        case None if !fs.exists(lockPath) && attempt < 3 =>
+          // the lock vanished between create and read-back (a concurrent
+          // close()/forceUnlock released it): acquire again
+          ()
+        case None =>
+          // present but unreadable (or repeatedly vanishing): an IO
+          // problem, not a foreign hold — don't claim "locked by another
+          // process" and don't delete what we can't prove we own
+          throw new IllegalStateException(
+            s"cannot confirm _LOCK ownership for admin root '$root': the " +
+              s"lock file cannot be read back. Resolve the I/O issue (or " +
+              s"remove a corrupt lock with AdminStore.forceUnlock).")
+      }
     }
-    // Verify-after-create: trust only what the lock file actually holds.
-    val holder = AdminStore.readLock(fs, lockPath)
-    if (!holder.exists(_.token == AdminStore.processToken)) {
-      val who = holder.map(_.describe(Instant.now())).getOrElse("<unreadable>")
-      throw new IllegalStateException(
-        s"admin root '$root' is locked by another writer process " +
-          s"(_LOCK holder $who). The admin store is single-writer per " +
-          s"process; close the other store, or if that process crashed, " +
-          s"reclaim with AdminStore.forceUnlock.")
-    }
-    AdminStore.heldRoots.add(rootKey)
   }
 
   /** Release this process's writer lock on the root (no-op if not held).
@@ -408,16 +429,20 @@ object AdminStore {
     s"$processToken\n${Instant.now()}\n$proc"
   }
 
-  private def readLock(fs: FileSystem, lockPath: Path): Option[LockInfo] =
+  private def readRaw(fs: FileSystem, lockPath: Path): Option[String] =
     try {
       val in = fs.open(lockPath)
-      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
+    } catch { case _: java.io.IOException => None }
+
+  private def readLock(fs: FileSystem, lockPath: Path): Option[LockInfo] =
+    readRaw(fs, lockPath).map { raw =>
       val lines = raw.split("\n", -1)
-      Some(LockInfo(
+      LockInfo(
         lines.headOption.getOrElse(""),
         lines.lift(1).flatMap(s => scala.util.Try(Instant.parse(s)).toOption),
-        lines.lift(2).filter(_.nonEmpty)))
-    } catch { case _: java.io.IOException => None }
+        lines.lift(2).filter(_.nonEmpty))
+    }
 
   /** The current `_LOCK` holder of `root`, if any — the operator-facing
     * probe for deciding whether a hold is stale before `forceUnlock`. */

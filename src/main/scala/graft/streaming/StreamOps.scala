@@ -231,7 +231,7 @@ object StreamOps {
     s.readStream.schema(schema).parquet(dir)
       .withColumn("ingest_ts", col("ingest_ts").cast("timestamp"))
       .withWatermark("ingest_ts", "10 minutes")
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", graft.ops.Dedup.contentFingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("fp"), col("doc_id"), col("source"))
       .writeStream.outputMode("append").format("memory").queryName(sinkName)

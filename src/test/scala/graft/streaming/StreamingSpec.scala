@@ -129,7 +129,8 @@ class StreamingSpec extends AnyFunSuite {
     // batch equivalence: the admitted set is exactly one row per distinct
     // batch fingerprint (arrival order decides WHICH row survives, so the
     // assertion is on the fingerprint set, which is order-independent)
-    val batchFps = docs.select(md5(lower(trim(col("text")))).as("fp")).distinct()
+    val batchFps = docs
+      .select(graft.ops.Dedup.contentFingerprint(col("text")).as("fp")).distinct()
     assert(got.count() == batchFps.count(), "one survivor per fingerprint")
     assert(got.select("fp").distinct().count() == got.count())
     assert(got.select("fp").except(batchFps).count() == 0 &&
