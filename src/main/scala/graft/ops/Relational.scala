@@ -731,6 +731,25 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q42 — sketch-based distinct counting: approx_count_distinct (HLL++,
+    * 2% target rsd) next to the exact countDistinct, with the relative
+    * error surfaced per group. At 100 TB the sketch is the only practical
+    * distinct-count: it partial-aggregates to a FIXED-SIZE sketch map-side
+    * (constant shuffle bytes per partition regardless of key cardinality)
+    * where exact distinct must move every distinct value through the
+    * exchange. No DuckDB oracle — the HLL hashing is engine-specific — so
+    * this is a rows-only correctness entry; the accuracy contract is
+    * pinned by a ScalaTest assertion (rel_err ≤ 5%) instead. */
+  def q42ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .withColumn("rel_err",
+        round(abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders"), 4))
+      .orderBy("l_returnflag")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01ScanProject _),
@@ -782,6 +801,7 @@ object Relational {
     "q39_set_all" -> (q39SetAll _),
     "q40_skew_agg" -> (q40SkewAgg _),
     "q41_skew_join" -> (q41SkewJoin _),
+    "q42_approx_distinct" -> (q42ApproxDistinct _),
   )
 
   /** DuckDB oracle SQL for each query (driver runs these over the same

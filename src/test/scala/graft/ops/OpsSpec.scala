@@ -11,6 +11,22 @@ class OpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q42: HLL approx distinct stays within 5% of exact, sketch partial-aggregates") {
+    val df = Relational.q42ApproxDistinct(spark, TestSpark.sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err <= 0.05, s"HLL error $err exceeds 5% for ${r.get(0)}")
+    }
+    // the sketch must partial-aggregate map-side (fixed-size sketch per
+    // partition through the exchange — the property that makes it the
+    // 100 TB distinct-count)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"approx_count_distinct did not partial-aggregate:\n$plan")
+  }
+
   test("minhash LSH candidates recover the exact Jaccard >= 0.2 pairs") {
     val exact = Dedup.e1NgramJaccard(spark, TestSpark.sf001)
       .select("da", "db").as[(Long, Long)].collect().toSet
