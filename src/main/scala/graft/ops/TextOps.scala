@@ -258,7 +258,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Chunk window/stride (tokens) for e3Chunk — interpolated into BOTH the
+    * Spark query and the oracle SQL. */
+  val ChunkTokens = 20
+  val ChunkStride = 15
+
+  /** E3 — context-window chunking: split each document into overlapping
+    * token windows (ChunkTokens wide, ChunkStride apart; trailing window
+    * truncated) — the pre-tokenization stage that fits documents to a
+    * model's context length, with overlap so no boundary-spanning content
+    * is lost. Entirely SCAN-SIDE: the windows are row-local array slices
+    * (posexplode of a transform over the token array), so the operator
+    * adds zero shuffles at any corpus size — output ordering is the only
+    * exchange. Window count = 1 + max(0, ceil((n - w) / s)), so every doc
+    * gets at least one chunk and every token is covered. */
+  def e3Chunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0,
+           |    cast(ceil((size(toks) - $ChunkTokens) / ${ChunkStride}.0) as int))),
+           |  i -> slice(toks, i * $ChunkStride + 1, $ChunkTokens))""".stripMargin)))
+      .select(col("doc_id"), asLong(col("pos")).as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk"),
+        asLong(size(col("col"))).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_chunk" -> (e3Chunk _),
     "e3_lm_score" -> (e3LmScore _),
     "e3_normalize" -> (e3Normalize _),
     "e3_lang_confusion" -> (e3LangConfusion _),
@@ -292,6 +320,17 @@ object TextOps {
       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0,
+         |  CAST(ceil((len(toks) - $ChunkTokens) / ${ChunkStride}.0) AS INT)))) AS i
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  array_to_string(list_slice(toks, i * $ChunkStride + 1,
+         |    i * $ChunkStride + $ChunkTokens), ' ') AS chunk,
+         |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
+         |    i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens
+         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
     "e3_lm_score" ->
       """WITH tri AS (SELECT doc_id, lang,
         |  unnest(list_transform(range(1, length(lower(text)) - 1),
