@@ -27,6 +27,36 @@ class OpsSpec extends AnyFunSuite {
       s"approx_count_distinct did not partial-aggregate:\n$plan")
   }
 
+  test("e3_chunk covers every token at window-boundary sizes") {
+    // sizes straddling the window/stride boundaries: 1 token, exactly one
+    // window (20), one past it (21), exactly two strides (35), one past
+    // (36), and a long doc (110)
+    val dir = graft.TestSpark.tmpDir("chunk")
+    val docs = Seq(1, 19, 20, 21, 35, 36, 110).zipWithIndex.map {
+      case (n, id) =>
+        (id.toLong, (0 until n).map(i => s"t$i").mkString(" "), "en", "s", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = TextOps.e3Chunk(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      val n = text.split(" ").length
+      // every token of the doc appears in some chunk (full coverage)
+      assert(mine.flatMap(_._3.split(" ")).toSet == text.split(" ").toSet,
+        s"doc $id ($n tokens) lost tokens")
+      // chunk i starts at token i*stride and is at most ChunkTokens wide
+      mine.foreach { case (_, cid, chunk) =>
+        val toks = chunk.split(" ")
+        assert(toks.length <= TextOps.ChunkTokens)
+        assert(toks.head == s"t${cid * TextOps.ChunkStride}")
+      }
+      // no spurious extra window: the last chunk's start is < n
+      assert(mine.last._2 * TextOps.ChunkStride < n)
+    }
+  }
+
   test("minhash LSH candidates recover the exact Jaccard >= 0.2 pairs") {
     val exact = Dedup.e1NgramJaccard(spark, TestSpark.sf001)
       .select("da", "db").as[(Long, Long)].collect().toSet
