@@ -56,6 +56,26 @@ class SkewSpec extends AnyFunSuite {
       s"join keys lost the salt: ${joinLine.get}")
   }
 
+  test("q41: with broadcast gated off, the physical shuffle join keys carry the salt") {
+    // at fixture scale AQE broadcasts the replicated dim (fine — salting
+    // is then free); this pins the plan the query produces in the regime
+    // it exists for: a dim too large to broadcast, where the fact side
+    // must shuffle on (key, salt) to split a hot key across tasks
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.q41SkewJoin(spark, TestSpark.sf001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(joinLine.isDefined, s"expected a shuffled join:\n$plan")
+      assert(joinLine.get.contains("__salt"),
+        s"physical join keys lost the salt: ${joinLine.get}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("property: message truncation keeps exactly the last 2000 chars") {
     val gen = for {
       n <- Gen.chooseNum(0, 5000)
