@@ -70,7 +70,7 @@ object ScaleProbe {
       "e1_dedup_clusters", "e1_contamination", "e1_segment_dedup",
       "e1_simhash_pairs",
       "e3_langid", "e3_tokens", "e3_tfidf", "e3_repetition",
-      "e3_lang_confusion", "e3_lm_score", "e3_chunk",
+      "e3_lang_confusion", "e3_lm_score", "e3_chunk", "e3_pack",
       "q42_approx_distinct", "e4f2_funnel4",
       "q19a_region_revenue", "q27_range_join", "q25_percentile",
       "q36_scalar_subquery", "q40_skew_agg", "q41_skew_join",

@@ -285,7 +285,43 @@ object TextOps {
         asLong(size(col("col"))).as("n_tokens"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Token budget per pack for e3Pack — interpolated into BOTH engines. */
+  val PackBudget = 256
+
+  /** E3 — sequence packing: assign the chunk stream to fixed-token-budget
+    * packs (the pre-training batching step between chunking and the data
+    * loader). Greedy-by-running-sum approximation, fully distributed: the
+    * chunks of each source are ordered by (doc_id, chunk_id), the running
+    * token sum is one window pass, and pack_id = (cum - n_tokens) /
+    * budget — a chunk straddling a boundary joins the pack it started in,
+    * so packs can overflow by at most one chunk (the standard greedy
+    * trade; exact bin packing is NP-hard and inherently sequential).
+    * Plan: e3Chunk's scan-side slices → ONE shuffle on source for the
+    * ordered window → integer arithmetic; per-pack sizes aggregate from
+    * the same partitioning without a second exchange. Integer cumsum and
+    * division keep the DuckDB oracle exact. */
+  def e3Pack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+    documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0,
+           |    cast(ceil((size(toks) - $ChunkTokens) / ${ChunkStride}.0) as int))),
+           |  i -> size(slice(toks, i * $ChunkStride + 1, $ChunkTokens)))""".stripMargin)))
+      .select(col("doc_id"), col("source"), asLong(col("pos")).as("chunk_id"),
+        asLong(col("col")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integer division on BOTH engines (Spark `div`, DuckDB `//`) — a
+      // double-divide-then-cast would round on DuckDB but truncate here
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_pack" -> (e3Pack _),
     "e3_chunk" -> (e3Chunk _),
     "e3_lm_score" -> (e3LmScore _),
     "e3_normalize" -> (e3Normalize _),
@@ -320,6 +356,23 @@ object TextOps {
       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, toks, unnest(range(0, 1 + greatest(0,
+         |  CAST(ceil((len(toks) - $ChunkTokens) / ${ChunkStride}.0) AS INT)))) AS i
+         |  FROM t),
+         |c AS (SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
+         |    i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens FROM w),
+         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id, chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
+         |SELECT source,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
     "e3_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0,
