@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * equivalent of mapInPandas batching: one iterator pass per partition,
   * constant memory, no per-row UDF dispatch).
   *
-  * Two codecs plug into the same decode boundary: `RealCodec` decodes real
-  * image payloads (PNG/BMP/GIF/JPEG) with JDK-builtin `javax.imageio` —
-  * no external media libraries needed — and `DeterministicFakeCodec`
+  * Three codecs plug into the same decode boundary: `RealCodec` decodes
+  * real image payloads (PNG/BMP/GIF/JPEG) with JDK-builtin
+  * `javax.imageio`, `RealAudioCodec` decodes real audio payloads
+  * (WAV/AIFF/AU PCM) with JDK-builtin `javax.sound.sampled` — no external
+  * media libraries needed for either — and `DeterministicFakeCodec`
   * derives "pixels" from the blob bytes so the DuckDB oracle can recompute
-  * every feature (the driver fixtures carry text blobs, not images). The
-  * declared queries run on the fake codec for oracle exactness; RealCodec
-  * is exercised end-to-end over synthesized PNGs in MultimodalSpec.
+  * every feature (the driver fixtures carry text blobs, not media). The
+  * declared queries run on the fake codec for oracle exactness; the real
+  * codecs are exercised end-to-end over synthesized PNGs/WAVs in
+  * MultimodalSpec.
   */
 object Multimodal {
 
@@ -59,6 +62,51 @@ object Multimodal {
       }
       val n = w.toLong * img.getHeight * 3
       DecodedMedia(bytes.length, if (n == 0) 0.0 else sum.toDouble / n / 255.0)
+    }
+  }
+
+  /** Real audio decode via JDK-builtin `javax.sound.sampled` (WAV/AIFF/AU
+    * — the formats the default JDK provider set registers). `meanPixel`
+    * doubles as the mean normalized amplitude: mean |sample| / full-scale
+    * over all frames and channels — the same [0,1] statistic RealCodec
+    * computes for images, so both real codecs plug into the identical
+    * decode boundary and feature plumbing. Supports the PCM widths the
+    * JDK parses natively: 8-bit (unsigned, midpoint 128) and 16-bit
+    * (signed, format-declared endianness). */
+  object RealAudioCodec extends BlobCodec {
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"undecodable audio payload (${bytes.length} bytes)", e)
+        }
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16, s"unsupported PCM width: $bits")
+        val data = in.readAllBytes()
+        var sum = 0.0
+        var n = 0
+        if (bits == 8) {
+          var i = 0
+          while (i < data.length) {
+            sum += math.abs((data(i) & 0xff) - 128) / 128.0; n += 1; i += 1
+          }
+        } else {
+          val bigEndian = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            sum += math.abs(s / 32768.0); n += 1; i += 2
+          }
+        }
+        DecodedMedia(bytes.length, if (n == 0) 0.0 else sum / n)
+      } finally in.close()
     }
   }
 

@@ -48,6 +48,51 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.RealCodec.decode(Array[Byte](1, 2, 3)))
   }
 
+  /** Synthesize an in-memory 16-bit mono little-endian PCM WAV whose every
+    * sample is `amp` (signed). */
+  private def wavBytes(amp: Short, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      pcm(i * 2) = (amp & 0xff).toByte
+      pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("RealAudioCodec decodes WAV bytes: mean amplitude matches the synthesized tone") {
+    val half = wavBytes(16384, 64) // |16384|/32768 = 0.5 exactly
+    val m = Multimodal.RealAudioCodec.decode(half)
+    assert(m.nBytes == half.length)
+    assert(math.abs(m.meanPixel - 0.5) < 1e-9)
+    val silent = Multimodal.RealAudioCodec.decode(wavBytes(0, 32))
+    assert(silent.meanPixel == 0.0)
+    // undecodable payloads fail fast, not silently
+    assertThrows[IllegalArgumentException](
+      Multimodal.RealAudioCodec.decode(Array[Byte](9, 9, 9)))
+  }
+
+  test("RealAudioCodec runs end-to-end through the mapPartitions plumbing") {
+    val blobs = Seq(
+      Multimodal.BlobRow(1L, wavBytes(0, 16), 0, 0, "audio/wav"),
+      Multimodal.BlobRow(2L, wavBytes(-16384, 32), 0, 0, "audio/wav"), // 0.5
+      Multimodal.BlobRow(3L, wavBytes(8192, 8), 0, 0, "audio/wav"), // 0.25
+    ).toDS().repartition(2)
+    val feats = Multimodal.blobFeatures(blobs, Multimodal.RealAudioCodec)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_pixel"))
+      .toMap
+    assert(feats(1L) == 0.0)
+    assert(math.abs(feats(2L) - 0.5) < 1e-9)
+    assert(math.abs(feats(3L) - 0.25) < 1e-9)
+  }
+
   test("RealCodec runs end-to-end through the mapPartitions plumbing") {
     val blobs = Seq(
       Multimodal.BlobRow(1L, pngBytes(8, 8, 0), 8, 8, "image/png"),
