@@ -114,6 +114,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 1L)
   }
 
+  test("property: generalized funnel matches brute force on random event streams") {
+    import spark.implicits._
+    // brute-force reference: event e of type steps(i) is QUALIFIED iff
+    // i == 0, or some qualified steps(i-1) event exists strictly earlier
+    // and within the window — the exists-form the cascade's max-witness
+    // is provably equivalent to (window condition monotone in t')
+    def brute(evs: Seq[(Long, Long, String, Long)], steps: Seq[String],
+        w: Long): Map[Long, (Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (user, rows) =>
+        // intermediate steps: witness TIMES suffice (a set); the final
+        // step counts event ROWS — two tied final events both qualify
+        var witness = rows.filter(_._3 == steps.head).map(_._4).toSet
+        steps.tail.dropRight(1).foreach { st =>
+          val prev = witness
+          witness = rows.filter(_._3 == st).map(_._4)
+            .filter(t => prev.exists(p => p < t && t <= p + w)).toSet
+        }
+        val fin = rows.filter(_._3 == steps.last).map(_._4)
+          .filter(t => witness.exists(p => p < t && t <= p + w))
+        if (fin.isEmpty) None
+        else Some(user -> (fin.size.toLong, fin.min))
+      }
+    val rnd = new scala.util.Random(42)
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    (0 until 10).foreach { trial =>
+      val w = 7200L * 1000000L // 2 h in µs
+      val evs = (0 until 60).map { i =>
+        // coarse 30-min grid => plenty of exact timestamp ties
+        val tu = (rnd.nextInt(48).toLong * 1800L) * 1000000L
+        (rnd.nextInt(4).toLong + 1, i.toLong, types(rnd.nextInt(types.length)), tu)
+      }
+      val dir = TestSpark.tmpDir(s"funnelprop$trial")
+      evs.map { case (u, id, ty, tu) =>
+        (u, id, ty, new java.sql.Timestamp(tu / 1000L))
+      }.toDF("user_id", "event_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val steps = Seq("view", "click", "purchase").take(2 + rnd.nextInt(2))
+      val got = StreamOps.funnel(spark, dir, steps, w, "first_us")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = brute(evs, steps, w)
+      assert(got == want,
+        s"trial $trial steps=$steps: got $got want $want\nevents=$evs")
+    }
+  }
+
   test("streaming fingerprint dedup admits one document per content hash (E4i)") {
     // incremental-ingest redelivery: the whole corpus arrives twice
     val dir = TestSpark.tmpDir("docstream") + "/documents"
