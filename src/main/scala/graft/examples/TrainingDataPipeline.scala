@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *                   >= 0.8 keeps the lower doc_id),
   *   2. quality    — keep documents above a quality score threshold,
   *   3. features   — attach token counts, language guess, fingerprints,
-  *   4. publish    — write the curated corpus, with data tests asserting it
+  *   4. chunk_pack — split the curated text into overlapping context
+  *                   windows and pack them into fixed token budgets (the
+  *                   pre-training batching tables), with a data test
+  *                   asserting the greedy packing's overflow bound,
+  *   5. publish    — write the curated corpus, with data tests asserting it
   *                   is non-empty and exact-duplicate-free (the near-dup
   *                   absence property is asserted in PipelineSpec).
   *
@@ -87,6 +91,36 @@ object TrainingDataPipeline {
         JobStatus.Successful
       })
 
+    val chunkPack = SimpleJob("chunk_pack", dependencies = Seq("featurize"),
+      runFn = (s, log) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+        TextOps.chunked(s.read.parquet(features), keep = Seq("source"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("pack_id",
+            expr(s"(cum - n_tokens) div ${TextOps.PackBudget}"))
+          .drop("cum")
+          .write.mode("overwrite").parquet(s"$outDir/chunks")
+        log.info(s"chunk_pack wrote $outDir/chunks")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val chunks = s.read.parquet(s"$outDir/chunks")
+        // greedy-by-running-sum bound: a pack holds at most budget - 1
+        // tokens before its last chunk starts, so pack_tokens can exceed
+        // the budget by at most one chunk's width
+        val worst = chunks.groupBy("source", "pack_id")
+          .agg(sum(col("n_tokens")).as("pack_tokens"))
+          .agg(max(col("pack_tokens"))).head().getLong(0)
+        val bound = TextOps.PackBudget + TextOps.ChunkTokens - 1
+        Seq(
+          if (chunks.count() > 0) SimpleTestResult.passing("chunks exist")
+          else SimpleTestResult.failing("chunks exist", "0 rows"),
+          if (worst <= bound) SimpleTestResult.passing("pack overflow bound")
+          else SimpleTestResult.failing("pack overflow bound",
+            s"max pack $worst > $bound"))
+      })
+
     val publish = SimpleJob("publish_corpus", dependencies = Seq("featurize"),
       runFn = (s, log) => {
         s.read.parquet(features)
@@ -106,7 +140,8 @@ object TrainingDataPipeline {
           else SimpleTestResult.failing("no exact duplicates", "dup groups remain"))
       })
 
-    Batch("training_data_curation", Seq(dedup, quality, featurize, publish))
+    Batch("training_data_curation",
+      Seq(dedup, quality, featurize, chunkPack, publish))
   }
 
   /** Convenience runner for manual use: sbt "runMain graft.examples.TrainingDataPipeline". */

@@ -272,18 +272,26 @@ object TextOps {
     * adds zero shuffles at any corpus size — output ordering is the only
     * exchange. Window count = 1 + max(0, ceil((n - w) / s)), so every doc
     * gets at least one chunk and every token is covered. */
-  def e3Chunk(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
+  /** Overlapping token windows of an arbitrary frame carrying (doc_id,
+    * text) — the reusable core of e3Chunk, also run by the pipeline
+    * example over its intermediate curated table. Columns named in `keep`
+    * ride along unchanged. */
+  def chunked(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col("doc_id") +: keep.map(col) :+
+        split(col("text"), " ").as("toks"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ posexplode(expr(
         s"""transform(
            |  sequence(0, greatest(0,
            |    cast(ceil((size(toks) - $ChunkTokens) / ${ChunkStride}.0) as int))),
-           |  i -> slice(toks, i * $ChunkStride + 1, $ChunkTokens))""".stripMargin)))
-      .select(col("doc_id"), asLong(col("pos")).as("chunk_id"),
+           |  i -> slice(toks, i * $ChunkStride + 1, $ChunkTokens))""".stripMargin)): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(
+        asLong(col("pos")).as("chunk_id"),
         concat_ws(" ", col("col")).as("chunk"),
-        asLong(size(col("col"))).as("n_tokens"))
-      .orderBy("doc_id", "chunk_id")
+        asLong(size(col("col"))).as("n_tokens")): _*)
+
+  def e3Chunk(s: SparkSession, d: String): DataFrame =
+    chunked(documents(s, d)).orderBy("doc_id", "chunk_id")
 
   /** Token budget per pack for e3Pack — interpolated into BOTH engines. */
   val PackBudget = 256
@@ -296,10 +304,12 @@ object TextOps {
     * budget — a chunk straddling a boundary joins the pack it started in,
     * so packs can overflow by at most one chunk (the standard greedy
     * trade; exact bin packing is NP-hard and inherently sequential).
-    * Plan: e3Chunk's scan-side slices → ONE shuffle on source for the
-    * ordered window → integer arithmetic; per-pack sizes aggregate from
-    * the same partitioning without a second exchange. Integer cumsum and
-    * division keep the DuckDB oracle exact. */
+    * Plan: chunk-SIZE explode (deliberately not `chunked` — only the
+    * integer sizes enter the window shuffle, never the chunk strings) →
+    * ONE shuffle on source for the ordered window → integer arithmetic;
+    * per-pack sizes aggregate from the same partitioning without a second
+    * exchange. Integer cumsum and division keep the DuckDB oracle
+    * exact. */
   def e3Pack(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
     documents(s, d)

@@ -17,7 +17,7 @@ class PipelineSpec extends AnyFunSuite {
       .run(TrainingDataPipeline.batch(TestSpark.sf001, out))
     assert(status.brokenJobs.isEmpty, s"broken: ${status.brokenJobs}")
     assert(status.jobResults.map(_.jobName) == Seq("dedup_documents",
-      "quality_filter", "featurize", "publish_corpus"))
+      "quality_filter", "featurize", "chunk_pack", "publish_corpus"))
     assert(status.jobResults.forall(_.status == JobStatus.Successful))
     val corpus = spark.read.parquet(s"$out/corpus")
     val nIn = graft.Tables.documents(spark, TestSpark.sf001).count()
@@ -30,6 +30,13 @@ class PipelineSpec extends AnyFunSuite {
       .count() == 0)
     // features present
     assert(corpus.columns.toSet.contains("fingerprint"))
+    // chunk/pack tables: every curated doc is chunked, and the greedy
+    // packing respects its overflow bound
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.select("doc_id").distinct().count() == nOut)
+    val worst = chunks.groupBy("source", "pack_id")
+      .agg(sum(col("n_tokens")).as("t")).agg(max(col("t"))).head().getLong(0)
+    assert(worst <= graft.ops.TextOps.PackBudget + graft.ops.TextOps.ChunkTokens - 1)
     // admin store recorded the run with passing tests
     val stored = store.latestBatch("training_data_curation").get
     assert(stored.jobResults.flatMap(_.testResults).forall(_.passed))
