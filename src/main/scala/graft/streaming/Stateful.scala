@@ -35,6 +35,64 @@ object Stateful {
     } else Iterator.empty
   }
 
+  final case class EventTs(user_id: Long, event_id: Long, value: Double,
+      ts: java.sql.Timestamp)
+  final case class UserClosable(user_id: Long, n: Long, total: Double,
+      last_event_id: Long, closed: Boolean)
+
+  /** TTL-evicted per-user state (EventTimeTimeout): a user silent for
+    * `ttl` of EVENT time past the watermark has its state REMOVED after
+    * emitting one final closed=true snapshot. This is what keeps
+    * flatMapGroupsWithState runnable forever at 100 TB: with NoTimeout
+    * (streamUserState above) the key space grows monotonically with every
+    * user ever seen; with the timeout, resident state tracks only the
+    * ACTIVE key set inside the watermark + ttl horizon, and the closed
+    * snapshot is the downstream signal that the accumulator is final. */
+  def updateUserTtl(ttlMs: Long)(userId: Long, events: Iterator[EventTs],
+      state: GroupState[UserState]): Iterator[UserClosable] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(UserClosable(userId, st.n, st.total, st.lastEventId,
+        closed = true))
+    } else {
+      var st = state.getOption.getOrElse(UserState(0L, 0.0, -1L))
+      var maxTs = Long.MinValue
+      var changed = false
+      events.foreach { e =>
+        st = UserState(st.n + 1, st.total + e.value,
+          math.max(st.lastEventId, e.event_id))
+        maxTs = math.max(maxTs, e.ts.getTime)
+        changed = true
+      }
+      if (changed) {
+        state.update(st)
+        // fires once the event-time watermark passes last activity + ttl
+        state.setTimeoutTimestamp(maxTs + ttlMs)
+        Iterator.single(UserClosable(userId, st.n, st.total, st.lastEventId,
+          closed = false))
+      } else Iterator.empty
+    }
+  }
+
+  /** File-source stream (one file per micro-batch, so the watermark
+    * advances between files) → TTL-evicted per-user state → memory sink. */
+  def streamUserStateTtl(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String, ttlMs: Long): StreamingQuery = {
+    import s.implicits._
+    val events: Dataset[EventTs] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .as[EventTs]
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateUserTtl(ttlMs))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source stream → per-user stateful accumulator → memory sink. */
   def streamUserState(s: SparkSession, dir: String, schema: StructType,
       sinkName: String): StreamingQuery = {

@@ -56,6 +56,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("EventTimeTimeout evicts silent users' state and emits closed snapshots") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ttlstate") + "/events"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // file 1: users 1 and 2 active in hour 0-1
+    Seq((1L, 1L, 1.0, ts(0)), (1L, 2L, 2.0, ts(1)), (2L, 3L, 5.0, ts(1)))
+      .toDF("user_id", "event_id", "value", "ts")
+      .write.mode("overwrite").parquet(dir)
+    // file 2 (a later micro-batch): user 3 at hour 10 pushes the watermark
+    // to ~09:50, far past users 1/2's last activity + 2h TTL
+    Seq((3L, 4L, 7.0, ts(10)))
+      .toDF("user_id", "event_id", "value", "ts")
+      .write.mode("append").parquet(dir)
+    val q = Stateful.streamUserStateTtl(spark, dir,
+      spark.read.parquet(dir).schema, "ttl_sink", ttlMs = 2L * 3600 * 1000)
+    q.awaitTermination(60000)
+    val rows = spark.table("ttl_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    // users 1 and 2 were evicted: exactly one closed snapshot each,
+    // carrying the full accumulated state
+    val closed = rows.filter(_._3).map(r => r._1 -> r._2).toMap
+    assert(closed == Map(1L -> 2L, 2L -> 1L),
+      s"expected users 1,2 closed with their event counts: ${rows.toSeq}")
+    // user 3 is still live inside the horizon: open snapshot only
+    assert(rows.exists(r => r._1 == 3L && !r._3))
+    assert(!rows.exists(r => r._1 == 3L && r._3))
+  }
+
   test("stream-static enrichment join matches the batch join (E4h)") {
     val dim = graft.Tables.events(spark, TestSpark.sf0001)
       .select(col("user_id")).distinct()
