@@ -106,19 +106,23 @@ object TrainingDataPipeline {
       },
       testFn = (s, _) => {
         val chunks = s.read.parquet(s"$outDir/chunks")
-        // greedy-by-running-sum bound: a pack holds at most budget - 1
-        // tokens before its last chunk starts, so pack_tokens can exceed
-        // the budget by at most one chunk's width
-        val worst = chunks.groupBy("source", "pack_id")
-          .agg(sum(col("n_tokens")).as("pack_tokens"))
-          .agg(max(col("pack_tokens"))).head().getLong(0)
-        val bound = TextOps.PackBudget + TextOps.ChunkTokens - 1
-        Seq(
-          if (chunks.count() > 0) SimpleTestResult.passing("chunks exist")
-          else SimpleTestResult.failing("chunks exist", "0 rows"),
-          if (worst <= bound) SimpleTestResult.passing("pack overflow bound")
-          else SimpleTestResult.failing("pack overflow bound",
-            s"max pack $worst > $bound"))
+        if (chunks.isEmpty)
+          // the bound is unevaluable over zero rows (max() is null):
+          // report the designed failure instead of tripping on the null
+          Seq(SimpleTestResult.failing("chunks exist", "0 rows"))
+        else {
+          // greedy-by-running-sum bound: a pack holds at most budget - 1
+          // tokens before its last chunk starts, so pack_tokens can exceed
+          // the budget by at most one chunk's width
+          val worst = chunks.groupBy("source", "pack_id")
+            .agg(sum(col("n_tokens")).as("pack_tokens"))
+            .agg(max(col("pack_tokens"))).head().getLong(0)
+          val bound = TextOps.PackBudget + TextOps.ChunkTokens - 1
+          Seq(SimpleTestResult.passing("chunks exist"),
+            if (worst <= bound) SimpleTestResult.passing("pack overflow bound")
+            else SimpleTestResult.failing("pack overflow bound",
+              s"max pack $worst > $bound"))
+        }
       })
 
     val publish = SimpleJob("publish_corpus", dependencies = Seq("featurize"),

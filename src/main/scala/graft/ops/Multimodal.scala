@@ -70,9 +70,10 @@ object Multimodal {
     * doubles as the mean normalized amplitude: mean |sample| / full-scale
     * over all frames and channels — the same [0,1] statistic RealCodec
     * computes for images, so both real codecs plug into the identical
-    * decode boundary and feature plumbing. Supports the PCM widths the
-    * JDK parses natively: 8-bit (unsigned, midpoint 128) and 16-bit
-    * (signed, format-declared endianness). */
+    * decode boundary and feature plumbing. Supports LINEAR PCM only:
+    * 8-bit signed (AIFF/AU) or unsigned (WAV, midpoint 128) and 16-bit
+    * signed (format-declared endianness); ULAW/ALAW and other encodings
+    * are rejected rather than mis-decoded with linear math. */
   object RealAudioCodec extends BlobCodec {
     def decode(bytes: Array[Byte]): DecodedMedia = {
       val in =
@@ -86,14 +87,23 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        require(bits == 8 || bits == 16, s"unsupported PCM width: $bits")
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        // linear PCM only: ULAW/ALAW (or anything else) must be rejected,
+        // not decoded with linear math
+        require(bits == 8 && (enc == PCM_SIGNED || enc == PCM_UNSIGNED) ||
+          bits == 16 && enc == PCM_SIGNED,
+          s"unsupported audio format: $bits-bit $enc")
         val data = in.readAllBytes()
         var sum = 0.0
         var n = 0
         if (bits == 8) {
+          val signed = enc == PCM_SIGNED // AIFF/AU; WAV 8-bit is unsigned
           var i = 0
           while (i < data.length) {
-            sum += math.abs((data(i) & 0xff) - 128) / 128.0; n += 1; i += 1
+            sum += (if (signed) math.abs(data(i).toInt)
+                    else math.abs((data(i) & 0xff) - 128)) / 128.0
+            n += 1; i += 1
           }
         } else {
           val bigEndian = fmt.isBigEndian

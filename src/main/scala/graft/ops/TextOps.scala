@@ -263,15 +263,6 @@ object TextOps {
   val ChunkTokens = 20
   val ChunkStride = 15
 
-  /** E3 — context-window chunking: split each document into overlapping
-    * token windows (ChunkTokens wide, ChunkStride apart; trailing window
-    * truncated) — the pre-tokenization stage that fits documents to a
-    * model's context length, with overlap so no boundary-spanning content
-    * is lost. Entirely SCAN-SIDE: the windows are row-local array slices
-    * (posexplode of a transform over the token array), so the operator
-    * adds zero shuffles at any corpus size — output ordering is the only
-    * exchange. Window count = 1 + max(0, ceil((n - w) / s)), so every doc
-    * gets at least one chunk and every token is covered. */
   /** Overlapping token windows of an arbitrary frame carrying (doc_id,
     * text) — the reusable core of e3Chunk, also run by the pipeline
     * example over its intermediate curated table. Columns named in `keep`
@@ -290,6 +281,15 @@ object TextOps {
         concat_ws(" ", col("col")).as("chunk"),
         asLong(size(col("col"))).as("n_tokens")): _*)
 
+  /** E3 — context-window chunking: split each document into overlapping
+    * token windows (ChunkTokens wide, ChunkStride apart; trailing window
+    * truncated) — the pre-tokenization stage that fits documents to a
+    * model's context length, with overlap so no boundary-spanning content
+    * is lost. Entirely SCAN-SIDE: the windows are row-local array slices
+    * (posexplode of a transform over the token array), so the operator
+    * adds zero shuffles at any corpus size — output ordering is the only
+    * exchange. Window count = 1 + max(0, ceil((n - w) / s)), so every doc
+    * gets at least one chunk and every token is covered. */
   def e3Chunk(s: SparkSession, d: String): DataFrame =
     chunked(documents(s, d)).orderBy("doc_id", "chunk_id")
 

@@ -119,7 +119,13 @@ final class AdminStore(val spark: SparkSession, val root: String) {
             // have won and written a valid lock we must not delete. An
             // unreadable file stays put (can't prove ownership).
             try out.close() catch { case _: java.io.IOException => () }
-            if (AdminStore.readRaw(fs, lockPath).exists(payload.startsWith(_)))
+            // non-empty prefix only: an EMPTY read-back could be another
+            // process's just-created, not-yet-written lock (the LocalFS
+            // race) — deleting it would orphan that process's verified
+            // hold. An empty file of our own is left for forceUnlock;
+            // losing that corner beats deleting a live writer's lock.
+            if (AdminStore.readRaw(fs, lockPath)
+                .exists(r => r.nonEmpty && payload.startsWith(r)))
               fs.delete(lockPath, false)
             throw e
         }
@@ -144,14 +150,21 @@ final class AdminStore(val spark: SparkSession, val root: String) {
           // the lock vanished between create and read-back (a concurrent
           // close()/forceUnlock released it): acquire again
           ()
-        case None =>
-          // present but unreadable (or repeatedly vanishing): an IO
-          // problem, not a foreign hold — don't claim "locked by another
-          // process" and don't delete what we can't prove we own
+        case None if fs.exists(lockPath) =>
+          // present but unreadable: an IO problem, not a foreign hold —
+          // don't claim "locked by another process" and don't delete what
+          // we can't prove we own
           throw new IllegalStateException(
             s"cannot confirm _LOCK ownership for admin root '$root': the " +
               s"lock file cannot be read back. Resolve the I/O issue (or " +
               s"remove a corrupt lock with AdminStore.forceUnlock).")
+        case None =>
+          // vanished on every attempt: rapid acquire/release churn by
+          // other processes, not an IO fault and not a file to forceUnlock
+          throw new IllegalStateException(
+            s"could not acquire _LOCK for admin root '$root': the lock " +
+              s"file kept vanishing between create and read-back — another " +
+              s"process is rapidly acquiring and releasing this root.")
       }
     }
   }

@@ -37,6 +37,8 @@ object Stateful {
 
   final case class EventTs(user_id: Long, event_id: Long, value: Double,
       ts: java.sql.Timestamp)
+  final case class UserTtlState(n: Long, total: Double, lastEventId: Long,
+      lastActivityMs: Long)
   final case class UserClosable(user_id: Long, n: Long, total: Double,
       last_event_id: Long, closed: Boolean)
 
@@ -49,26 +51,30 @@ object Stateful {
     * ACTIVE key set inside the watermark + ttl horizon, and the closed
     * snapshot is the downstream signal that the accumulator is final. */
   def updateUserTtl(ttlMs: Long)(userId: Long, events: Iterator[EventTs],
-      state: GroupState[UserState]): Iterator[UserClosable] = {
+      state: GroupState[UserTtlState]): Iterator[UserClosable] = {
     if (state.hasTimedOut) {
       val st = state.get
       state.remove()
       Iterator.single(UserClosable(userId, st.n, st.total, st.lastEventId,
         closed = true))
     } else {
-      var st = state.getOption.getOrElse(UserState(0L, 0.0, -1L))
-      var maxTs = Long.MinValue
+      var st = state.getOption.getOrElse(UserTtlState(0L, 0.0, -1L, Long.MinValue))
       var changed = false
       events.foreach { e =>
-        st = UserState(st.n + 1, st.total + e.value,
-          math.max(st.lastEventId, e.event_id))
-        maxTs = math.max(maxTs, e.ts.getTime)
+        st = UserTtlState(st.n + 1, st.total + e.value,
+          math.max(st.lastEventId, e.event_id),
+          // keep the MAX activity time ever seen: a late but
+          // still-admitted out-of-order event must not REWIND the
+          // eviction deadline below last-activity + ttl (that would
+          // evict early and split the accumulator across a second,
+          // post-close state)
+          math.max(st.lastActivityMs, e.ts.getTime))
         changed = true
       }
       if (changed) {
         state.update(st)
         // fires once the event-time watermark passes last activity + ttl
-        state.setTimeoutTimestamp(maxTs + ttlMs)
+        state.setTimeoutTimestamp(st.lastActivityMs + ttlMs)
         Iterator.single(UserClosable(userId, st.n, st.total, st.lastEventId,
           closed = false))
       } else Iterator.empty
