@@ -64,11 +64,23 @@ class StreamingSpec extends AnyFunSuite {
     Seq((1L, 1L, 1.0, ts(0)), (1L, 2L, 2.0, ts(1)), (2L, 3L, 5.0, ts(1)))
       .toDF("user_id", "event_id", "value", "ts")
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders files by (modification time, path): stamp
+    // the writes so file 1 ALWAYS forms the first micro-batch — same-ms
+    // mtimes could otherwise process hour-10 first, advance the watermark,
+    // and drop users 1/2 as late instead of evicting them
+    def stampParquet(t: Long, except: Set[String]): Set[String] = {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+      (parts -- except).foreach(p => new java.io.File(p).setLastModified(t))
+      parts
+    }
+    val firstFiles = stampParquet(1000000L, Set.empty)
     // file 2 (a later micro-batch): user 3 at hour 10 pushes the watermark
     // to ~09:50, far past users 1/2's last activity + 2h TTL
     Seq((3L, 4L, 7.0, ts(10)))
       .toDF("user_id", "event_id", "value", "ts")
       .write.mode("append").parquet(dir)
+    stampParquet(2000000L, firstFiles)
     val q = Stateful.streamUserStateTtl(spark, dir,
       spark.read.parquet(dir).schema, "ttl_sink", ttlMs = 2L * 3600 * 1000)
     q.awaitTermination(60000)
