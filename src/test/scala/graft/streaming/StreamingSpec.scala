@@ -83,7 +83,10 @@ class StreamingSpec extends AnyFunSuite {
     stampParquet(2000000L, firstFiles)
     val q = Stateful.streamUserStateTtl(spark, dir,
       spark.read.parquet(dir).schema, "ttl_sink", ttlMs = 2L * 3600 * 1000)
-    q.awaitTermination(60000)
+    // distinguish a slow-machine timeout (incomplete sink) from a real
+    // eviction bug: a timed-out stream must fail HERE, not down in the
+    // snapshot assertions
+    assert(q.awaitTermination(180000), "TTL stream did not finish in 180s")
     val rows = spark.table("ttl_sink")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
     // users 1 and 2 were evicted: exactly one closed snapshot each,
