@@ -27,6 +27,21 @@ class OpsSpec extends AnyFunSuite {
       s"approx_count_distinct did not partial-aggregate:\n$plan")
   }
 
+  test("e3_pack: the pack aggregate reuses the window's source partitioning") {
+    val df = TextOps.e3Pack(spark, TestSpark.sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one hash exchange (the window's shuffle on source) serves BOTH the
+    // running-sum window and the (source, pack_id) aggregate — source
+    // partitioning co-locates every finer (source, pack_id) group, so a
+    // second exchange would be pure waste at scale. The final orderBy's
+    // range exchange is the only other allowed shuffle.
+    val hashEx = "hashpartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (window + agg co-partitioned), got $hashEx:\n$plan")
+  }
+
   test("e3_chunk covers every token at window-boundary sizes") {
     // sizes straddling the window/stride boundaries: 1 token, exactly one
     // window (20), one past it (21), exactly two strides (35), one past
