@@ -60,10 +60,13 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = TestSpark.tmpDir("ttlstate") + "/events"
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
-    // file 1: users 1 and 2 active in hour 0-1
+    // file 1: users 1 and 2 active in hour 0-1. coalesce(1) everywhere:
+    // one part file per logical batch — a multi-part write would be split
+    // by maxFilesPerTrigger=1 into separate micro-batches whose relative
+    // order vs later files is what the mtime stamps control
     Seq((1L, 1L, 1.0, ts(0)), (1L, 2L, 2.0, ts(1)), (2L, 3L, 5.0, ts(1)))
       .toDF("user_id", "event_id", "value", "ts")
-      .write.mode("overwrite").parquet(dir)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
     // FileStreamSource orders files by (modification time, path): stamp
     // the writes so file 1 ALWAYS forms the first micro-batch — same-ms
     // mtimes could otherwise process hour-10 first, advance the watermark,
@@ -79,8 +82,19 @@ class StreamingSpec extends AnyFunSuite {
     // to ~09:50, far past users 1/2's last activity + 2h TTL
     Seq((3L, 4L, 7.0, ts(10)))
       .toDF("user_id", "event_id", "value", "ts")
-      .write.mode("append").parquet(dir)
-    stampParquet(2000000L, firstFiles)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val secondFiles = stampParquet(2000000L, firstFiles)
+    // file 3: timeouts fire at the START of a batch against the watermark
+    // set by the PREVIOUS one, so the eviction of users 1/2 needs a batch
+    // AFTER file 2 — relying on AvailableNow's optional trailing no-data
+    // batch is a race (observed flaky under suite load). A third DATA
+    // batch guarantees it, and its hour-10 event leaves the watermark at
+    // 09:50, still short of user 3's 12:00 deadline — user 3 can never
+    // close no matter how many further batches run.
+    Seq((3L, 5L, 1.0, ts(10)))
+      .toDF("user_id", "event_id", "value", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    stampParquet(3000000L, firstFiles ++ secondFiles)
     val q = Stateful.streamUserStateTtl(spark, dir,
       spark.read.parquet(dir).schema, "ttl_sink", ttlMs = 2L * 3600 * 1000)
     // distinguish a slow-machine timeout (incomplete sink) from a real
