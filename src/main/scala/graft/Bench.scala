@@ -35,12 +35,17 @@ object Bench {
       }.sorted
       name -> times(Reps / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One JSON line, summary fields LAST and per-query entries sorted by
+    // ASCENDING time: the artifact viewer tails the output, so if the line
+    // is truncated it loses the FRONT — i.e. the cheapest queries, which
+    // carry the least cross-round signal — while the expensive queries and
+    // the totals survive. Times are rounded to 1 ms (measurement noise is
+    // ±20-30%, so sub-ms digits are pure line length); key order and
+    // trailing digits are free to a JSON parser.
+    val qs = results.sortBy { case (n, t) => (t, n) }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // One JSON line, with the summary fields LAST: the artifact viewer
-    // tails the output, so a long queries map printed after the totals
-    // would push them out of view — key order is free to a JSON parser.
     println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

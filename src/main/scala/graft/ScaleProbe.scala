@@ -77,7 +77,7 @@ object ScaleProbe {
       "e2_ann_lsh", "e2_ann_ivf", "e2_cosine_topk",
       "e4c_sessions", "e4f_funnel", "e6_sample_ids",
       "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
-      "e4g_cohort")
+      "e4g_cohort", "e5_image_neardup")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -86,17 +86,34 @@ object ScaleProbe {
       if (args.lift(1).contains("linear") || n >= 100)
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk"))
       else full
-    probes.foreach { q =>
-      // min-of-2: the first execution of a query in a session pays plan
-      // compilation + codegen + scan warmup, which at large N can dwarf
-      // the steady-state time (a first-query 10× cell once read 5× its
-      // true cost). The minimum of two runs is the growth-comparable one.
+    // min-of-2: the first execution of a query in a session pays plan
+    // compilation + codegen + scan warmup, which at large N can dwarf
+    // the steady-state time (a first-query 10× cell once read 5× its
+    // true cost). The minimum of two runs is the growth-comparable one.
+    def timeQuery(q: String, dir: String, label: String): Unit = {
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(q)(spark, out).count()
+        val rows = SparkEntry.queries(q)(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      println(f"$q%-22s ${times.map(_._1).min}%8.2f s   ${times.head._2}%10d rows")
+      println(f"$label%-28s ${times.map(_._1).min}%8.2f s   ${times.head._2}%10d rows")
+    }
+    probes.foreach(q => timeQuery(q, out, q))
+
+    // "skew" as any arg: the e3_pack parallelism probe. Replicate the
+    // corpus with 90% of documents collapsed onto ONE source — the shape
+    // that breaks single-level per-source packing (one source's whole
+    // chunk stream through one task's window sort). With the two-level
+    // (source, doc_id-hash shard) window, wall-clock is bounded by the
+    // PackShards × |sources| task grid, so the skewed cell should read
+    // ≈ the uniform cell above, not |sources|/1 × slower.
+    if (args.contains("skew")) {
+      val skewOut = s"$out-skew"
+      spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("source",
+          when(col("doc_id") % 10 < 9, lit("src_hot")).otherwise(col("source")))
+        .write.mode("overwrite").parquet(s"$skewOut/documents.parquet")
+      timeQuery("e3_pack", skewOut, "e3_pack[90%-one-source]")
     }
     spark.stop()
   }

@@ -226,13 +226,139 @@ object Multimodal {
       .orderBy("doc_id", "band")
   }
 
+  final case class BandVector(doc_id: Long, vec: Array[Double])
+
+  /** The 8-band features of e5BandFeatures assembled as one array<double>
+    * vector per document (identical per-band arithmetic and 4dp rounding,
+    * so the oracle rebuilds the same vectors from the per-band SQL). */
+  private def bandVectors(s: SparkSession, d: String): Dataset[BandVector] = {
+    import s.implicits._
+    withBlobs(s, d).mapPartitions { rows =>
+      rows.map { r =>
+        val cps = new String(r.blob, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        val v = Array.tabulate(8) { b =>
+          var sum = 0L; var n = 0; var i = b
+          while (i < cps.length) { sum += cps(i); n += 1; i += 8 }
+          if (n == 0) 0.0
+          else math.floor(sum.toDouble / n / 255.0 * 10000 + 0.5) / 10000
+        }
+        BandVector(r.doc_id, v)
+      }
+    }
+  }
+
+  /** Rounded-4dp cosine threshold above which two media items count as
+    * near-duplicates — interpolated into BOTH engines. Tuned on the
+    * fixture sim distribution: 8-dim band-mean vectors of text blobs are
+    * strongly concentrated (most in-cell pairs exceed 0.999), and 0.9999
+    * keeps ~1% of candidate pairs — the genuinely near-identical band
+    * profiles — rather than half the cell. */
+  val NeardupSimThreshold = 0.9999
+
+  /** Corpus row count memo (IVF grid sizing), as in Similarity.countOnce:
+    * one count per (session, corpus), never re-run on query construction. */
+  private val docCount =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  /** E5 — near-duplicate media detection: the multimodal analogue of the
+    * e1 dedup family, run over the e5 feature VECTORS through the same IVF
+    * index shape as e2_ann_ivf (the blob → features → ANN bridge a real
+    * multimodal pipeline runs — with a model embedding in place of the
+    * band features, the plan is unchanged). ceil(√n) coarse cells seeded
+    * by smallest splitmix64(doc_id), every vector assigned to its nearest
+    * cell via ONE broadcast join, then candidate pairs are generated
+    * within cells only (equi-join on cell id — never all-pairs) and kept
+    * when rounded cosine ≥ NeardupSimThreshold. Recall is the standard
+    * IVF trade (cross-cell near-dups are missed; raise nProbe to trade
+    * cost for recall); identical payloads always share a cell and are
+    * always found. Oracle-exact: band values and sims are rounded 4dp,
+    * the threshold compares rounded values, and the seed/assignment
+    * arithmetic is the engine-portable splitmix64 + cosine the e2 oracles
+    * already replicate. */
+  def e5ImageNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = bandVectors(s, d).toDF()
+      .withColumn("nrm", expr("sqrt(aggregate(vec, 0.0D, (a, x) -> a + x * x))"))
+      .filter(col("nrm") > 0)
+    val nCells = Similarity.ivfCells(
+      docCount.computeIfAbsent((s, d),
+        _ => java.lang.Long.valueOf(documents(s, d).count())).longValue())
+    val seeds = v
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id")), col("doc_id"))
+      .limit(nCells)
+      .select(col("doc_id").as("cell"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c_sim").desc, col("cell"))
+    val assigned = v.join(broadcast(seeds))
+      .withColumn("c_sim",
+        expr("aggregate(zip_with(vec, cvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("nrm") * col("cnrm")))
+      .withColumn("c_rn", row_number().over(assignW))
+      .filter(col("c_rn") === 1)
+      .select(col("doc_id"), col("vec"), col("nrm"), col("cell"))
+    val right = assigned.select(col("doc_id").as("dup_id"),
+      col("vec").as("bvec"), col("nrm").as("bnrm"), col("cell"))
+    assigned.join(right, Seq("cell"))
+      .filter(col("doc_id") < col("dup_id"))
+      .withColumn("sim", round(
+        expr("aggregate(zip_with(vec, bvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("nrm") * col("bnrm")), 4))
+      .filter(col("sim") >= NeardupSimThreshold)
+      .select(col("doc_id"), col("dup_id"), col("sim"))
+      .orderBy("doc_id", "dup_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
     "e5_band_features" -> (e5BandFeatures _),
+    "e5_image_neardup" -> (e5ImageNeardup _),
   )
 
+  /** DuckDB replica of the neardup path: the e5_band_features per-band
+    * arithmetic assembled into 8-dim vectors, then the same IVF
+    * seed/assign/in-cell-pair search the e2 oracles replicate (splitmix64
+    * seed order, cosine assignment with ties to the lower cell, rounded
+    * sims, threshold on the ROUNDED value). */
+  private val imageNeardupOracle: String = {
+    import OracleSql._
+    s"""WITH bf AS (SELECT doc_id, CAST(b.range AS INT) AS band,
+       |  CASE WHEN length(text) > b.range THEN
+       |    round(list_reduce(list_transform(
+       |        range(0, (length(text) - 1 - CAST(b.range AS INT)) // 8 + 1),
+       |        k -> CAST(unicode(substring(text,
+       |          CAST(b.range + 1 + k * 8 AS INT), 1)) AS BIGINT)),
+       |      (a, x) -> a + x)
+       |      / CAST((length(text) - 1 - CAST(b.range AS INT)) // 8 + 1 AS DOUBLE)
+       |      / 255.0, 4)
+       |  ELSE 0.0 END AS value
+       |  FROM documents, range(0, 8) b),
+       |vec0 AS (SELECT doc_id, list(value ORDER BY band) AS v FROM bf
+       |  GROUP BY doc_id),
+       |vv AS (SELECT doc_id, v FROM vec0
+       |  WHERE sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) > 0),
+       |mx_in AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM vv),
+       |${mixCtes("mx", "h0", "h1", Seq("doc_id"))},
+       |mxs AS (SELECT doc_id, ${toSigned("h1")} AS m FROM mx),
+       |seeds AS (SELECT vv.doc_id AS cell, vv.v AS cv
+       |  FROM vv JOIN mxs ON vv.doc_id = mxs.doc_id
+       |  ORDER BY mxs.m, vv.doc_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM documents)),
+       |ranked AS (SELECT vv.doc_id, vv.v, s.cell,
+       |  row_number() OVER (PARTITION BY vv.doc_id
+       |    ORDER BY list_cosine_similarity(vv.v, s.cv) DESC, s.cell) AS crn
+       |  FROM vv, seeds s),
+       |asg AS (SELECT doc_id, v, cell FROM ranked WHERE crn = 1)
+       |SELECT doc_id, dup_id, sim FROM (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_id,
+       |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.doc_id < b.doc_id)
+       |WHERE sim >= $NeardupSimThreshold ORDER BY doc_id, dup_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e5_image_neardup" -> imageNeardupOracle,
     // the fake decode is pure byte arithmetic → DuckDB recomputes it exactly
     "e5_blob_features" ->
       // n_bytes/n_frames measure BYTES (strlen); mean_pixel averages code

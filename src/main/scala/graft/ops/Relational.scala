@@ -732,22 +732,27 @@ object Relational {
   }
 
   /** Q42 — sketch-based distinct counting: approx_count_distinct (HLL++,
-    * 2% target rsd) next to the exact countDistinct, with the relative
-    * error surfaced per group. At 100 TB the sketch is the only practical
-    * distinct-count: it partial-aggregates to a FIXED-SIZE sketch map-side
-    * (constant shuffle bytes per partition regardless of key cardinality)
-    * where exact distinct must move every distinct value through the
-    * exchange. No DuckDB oracle — the HLL hashing is engine-specific — so
-    * this is a rows-only correctness entry; the accuracy contract is
-    * pinned by a ScalaTest assertion (rel_err ≤ 5%) instead. */
+    * 2% target rsd) next to the exact countDistinct. At 100 TB the sketch
+    * is the only practical distinct-count: it partial-aggregates to a
+    * FIXED-SIZE sketch map-side (constant shuffle bytes per partition
+    * regardless of key cardinality) where exact distinct must move every
+    * distinct value through the exchange. The raw sketch estimate is
+    * engine-specific hashing, so the DRIVER-CHECKABLE output carries the
+    * accuracy CONTRACT instead of the estimate: `err_ok` = the engine's
+    * own sketch landed within 5% of exact — DuckDB's
+    * approx_count_distinct satisfies the same bound on its side, so rows,
+    * schema, and hash match end-to-end while each engine is judged
+    * against its own sketch. The plan property (map-side partial sketch)
+    * and the numeric 5% bound on the raw estimate stay pinned in
+    * ScalaTest (OpsSpec). */
   def q42ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-      .withColumn("rel_err",
-        round(abs(col("approx_orders") - col("exact_orders")) /
-          col("exact_orders"), 4))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("err_ok"))
       .orderBy("l_returnflag")
 
   /** All declared queries keyed by the SparkEntry / oracle name. */
@@ -807,6 +812,14 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q42_approx_distinct" ->
+      // each engine's own HLL sketch, judged against its own exact count:
+      // the ≤5% contract is engine-portable even though the estimates
+      // themselves are not
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |  <= count(DISTINCT l_orderkey) * 0.05 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q40_skew_agg" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY 1 ORDER BY event_type""".stripMargin,

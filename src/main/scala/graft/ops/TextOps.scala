@@ -233,16 +233,21 @@ object TextOps {
     * model trained ON the corpus here so the operator is self-contained.
     * Exactness: integer trigram counts, integer sums, ONE final division
     * rounded at 4dp — no ln(), whose libm variance would break the oracle.
-    * Plan: trigram explode → (lang, g) count (map-side combined,
-    * vocabulary-bounded: |langs|×|alphabet|³ keys at ANY corpus size) →
-    * join back on (lang, g) — AQE-gated, not forced-broadcast, same
-    * treatment as the tfidf df table — → per-doc sum (map-side combined).
-    * Docs shorter than one trigram have no score row (both engines drop
-    * them identically). */
+    * Plan: trigram explode — MATERIALIZED ONCE (localCheckpoint, like the
+    * dedup shingle table): the train pass (model aggregate) and the score
+    * pass (join back) both consume the same exploded table, and without
+    * materialization each pass re-scans documents and re-explodes the
+    * corpus — two full Generate passes instead of one. Then (lang, g)
+    * count (map-side combined, vocabulary-bounded: |langs|×|alphabet|³
+    * keys at ANY corpus size) → join back on (lang, g) — AQE-gated, not
+    * forced-broadcast, same treatment as the tfidf df table — → per-doc
+    * sum (map-side combined). Docs shorter than one trigram have no score
+    * row (both engines drop them identically). */
   def e3LmScore(s: SparkSession, d: String): DataFrame = {
     val tri = documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.Ngrams.charNgrams(lower(col("text")), 3)).as("g"))
+      .localCheckpoint(false)
     val model = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
     val tot = model.groupBy("lang").agg(sum(col("c")).as("tot"))
     tri.join(model, Seq("lang", "g"))
@@ -296,36 +301,70 @@ object TextOps {
   /** Token budget per pack for e3Pack — interpolated into BOTH engines. */
   val PackBudget = 256
 
+  /** Shard count for e3Pack's two-level packing: the degree of parallelism
+    * per SOURCE, sized to the cluster (local[32] here; a real deployment
+    * sets it ≈ executor cores so one source can occupy the whole cluster).
+    * Interpolated into BOTH engines. */
+  val PackShards = 32
+
+  /** Purpose salt for the shard hash — independent of the sampling salts
+    * (Sampling.scala), positive so the xor stays below 2^63 and the
+    * oracle's unsigned HUGEINT carry matches Spark exactly. */
+  val PackShardSalt = 0x2e65f3a8d94b1c07L
+
+  /** Pack-id stride per shard: local pack ids are offset by
+    * shard * 2^40, making pack_id globally unique within a source as long
+    * as one shard stays under 2^40 packs (≈ 2.8e14 tokens per (source,
+    * shard) at budget 256 — beyond any real corpus slice). Interpolated
+    * into BOTH engines. */
+  val PackIdStride = 1L << 40
+
   /** E3 — sequence packing: assign the chunk stream to fixed-token-budget
     * packs (the pre-training batching step between chunking and the data
-    * loader). Greedy-by-running-sum approximation, fully distributed: the
-    * chunks of each source are ordered by (doc_id, chunk_id), the running
-    * token sum is one window pass, and pack_id = (cum - n_tokens) /
-    * budget — a chunk straddling a boundary joins the pack it started in,
-    * so packs can overflow by at most one chunk (the standard greedy
-    * trade; exact bin packing is NP-hard and inherently sequential).
-    * Plan: chunk-SIZE explode (deliberately not `chunked` — only the
-    * integer sizes enter the window shuffle, never the chunk strings) →
-    * ONE shuffle on source for the ordered window → integer arithmetic;
-    * per-pack sizes aggregate from the same partitioning without a second
-    * exchange. Integer cumsum and division keep the DuckDB oracle
+    * loader). Greedy-by-running-sum approximation, fully distributed and
+    * TWO-LEVEL: chunks pack within (source, shard), where shard =
+    * splitmix64(doc_id ^ salt) mod PackShards — a pure function of the
+    * doc id, so the assignment is deterministic, engine-portable, and
+    * crucially makes the degree of parallelism PackShards × |sources|
+    * instead of |sources| (single-level packing runs each source's entire
+    * chunk stream through ONE task's window sort — with a handful of
+    * sources at 100 TB that is an unbounded single-task linear pass).
+    * Budget boundaries reset at shard edges (each shard packs its own
+    * ordered run), which is exactly the greedy trade already accepted at
+    * doc boundaries; local pack ids are offset by shard * PackIdStride so
+    * they stay unique per source. Within a shard, chunks are ordered by
+    * (doc_id, chunk_id), the running token sum is one window pass, and
+    * local pack = (cum - n_tokens) / budget — a chunk straddling a
+    * boundary joins the pack it started in, so packs can overflow by at
+    * most one chunk (exact bin packing is NP-hard and inherently
+    * sequential). Plan: chunk-SIZE explode (deliberately not `chunked` —
+    * only integer sizes enter the window shuffle, never the chunk
+    * strings) → ONE shuffle on (source, shard) for the ordered window →
+    * integer arithmetic; the (source, shard, pack_id) aggregate reuses
+    * the same partitioning without a second exchange (plan-asserted in
+    * OpsSpec). Integer cumsum and division keep the DuckDB oracle
     * exact. */
   def e3Pack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id", "chunk_id")
     documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("source"), posexplode(expr(
+      .withColumn("shard", pmod(
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("doc_id").bitwiseXOR(lit(PackShardSalt)))
+          .bitwiseAND(lit(Long.MaxValue)), lit(PackShards.toLong)))
+      .select(col("doc_id"), col("source"), col("shard"), posexplode(expr(
         s"""transform(
            |  sequence(0, greatest(0,
            |    cast(ceil((size(toks) - $ChunkTokens) / ${ChunkStride}.0) as int))),
            |  i -> size(slice(toks, i * $ChunkStride + 1, $ChunkTokens)))""".stripMargin)))
-      .select(col("doc_id"), col("source"), asLong(col("pos")).as("chunk_id"),
-        asLong(col("col")).as("n_tokens"))
+      .select(col("doc_id"), col("source"), col("shard"),
+        asLong(col("pos")).as("chunk_id"), asLong(col("col")).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // integer division on BOTH engines (Spark `div`, DuckDB `//`) — a
       // double-divide-then-cast would round on DuckDB but truncate here
-      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
-      .groupBy("source", "pack_id")
+      .withColumn("pack_id",
+        col("shard") * PackIdStride + expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy("source", "shard", "pack_id")
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
       .orderBy("source", "pack_id")
   }
@@ -367,22 +406,28 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "e3_pack" ->
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      s"""WITH mx_in AS (SELECT doc_id, source, text,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$PackShardSalt' AS HUGEINT)) AS h0
          |  FROM documents),
-         |w AS (SELECT doc_id, source, toks, unnest(range(0, 1 + greatest(0,
+         |${OracleSql.mixCtes("mx", "h0", "h1", Seq("doc_id", "source", "text"))},
+         |t AS (SELECT doc_id, source,
+         |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $PackShards AS BIGINT) AS shard,
+         |  string_split(text, ' ') AS toks FROM mx),
+         |w AS (SELECT doc_id, source, shard, toks, unnest(range(0, 1 + greatest(0,
          |  CAST(ceil((len(toks) - $ChunkTokens) / ${ChunkStride}.0) AS INT)))) AS i
          |  FROM t),
-         |c AS (SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
+         |c AS (SELECT doc_id, source, shard, CAST(i AS BIGINT) AS chunk_id,
          |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
          |    i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens FROM w),
-         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
          |    ORDER BY doc_id, chunk_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
-         |SELECT source,
-         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+         |SELECT source, shard,
+         |  CAST(shard * $PackIdStride + (cum - n_tokens) // $PackBudget AS BIGINT)
+         |    AS pack_id,
          |  count(*) AS n_chunks,
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-         |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+         |FROM r GROUP BY source, shard, pack_id ORDER BY source, pack_id""".stripMargin,
     "e3_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0,

@@ -136,7 +136,12 @@ final class AdminStore(val spark: SparkSession, val root: String) {
         case _: java.nio.file.FileAlreadyExistsException        => ()
       }
       // Verify-after-create: trust only what the lock file actually holds.
-      AdminStore.readLock(fs, lockPath) match {
+      // ONE existence snapshot for the None branches: probing twice could
+      // see the lock vanish between the two guards and fall through to the
+      // terminal "kept vanishing" error on the very first attempt.
+      val holderRead = AdminStore.readLock(fs, lockPath)
+      val lockPresent = holderRead.isEmpty && fs.exists(lockPath)
+      holderRead match {
         case Some(holder) if holder.token == AdminStore.processToken =>
           AdminStore.heldRoots.add(rootKey)
         case Some(holder) =>
@@ -146,11 +151,11 @@ final class AdminStore(val spark: SparkSession, val root: String) {
               s"store is single-writer per process; close the other store, " +
               s"or if that process crashed, reclaim with " +
               s"AdminStore.forceUnlock.")
-        case None if !fs.exists(lockPath) && attempt < 3 =>
+        case None if !lockPresent && attempt < 3 =>
           // the lock vanished between create and read-back (a concurrent
           // close()/forceUnlock released it): acquire again
           ()
-        case None if fs.exists(lockPath) =>
+        case None if lockPresent =>
           // present but unreadable: an IO problem, not a foreign hold —
           // don't claim "locked by another process" and don't delete what
           // we can't prove we own
@@ -170,9 +175,17 @@ final class AdminStore(val spark: SparkSession, val root: String) {
   }
 
   /** Release this process's writer lock on the root (no-op if not held).
-    * Later writes from still-live instances simply re-acquire. */
+    * Later writes from still-live instances simply re-acquire. Deletes the
+    * file only if it provably still holds THIS process's token — if an
+    * operator ran forceUnlock and another writer acquired in between, a
+    * blind delete would destroy the new writer's live lock and silently
+    * re-open the two-writer window (the same provable-ownership discipline
+    * as the ensureWriterLock partial-write cleanup). */
   private def releaseWriterLock(): Unit =
-    if (AdminStore.heldRoots.remove(rootKey)) fs.delete(lockPath, false)
+    if (AdminStore.heldRoots.remove(rootKey) &&
+        AdminStore.readLock(fs, lockPath)
+          .exists(_.token == AdminStore.processToken))
+      fs.delete(lockPath, false)
 
   def close(): Unit = ioLock.synchronized { releaseWriterLock() }
 

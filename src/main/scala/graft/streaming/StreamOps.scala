@@ -226,15 +226,37 @@ object StreamOps {
     * fingerprints per horizon, not corpus size. This is how a 100 TB
     * pipeline actually ingests: the batch dedup passes (e1_*) then run
     * over what this stage admitted. */
-  def streamFingerprintDedup(s: SparkSession, dir: String, schema: StructType,
-      sinkName: String): StreamingQuery =
+  /** The E4i transform (fingerprint + watermark-bounded dedup state),
+    * shared by the memory-sink test form and the checkpointed file-sink
+    * production form. */
+  private def fingerprintDeduped(s: SparkSession, dir: String,
+      schema: StructType): DataFrame =
     s.readStream.schema(schema).parquet(dir)
       .withColumn("ingest_ts", col("ingest_ts").cast("timestamp"))
       .withWatermark("ingest_ts", "10 minutes")
       .withColumn("fp", graft.ops.Dedup.contentFingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("fp"), col("doc_id"), col("source"))
+
+  def streamFingerprintDedup(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery =
+    fingerprintDeduped(s, dir, schema)
       .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
+  /** E4i in its production shape: parquet sink + checkpoint. The
+    * checkpoint persists source offsets, the watermark, AND the dedup
+    * state store, so a stopped/killed ingest restarted with the same
+    * (source, sink, checkpoint) triple resumes exactly-once: already-
+    * committed files are not re-emitted, and a document whose fingerprint
+    * was admitted BEFORE the stop is still recognized as a duplicate
+    * after the restart — the recovery property a 100 TB ingest leans on
+    * (exercised in StreamingSpec). */
+  def streamFingerprintDedupToFiles(s: SparkSession, dir: String,
+      schema: StructType, outDir: String, checkpointDir: String): StreamingQuery =
+    fingerprintDeduped(s, dir, schema)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

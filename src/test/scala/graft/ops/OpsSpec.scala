@@ -12,13 +12,24 @@ class OpsSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("q42: HLL approx distinct stays within 5% of exact, sketch partial-aggregates") {
+    // the declared query folds the bound into err_ok (so the DuckDB oracle
+    // can check it end-to-end); the NUMERIC bound on the raw estimate is
+    // pinned here against the same aggregates
+    val raw = graft.Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val err = math.abs(r.getAs[Long]("approx") - r.getAs[Long]("exact")).toDouble /
+        r.getAs[Long]("exact")
+      assert(err <= 0.05, s"HLL error $err exceeds 5% for ${r.get(0)}")
+    }
     val df = Relational.q42ApproxDistinct(spark, TestSpark.sf001)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val err = r.getAs[Double]("rel_err")
-      assert(err <= 0.05, s"HLL error $err exceeds 5% for ${r.get(0)}")
-    }
+    rows.foreach(r => assert(r.getAs[Boolean]("err_ok"), s"err_ok false for ${r.get(0)}"))
     // the sketch must partial-aggregate map-side (fixed-size sketch per
     // partition through the exchange — the property that makes it the
     // 100 TB distinct-count)
@@ -27,19 +38,26 @@ class OpsSpec extends AnyFunSuite {
       s"approx_count_distinct did not partial-aggregate:\n$plan")
   }
 
-  test("e3_pack: the pack aggregate reuses the window's source partitioning") {
+  test("e3_pack: one (source, shard) hash exchange serves both window and aggregate") {
     val df = TextOps.e3Pack(spark, TestSpark.sf001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // one hash exchange (the window's shuffle on source) serves BOTH the
-    // running-sum window and the (source, pack_id) aggregate — source
-    // partitioning co-locates every finer (source, pack_id) group, so a
-    // second exchange would be pure waste at scale. The final orderBy's
-    // range exchange is the only other allowed shuffle.
+    // one hash exchange (the window's shuffle on (source, shard)) serves
+    // BOTH the running-sum window and the (source, shard, pack_id)
+    // aggregate — the coarser partitioning co-locates every finer group,
+    // so a second exchange would be pure waste at scale. The final
+    // orderBy's range exchange is the only other allowed shuffle.
     val hashEx = "hashpartitioning".r.findAllIn(plan.toLowerCase).length
     assert(hashEx == 1,
       s"expected exactly 1 hash exchange (window + agg co-partitioned), got $hashEx:\n$plan")
+    // and the exchange keys must include the doc_id-hash shard — the
+    // thing that makes parallelism PackShards × |sources| instead of
+    // |sources| (a one-source 100 TB corpus would otherwise pack through
+    // a single task's sort)
+    val exLine = plan.linesIterator.find(_.toLowerCase.contains("hashpartitioning"))
+    assert(exLine.exists(l => l.contains("source") && l.contains("shard")),
+      s"window exchange keys lost the shard: ${exLine.getOrElse("<none>")}")
   }
 
   test("e3_chunk covers every token at window-boundary sizes") {

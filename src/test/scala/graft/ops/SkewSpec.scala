@@ -37,6 +37,28 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltsFor sizes the salt count to the cluster and stays correct at that size") {
+    // local[32] → defaultParallelism 32: the derived count must track the
+    // actual core count (the property that spreads one hot key over the
+    // whole cluster), with the floor at 2
+    val n = Skew.saltsFor(spark)
+    assert(n == math.max(2, spark.sparkContext.defaultParallelism))
+    assert(n >= 2)
+    // and both utilities stay exact at the derived (non-default) size —
+    // 32 here, vs the 8/16 the declared queries pin
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = (1 to 200).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val plainJ = big.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    assert(Skew.saltedJoin(big, small, "k", n).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet == plainJ)
+    val plainC = big.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Skew.saltedCount(big, "k", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == plainC)
+  }
+
   test("q40: the declared salted aggregation keeps the two-Aggregate salted shape") {
     val df = Relational.q40SkewAgg(spark, TestSpark.sf001)
     val plan = df.queryExecution.optimizedPlan.toString

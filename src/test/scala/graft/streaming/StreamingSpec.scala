@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming tumbling agg matches the batch window() result (E4a/E4b)") {
     val q = StreamOps.streamTumbling(spark, stagedDir, schema, "tumbling_sink")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "tumbling stream did not finish in 60s")
     // update-mode sink may hold one cumulative row per micro-batch per
     // window; counts only grow, so max(n) is the final value
     val streamed = spark.table("tumbling_sink")
@@ -41,7 +41,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState accumulates per-user state (custom state op)") {
     val q = Stateful.streamUserState(spark, stagedDir, schema, "state_sink")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "user-state stream did not finish in 60s")
     // final snapshot per user must equal the batch aggregate
     val got = spark.table("state_sink")
       .groupBy("user_id")
@@ -119,7 +119,7 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("segment", col("user_id") % 4)
     val q = StreamOps.streamStaticEnrich(spark, stagedDir, schema, dim,
       "enrich_sink")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "enrichment stream did not finish in 60s")
     val got = spark.table("enrich_sink")
       .orderBy("segment").collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = graft.Tables.events(spark, TestSpark.sf0001)
@@ -136,7 +136,7 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(dir)
     val q = StreamOps.streamClickViewJoin(spark, dir,
       spark.read.parquet(dir).schema, "ssj_sink")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "interval-join stream did not finish in 120s")
     val got = spark.table("ssj_sink").count()
     // batch equivalent: q27's inner pair count on the same data
     val ev = graft.Tables.events(spark, TestSpark.sf001)
@@ -226,7 +226,9 @@ class StreamingSpec extends AnyFunSuite {
     docs.write.mode("append").parquet(dir)
     val q = StreamOps.streamFingerprintDedup(spark, dir,
       spark.read.parquet(dir).schema, "fpdedup_sink")
-    q.awaitTermination(60000)
+    // a slow-machine timeout must fail HERE, not as a confusing
+    // count-mismatch below (same pattern as the TTL eviction test)
+    assert(q.awaitTermination(60000), "fingerprint dedup stream did not finish in 60s")
     val got = spark.table("fpdedup_sink")
     // batch equivalence: the admitted set is exactly one row per distinct
     // batch fingerprint (arrival order decides WHICH row survives, so the
@@ -240,6 +242,100 @@ class StreamingSpec extends AnyFunSuite {
       "streamed fingerprint set equals the batch distinct set")
   }
 
+  test("checkpointed fingerprint dedup restarts exactly-once with recovered state") {
+    import spark.implicits._
+    val base = TestSpark.tmpDir("ckptdedup")
+    val srcDir = s"$base/src"
+    val outDir = s"$base/out"
+    val ckptDir = s"$base/ckpt"
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("ingest_ts",
+        expr("timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND"))
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema1 = spark.read.parquet(srcDir).schema
+    // run 1: ingest the corpus, then STOP (AvailableNow terminates) — the
+    // checkpoint now holds source offsets, watermark, and the fp state
+    val q1 = StreamOps.streamFingerprintDedupToFiles(spark, srcDir, schema1,
+      outDir, ckptDir)
+    assert(q1.awaitTermination(60000), "run 1 did not finish in 60s")
+    val afterRun1 = spark.read.parquet(outDir).count()
+    assert(afterRun1 > 0)
+    // run 2 input: REDELIVERED documents (same text → same fingerprint,
+    // fresh ingest_ts so they are NOT late — only recovered state can
+    // reject them) + genuinely new documents (which must still be admitted)
+    val redelivered = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("ingest_ts", col("ingest_ts") + expr("INTERVAL 1 HOUR"))
+    assert(redelivered.count() > 0)
+    val fresh = (0 until 5).map { i =>
+      (1000000L + i, s"brand new post-restart document $i", "en", "srcX", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("ingest_ts",
+        expr("timestamp'2024-01-01 02:00:00' + doc_id * INTERVAL 1 SECOND"))
+    redelivered.unionByName(fresh.select(redelivered.columns.map(col): _*))
+      .write.mode("append").parquet(srcDir)
+    // restart with the same (source, sink, checkpoint) triple
+    val q2 = StreamOps.streamFingerprintDedupToFiles(spark, srcDir, schema1,
+      outDir, ckptDir)
+    assert(q2.awaitTermination(60000), "run 2 did not finish in 60s")
+    val out = spark.read.parquet(outDir)
+    // exactly-once across the restart: run-1 files were not re-emitted
+    // (else count would jump by afterRun1), redelivered fingerprints were
+    // recognized by the RECOVERED state (else +redelivered.count), and
+    // only the 5 new documents were admitted
+    assert(out.count() == afterRun1 + 5,
+      s"expected ${afterRun1 + 5} rows after restart, got ${out.count()}")
+    assert(out.select("fp").distinct().count() == out.count(),
+      "restart admitted a duplicate fingerprint")
+    // the admitted set equals the batch distinct-fingerprint set of
+    // everything ever delivered
+    val allDocs = docs.unionByName(redelivered)
+      .unionByName(fresh.select(redelivered.columns.map(col): _*))
+    val batchFps = allDocs
+      .select(graft.ops.Dedup.contentFingerprint(col("text")).as("fp")).distinct()
+    assert(out.select("fp").except(batchFps).count() == 0 &&
+      batchFps.except(out.select("fp")).count() == 0)
+  }
+
+  test("stateful ops produce identical results under the RocksDB state store") {
+    // the default HDFS-backed provider keeps state on the executor heap —
+    // fine for tests, not for 100 TB key cardinality; RocksDB is the
+    // production provider. Same scenarios, same results, swapped provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // dropDuplicatesWithinWatermark state on RocksDB (E4d scenario)
+      val dir = TestSpark.tmpDir("rocksdup") + "/events"
+      val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      ev.write.mode("overwrite").parquet(dir)
+      ev.write.mode("append").parquet(dir)
+      val q = StreamOps.streamDedup(spark, dir, spark.read.parquet(dir).schema,
+        "rocks_dedup_sink")
+      assert(q.awaitTermination(60000), "RocksDB dedup stream did not finish in 60s")
+      val deduped = spark.table("rocks_dedup_sink")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(deduped == ev.count(), "RocksDB-backed dedup diverged from exact")
+      // flatMapGroupsWithState state on RocksDB (per-user accumulator)
+      val q2 = Stateful.streamUserState(spark, stagedDir, schema, "rocks_state_sink")
+      assert(q2.awaitTermination(60000), "RocksDB state stream did not finish in 60s")
+      val got = spark.table("rocks_state_sink")
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n"), max(col("last_event_id")).as("last_event_id"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = graft.Tables.events(spark, TestSpark.sf0001)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_event_id"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty && got.sameElements(want))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream (E4d)") {
     // duplicate every event by writing the same data twice into the source
     val dir = TestSpark.tmpDir("dupstream") + "/events"
@@ -248,7 +344,7 @@ class StreamingSpec extends AnyFunSuite {
     ev.write.mode("append").parquet(dir)
     val q = StreamOps.streamDedup(spark, dir, spark.read.parquet(dir).schema,
       "dedup_sink")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "dedup stream did not finish in 60s")
     val deduped = spark.table("dedup_sink").agg(sum("n")).collect()(0).getLong(0)
     assert(deduped == ev.count(), "every duplicated event_id collapses to one")
   }
