@@ -77,15 +77,21 @@ object ScaleProbe {
       "e2_ann_lsh", "e2_ann_ivf", "e2_cosine_topk",
       "e4c_sessions", "e4f_funnel", "e6_sample_ids",
       "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
-      "e4g_cohort", "e5_image_neardup")
+      "e4g_cohort", "e5_image_neardup", "e6_quota_sample", "e3_vocab_growth")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
     // whose block-local pairwise work grows with the square of block size.
-    val probes =
+    val probes0 =
       if (args.lift(1).contains("linear") || n >= 100)
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk"))
       else full
+    // "only=a,b,c" as any arg: probe just those queries (iterating on one
+    // plan at a fixed N without re-paying the whole sweep).
+    val probes = args.find(_.startsWith("only=")) match {
+      case Some(o) => o.stripPrefix("only=").split(",").toSeq
+      case None    => probes0
+    }
     // min-of-2: the first execution of a query in a session pays plan
     // compilation + codegen + scan warmup, which at large N can dwarf
     // the steady-state time (a first-query 10× cell once read 5× its

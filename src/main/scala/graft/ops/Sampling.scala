@@ -90,11 +90,44 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("score"))
       .orderBy("doc_id")
 
+  /** Quota-sample parameters — interpolated into BOTH engines. */
+  val QuotaSalt = 0x5be6a92c14d87e3bL
+  val QuotaK = 16
+
+  /** E6 — per-source quota sampling (the fixed-size-per-stratum draw a
+    * curation pipeline uses when it needs exactly K exemplars from every
+    * source regardless of source size — audits, eval sets, prompt-mix
+    * pinning): keep the K documents with the smallest splitmix64(doc_id ^
+    * salt) per source. This is deterministic reservoir sampling — the
+    * priority is a pure function of the id, so the K winners are stable
+    * across runs, engines, and incremental arrivals (a new doc displaces
+    * the current max-priority winner exactly when its hash is smaller,
+    * which is how a streaming ingest maintains the same quota
+    * incrementally). Plan: the rank-filter window triggers Spark's
+    * WindowGroupLimit pushdown (plan-asserted), so every input partition
+    * pre-prunes to its own top-K per source BEFORE the shuffle — the
+    * exchange carries O(K × sources × partitions) rows, not the corpus,
+    * which is what makes a per-stratum top-K runnable at 100 TB where a
+    * naive full window sort per source would serialize each source
+    * through one task. */
+  def e6QuotaSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    documents(s, d)
+      .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(QuotaSalt))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= QuotaK)
+      .select(col("source"), asLong(col("rk")).as("rk"), col("doc_id"), col("lang"))
+      .orderBy("source", "rk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
     "e6_train_val_test" -> (e6TrainValTest _),
     "e6_weighted_sample" -> (e6WeightedSample _),
+    "e6_quota_sample" -> (e6QuotaSample _),
   )
 
   /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
@@ -112,6 +145,18 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "e6_quota_sample" -> {
+      import OracleSql._
+      s"""WITH mx_in AS (SELECT doc_id, source, lang,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$QuotaSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("mx", "h0", "h1", Seq("doc_id", "source", "lang"))},
+         |pr AS (SELECT doc_id, source, lang, ${toSigned("h1")} AS prio FROM mx)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, lang FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY prio, doc_id) AS rk FROM pr)
+         |WHERE rk <= $QuotaK ORDER BY source, rk""".stripMargin
+    },
     "e6_stratified_sample" ->
       s"""WITH ${slotCtes(SampleSalt)}
          |SELECT lang, count(*) AS n_sampled,

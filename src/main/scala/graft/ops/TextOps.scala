@@ -233,21 +233,28 @@ object TextOps {
     * model trained ON the corpus here so the operator is self-contained.
     * Exactness: integer trigram counts, integer sums, ONE final division
     * rounded at 4dp — no ln(), whose libm variance would break the oracle.
-    * Plan: trigram explode — MATERIALIZED ONCE (localCheckpoint, like the
-    * dedup shingle table): the train pass (model aggregate) and the score
-    * pass (join back) both consume the same exploded table, and without
-    * materialization each pass re-scans documents and re-explodes the
-    * corpus — two full Generate passes instead of one. Then (lang, g)
-    * count (map-side combined, vocabulary-bounded: |langs|×|alphabet|³
-    * keys at ANY corpus size) → join back on (lang, g) — AQE-gated, not
-    * forced-broadcast, same treatment as the tfidf df table — → per-doc
-    * sum (map-side combined). Docs shorter than one trigram have no score
-    * row (both engines drop them identically). */
+    * Plan: trigram explode → (lang, g) count (map-side combined,
+    * vocabulary-bounded: |langs|×|alphabet|³ keys at ANY corpus size) →
+    * join back on (lang, g) — AQE-gated, not forced-broadcast, same
+    * treatment as the tfidf df table — → per-doc sum (map-side combined).
+    * Docs shorter than one trigram have no score row (both engines drop
+    * them identically).
+    *
+    * The train and score passes DELIBERATELY re-run the trigram explode
+    * instead of sharing a materialized table (the dedup shingle-table
+    * treatment). Measured at the 100× probe (50M docs-rows → ~10⁸ trigram
+    * rows, 8g heap): recompute 22 s; sharing via deserialized
+    * MEMORY_AND_DISK localCheckpoint dies with AGGREGATE_OUT_OF_MEMORY
+    * (the cache starves the consuming aggregate's pages); DISK_ONLY
+    * survives but costs 68 s — writing + twice reading 10⁸ short-string
+    * rows is 3× the price of re-running the codegen'd explode over the
+    * columnar scan. Materialize-once pays off for EXPENSIVE intermediates
+    * (the shingle table's hash + df-cap anti-join); a raw explode is
+    * cheaper to recompute than to store. */
   def e3LmScore(s: SparkSession, d: String): DataFrame = {
     val tri = documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.Ngrams.charNgrams(lower(col("text")), 3)).as("g"))
-      .localCheckpoint(false)
     val model = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
     val tot = model.groupBy("lang").agg(sum(col("c")).as("tot"))
     tri.join(model, Seq("lang", "g"))
@@ -369,7 +376,37 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Bucket width (documents per curve point) for e3VocabGrowth —
+    * interpolated into BOTH engines. The knob that keeps the curve at
+    * O(10³) points: a 100 TB run sets it so n_docs / width stays small,
+    * since the cumulative window runs single-partition over the BUCKETS
+    * (never over tokens or documents). */
+  val VocabBucket = 100
+
+  /** E3 — vocabulary growth (the Heaps-law curve a corpus analysis
+    * publishes to spot crawl saturation and dedup health: a corpus whose
+    * vocabulary stops growing is re-crawling itself): distinct tokens
+    * seen up to each bucket of `VocabBucket` documents, as (bucket,
+    * new_tokens, cum_vocab). Plan: token explode → per-token min(doc_id)
+    * — a map-side-combining aggregate whose shuffle carries one row per
+    * DISTINCT token (vocabulary-sized, like the tfidf df table, not
+    * corpus-sized) → bucket count → cumulative sum over the tiny bucket
+    * domain. Integer counts keep the oracle exact. */
+  def e3VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstDoc = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDoc
+      .withColumn("bucket", expr(s"first_doc div $VocabBucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_vocab_growth" -> (e3VocabGrowth _),
     "e3_pack" -> (e3Pack _),
     "e3_chunk" -> (e3Chunk _),
     "e3_lm_score" -> (e3LmScore _),
@@ -405,6 +442,18 @@ object TextOps {
       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_vocab_growth" ->
+      s"""WITH fd AS (SELECT token, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  GROUP BY token),
+         |b AS (SELECT first_doc // $VocabBucket AS bucket, count(*) AS new_tokens
+         |  FROM fd GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, new_tokens,
+         |  CAST(sum(new_tokens) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab
+         |FROM b ORDER BY bucket""".stripMargin,
     "e3_pack" ->
       s"""WITH mx_in AS (SELECT doc_id, source, text,
          |  xor(CAST(doc_id AS HUGEINT), CAST('$PackShardSalt' AS HUGEINT)) AS h0

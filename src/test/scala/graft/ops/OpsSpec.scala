@@ -60,6 +60,19 @@ class OpsSpec extends AnyFunSuite {
       s"window exchange keys lost the shard: ${exLine.getOrElse("<none>")}")
   }
 
+  test("e6_quota_sample: the per-source top-K prunes before the shuffle (WindowGroupLimit)") {
+    val df = Sampling.e6QuotaSample(spark, TestSpark.sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the rank<=K filter must push into WindowGroupLimit nodes — the
+    // Partial one runs BEFORE the exchange, so each input partition ships
+    // at most K rows per source instead of the whole corpus; without it a
+    // per-source window sort serializes each source through one task
+    val n = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(n >= 2, s"expected Partial+Final WindowGroupLimit pair, got $n:\n$plan")
+  }
+
   test("e3_chunk covers every token at window-boundary sizes") {
     // sizes straddling the window/stride boundaries: 1 token, exactly one
     // window (20), one past it (21), exactly two strides (35), one past
