@@ -73,12 +73,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** E7 — the corpus MIXTURE table: per-(lang, source) document and token
+    * totals with each cell's share of the total token budget — the report
+    * a pretraining run publishes to steer sampling weights (domain/
+    * language mixing is tuned against exactly this table, then enforced
+    * by the E6 samplers). Plan: one scan-side token count → one
+    * (lang, source) aggregate (map-side combined, |langs|×|sources| keys
+    * at any corpus size) → a 1-row broadcast cross join for the
+    * denominator (never a collected scalar). Integer token sums keep the
+    * one rounded division oracle-exact. */
+  def e7Mixture(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val total = tok.agg(sum(col("nt")).as("total_tokens"))
+    tok.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .join(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total_tokens"), 6).as("token_share"))
+      .orderBy("lang", "source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e7_source_stats" -> (e7SourceStats _),
     "e7_curated" -> (e7Curated _),
+    "e7_mixture" -> (e7Mixture _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_mixture" ->
+      """WITH t AS (SELECT lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |tot AS (SELECT sum(nt) AS total_tokens FROM t)
+        |SELECT lang, source, count(*) AS n_docs,
+        |CAST(sum(nt) AS BIGINT) AS tokens,
+        |round(sum(nt) / CAST(total_tokens AS DOUBLE), 6) AS token_share
+        |FROM t, tot GROUP BY lang, source, total_tokens
+        |ORDER BY lang, source""".stripMargin,
     "e7_source_stats" ->
       """WITH f AS (SELECT source, lang, md5(lower(trim(text))) AS fp,
         |  len(string_split(text, ' ')) AS nt,

@@ -389,6 +389,28 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
+  /** E1 — cross-source duplication matrix: near-dup pair counts grouped
+    * by (source, source) — the "who copies whom" table a curation
+    * pipeline uses to find mirror sites, scraped aggregators, and
+    * syndication clusters before deciding source weights. Consumes the
+    * SAME materialized LSH-verified pair table as cluster resolution and
+    * the curated composite (one more fan-out from the shared near-dup
+    * artifact, not a re-run of the pairwise join); two equi-joins attach
+    * sources to pair endpoints, the unordered pair is canonicalized with
+    * least/greatest, and the final aggregate is |sources|² keys at any
+    * corpus size. */
+  def e1SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairTable(s, d)
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
@@ -398,6 +420,7 @@ object Dedup {
     "e1_dedup_clusters" -> (e1DedupClusters _),
     "e1_contamination" -> (e1Contamination _),
     "e1_segment_dedup" -> (e1SegmentDedup _),
+    "e1_source_overlap" -> (e1SourceOverlap _),
     "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
   )
 
@@ -529,6 +552,15 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "e1_minhash_pairs" -> minhashPairsOracle,
+    "e1_source_overlap" ->
+      s"""WITH $minhashCtesBlock,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM mhp JOIN src a ON mhp.da = a.doc_id
+         |JOIN src b ON mhp.db = b.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "e1_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,

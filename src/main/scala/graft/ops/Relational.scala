@@ -755,8 +755,32 @@ object Relational {
           col("exact_orders") * 0.05).as("err_ok"))
       .orderBy("l_returnflag")
 
+  /** Q43 — sketch-based quantiles: percentile_approx (Greenwald-Khanna /
+    * KLL-style rank sketch) next to the exact interpolated percentile,
+    * judged by the same portable-contract pattern as q42: `err_ok` = the
+    * engine's own sketch median lands within 5% of its own exact median.
+    * At 100 TB the rank sketch is the only practical quantile — it
+    * partial-aggregates to a FIXED-SIZE summary map-side where the exact
+    * percentile must sort (or histogram, as q25 does when the value
+    * domain is small) the full column. DuckDB's t-digest
+    * approx_quantile satisfies the same 5% bound on its side, so rows,
+    * schema, and hash match end-to-end; the numeric bound on the raw
+    * estimate is pinned in ScalaTest (OpsSpec). */
+  def q43ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_med"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("approx_med") - col("exact_med")) <=
+          col("exact_med") * 0.05).as("err_ok"))
+      .orderBy("l_returnflag")
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_approx_quantile" -> (q43ApproxQuantile _),
     "q01_scan_project" -> (q01ScanProject _),
     "q02_filter_ts" -> (q02FilterTs _),
     "q03_eq_filter" -> (q03EqFilter _),
@@ -812,6 +836,14 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q43_approx_quantile" ->
+      // each engine's own quantile sketch vs its own exact median — the
+      // ≤5% contract is engine-portable, the estimates are not
+      """SELECT l_returnflag, count(*) AS n,
+        |abs(approx_quantile(l_extendedprice, 0.5)
+        |  - quantile_cont(l_extendedprice, 0.5))
+        |  <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_approx_distinct" ->
       // each engine's own HLL sketch, judged against its own exact count:
       // the ≤5% contract is engine-portable even though the estimates

@@ -60,6 +60,31 @@ class OpsSpec extends AnyFunSuite {
       s"window exchange keys lost the shard: ${exLine.getOrElse("<none>")}")
   }
 
+  test("q43: rank-sketch median stays within 5% of exact, sketch partial-aggregates") {
+    val raw = graft.Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val e = r.getAs[Double]("exact")
+      val a = r.getAs[Double]("approx")
+      assert(math.abs(a - e) <= e * 0.05,
+        s"sketch median $a vs exact $e for ${r.get(0)}")
+    }
+    val df = Relational.q43ApproxQuantile(spark, TestSpark.sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("err_ok"), s"err_ok false for ${r.get(0)}"))
+    // the sketch must partial-aggregate map-side (fixed-size summary per
+    // partition through the exchange — what makes it the 100 TB quantile)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"),
+      s"percentile_approx did not partial-aggregate:\n$plan")
+  }
+
   test("e6_quota_sample: the per-source top-K prunes before the shuffle (WindowGroupLimit)") {
     val df = Sampling.e6QuotaSample(spark, TestSpark.sf001)
     df.collect()
