@@ -27,6 +27,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_pixel") > 0 && r.getAs[Double]("mean_pixel") < 1)
   }
 
+  test("e5_image_neardup always pairs identical payloads, never crosses cells") {
+    // identical blobs → identical band vectors → identical IVF cell →
+    // guaranteed pair at rounded sim 1.0 (the recall floor of the index:
+    // exact duplicates can never be missed); distinct fillers should not
+    // pair with them at the 0.9999 threshold
+    val dir = TestSpark.tmpDir("neardup")
+    val mk = (0 until 30).map { i =>
+      val text =
+        if (i == 7 || i == 19) "alpha beta gamma delta epsilon zeta eta theta"
+        else s"doc $i ${"xyz" * (i % 5 + 1)} filler ${(i * 37) % 91} tail${i}"
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }
+    mk.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.e5ImageNeardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 19L && p._3 == 1.0),
+      s"identical payloads 7/19 not paired: ${pairs.toSeq}")
+    // every reported pair clears the threshold
+    pairs.foreach(p => assert(p._3 >= Multimodal.NeardupSimThreshold))
+  }
+
   /** Synthesize a solid-color PNG in memory; gray in [0,255]. */
   private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

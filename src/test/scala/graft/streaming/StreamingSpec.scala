@@ -56,9 +56,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
-  test("EventTimeTimeout evicts silent users' state and emits closed snapshots") {
+  /** The TTL-eviction scenario, parameterized by sink name so it can run
+    * under both state-store providers (timer/timeout state is a distinct
+    * provider code path from key-value state). */
+  private def runTtlEvictionScenario(tag: String): Unit = {
     import spark.implicits._
-    val dir = TestSpark.tmpDir("ttlstate") + "/events"
+    val dir = TestSpark.tmpDir(s"ttlstate$tag") + "/events"
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // file 1: users 1 and 2 active in hour 0-1. coalesce(1) everywhere:
     // one part file per logical batch — a multi-part write would be split
@@ -96,12 +99,12 @@ class StreamingSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(dir)
     stampParquet(3000000L, firstFiles ++ secondFiles)
     val q = Stateful.streamUserStateTtl(spark, dir,
-      spark.read.parquet(dir).schema, "ttl_sink", ttlMs = 2L * 3600 * 1000)
+      spark.read.parquet(dir).schema, s"ttl_sink_$tag", ttlMs = 2L * 3600 * 1000)
     // distinguish a slow-machine timeout (incomplete sink) from a real
     // eviction bug: a timed-out stream must fail HERE, not down in the
     // snapshot assertions
     assert(q.awaitTermination(180000), "TTL stream did not finish in 180s")
-    val rows = spark.table("ttl_sink")
+    val rows = spark.table(s"ttl_sink_$tag")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
     // users 1 and 2 were evicted: exactly one closed snapshot each,
     // carrying the full accumulated state
@@ -111,6 +114,25 @@ class StreamingSpec extends AnyFunSuite {
     // user 3 is still live inside the horizon: open snapshot only
     assert(rows.exists(r => r._1 == 3L && !r._3))
     assert(!rows.exists(r => r._1 == 3L && r._3))
+  }
+
+  test("EventTimeTimeout evicts silent users' state and emits closed snapshots") {
+    runTtlEvictionScenario("dflt")
+  }
+
+  test("TTL eviction (timer state) is identical under the RocksDB state store") {
+    // the timeout/timer registry is a separate provider surface from
+    // key-value state — exercise it on the production provider too
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      runTtlEvictionScenario("rocks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("stream-static enrichment join matches the batch join (E4h)") {
