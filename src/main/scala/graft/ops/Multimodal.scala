@@ -272,10 +272,25 @@ object Multimodal {
     * when rounded cosine ≥ NeardupSimThreshold. Recall is the standard
     * IVF trade (cross-cell near-dups are missed; raise nProbe to trade
     * cost for recall); identical payloads always share a cell and are
-    * always found. Oracle-exact: band values and sims are rounded 4dp,
-    * the threshold compares rounded values, and the seed/assignment
-    * arithmetic is the engine-portable splitmix64 + cosine the e2 oracles
-    * already replicate. */
+    * always found (pinned by a MultimodalSpec property: byte-identical
+    * payloads pair at rounded sim 1.0 in every run). Oracle-exact: band
+    * values and sims are rounded 4dp, the threshold compares rounded
+    * values, and the seed/assignment arithmetic is the engine-portable
+    * splitmix64 + cosine the e2 oracles already replicate.
+    *
+    * Scale profile (SCALE.md r6: 1.35 / 5.64 / 62.8 s at 1×/10×/100×):
+    * CANDIDATE generation is bounded by the IVF cell structure — √n cells
+    * of ~√n vectors gives the n·√n work model e2_ann_ivf measures — but
+    * OUTPUT is quadratic in duplication density: a duplicate class of k
+    * near-identical payloads emits C(k,2) pairs, so corpus replication
+    * (which multiplies every class size by N) grows pairs ~N², exactly
+    * e1_simhash_pairs' profile. On a real corpus, where duplication
+    * density is roughly constant as the corpus grows, pairs grow
+    * linearly. A hot cell (many vectors collapsing into one coarse cell,
+    * e.g. a monoculture of near-black thumbnails) bounds that cell's join
+    * at |cell|² — the mitigation at 100 TB is the same as e1_simhash's
+    * hot-bucket cap: cap per-cell candidates or split hot cells by a
+    * secondary hash before the self-join. */
   def e5ImageNeardup(s: SparkSession, d: String): DataFrame = {
     val v = bandVectors(s, d).toDF()
       .withColumn("nrm", expr("sqrt(aggregate(vec, 0.0D, (a, x) -> a + x * x))"))
