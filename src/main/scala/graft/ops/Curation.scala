@@ -95,13 +95,61 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** E7 — temperature-smoothed source sampling weights (α = 0.5): the
+    * standard multilingual/multi-domain rebalancing — sample source i with
+    * probability ∝ tokens_i^α instead of its natural share, so small
+    * sources are up-sampled and giant crawls down-sampled without hard
+    * caps (the exponent-smoothing used for multilingual pretraining
+    * mixes). Emits, per source: raw tokens, natural_share, the smoothed
+    * weight, and epochs = weight / natural_share — the effective number
+    * of passes over that source at the smoothed mix (> 1 = up-sampled).
+    * α is pinned at 0.5 so the smoothing is sqrt(): both engines'
+    * correctly-rounded IEEE sqrt makes the weights bit-portable, where a
+    * general pow() could drift a ulp. Cross-engine float-sum hazard
+    * avoided: sqrt values are rounded to 6dp and summed as DECIMAL (an
+    * EXACT, order-independent sum — a raw double sum would depend on
+    * partition order), and only the final already-rounded divisions are
+    * double. Plan: |sources|-key aggregate, 1-row broadcast denominator —
+    * flat at any corpus size. */
+  def e7TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val bySrc = documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .withColumn("w", round(sqrt(col("tokens")), 6).cast("decimal(28,6)"))
+    val total = bySrc.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("w")).as("total_w"))
+    bySrc.join(broadcast(total))
+      .select(col("source"), col("tokens"),
+        round(col("tokens") / col("total_tokens"), 6).as("natural_share"),
+        round(col("w").cast("double") / col("total_w").cast("double"), 6)
+          .as("weight"),
+        round((col("w").cast("double") / col("total_w").cast("double")) /
+          (col("tokens").cast("double") / col("total_tokens").cast("double")), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e7_source_stats" -> (e7SourceStats _),
     "e7_curated" -> (e7Curated _),
     "e7_mixture" -> (e7Mixture _),
+    "e7_temperature_mix" -> (e7TemperatureMix _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_temperature_mix" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tokens,
+        |  CAST(round(sqrt(CAST(sum(nt) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT sum(tokens) AS total_tokens, sum(w) AS total_w FROM src)
+        |SELECT source, tokens,
+        |round(tokens / CAST(total_tokens AS DOUBLE), 6) AS natural_share,
+        |round(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE), 6) AS weight,
+        |round((CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)) /
+        |  (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 4) AS epochs
+        |FROM src, tot ORDER BY source""".stripMargin,
     "e7_mixture" ->
       """WITH t AS (SELECT lang, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),

@@ -338,6 +338,21 @@ object Dedup {
     * (trailing partial segment kept), deduped within the doc. */
   val SegmentWords = 10
 
+  /** Spark SQL array of the document's consecutive `SegmentWords`-word
+    * segments (trailing partial kept) — shared by segment dedup (distinct
+    * within doc) and boilerplate detection (every occurrence kept). */
+  private val segArraySql =
+    s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $SegmentWords),
+       |  i -> concat_ws(' ', slice(split(text, ' '), i * $SegmentWords + 1, $SegmentWords)))"""
+      .stripMargin
+
+  /** DuckDB replica of `segArraySql` over a `toks` list column. */
+  private val segListSql =
+    s"""list_transform(range(0, ((len(toks) - 1) // $SegmentWords) + 1),
+       |    i -> array_to_string(
+       |      toks[CAST(i * $SegmentWords + 1 AS INT) : CAST((i + 1) * $SegmentWords AS INT)],
+       |      ' '))""".stripMargin
+
   /** E1 — segment-level (sub-document) dedup: split every document into
     * consecutive 10-word segments, find segments occurring in 2+ documents,
     * and report each document's duplicated-segment ratio — the
@@ -358,10 +373,7 @@ object Dedup {
     // referenced twice (df-count side + join-back side): checkpoint so the
     // corpus is scanned and segmented once, lazily (no job at construction)
     val segs = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $SegmentWords),
-           |  i -> concat_ws(' ', slice(split(text, ' '), i * $SegmentWords + 1, $SegmentWords)))"""
-          .stripMargin))).as("seg"))
+      .select(col("doc_id"), explode(array_distinct(expr(segArraySql))).as("seg"))
       .select(col("doc_id"), Hashes.fnv64(col("seg")).as("segh"))
       .localCheckpoint(false)
     val dfc = segs.groupBy("segh").agg(count(lit(1)).as("df"))
@@ -371,6 +383,50 @@ object Dedup {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))
       .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
         round(col("n_dup_segments") / col("n_segments"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** A segment is boilerplate when it appears in `BoilerplateDf`+ distinct
+    * documents OF THE SAME SOURCE (site templates repeat within a site). */
+  val BoilerplateDf = 3
+
+  /** E1 — boilerplate detection (the line/segment-frequency pass web-corpus
+    * pipelines run before quality scoring): segments recurring across
+    * `BoilerplateDf`+ distinct documents of the SAME source are template
+    * text — navigation, footers, legal blurbs — not content. Differs from
+    * e1_segment_dedup on the two axes that make it boilerplate-shaped:
+    * frequency is counted per SOURCE (a phrase common on one site is
+    * template; the same phrase across many sites is just common language),
+    * and every segment occurrence counts (a doc repeating its own footer
+    * 3× has 3 boilerplate segments to remove, not 1). Emits per document
+    * the segment counts, boilerplate ratio, and clean_tokens — the token
+    * budget that SURVIVES removal, which is the number the mixture/
+    * sampling tables actually need. Plan: segments explode scan-side and
+    * immediately reduce to (doc_id, source, segh, ntok) — strings never
+    * leave the scan; the per-(source, segh) doc-frequency partial-
+    * aggregates; the join back is keyed (source, segh) so a hot template
+    * segment fans out at most |docs of that source| rows. The oracle stays
+    * keyed on segment STRINGS, validating the FNV hash reduction
+    * end-to-end exactly as e1_segment_dedup does. */
+  def e1Boilerplate(s: SparkSession, d: String): DataFrame = {
+    // referenced twice (df side + join-back side): checkpoint so the
+    // corpus is scanned and segmented once, lazily
+    val segs = documents(s, d)
+      .select(col("doc_id"), col("source"), explode(expr(segArraySql)).as("seg"))
+      .select(col("doc_id"), col("source"), Hashes.fnv64(col("seg")).as("segh"),
+        size(split(col("seg"), " ")).cast("long").as("ntok"))
+      .localCheckpoint(false)
+    val dfc = segs.groupBy("source", "segh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(dfc, Seq("source", "segh"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("df") < BoilerplateDf, col("ntok")).otherwise(0L))
+          .as("clean_tokens"))
+      .select(col("doc_id"), col("source"), col("n_segments"), col("n_boiler"),
+        round(col("n_boiler") / col("n_segments"), 4).as("boiler_ratio"),
+        col("clean_tokens"))
       .orderBy("doc_id")
   }
 
@@ -421,6 +477,7 @@ object Dedup {
     "e1_contamination" -> (e1Contamination _),
     "e1_segment_dedup" -> (e1SegmentDedup _),
     "e1_source_overlap" -> (e1SourceOverlap _),
+    "e1_boilerplate" -> (e1Boilerplate _),
     "e2_embedding_neardup" -> (e2EmbeddingNeardup _),
   )
 
@@ -609,17 +666,30 @@ object Dedup {
          |GROUP BY te.doc_id ORDER BY doc_id""".stripMargin,
     "e1_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |segs AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(0, ((len(toks) - 1) // $SegmentWords) + 1),
-         |    i -> array_to_string(
-         |      toks[CAST(i * $SegmentWords + 1 AS INT) : CAST((i + 1) * $SegmentWords AS INT)],
-         |      ' ')))) AS seg FROM t),
+         |segs AS (SELECT doc_id, unnest(list_distinct($segListSql)) AS seg FROM t),
          |dfc AS (SELECT seg, count(*) AS df FROM segs GROUP BY seg)
          |SELECT doc_id, count(*) AS n_segments,
          |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
          |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
          |FROM segs JOIN dfc USING (seg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e1_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |segs AS (SELECT doc_id, source, unnest($segListSql) AS seg FROM t),
+         |sg AS (SELECT doc_id, source, seg,
+         |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS ntok FROM segs),
+         |dfc AS (SELECT source, seg, count(DISTINCT doc_id) AS df
+         |  FROM sg GROUP BY source, seg)
+         |SELECT doc_id, source, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  round(sum(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) / count(*), 4)
+         |    AS boiler_ratio,
+         |  CAST(sum(CASE WHEN df < $BoilerplateDf THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS clean_tokens
+         |FROM sg JOIN dfc USING (source, seg)
+         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "e2_embedding_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

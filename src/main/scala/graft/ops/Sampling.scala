@@ -122,12 +122,46 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  /** Global-shuffle parameters — interpolated into BOTH engines. The
+    * shard count is the parallelism knob: at 100 TB pick O(cluster cores ×
+    * files-per-task); 8 keeps the fixture output readable. */
+  val ShuffleSalt = 0x7d4f3a58e1b96c27L
+  val ShuffleShards = 8L
+
+  /** E6 — deterministic global shuffle into training shards: the
+    * shuffle-before-training step every pipeline runs so batches are not
+    * correlated with crawl/source order. Each document's (shard, pos) is a
+    * pure function of its id — shard = splitmix64(doc_id ^ salt) mod K,
+    * pos = rank of that same hash within the shard — so the shuffled
+    * order is reproducible across runs, engines, and backfills (the e6
+    * sampling discipline applied to ordering), and a resumed training job
+    * reads byte-identical shards. Plan: ONE hash exchange on shard, then
+    * a per-shard sort. Unlike e3_pack's source key (data-determined, can
+    * be 1 hot source), the shard key is CHOSEN: parallelism = K scales
+    * with the cluster, per-shard sort is n/K rows, and the hash spreads
+    * documents uniformly regardless of corpus skew — a global sort-by-
+    * random-key expressed as K independent local sorts. */
+  def e6GlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("prio"), col("doc_id"))
+    documents(s, d)
+      .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(ShuffleSalt))))
+      .withColumn("shard",
+        pmod(col("prio").bitwiseAND(lit(Long.MaxValue)), lit(ShuffleShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), asLong(col("pos")).as("pos"), col("doc_id"),
+        col("source"))
+      .orderBy("shard", "pos")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
     "e6_train_val_test" -> (e6TrainValTest _),
     "e6_weighted_sample" -> (e6WeightedSample _),
     "e6_quota_sample" -> (e6QuotaSample _),
+    "e6_global_shuffle" -> (e6GlobalShuffle _),
   )
 
   /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
@@ -156,6 +190,19 @@ object Sampling {
          |  SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY prio, doc_id) AS rk FROM pr)
          |WHERE rk <= $QuotaK ORDER BY source, rk""".stripMargin
+    },
+    "e6_global_shuffle" -> {
+      import OracleSql._
+      s"""WITH mx_in AS (SELECT doc_id, source,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$ShuffleSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("mx", "h0", "h1", Seq("doc_id", "source"))},
+         |pr AS (SELECT doc_id, source, ${toSigned("h1")} AS prio,
+         |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $ShuffleShards AS BIGINT)
+         |    AS shard FROM mx)
+         |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY prio, doc_id) AS BIGINT) AS pos, doc_id, source
+         |FROM pr ORDER BY shard, pos""".stripMargin
     },
     "e6_stratified_sample" ->
       s"""WITH ${slotCtes(SampleSalt)}

@@ -113,4 +113,58 @@ object Stateful {
       .writeStream.outputMode("append").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
   }
+
+  final case class DocIn(doc_id: Long, source: String, lang: String)
+  final case class QuotaWinner(prio: Long, doc_id: Long, lang: String)
+  final case class QuotaState(ver: Long, winners: List[QuotaWinner])
+  final case class QuotaUpdate(source: String, ver: Long, rk: Long,
+      doc_id: Long, lang: String)
+
+  /** Incremental per-source quota maintenance — the streaming form of the
+    * batch e6_quota_sample (ops/Sampling.scala): keep the K documents with
+    * the smallest splitmix64(doc_id ^ QuotaSalt) per source as documents
+    * ARRIVE. Because the priority is a pure function of the id, a new doc
+    * displaces the current max-priority winner exactly when its hash is
+    * smaller, so the maintained set CONVERGES to the batch query's answer
+    * regardless of arrival order or micro-batching — the claim in the
+    * batch operator's Scaladoc, asserted by StreamingSpec against the
+    * batch result over the same corpus. State per source is K fixed-size
+    * winners (bounded, no TTL needed); each update emits the current
+    * winner set stamped with a per-source version so the sink's latest
+    * version is the final quota. */
+  def updateQuota(k: Int)(source: String, docs: Iterator[DocIn],
+      state: GroupState[QuotaState]): Iterator[QuotaUpdate] = {
+    val prev = state.getOption.getOrElse(QuotaState(0L, Nil))
+    var w = prev.winners
+    docs.foreach { d =>
+      val prio = org.apache.spark.sql.graftext.minhashExpression
+        .mix(d.doc_id ^ graft.ops.Sampling.QuotaSalt)
+      w = (QuotaWinner(prio, d.doc_id, d.lang) :: w)
+        .distinctBy(_.doc_id)
+        .sortBy(x => (x.prio, x.doc_id)).take(k)
+    }
+    val st = QuotaState(prev.ver + 1, w)
+    state.update(st)
+    w.zipWithIndex.iterator.map { case (x, i) =>
+      QuotaUpdate(source, st.ver, i + 1L, x.doc_id, x.lang)
+    }
+  }
+
+  /** File-source stream (one file per micro-batch, so winners are
+    * maintained incrementally across arrivals) → per-source quota state →
+    * memory sink in update mode. */
+  def streamQuota(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String, k: Int): StreamingQuery = {
+    import s.implicits._
+    val docs: Dataset[DocIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[DocIn]
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateQuota(k))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
 }

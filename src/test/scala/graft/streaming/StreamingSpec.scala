@@ -39,6 +39,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("incremental quota maintenance converges to the batch e6_quota_sample") {
+    // the batch operator's Scaladoc claims a streaming ingest maintains
+    // the same per-source top-K incrementally (priority is a pure function
+    // of the id, so arrival order cannot change the winners) — prove it:
+    // stream the corpus in 4 arbitrary micro-batches and compare the
+    // final maintained set against the batch query over the same corpus
+    val docsDir = TestSpark.tmpDir("quotainc") + "/documents.parquet"
+    graft.Tables.documents(spark, TestSpark.sf0001)
+      .repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val q = Stateful.streamQuota(spark, docsDir,
+      spark.read.parquet(docsDir).schema, "quota_inc",
+      graft.ops.Sampling.QuotaK)
+    assert(q.awaitTermination(120000), "quota stream did not finish in 120s")
+    val updates = spark.table("quota_inc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(updates.nonEmpty)
+    // more than one version for some source = the winners really were
+    // revised across micro-batches, not computed in one shot
+    val lastVer = updates.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(lastVer.values.max > 1, "corpus arrived in a single micro-batch")
+    val got = updates.collect {
+      case (src, ver, rk, id, lang) if lastVer(src) == ver => (src, rk, id, lang)
+    }.toSet
+    val want = graft.ops.Sampling.e6QuotaSample(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == want,
+      s"streamed quota diverges from batch: extra=${(got -- want).take(5)} " +
+        s"missing=${(want -- got).take(5)}")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state (custom state op)") {
     val q = Stateful.streamUserState(spark, stagedDir, schema, "state_sink")
     assert(q.awaitTermination(60000), "user-state stream did not finish in 60s")
