@@ -79,7 +79,8 @@ object ScaleProbe {
       "e2_centroids", "e2_vq_assign", "e7_source_stats", "e7_curated",
       "e4g_cohort", "e5_image_neardup", "e6_quota_sample", "e3_vocab_growth",
       "e1_source_overlap", "e7_mixture", "q43_approx_quantile",
-      "e6_global_shuffle", "e7_temperature_mix", "e1_boilerplate")
+      "e6_global_shuffle", "e7_temperature_mix", "e1_boilerplate",
+      "e2_pq_codes", "e2_pq_search")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

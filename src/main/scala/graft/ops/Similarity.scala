@@ -244,6 +244,119 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization parameters — interpolated into BOTH engines.
+    * The fixture's 64-dim vectors quantize as PqM=8 subspaces × PqDsub=8
+    * dims with PqKsub=16 codewords per subspace: 8 one-byte codes per
+    * vector vs 256 raw bytes — the 32× compression that makes a
+    * trillion-vector index RAM-resident (IVF-PQ is the standard 100 TB
+    * ANN architecture; the IVF half is e2_ann_ivf). */
+  val PqM = 8
+  val PqDsub = 8
+  val PqKsub = 16
+  val PqTopK = 3
+  val PqNQueries = 8
+  val PqSeedSalt = 0x2e8c5b17d9f4a603L
+  val PqQuerySalt = 0x6b91d73e24c8fa15L
+
+  /** The PqKsub sampled codeword vectors with index 0..PqKsub-1 in
+    * (splitmix64, vec_id) order — deterministic like the IVF seeds; a
+    * production build swaps sampling for a per-subspace k-means train
+    * phase, broadcast shape unchanged. */
+  private def pqSeeds(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cd"),
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("vec_id").bitwiseXOR(lit(PqSeedSalt))).as("m"))
+      .orderBy(col("m"), col("vec_id"))
+      .limit(PqKsub)
+      .withColumn("seed_idx",
+        row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
+      .select(col("seed_idx"), col("cd"))
+
+  /** Array of the PqM per-subspace squared L2 distances between double
+    * arrays `a` and `b` — subtraction and accumulation in index order so
+    * the DuckDB lambda replica is bit-identical. */
+  private def subDists(a: String, b: String): String =
+    s"""transform(sequence(0, ${PqM - 1}), j ->
+       |  aggregate(zip_with(slice($a, j * $PqDsub + 1, $PqDsub),
+       |                     slice($b, j * $PqDsub + 1, $PqDsub),
+       |                     (x, y) -> (x - y) * (x - y)),
+       |            0.0D, (p, q) -> p + q))""".stripMargin
+
+  /** (vec_id, sub, code): each vector's nearest codeword per subspace
+    * (ties → lower codeword index). Candidates are scan-side rows against
+    * the broadcast codebook; the (vec_id, sub) argmin partial-combines
+    * map-side (the e2_vq_assign aggregate-argmin pattern), so the one
+    * exchange carries PqM compact rows per vector. */
+  private def pqCodeRows(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .join(broadcast(pqSeeds(s, d)))
+      .select(col("vec_id"), col("seed_idx"),
+        posexplode(expr(subDists("ed", "cd"))).as(Seq("sub", "dist")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("seed_idx"))).as("m"))
+      .select(col("vec_id"), asLong(col("sub")).as("sub"),
+        asLong(col("m.seed_idx")).as("code"))
+
+  /** E2 — product-quantization codes: the vector-compression half of
+    * IVF-PQ. Each vector is stored as PqM codeword indices (one byte
+    * each); at 100 TB the codes table IS the index payload — 32× smaller
+    * than the raw vectors, scanned in place of them by e2_pq_search.
+    * Deterministic sampled codebook (pqSeeds), oracle-exact distances. */
+  def e2PqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodeRows(s, d).orderBy("vec_id", "sub")
+
+  /** E2 — PQ search via asymmetric distance computation (ADC): for each
+    * of the PqNQueries deterministic query vectors, distances to ALL
+    * database vectors are evaluated against their CODES only — one
+    * 128-entry lookup table per query (query slice vs codeword, the
+    * full-precision side of the asymmetry) and PqM table lookups per
+    * candidate, summed in index order inside ONE expression (no cross-row
+    * float accumulation). Plan at 100 TB: the codes scan never touches
+    * raw vectors; the per-query tables broadcast (PqNQueries × 128
+    * doubles); the rank filter pushes into WindowGroupLimit so each input
+    * partition ships at most PqTopK rows per query into the exchange.
+    * Work is queries × n table lookups — linear in the corpus for a
+    * fixed query batch. */
+  def e2PqSearch(s: SparkSession, d: String): DataFrame = {
+    val queries = embeddings(s, d)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qd"),
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("vec_id").bitwiseXOR(lit(PqQuerySalt))).as("m"))
+      .orderBy(col("m"), col("qid"))
+      .limit(PqNQueries)
+      .select(col("qid"), col("qd"))
+    // per-query lookup table: dt[sub * PqKsub + code] = squared L2 between
+    // the query's subspace slice and that codeword's — assembled in index
+    // order via sorted struct collect, the centroidArrays pattern
+    val dt = queries.join(broadcast(pqSeeds(s, d)))
+      .select(col("qid"), col("seed_idx"),
+        posexplode(expr(subDists("qd", "cd"))).as(Seq("sub", "pd")))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(
+        (col("sub") * PqKsub + col("seed_idx")).as("ix"), col("pd")))),
+        x => x("pd")).as("dt"))
+    val ca = pqCodeRows(s, d)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x("code")).as("codes"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    ca.join(broadcast(dt))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), 0.0D, (acc, j) ->
+           |  acc + element_at(dt,
+           |    CAST(j * $PqKsub + element_at(codes, j + 1) + 1 AS INT)))"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqTopK)
+      .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
@@ -252,6 +365,8 @@ object Similarity {
     "e2_ann_ivf2" -> (e2AnnIvf2 _),
     "e2_centroids" -> (e2Centroids _),
     "e2_vq_assign" -> (e2VqAssign _),
+    "e2_pq_codes" -> (e2PqCodes _),
+    "e2_pq_search" -> (e2PqSearch _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -340,7 +455,80 @@ object Similarity {
       |  FROM embeddings, range(0, 64) i
       |  GROUP BY label, i.range)""".stripMargin
 
+  /** Shared PQ CTE chain: deterministic codebook (splitmix64 seed order),
+    * per-(vector, subspace, codeword) squared distances via the same
+    * index-ordered lambda arithmetic as the Spark `subDists`, and the
+    * argmin codes. The repeated subtraction inside the lambda evaluates
+    * to the identical IEEE double both times. */
+  private def pqCtes: String = {
+    import OracleSql._
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+       |sm_in AS (SELECT vec_id,
+       |  xor(CAST(vec_id AS HUGEINT), CAST('$PqSeedSalt' AS HUGEINT)) AS h0
+       |  FROM embeddings),
+       |${mixCtes("sm", "h0", "h1", Seq("vec_id"))},
+       |smm AS (SELECT vec_id, ${toSigned("h1")} AS m FROM sm),
+       |sd AS (SELECT row_number() OVER (ORDER BY smm.m, e.vec_id) - 1 AS seed_idx,
+       |    e.ed AS cd
+       |  FROM emb e JOIN smm ON e.vec_id = smm.vec_id
+       |  ORDER BY smm.m, e.vec_id LIMIT $PqKsub),
+       |dists AS (SELECT e.vec_id, s.seed_idx, j.range AS sub,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, ${PqDsub + 1}), i ->
+       |      (e.ed[CAST(j.range * $PqDsub + i AS INT)] -
+       |        s.cd[CAST(j.range * $PqDsub + i AS INT)]) *
+       |      (e.ed[CAST(j.range * $PqDsub + i AS INT)] -
+       |        s.cd[CAST(j.range * $PqDsub + i AS INT)]))),
+       |    (a, b) -> a + b) AS dist
+       |  FROM emb e, sd s, range(0, $PqM) j),
+       |codes AS (SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+       |    CAST(seed_idx AS BIGINT) AS code FROM (
+       |  SELECT vec_id, sub, seed_idx, row_number() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY dist, seed_idx) AS rn FROM dists)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqSearchOracle: String = {
+    import OracleSql._
+    s"""WITH $pqCtes,
+       |qm_in AS (SELECT vec_id,
+       |  xor(CAST(vec_id AS HUGEINT), CAST('$PqQuerySalt' AS HUGEINT)) AS h0
+       |  FROM embeddings),
+       |${mixCtes("qm", "h0", "h1", Seq("vec_id"))},
+       |qmm AS (SELECT vec_id, ${toSigned("h1")} AS m FROM qm),
+       |qs AS (SELECT e.vec_id AS qid, e.ed AS qd
+       |  FROM emb e JOIN qmm ON e.vec_id = qmm.vec_id
+       |  ORDER BY qmm.m, e.vec_id LIMIT $PqNQueries),
+       |pd AS (SELECT q.qid, s.seed_idx, j.range AS sub,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, ${PqDsub + 1}), i ->
+       |      (q.qd[CAST(j.range * $PqDsub + i AS INT)] -
+       |        s.cd[CAST(j.range * $PqDsub + i AS INT)]) *
+       |      (q.qd[CAST(j.range * $PqDsub + i AS INT)] -
+       |        s.cd[CAST(j.range * $PqDsub + i AS INT)]))),
+       |    (a, b) -> a + b) AS pd
+       |  FROM qs q, sd s, range(0, $PqM) j),
+       |dta AS (SELECT qid, list(pd ORDER BY sub * $PqKsub + seed_idx) AS dt
+       |  FROM pd GROUP BY qid),
+       |carr AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+       |  FROM codes GROUP BY vec_id),
+       |ad AS (SELECT d.qid, c.vec_id,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(0, $PqM), j ->
+       |      d.dt[CAST(j * $PqKsub + c.codes[CAST(j + 1 AS INT)] + 1 AS INT)])),
+       |    (a, b) -> a + b) AS adist
+       |  FROM carr c, dta d WHERE c.vec_id <> d.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(adist, 4) AS adist
+       |FROM (SELECT qid, vec_id, adist, row_number() OVER (
+       |  PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM ad)
+       |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e2_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
+    "e2_pq_search" -> pqSearchOracle,
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),

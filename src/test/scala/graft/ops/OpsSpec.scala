@@ -353,6 +353,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e2_pq: codes are structurally sound, the codebook is live, ADC finds close vectors") {
+    val codes = Similarity.e2PqCodes(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"), r.getAs[Long]("code")))
+    val n = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
+    // PqM codes per vector, each in [0, PqKsub)
+    assert(codes.length.toLong == n * Similarity.PqM)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < Similarity.PqKsub))
+    codes.groupBy(_._1).foreach { case (v, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (0L until Similarity.PqM.toLong),
+        s"vector $v missing subspace codes")
+    }
+    // every codeword is used somewhere on this fixture (the codebook is live)
+    assert(codes.map(_._3).distinct.length == Similarity.PqKsub)
+    // ADC search: top-k per query, ranked by approximate distance, and the
+    // reported neighbors are genuinely close — for every query, the top-1's
+    // TRUE L2 distance must beat the corpus median true distance (a recall
+    // floor: quantized search can lose precision but must not return
+    // arbitrary vectors)
+    val search = Similarity.e2PqSearch(spark, TestSpark.sf0001)
+    val res = search.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adist")))
+    // the rank<=K filter must push into a Partial+Final WindowGroupLimit
+    // pair: each input partition ships at most PqTopK candidates per query
+    // into the exchange instead of the whole codes scan
+    val plan = search.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"ADC top-k did not prune before the shuffle:\n$plan")
+    val qids = res.map(_._1).distinct
+    assert(qids.length == Similarity.PqNQueries)
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to Similarity.PqTopK.toLong))
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(w => w.head <= w.last + 1e-9),
+        s"query $q adist not monotone in rank")
+    }
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    qids.foreach { q =>
+      val dists = vecs.collect { case (v, e) if v != q => l2(vecs(q), e) }.toSeq.sorted
+      val median = dists(dists.length / 2)
+      val top1 = res.filter(r => r._1 == q && r._2 == 1L).head._3
+      assert(l2(vecs(q), vecs(top1)) < median,
+        s"query $q: ADC top-1 $top1 is no closer than the corpus median")
+    }
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
