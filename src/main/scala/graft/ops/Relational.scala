@@ -778,8 +778,26 @@ object Relational {
           col("exact_med") * 0.05).as("err_ok"))
       .orderBy("l_returnflag")
 
+  /** Q44 — distribution window functions: percent_rank and cume_dist over
+    * account balance within each nation (where does this customer sit in
+    * its nation's balance distribution). The ORDER BY carries c_custkey as
+    * a tie-break so ranks are total and both engines agree bit-for-bit.
+    * One hash exchange on the partition key, per-partition sort — the
+    * standard window plan, parallel across nations. */
+  def q44WindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_window_dist" -> (q44WindowDist _),
     "q43_approx_quantile" -> (q43ApproxQuantile _),
     "q01_scan_project" -> (q01ScanProject _),
     "q02_filter_ts" -> (q02FilterTs _),
@@ -836,6 +854,13 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q44_window_dist" ->
+      """SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal,
+        |round(percent_rank() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |round(cume_dist() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey), 6) AS cdist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q43_approx_quantile" ->
       // each engine's own quantile sketch vs its own exact median — the
       // ≤5% contract is engine-portable, the estimates are not

@@ -255,6 +255,9 @@ object Similarity {
   val PqKsub = 16
   val PqTopK = 3
   val PqNQueries = 8
+  /** Shortlist size for the re-rank stage: ADC keeps the cheapest
+    * PqRerankC candidates per query, the exact pass re-orders them. */
+  val PqRerankC = 10
   val PqSeedSalt = 0x2e8c5b17d9f4a603L
   val PqQuerySalt = 0x6b91d73e24c8fa15L
 
@@ -319,7 +322,18 @@ object Similarity {
     * partition ships at most PqTopK rows per query into the exchange.
     * Work is queries × n table lookups — linear in the corpus for a
     * fixed query batch. */
-  def e2PqSearch(s: SparkSession, d: String): DataFrame = {
+  def e2PqSearch(s: SparkSession, d: String): DataFrame =
+    adcRanked(s, d, PqTopK)
+      .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rn")
+
+  /** The ADC scan shared by e2_pq_search and e2_pq_rerank: every database
+    * vector's approximate distance to each query, ranked per query and cut
+    * to `topC` (rank filter pushes into WindowGroupLimit — each input
+    * partition ships ≤ topC rows per query into the exchange). Returns
+    * (qid, vec_id, adist DOUBLE unrounded, rn). */
+  private def adcRanked(s: SparkSession, d: String, topC: Int): DataFrame = {
     val queries = embeddings(s, d)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qd"),
@@ -351,9 +365,40 @@ object Similarity {
            |    CAST(j * $PqKsub + element_at(codes, j + 1) + 1 AS INT)))"""
           .stripMargin))
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topC)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+  }
+
+  /** E2 — PQ search with exact re-rank: the production IVF-PQ serving
+    * pattern. Stage 1 scans CODES only (adcRanked — linear in the corpus,
+    * raw vectors untouched) and keeps the PqRerankC cheapest candidates
+    * per query; stage 2 fetches full-precision vectors for that shortlist
+    * alone — queries × PqRerankC ids broadcast against the vector store
+    * scan, the "fetch the shortlist from the store" lookup every ANN
+    * system ends with — and re-orders by exact cosine. At 100 TB the
+    * expensive scan touches 32×-compressed codes; the exact math runs on
+    * tens of rows per query. Recovery property (re-rank can only improve
+    * the top-1, candidates are a subset of ADC's) is asserted in
+    * ScalaTest; the full result is oracle-checked. */
+  def e2PqRerank(s: SparkSession, d: String): DataFrame = {
+    val cand = adcRanked(s, d, PqRerankC).select(col("qid"), col("vec_id"))
+    val e = withNorm(embeddings(s, d))
+    // shortlist fetch: corpus scan × broadcast candidate list
+    val cv = e.join(broadcast(cand), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.select(col("vec_id").as("qid"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(broadcast(cv), "qid")
+      .withColumn("sim",
+        graft.functions.Vectors.dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PqTopK)
       .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
-        round(col("adist"), 4).as("adist"))
+        round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rn")
   }
 
@@ -367,6 +412,7 @@ object Similarity {
     "e2_vq_assign" -> (e2VqAssign _),
     "e2_pq_codes" -> (e2PqCodes _),
     "e2_pq_search" -> (e2PqSearch _),
+    "e2_pq_rerank" -> (e2PqRerank _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -488,9 +534,11 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
   }
 
-  private def pqSearchOracle: String = {
+  /** Full CTE chain through `ad` (qid, vec_id, adist) — the ADC distance
+    * table shared by the search and re-rank oracles. */
+  private def adCtes: String = {
     import OracleSql._
-    s"""WITH $pqCtes,
+    s"""$pqCtes,
        |qm_in AS (SELECT vec_id,
        |  xor(CAST(vec_id AS HUGEINT), CAST('$PqQuerySalt' AS HUGEINT)) AS h0
        |  FROM embeddings),
@@ -517,18 +565,40 @@ object Similarity {
        |    list_transform(range(0, $PqM), j ->
        |      d.dt[CAST(j * $PqKsub + c.codes[CAST(j + 1 AS INT)] + 1 AS INT)])),
        |    (a, b) -> a + b) AS adist
-       |  FROM carr c, dta d WHERE c.vec_id <> d.qid)
+       |  FROM carr c, dta d WHERE c.vec_id <> d.qid)""".stripMargin
+  }
+
+  private def pqSearchOracle: String =
+    s"""WITH $adCtes
        |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(adist, 4) AS adist
        |FROM (SELECT qid, vec_id, adist, row_number() OVER (
        |  PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM ad)
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
-  }
+
+  /** ADC shortlist (top PqRerankC by approximate distance) re-ordered by
+    * exact cosine over the raw vectors — same two-stage shape as the
+    * Spark plan. */
+  private def pqRerankOracle: String =
+    s"""WITH $adCtes,
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adist, vec_id) AS crn FROM ad)
+       |  WHERE crn <= $PqRerankC)
+       |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(sim, 4) AS sim
+       |FROM (SELECT c.qid, c.vec_id,
+       |    list_cosine_similarity(q.ed, v.ed) AS sim,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY list_cosine_similarity(q.ed, v.ed) DESC, c.vec_id) AS rn
+       |  FROM cand c JOIN emb q ON q.vec_id = c.qid
+       |  JOIN emb v ON v.vec_id = c.vec_id)
+       |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e2_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
+    "e2_pq_rerank" -> pqRerankOracle,
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),

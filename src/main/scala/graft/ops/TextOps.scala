@@ -61,6 +61,44 @@ object TextOps {
         round(qualityScore(col("nt"), col("nsw")), 4).as("score"))
       .orderBy("doc_id")
 
+  /** E3 — quality tiering: decile buckets over the composite score, the
+    * partition a curriculum / quality-filter pipeline consumes. A global
+    * ntile would sort the whole corpus through ONE task, so tiers come
+    * from the score HISTOGRAM instead: the 4-decimal score has a bounded
+    * domain (≤10⁴ distinct values), so a partial-combined groupBy reduces
+    * the corpus to a tiny value table, the cumulative-count → tier
+    * arithmetic runs on that table, and a broadcast join maps every
+    * document to its tier (the q25 bounded-domain pattern). tier =
+    * ceil(10·cum/total) computed in INTEGER arithmetic (DIV) — bit-exact
+    * in both engines where a double ceil would be poisoned by binary
+    * rounding (ceil(0.3·10) evaluates as ceil(3.0000000000000004) = 4).
+    * Equal scores always share a tier — identical-quality documents are
+    * never split across a curriculum boundary. */
+  def e3QualityTiers(s: SparkSession, d: String): DataFrame = {
+    val q = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(stopwordFilterSql)))
+      .select(col("doc_id"), asLong(col("nt")).as("n_tokens"),
+        round(qualityScore(col("nt"), col("nsw")), 4).as("score"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // single-partition window, but over the ≤10⁴-row histogram, not the corpus
+    val tiers = q.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .select(col("score"),
+        expr("CAST((cum * 10 + tot - 1) DIV tot AS BIGINT)").as("tier"))
+    q.join(broadcast(tiers), "score")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        min(col("score")).as("lo_score"),
+        max(col("score")).as("hi_score"))
+      .orderBy("tier")
+  }
+
   /** E3 — language ID via Cavnar–Trenkle character-trigram profiles, trained
     * on the corpus itself (lang labels): rank trigrams per language, keep the
     * top 100, score each document by how many of its distinct trigrams hit
@@ -416,6 +454,7 @@ object TextOps {
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
     "e3_quality" -> (e3Quality _),
+    "e3_quality_tiers" -> (e3QualityTiers _),
     "e3_langid" -> (e3LangId _),
     "e3_token_freq" -> (e3TokenFreq _),
     "e3_fingerprint" -> (e3Fingerprint _),
@@ -533,6 +572,25 @@ object TextOps {
         |CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e3_quality_tiers" ->
+      // same integer ceil(10·cum/tot) arithmetic as the Spark plan; the
+      // histogram, cumulative counts, and join-back all stay within one
+      // engine, so the double score is only ever compared to itself
+      """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents),
+        |s AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+        |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score FROM q),
+        |h AS (SELECT score, count(*) AS c FROM s GROUP BY score),
+        |t AS (SELECT score, sum(c) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS tot FROM h),
+        |tt AS (SELECT score, CAST((cum * 10 + tot - 1) // tot AS BIGINT) AS tier
+        |  FROM t)
+        |SELECT tier, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |  min(score) AS lo_score, max(score) AS hi_score
+        |FROM s JOIN tt USING (score) GROUP BY tier ORDER BY tier""".stripMargin,
     "e3_quality" ->
       """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
         |  len(list_filter(string_split(text, ' '),

@@ -48,6 +48,40 @@ object StreamOps {
         col("n_events"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** E4j — per-day distinct users, exact AND sketched: the windowed form
+    * of the q42 HLL contract. In batch, exact countDistinct sits next to
+    * approx_count_distinct and the driver-checkable output carries the
+    * portable accuracy contract (`err_ok` — each engine's own sketch
+    * within 5% of its own exact). In STREAMING, exact distinct is not
+    * executable at all (distinct aggregation over an unbounded stream
+    * would hold every user id in state), so the sketch is the only form
+    * that runs — the same approx_count_distinct expression is asserted
+    * stream-equals-batch in StreamingSpec over a file-source stream. At
+    * 100 TB the per-window state is one fixed-size HLL per day instead of
+    * the day's user-id set. */
+  def e4jWindowSketch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("err_ok"))
+      .orderBy("day")
+
+  /** The streaming form of e4j: only the sketch column (exact distinct is
+    * unbounded state — Spark rejects it on a stream), watermarked for
+    * window eviction. StreamingSpec asserts its AvailableNow output equals
+    * the batch sketch bit-for-bit. */
+  def e4jStream(s: SparkSession, eventsStream: DataFrame): DataFrame =
+    eventsStream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("approx_users"))
+
   /** Funnel step window (24 h in µs; fixture events are hours apart).
     * Interpolated into BOTH the Spark query and the oracle SQL — one
     * constant, no silent divergence on retuning. */
@@ -164,6 +198,15 @@ object StreamOps {
       .writeStream.outputMode("update").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** File-source runner for e4jStream (StreamingSpec asserts its output
+    * equals the batch sketch). */
+  def streamWindowSketch(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery =
+    e4jStream(s, s.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
   /** E4e — stream-stream interval join: the streaming form of q27 (views
     * by the same user within 5 minutes after each click). Both sides carry
     * watermarks and the join condition bounds the event-time gap, so Spark
@@ -266,9 +309,18 @@ object StreamOps {
     "e4f_funnel" -> (e4fFunnel _),
     "e4f2_funnel4" -> (e4f2Funnel4 _),
     "e4g_cohort" -> (e4gCohort _),
+    "e4j_window_sketch" -> (e4jWindowSketch _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e4j_window_sketch" ->
+      // each engine's own per-day HLL vs its own exact distinct — the
+      // q42 portable-contract pattern, windowed
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |count(DISTINCT user_id) AS exact_users,
+        |abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |  <= count(DISTINCT user_id) * 0.05 AS err_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "e4g_cohort" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
         |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),

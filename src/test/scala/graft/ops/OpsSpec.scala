@@ -404,6 +404,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e2_pq_rerank: exact re-rank of the ADC shortlist recovers true order") {
+    val rr = Similarity.e2PqRerank(spark, TestSpark.sf0001)
+    val res = rr.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    val plan = rr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // stage 1 (ADC over codes) still prunes its top-C before the shuffle
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"ADC shortlist did not prune before the shuffle:\n$plan")
+    // stage 2 (full-precision fetch) must be a broadcast of the tiny
+    // shortlist against the vector-store scan, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist fetch is not a broadcast join:\n$plan")
+    val qids = res.map(_._1).distinct
+    assert(qids.length == Similarity.PqNQueries)
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to Similarity.PqTopK.toLong))
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(w => w.head >= w.last - 1e-9),
+        s"query $q sim not monotone in rank")
+    }
+    // recovery property: the shortlist contains ADC's top-1, so re-ranking
+    // by exact cosine can only improve (or tie) the served top-1
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val adcTop1 = Similarity.e2PqSearch(spark, TestSpark.sf0001).collect()
+      .filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    qids.foreach { q =>
+      val rrTop1 = res.filter(r => r._1 == q && r._2 == 1L).head._3
+      assert(cos(vecs(q), vecs(rrTop1)) >= cos(vecs(q), vecs(adcTop1(q))) - 1e-9,
+        s"query $q: re-rank top-1 $rrTop1 worse than ADC top-1 ${adcTop1(q)}")
+    }
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet

@@ -39,6 +39,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming per-day HLL sketch equals the batch sketch (E4j)") {
+    // one part file → one micro-batch → one final row per window; HLL
+    // merge is register-wise max (order-independent), so the streamed
+    // estimate must equal the batch estimate bit-for-bit
+    val dir = TestSpark.tmpDir("e4j") + "/events"
+    graft.Tables.events(spark, TestSpark.sf0001)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val q = StreamOps.streamWindowSketch(spark, dir, sch, "e4j_sink")
+    assert(q.awaitTermination(60000), "sketch stream did not finish in 60s")
+    val streamed = spark.table("e4j_sink").orderBy("day")
+      .collect().map(_.toSeq).toSeq
+    // the literally-same expression in batch (withWatermark is a no-op
+    // on a batch frame)
+    val batch = StreamOps.e4jStream(spark, spark.read.parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp")))
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("incremental quota maintenance converges to the batch e6_quota_sample") {
     // the batch operator's Scaladoc claims a streaming ingest maintains
     // the same per-source top-K incrementally (priority is a pure function
