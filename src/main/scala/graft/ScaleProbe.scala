@@ -80,7 +80,9 @@ object ScaleProbe {
       "e4g_cohort", "e5_image_neardup", "e6_quota_sample", "e3_vocab_growth",
       "e1_source_overlap", "e7_mixture", "q43_approx_quantile",
       "e6_global_shuffle", "e7_temperature_mix", "e1_boilerplate",
-      "e2_pq_codes", "e2_pq_search")
+      "e2_pq_codes", "e2_pq_search",
+      "e2_pq_rerank", "e3_quality_tiers", "e4j_window_sketch",
+      "q44_window_dist")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -467,7 +467,38 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** E1 — MinHash sketch-accuracy audit: for every verified near-dup pair,
+    * the ESTIMATED Jaccard (fraction of the 64 signature slots agreeing —
+    * the unbiased MinHash estimator) next to the exact shingle Jaccard,
+    * with the absolute error. This is the q42/q43 idea applied to the
+    * dedup sketch — but because the signature derivation is splitmix64
+    * arithmetic replicated exactly in the oracle, the ESTIMATES themselves
+    * hash-match cross-engine, not just an accuracy contract. Operationally
+    * this is the audit a pipeline runs when tuning band/row counts: it
+    * quantifies how sharp the signature is around the 0.2 threshold. The
+    * signature join ships 64 longs per doc for pair endpoints only; at
+    * 100 TB it runs over the (already output-bounded) pair table, or a
+    * sample of it. */
+  def e1MinhashAccuracy(s: SparkSession, d: String): DataFrame = {
+    val mh = org.apache.spark.sql.graftext.minhashExpression
+    val sigs = rareShingleHashes(s, d).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"))
+      .select(col("doc_id"), mh.minhashSigFromHashes(col("sh")).as("sig"))
+    e1MinhashPairs(s, d)
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .withColumn("eq", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"))
+      .withColumn("est_jaccard", round(col("eq") / 64.0, 4))
+      .select(col("da"), col("db"), col("jaccard"), col("est_jaccard"),
+        // both operands are already 4-decimal-rounded doubles, so the
+        // subtraction is the same IEEE op on the same bits in both engines
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+      .orderBy("da", "db")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_minhash_pairs" -> (e1MinhashPairs _),
@@ -608,6 +639,19 @@ object Dedup {
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
+    "e1_minhash_accuracy" ->
+      // the estimator is slot-agreement over the SAME signatures the pair
+      // candidates came from (sig CTE), so the estimates hash-match
+      s"""WITH $minhashCtesBlock,
+         |agree AS (SELECT p.da, p.db,
+         |    sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS eq
+         |  FROM mhp p JOIN sig a ON a.doc_id = p.da
+         |  JOIN sig b ON b.doc_id = p.db AND b.k = a.k
+         |  GROUP BY p.da, p.db)
+         |SELECT p.da, p.db, p.jaccard,
+         |  round(eq / 64.0, 4) AS est_jaccard,
+         |  round(abs(round(eq / 64.0, 4) - p.jaccard), 4) AS abs_err
+         |FROM mhp p JOIN agree USING (da, db) ORDER BY da, db""".stripMargin,
     "e1_minhash_pairs" -> minhashPairsOracle,
     "e1_source_overlap" ->
       s"""WITH $minhashCtesBlock,

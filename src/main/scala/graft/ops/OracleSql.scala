@@ -18,8 +18,15 @@ private[ops] object OracleSql {
   val A   = "CAST('11400714819323198485' AS HUGEINT)" // 0x9e3779b97f4a7c15
   val C1  = "CAST('13787848793156543929' AS HUGEINT)" // 0xbf58476d1ce4e5b9
   val C2  = "CAST('10723151780598845931' AS HUGEINT)" // 0x94d049bb133111eb
-  val XC  = "CAST('6363136223846793005' AS HUGEINT)"  // 0x5851f42d4c957f2d
-  val BandSeed = "CAST('4358157137224291923' AS HUGEINT)" // 0x3c79ac492ba7b653
+  // NOTE: these decimals were typo'd until round 6 (636_3_... and a
+  // mis-transcribed BandSeed). Nothing caught it for five rounds because
+  // LSH banding only needs WITHIN-engine consistency — candidates collide
+  // identically under any constant — so the pair/cluster oracles matched
+  // while the raw signature values silently diverged cross-engine. The
+  // e1_minhash_accuracy oracle (round 6) is the first to compare raw
+  // slots, and found it.
+  val XC  = "CAST('6364136223846793005' AS HUGEINT)"  // 0x5851f42d4c957f2d
+  val BandSeed = "CAST('4357703544722667091' AS HUGEINT)" // 0x3c79ac492ba7b653
 
   /** (v * c) mod 2^64 without overflowing signed INT128. */
   def mulmod(v: String, c: String): String =

