@@ -82,14 +82,18 @@ object ScaleProbe {
       "e6_global_shuffle", "e7_temperature_mix", "e1_boilerplate",
       "e2_pq_codes", "e2_pq_search",
       "e2_pq_rerank", "e3_quality_tiers", "e4j_window_sketch",
-      "q44_window_dist")
+      "q44_window_dist", "e1_minhash_accuracy",
+      "e2_ann_recall", "e7_funnel")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
     // whose block-local pairwise work grows with the square of block size.
     val probes0 =
       if (args.lift(1).contains("linear") || n >= 100)
-        full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk"))
+        // e2_ann_recall consumes the exact per-label-block baseline, so it
+        // shares e2_cosine_topk's quadratic-verifier profile
+        full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk",
+          "e2_ann_recall"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

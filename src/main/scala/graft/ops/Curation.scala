@@ -129,7 +129,55 @@ object Curation {
       .orderBy("source")
   }
 
+  /** E7 — the curation FUNNEL: how many documents (and tokens) survive
+    * each successive gate of the e7_curated pipeline — raw → exact-dedup
+    * keepers → near-dup cluster keepers → repetition filter → quality
+    * threshold. This is the one-page report every corpus build publishes
+    * (each stage's token drop is the cost of that gate), and the
+    * monotone-decreasing counts are a built-in sanity check on the
+    * composite. Plan: the per-doc gate booleans are computed once in one
+    * joined pass (sharing the same operator definitions as e7_curated),
+    * then ONE aggregate emits all five stages via stack() — the corpus is
+    * never re-scanned per stage. */
+  def e7Funnel(s: SparkSession, d: String): DataFrame = {
+    val exactK = Dedup.e1ExactDedup(s, d)
+      .select(col("keeper").as("doc_id"), lit(true).as("ex"))
+    val clusK = Dedup.e1DedupClusters(s, d)
+      .select(col("doc_id"), (col("doc_id") === col("cluster")).as("ck"))
+    val q = TextOps.e3Quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val rep = TextOps.e3Repetition(s, d)
+      .select(col("doc_id"), col("dup_2gram_frac"), col("top_word_frac"))
+    val g = q.join(rep, "doc_id")
+      .join(clusK, "doc_id")
+      .join(exactK, Seq("doc_id"), "left")
+      .withColumn("ex", coalesce(col("ex"), lit(false)))
+      .withColumn("g2", col("ex") && col("ck"))
+      .withColumn("g3", col("g2") &&
+        col("dup_2gram_frac") <= 0.05 && col("top_word_frac") <= 0.3)
+      .withColumn("g4", col("g3") && col("score") >= 0.5)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("n_tokens"))), lit(0L))
+    g.agg(count(lit(1)).as("n_raw"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t_raw"),
+        cnt(col("ex")).as("n_ex"), tok(col("ex")).as("t_ex"),
+        cnt(col("g2")).as("n_ck"), tok(col("g2")).as("t_ck"),
+        cnt(col("g3")).as("n_rep"), tok(col("g3")).as("t_rep"),
+        cnt(col("g4")).as("n_q"), tok(col("g4")).as("t_q"))
+      .selectExpr(
+        """stack(5,
+          |  0L, 'raw', n_raw, t_raw,
+          |  1L, 'exact_keeper', n_ex, t_ex,
+          |  2L, 'cluster_keeper', n_ck, t_ck,
+          |  3L, 'repetition', n_rep, t_rep,
+          |  4L, 'quality', n_q, t_q)
+          |AS (stage, gate, n_docs, tokens)""".stripMargin)
+      .orderBy("stage")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_funnel" -> (e7Funnel _),
     "e7_source_stats" -> (e7SourceStats _),
     "e7_curated" -> (e7Curated _),
     "e7_mixture" -> (e7Mixture _),
@@ -175,40 +223,83 @@ object Curation {
         |GROUP BY source ORDER BY source""".stripMargin,
     "e7_curated" ->
       s"""WITH RECURSIVE ${Dedup.minhashCtes},
-         |edges AS (SELECT da AS a, db AS b FROM mhp
-         |  UNION SELECT db, da FROM mhp),
-         |reach(v, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
-         |clus AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
-         |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
-         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
-         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score
-         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
-         |    len(list_filter(string_split(text, ' '),
-         |      t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents)),
-         |rept AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |repb AS (SELECT doc_id, len(toks) AS n, greatest(len(toks) - 1, 0) AS n2,
-         |  len(list_distinct(list_transform(range(1, len(toks)),
-         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS nd2
-         |  FROM rept),
-         |reptop AS (SELECT doc_id, max(c) AS top FROM (
-         |  SELECT doc_id, tok, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(toks) AS tok FROM rept) GROUP BY doc_id, tok)
-         |  GROUP BY doc_id),
-         |rep AS (SELECT b.doc_id,
-         |  CASE WHEN n2 > 0 THEN round(CAST(n2 - nd2 AS DOUBLE) / n2, 4)
-         |    ELSE 0.0 END AS d2,
-         |  round(CAST(top AS DOUBLE) / n, 4) AS tw
-         |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id),
-         |exk AS (SELECT min(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(lower(trim(text))))
+         |$curationCtes
          |SELECT q.doc_id AS doc_id, n_tokens, score
          |FROM q JOIN clus ON q.doc_id = clus.doc_id AND q.doc_id = clus.cluster
          |JOIN rep ON q.doc_id = rep.doc_id
          |JOIN exk ON q.doc_id = exk.doc_id
          |WHERE score >= 0.5 AND d2 <= 0.05 AND tw <= 0.3
          |ORDER BY doc_id""".stripMargin,
+    "e7_funnel" ->
+      // same gate definitions as e7_curated, cumulatively ANDed; the
+      // funnel stages are sums over ONE per-doc gate table
+      s"""WITH RECURSIVE ${Dedup.minhashCtes},
+         |$curationCtes,
+         |g AS (SELECT q.doc_id, q.n_tokens, q.score, rep.d2, rep.tw,
+         |    (exk.doc_id IS NOT NULL) AS ex,
+         |    (clus.cluster = q.doc_id) AS ck
+         |  FROM q JOIN clus ON q.doc_id = clus.doc_id
+         |  JOIN rep ON q.doc_id = rep.doc_id
+         |  LEFT JOIN exk ON q.doc_id = exk.doc_id),
+         |g2 AS (SELECT *, ex AND ck AS c2 FROM g),
+         |g3 AS (SELECT *, c2 AND d2 <= 0.05 AND tw <= 0.3 AS c3 FROM g2),
+         |g4 AS (SELECT *, c3 AND score >= 0.5 AS c4 FROM g3)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+         |    count(*) AS n_docs,
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tokens FROM g4
+         |  UNION ALL SELECT 1, 'exact_keeper',
+         |    CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN ex THEN n_tokens END), 0) AS BIGINT)
+         |    FROM g4
+         |  UNION ALL SELECT 2, 'cluster_keeper',
+         |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN c2 THEN n_tokens END), 0) AS BIGINT)
+         |    FROM g4
+         |  UNION ALL SELECT 3, 'repetition',
+         |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN c3 THEN n_tokens END), 0) AS BIGINT)
+         |    FROM g4
+         |  UNION ALL SELECT 4, 'quality',
+         |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN c4 THEN n_tokens END), 0) AS BIGINT)
+         |    FROM g4)
+         |ORDER BY stage""".stripMargin,
   )
+
+  /** Gate CTEs shared by the e7_curated and e7_funnel oracles (appended
+    * after Dedup.minhashCtes): `clus` (min-label connected components over
+    * the LSH pair table), `q` (token count + quality score), `rep`
+    * (2-gram dup + top-word fractions), `exk` (exact-fingerprint
+    * keepers). */
+  private def curationCtes: String =
+    """edges AS (SELECT da AS a, db AS b FROM mhp
+      |  UNION SELECT db, da FROM mhp),
+      |reach(v, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+      |clus AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+      |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+      |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents)),
+      |rept AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |repb AS (SELECT doc_id, len(toks) AS n, greatest(len(toks) - 1, 0) AS n2,
+      |  len(list_distinct(list_transform(range(1, len(toks)),
+      |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS nd2
+      |  FROM rept),
+      |reptop AS (SELECT doc_id, max(c) AS top FROM (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(toks) AS tok FROM rept) GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |rep AS (SELECT b.doc_id,
+      |  CASE WHEN n2 > 0 THEN round(CAST(n2 - nd2 AS DOUBLE) / n2, 4)
+      |    ELSE 0.0 END AS d2,
+      |  round(CAST(top AS DOUBLE) / n, 4) AS tw
+      |  FROM repb b JOIN reptop t ON b.doc_id = t.doc_id),
+      |exk AS (SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(lower(trim(text))))""".stripMargin
 }

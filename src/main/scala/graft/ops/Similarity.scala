@@ -244,6 +244,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — ANN recall audit: per label, how often the IVF index's top-1
+    * agrees with the exact within-block top-1 — the accuracy/cost
+    * scoreboard every ANN deployment tracks next to its nProbe dial (the
+    * similarity analogue of e1_minhash_accuracy). `top1_hits` counts
+    * exact neighbor agreement; `sim_parity` counts IVF finding an
+    * equal-or-better ROUNDED similarity (possible when the true neighbor
+    * sits outside the label block — the two columns disagreeing is
+    * exactly the blocking-vs-cell difference made visible). The exact
+    * side is the quadratic verifier, so like e1_ngram_jaccard this audit
+    * runs at fixture/sample scale BY DESIGN; the operational path it
+    * audits (IVF) is the scale path. Comparisons are on 4-decimal-rounded
+    * sims, so both engines judge identical values. On the synthetic
+    * fixture the verdict is itself informative: sampled-seed cells agree
+    * with the label-blocked top-1 only ~2-12% of the time while finding
+    * an equal-or-better GLOBAL similarity in ~2/3 of cases — i.e. cells
+    * cut across the label blocking, which is precisely the gap a trained
+    * centroid build or a larger nProbe is deployed to close. */
+  def e2AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = e2CosineTopk(s, d).filter(col("rn") === 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"),
+        col("sim").as("exact_sim"))
+    val ivf = e2AnnIvf(s, d)
+      .select(col("vec_id"), col("neighbor_id").as("ivf_nb"),
+        col("sim").as("ivf_sim"))
+    exact.join(ivf, Seq("vec_id"), "left")
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ivf_nb") === col("exact_nb"), 1L).otherwise(0L))
+          .as("top1_hits"),
+        sum(when(col("ivf_sim") >= col("exact_sim"), 1L).otherwise(0L))
+          .as("sim_parity"))
+      .select(col("label"), col("n"), col("top1_hits"),
+        round(col("top1_hits") / col("n"), 4).as("top1_recall"),
+        col("sim_parity"))
+      .orderBy("label")
+  }
+
   /** Product-quantization parameters — interpolated into BOTH engines.
     * The fixture's 64-dim vectors quantize as PqM=8 subspaces × PqDsub=8
     * dims with PqKsub=16 codewords per subspace: 8 one-byte codes per
@@ -413,6 +451,7 @@ object Similarity {
     "e2_pq_codes" -> (e2PqCodes _),
     "e2_pq_search" -> (e2PqSearch _),
     "e2_pq_rerank" -> (e2PqRerank _),
+    "e2_ann_recall" -> (e2AnnRecall _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -599,6 +638,39 @@ object Similarity {
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
     "e2_pq_rerank" -> pqRerankOracle,
+    "e2_ann_recall" ->
+      // both sides on 4-decimal-rounded sims so the engines judge the
+      // same values; LEFT join tolerates a vector with no in-cell peer
+      s"""WITH ${ivfCtes(1)},
+         |ivf AS (SELECT vec_id, neighbor_id AS ivf_nb,
+         |    round(sim, 4) AS ivf_sim FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |  WHERE rn = 1),
+         |ex AS (SELECT vec_id, other_id AS exact_nb,
+         |    round(sim, 4) AS exact_sim FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM emb a JOIN embeddings la ON a.vec_id = la.vec_id
+         |  JOIN embeddings lb ON la.label = lb.label AND lb.vec_id <> a.vec_id
+         |  JOIN emb b ON b.vec_id = lb.vec_id)
+         |  WHERE rn = 1)
+         |SELECT CAST(l.label AS INT) AS label, count(*) AS n,
+         |  CAST(sum(CASE WHEN i.ivf_nb = e.exact_nb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS top1_hits,
+         |  round(sum(CASE WHEN i.ivf_nb = e.exact_nb THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS top1_recall,
+         |  CAST(sum(CASE WHEN i.ivf_sim >= e.exact_sim THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS sim_parity
+         |FROM ex e LEFT JOIN ivf i USING (vec_id)
+         |JOIN embeddings l ON l.vec_id = e.vec_id
+         |GROUP BY l.label ORDER BY label""".stripMargin,
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),

@@ -444,6 +444,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e7_funnel: stages shrink monotonically and end at the curated corpus") {
+    val rows = Curation.e7Funnel(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 4L))
+    // each gate can only remove documents/tokens
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 },
+      s"funnel not monotone: ${rows.mkString(", ")}")
+    assert(rows.head._2 > 0 && rows.last._2 > 0)
+    // the last stage IS e7_curated (same gates, cumulative)
+    assert(rows.last._2 == Curation.e7Curated(spark, TestSpark.sf0001).count())
+  }
+
   test("queries and oracleSql stay consistent") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
