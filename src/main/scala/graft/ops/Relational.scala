@@ -782,16 +782,22 @@ object Relational {
     * account balance within each nation (where does this customer sit in
     * its nation's balance distribution). The ORDER BY carries c_custkey as
     * a tie-break so ranks are total and both engines agree bit-for-bit.
-    * One hash exchange on the partition key, per-partition sort — the
-    * standard window plan, parallel across nations. */
+    * Output is in integer MICRO-UNITS via floor(x·10⁶ + 0.5): cume_dist =
+    * rank/n yields EXACT decimal ties (a 640-customer nation puts
+    * 333/640 = 0.5203125 on the .5 boundary — sf0.1 hit this), where
+    * Spark's HALF_UP BigDecimal round and DuckDB's tie handling disagree;
+    * floor(+0.5) is pure IEEE arithmetic on identical doubles, so no tie
+    * semantics exist to diverge. One hash exchange on the partition key,
+    * per-partition sort — the standard window plan, parallel across
+    * nations. */
   def q44WindowDist(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     customer(s, d)
       .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
         col("c_acctbal"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cdist"))
+        floor(percent_rank().over(w) * 1000000 + 0.5).as("pct_rank_u"),
+        floor(cume_dist().over(w) * 1000000 + 0.5).as("cdist_u"))
       .orderBy("c_custkey")
   }
 
@@ -855,11 +861,15 @@ object Relational {
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
     "q44_window_dist" ->
+      // micro-units via floor(x*1e6 + 0.5): round() tie semantics differ
+      // cross-engine exactly where rank/n lands on a .5 boundary
       """SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal,
-        |round(percent_rank() OVER (PARTITION BY c_nationkey
-        |  ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-        |round(cume_dist() OVER (PARTITION BY c_nationkey
-        |  ORDER BY c_acctbal, c_custkey), 6) AS cdist
+        |CAST(floor(percent_rank() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey) * 1000000 + 0.5) AS BIGINT)
+        |  AS pct_rank_u,
+        |CAST(floor(cume_dist() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey) * 1000000 + 0.5) AS BIGINT)
+        |  AS cdist_u
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q43_approx_quantile" ->
       // each engine's own quantile sketch vs its own exact median — the
