@@ -83,7 +83,10 @@ object ScaleProbe {
       "e2_pq_codes", "e2_pq_search",
       "e2_pq_rerank", "e3_quality_tiers", "e4j_window_sketch",
       "q44_window_dist", "e1_minhash_accuracy",
-      "e2_ann_recall", "e7_funnel")
+      "e2_ann_recall", "e7_funnel",
+      "e1_fuzzy_pairs", "e1_incremental", "e3_redact",
+      "e8_profile", "e8_outliers", "e8_zipf", "e8_collocations",
+      "e8_diversity", "e8_decay")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -12,7 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all ++
       ops.Similarity.all ++ ops.Multimodal.all ++ ops.Sampling.all ++
-      ops.Curation.all ++ streaming.StreamOps.all
+      ops.Curation.all ++ ops.Analysis.all ++ streaming.StreamOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -20,5 +20,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.Multimodal.oracles ++
       ops.Sampling.oracles ++ ops.Curation.oracles ++
-      streaming.StreamOps.oracles
+      ops.Analysis.oracles ++ streaming.StreamOps.oracles
 }

@@ -1,0 +1,363 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus analysis & data-quality operators (SURVEY.md §2 E8).
+  * The read-side companions to the E1/E3 curation passes: statistical
+  * profiles a pipeline publishes per run (the data-quality spirit of the
+  * reference's job test results, lime_etl/service/batch_runner.py's
+  * test-cadence loop, re-expressed over corpus-scale tables), law-of-the-
+  * corpus fits (Zipf), association mining (PMI collocations), anomaly
+  * detection (z-score outliers), diversity metrics, and time-decayed
+  * aggregates. Every query is exact-oracle-checked; doubles are rounded
+  * at the edge per the Tables determinism contract. */
+object Analysis {
+
+  /** E8 — column profile of `orders`: per column, the null count, exact
+    * distinct count, and stringified min/max — the per-run data-quality
+    * fingerprint an ETL control plane stores and diffs between loads
+    * (schema drift, null regressions, key-cardinality jumps). ONE pass:
+    * all 24 aggregates run in a single Aggregate; the multiple DISTINCT
+    * targets make Catalyst plan an Expand (each row fans out once per
+    * distinct column) — one scan, 6× exchange rows, each a slim
+    * (grouping-id, value) pair; at 100 TB swap exact distinct for the
+    * q42 HLL sketch and the Expand disappears. The `stack` to long
+    * format touches 1 row. Numeric min/max are stringified via
+    * DECIMAL(18,2) so both engines print identical text. */
+  def e8Profile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def nn(c: String) = (count(lit(1)) - count(col(c))).as(s"nn_$c")
+    def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    def mnmx(c: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Seq(f(min(col(c))).as(s"mn_$c"), f(max(col(c))).as(s"mx_$c"))
+    val asStr = (x: org.apache.spark.sql.Column) => x.cast("string")
+    val asDec = (x: org.apache.spark.sql.Column) => x.cast("decimal(18,2)").cast("string")
+    val asTs  = (x: org.apache.spark.sql.Column) => date_format(x, "yyyy-MM-dd HH:mm:ss")
+    val cols = Seq(
+      ("o_orderkey", asStr), ("o_custkey", asStr), ("o_orderstatus", asStr),
+      ("o_totalprice", asDec), ("o_orderdate", asTs), ("o_orderpriority", asStr))
+    val aggs = cols.flatMap { case (c, f) => Seq(nn(c), nd(c)) ++ mnmx(c, f) }
+    val stackArgs = cols.map { case (c, _) =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("column_name")
+  }
+
+  /** Outlier threshold in sample standard deviations. Margin audited in
+    * the fixtures: the z nearest the cut is 2.2e-4 away at sf0.1 — six
+    * orders above the ~1e-12 cross-engine aggregate jitter, so the
+    * boundary cannot flip membership between engines. */
+  val OutlierZ = 3.0
+
+  /** E8 — z-score anomaly detection on the event stream: events whose
+    * value sits more than OutlierZ sample standard deviations from their
+    * type's mean. Two-pass shape (stats, then scan+filter) is the 100 TB
+    * form: pass 1 partial-aggregates to one (mean, sd) row per type,
+    * pass 2 re-scans with the 5-row stats table BROADCAST — no shuffle
+    * of the event stream itself, and the filter is evaluated scan-side. */
+  def e8Outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("m")) / col("sd"))
+      .filter(abs(col("z")) > OutlierZ)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Rank depth for the Zipf fit — interpolated into BOTH engines. */
+  val ZipfTopK = 200
+
+  /** E8 — Zipf's-law fit over the token frequency spectrum: regression
+    * of ln(frequency) on ln(rank) for the top ZipfTopK tokens. The slope
+    * (≈ −1 for natural language, shallower for templated/synthetic text)
+    * is a one-number corpus-health signal: a corpus whose spectrum
+    * flattens is accumulating boilerplate (complements e1_boilerplate),
+    * and r² says how law-like the corpus is. Plan: token explode →
+    * map-side-combined count (vocabulary-sized shuffle, the e3_tfidf df
+    * treatment) → distributed top-K (TakeOrderedAndProject — no global
+    * sort, each partition keeps K) → the regression aggregates
+    * (regr_slope/intercept/r2) run over K rows. The rank window is a
+    * single-partition sort over K = 200 rows — constant work at any
+    * corpus size. */
+  def e8Zipf(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(ZipfTopK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(expr("regr_slope(ln(c), ln(rank))"), 4).as("slope"),
+        round(expr("regr_intercept(ln(c), ln(rank))"), 4).as("intercept"),
+        round(expr("regr_r2(ln(c), ln(rank))"), 4).as("r2"))
+  }
+
+  /** Collocation thresholds — interpolated into BOTH engines. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** E8 — PMI collocations: the PmiTopK adjacent-word pairs most
+    * over-represented vs independence, PMI = ln(P(xy)/(P(x)P(y))),
+    * computed in log space term by term (ln c_xy − ln N₂ − ln c_x −
+    * ln c_y + 2 ln N₁ — the literal product c_xy·N₁² overflows a long at
+    * corpus scale). min-count PmiMinCount kills the noise pairs that
+    * dominate raw PMI. Plan: ONE bigram explode feeding a map-side-
+    * combined (w1, w2) count; unigram counts and the two scalar totals
+    * are vocabulary-sized side tables joined BROADCAST; final top-K is
+    * distributed TakeOrdered over the rounded key with (w1, w2)
+    * tie-break so both engines cut the same 50. */
+  def e8Collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n1 = uni.agg(sum(col("cw")).as("n1"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= PmiMinCount)
+    val n2 = bg.agg(sum(col("cxy")).as("n2"))
+    bg
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("cx"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cy"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("cxy"),
+        round(log(col("cxy")) - log(col("n2")) - log(col("cx")) -
+          log(col("cy")) + lit(2.0) * log(col("n1")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(PmiTopK)
+  }
+
+  /** E8 — per-source diversity: language count, Shannon entropy, and
+    * Simpson index over each source's language distribution — the mix
+    * dashboard a curation run publishes next to e7_source_stats (a
+    * source whose entropy collapses is crawling a single-language
+    * pocket). Two tiny chained aggregates: (source, lang) counts —
+    * at most sources × languages rows after map-side combine — then a
+    * per-source fold; nothing corpus-sized is shuffled. */
+  def e8Diversity(s: SparkSession, d: String): DataFrame = {
+    val bl = documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val tot = bl.groupBy("source").agg(sum(col("c")).as("n"))
+    bl.join(tot, "source")
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 4)
+          .as("entropy"),
+        round(lit(1.0) - sum(pow(col("c") / col("n"), 2)), 4).as("simpson"))
+      .orderBy("source")
+  }
+
+  /** Decay reference instant (2024-02-01T00:00:00Z, just past the
+    * fixture's event horizon) and time constant (7 days), in epoch
+    * microseconds — interpolated into BOTH engines. A pinned reference
+    * keeps the operator a pure function of the data (the determinism
+    * contract); a deployment passes the run's logical date. */
+  val DecayRefUs = 1706745600000000L
+  val DecayTauUs = 7L * 86400L * 1000000L
+
+  /** E8 — exponentially time-decayed value per event type:
+    * Σ value·exp(−Δt/τ) — the freshness-weighted engagement score
+    * behind trending/ranking features, where yesterday counts e^(1/7)
+    * more than the day before. Entirely map-side arithmetic feeding one
+    * 5-group aggregate: the exp weight is computed scan-side from the
+    * raw timestamp, partial sums combine per partition, and the
+    * exchange carries 5 rows — the same plan at any event volume. */
+  def e8Decay(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") *
+          exp((tsMicros(col("ts")) - lit(DecayRefUs)).cast("double") /
+            lit(DecayTauUs.toDouble))), 2).as("decayed"))
+      .orderBy("event_type")
+
+  /** Numeric column pairs for the correlation matrix — interpolated into
+    * BOTH engines. */
+  val CorrPairs = Seq(
+    ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+
+  /** E8 — Pearson correlation matrix over the lineitem measures: the
+    * feature-redundancy screen a pipeline runs before model features or
+    * schema review (a pair at |r| ≈ 1 is one column stored twice). All
+    * six coefficients run in ONE Aggregate pass — corr partial-aggregates
+    * via co-moment accumulators (n, Σx, Σy, Σxy, Σx², Σy² per pair), so
+    * the exchange carries one fixed-size row per partition at any table
+    * size; the stack to long format touches 1 row. */
+  def e8Corr(s: SparkSession, d: String): DataFrame = {
+    val aggs = CorrPairs.zipWithIndex.map { case ((a, b), i) =>
+      round(corr(col(a), col(b)), 4).as(s"c$i") }
+    val stackArgs = CorrPairs.zipWithIndex.map { case ((a, b), i) =>
+      s"'$a', '$b', c$i" }.mkString(", ")
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${CorrPairs.size}, $stackArgs) AS " +
+        "(col_a, col_b, pearson)")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Purpose salt splitting orders into the simulated previous load
+    * (slot < 50) vs current load — deterministic and independent of the
+    * other purpose salts. Positive so the oracle's xor stays below 2^63. */
+  val DriftSalt = 0x7c3a9e51d2b48f67L
+
+  /** E8 — load-over-load drift report: per column, the distinct-count
+    * profile of the "previous" vs "current" load (a deterministic
+    * hash-split of orders standing in for two run snapshots; a deployment
+    * feeds two real load partitions) and the percent change — the diff an
+    * ETL control plane alerts on (key-cardinality jumps = upstream
+    * duplication; collapses = truncated extracts). ONE pass over the
+    * table: 12 filtered DISTINCT aggregates share a single scan via
+    * Catalyst's Expand (each row fans out per distinct target, slim
+    * (grouping-id, value) pairs); the side gate is the scan-side
+    * splitmix64 slot, so no pre-shuffle split materializes. */
+  def e8Drift(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val sided = orders(s, d).withColumn("side",
+      when(Sampling.slot(col("o_orderkey"), DriftSalt) < 50, lit("prev"))
+        .otherwise(lit("curr")))
+    val aggs = cols.flatMap { c => Seq(
+      expr(s"count(DISTINCT $c) FILTER (WHERE side = 'prev')").as(s"p_$c"),
+      expr(s"count(DISTINCT $c) FILTER (WHERE side = 'curr')").as(s"c_$c")) }
+    val stackArgs = cols.map(c => s"'$c', p_$c, c_$c").mkString(", ")
+    sided.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, nd_prev, nd_curr)")
+      .withColumn("delta_pct",
+        round(lit(100.0) * (col("nd_curr") - col("nd_prev")) / col("nd_prev"), 2))
+      .orderBy("column_name")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_corr" -> (e8Corr _),
+    "e8_drift" -> (e8Drift _),
+    "e8_profile" -> (e8Profile _),
+    "e8_outliers" -> (e8Outliers _),
+    "e8_zipf" -> (e8Zipf _),
+    "e8_collocations" -> (e8Collocations _),
+    "e8_diversity" -> (e8Diversity _),
+    "e8_decay" -> (e8Decay _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e8_corr" -> {
+      val blocks = CorrPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |round(corr($a, $b), 4) AS pearson FROM lineitem""".stripMargin }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+    "e8_drift" -> {
+      import OracleSql._
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val carry = cols.mkString(", ")
+      val blocks = cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |count(DISTINCT $c) FILTER (WHERE side = 'prev') AS nd_prev,
+           |count(DISTINCT $c) FILTER (WHERE side = 'curr') AS nd_curr
+           |FROM sided""".stripMargin }
+      s"""WITH mx_in AS (SELECT $carry,
+         |  xor(CAST(o_orderkey AS HUGEINT), CAST('$DriftSalt' AS HUGEINT)) AS h0
+         |  FROM orders),
+         |${mixCtes("mx", "h0", "h1", cols)},
+         |sided AS (SELECT $carry,
+         |  CASE WHEN (h1 % CAST(power(2, 63) AS HUGEINT)) % 100 < 50
+         |       THEN 'prev' ELSE 'curr' END AS side FROM mx),
+         |wide AS (
+         |${blocks.mkString("\nUNION ALL\n")})
+         |SELECT column_name, nd_prev, nd_curr,
+         |  round(100.0 * (nd_curr - nd_prev) / CAST(nd_prev AS DOUBLE), 2)
+         |    AS delta_pct
+         |FROM wide ORDER BY column_name""".stripMargin
+    },
+    "e8_profile" -> {
+      def block(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS column_name,
+           |count(*) - count($c) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct,
+           |$mn AS min_val, $mx AS max_val FROM orders""".stripMargin
+      def vc(e: String) = s"CAST($e AS VARCHAR)"
+      Seq(
+        block("o_orderkey", vc("min(o_orderkey)"), vc("max(o_orderkey)")),
+        block("o_custkey", vc("min(o_custkey)"), vc("max(o_custkey)")),
+        block("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        block("o_totalprice",
+          vc("CAST(min(o_totalprice) AS DECIMAL(18,2))"),
+          vc("CAST(max(o_totalprice) AS DECIMAL(18,2))")),
+        block("o_orderdate",
+          "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+        block("o_orderpriority",
+          "min(o_orderpriority)", "max(o_orderpriority)"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    "e8_outliers" ->
+      s"""WITH s AS (SELECT event_type, avg(value) AS m,
+         |  stddev_samp(value) AS sd FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, value,
+         |  round((value - m) / sd, 4) AS z
+         |FROM events e JOIN s USING (event_type)
+         |WHERE abs((value - m) / sd) > $OutlierZ
+         |ORDER BY event_id""".stripMargin,
+    "e8_zipf" ->
+      s"""WITH tc AS (SELECT token, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token
+         |    FROM documents) GROUP BY 1),
+         |top AS (SELECT token, c FROM tc ORDER BY c DESC, token
+         |  LIMIT $ZipfTopK),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)
+         |  AS rank FROM top)
+         |SELECT count(*) AS n_ranks,
+         |  round(regr_slope(ln(c), ln(rank)), 4) AS slope,
+         |  round(regr_intercept(ln(c), ln(rank)), 4) AS intercept,
+         |  round(regr_r2(ln(c), ln(rank)), 4) AS r2
+         |FROM rk""".stripMargin,
+    "e8_collocations" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |uni AS (SELECT w, count(*) AS cw FROM (
+         |  SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |n1 AS (SELECT CAST(sum(cw) AS BIGINT) AS n1 FROM uni),
+         |bg AS (SELECT w1, w2, count(*) AS cxy FROM (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+         |    SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+         |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+         |n2 AS (SELECT CAST(sum(cxy) AS BIGINT) AS n2 FROM bg)
+         |SELECT w1 || ' ' || w2 AS bigram, cxy,
+         |  round(ln(cxy) - ln(n2) - ln(cx) - ln(cy) + 2.0 * ln(n1), 4)
+         |    AS pmi
+         |FROM bg
+         |JOIN (SELECT w AS w1, cw AS cx FROM uni) USING (w1)
+         |JOIN (SELECT w AS w2, cw AS cy FROM uni) USING (w2)
+         |CROSS JOIN n1 CROSS JOIN n2
+         |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin,
+    "e8_diversity" ->
+      """WITH bl AS (SELECT source, lang, count(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM bl
+        |  GROUP BY 1)
+        |SELECT source, max(n) AS n_docs, count(*) AS n_langs,
+        |  round(-sum((c / n) * ln(c / n)), 4) AS entropy,
+        |  round(1.0 - sum(power(c / n, 2)), 4) AS simpson
+        |FROM bl JOIN t USING (source) GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "e8_decay" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  round(sum(value * exp(
+         |    CAST(epoch_us(ts) - $DecayRefUs AS DOUBLE) / $DecayTauUs)),
+         |    2) AS decayed
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

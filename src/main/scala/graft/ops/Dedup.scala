@@ -497,8 +497,97 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Blocking parameters for e1FuzzyPairs — interpolated into BOTH
+    * engines. Prefix length bounds the per-pair edit-distance work to
+    * O(FuzzyPrefix²) regardless of document length; the (lang, length
+    * bucket) blocking key bounds the candidate set the way LSH bands do
+    * for MinHash. */
+  val FuzzyPrefix = 80
+  val FuzzyMaxDist = 20
+  val FuzzyLenBucket = 100
+
+  /** Block-population cap for e1FuzzyPairs, the MaxBandBucket treatment:
+    * a (lang, length-bucket) block with more than this many documents is
+    * dropped from candidate generation entirely, so the in-block pairwise
+    * work stays ≤ cap·(cap−1)/2 per block and TOTAL candidates stay
+    * linear in the number of blocks — i.e. in the corpus — instead of
+    * quadratic in the hottest block. At fixture scales no block reaches
+    * the cap, so results are unchanged; at 100 TB the cap is what keeps
+    * a billion same-length English documents from forming one 10^18-pair
+    * block (a production run would widen the key — finer buckets, a
+    * content prefix hash — to recover recall inside hot blocks). */
+  val MaxFuzzyBlock = 256
+
+  /** E1 — fuzzy near-match pairs by BLOCKED edit distance: candidate
+    * pairs share a (lang, n_chars div bucket) blocking key — a standard
+    * record-linkage blocking scheme: two texts whose lengths differ by
+    * more than the bucket width cannot be within a small edit distance
+    * anyway — and survive iff the Levenshtein distance of their
+    * FuzzyPrefix-char prefixes is ≤ FuzzyMaxDist. Complements the
+    * set-based near-dup family (Jaccard/MinHash/SimHash ignore token
+    * ORDER; edit distance is the order-sensitive measure that catches
+    * small in-place edits). Plan: one equi-join shuffle on the blocking
+    * key; hot blocks are dropped by MaxFuzzyBlock (broadcast anti-join,
+    * exactly the shingle-df / band-bucket treatment) so candidate
+    * generation stays linear in the corpus. Spark's 3-arg
+    * `levenshtein(l, r, max)` abandons a pair early once the running
+    * distance exceeds the threshold, so the per-pair cost is
+    * O(prefix · max), not O(prefix²). */
+  def e1FuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val blocked0 = documents(s, d).select(
+      col("doc_id"), col("lang"),
+      expr(s"n_chars div $FuzzyLenBucket").as("lb"),
+      substring(col("text"), 1, FuzzyPrefix).as("pfx"))
+    val hot = blocked0.groupBy("lang", "lb").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MaxFuzzyBlock).select("lang", "lb")
+    val blocked = blocked0.join(broadcast(hot), Seq("lang", "lb"), "left_anti")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist",
+        levenshtein(col("a.pfx"), col("b.pfx"), FuzzyMaxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        asLong(col("dist")).as("dist"))
+      .orderBy("da", "db")
+  }
+
+  /** Purpose salt splitting the corpus into existing corpus (slot < 90)
+    * vs new batch (slot ≥ 90) for the incremental-dedup demonstration —
+    * deterministic, sf-independent, and independent of the sampling
+    * salts. Positive so the xor stays below 2^63 in the oracle. */
+  val IncrSalt = 0x4be8d17a92c5f3e6L
+
+  /** E1 — incremental dedup: admit only the NEW batch documents whose
+    * content fingerprint is unseen — neither in the existing corpus nor
+    * earlier in the batch itself (min doc_id wins within a batch group).
+    * This is the steady-state shape of dedup at 100 TB: the corpus is
+    * deduped ONCE, and each nightly increment is checked against the
+    * corpus fingerprint set instead of re-deduping the world. Plan: the
+    * batch side partial-aggregates to one row per distinct fingerprint
+    * map-side, then a LEFT ANTI join on the 16-byte fingerprint — the
+    * exchange carries hashes, never documents, and Spark's runtime
+    * row-level filtering (injected bloom on the anti-join key) prunes
+    * corpus partitions before the join at scale. The corpus/batch split
+    * here is a deterministic slot of doc_id so both engines and every sf
+    * agree on membership. */
+  def e1Incremental(s: SparkSession, d: String): DataFrame = {
+    val f = documents(s, d).select(col("doc_id"),
+      Sampling.slot(col("doc_id"), IncrSalt).as("slot"),
+      contentFingerprint(col("text")).as("fp"))
+    val corpusFps = f.filter(col("slot") < 90).select("fp").distinct()
+    f.filter(col("slot") >= 90)
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
+    "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
+    "e1_incremental" -> (e1Incremental _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_minhash_pairs" -> (e1MinhashPairs _),
@@ -683,6 +772,28 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "e1_fuzzy_pairs" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, n_chars // $FuzzyLenBucket AS lb,
+         |  substring(text, 1, $FuzzyPrefix) AS pfx FROM documents),
+         |hot AS (SELECT lang, lb FROM d0 GROUP BY lang, lb
+         |  HAVING count(*) > $MaxFuzzyBlock),
+         |d AS (SELECT * FROM d0 x WHERE NOT EXISTS
+         |  (SELECT 1 FROM hot h WHERE h.lang = x.lang AND h.lb = x.lb))
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb
+         |  AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= $FuzzyMaxDist
+         |ORDER BY da, db""".stripMargin,
+    "e1_incremental" ->
+      s"""WITH ${Sampling.slotCtes(IncrSalt)},
+         |f AS (SELECT s.doc_id, s.slot, md5(lower(trim(d.text))) AS fp
+         |  FROM slots s JOIN documents d USING (doc_id)),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f
+         |  WHERE slot >= 90 GROUP BY fp)
+         |SELECT k.doc_id, k.fp FROM keep k
+         |WHERE k.fp NOT IN (SELECT fp FROM f WHERE slot < 90)
+         |ORDER BY doc_id""".stripMargin,
     "e1_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,

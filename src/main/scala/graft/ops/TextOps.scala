@@ -446,7 +446,34 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Blocklist pattern for e3Redact — Java regex and DuckDB RE2 agree on
+    * `\b` word boundaries and alternation over ASCII, so the SAME pattern
+    * string drives both engines (the oracle writes it as a SQL literal).
+    * A real pipeline swaps in PII patterns (emails, phones, ids); the
+    * fixture text is a closed word vocabulary, so the demonstration
+    * blocklist is drawn from it. */
+  val RedactRegex = "\\b(spark|hash|key)\\b"
+  val RedactMask = "[MASK]"
+
+  /** E3 — blocklist redaction (the scrubbing pass a curation pipeline
+    * runs for PII / banned terms, Dolma-style): every blocklisted token
+    * is replaced by a fixed mask, and the match count rides along so
+    * downstream filters can drop documents whose redaction density is
+    * too high. Entirely SCAN-SIDE: two codegen'd regex evaluations per
+    * row, no shuffle at any corpus size (the output ORDER BY is the only
+    * exchange). Emitting the redacted text itself makes the oracle a
+    * character-exact cross-engine check of the regex semantics, not just
+    * the counts. */
+  def e3Redact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), RedactRegex, RedactMask).as("redacted"),
+        asLong(size(regexp_extract_all(col("text"), lit(RedactRegex), lit(0))))
+          .as("n_redacted"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_redact" -> (e3Redact _),
     "e3_vocab_growth" -> (e3VocabGrowth _),
     "e3_pack" -> (e3Pack _),
     "e3_chunk" -> (e3Chunk _),
@@ -484,6 +511,13 @@ object TextOps {
       |WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_redact" ->
+      s"""SELECT doc_id,
+         |regexp_replace(text, '\\b(spark|hash|key)\\b', '[MASK]', 'g')
+         |  AS redacted,
+         |CAST(len(regexp_extract_all(text, '\\b(spark|hash|key)\\b'))
+         |  AS BIGINT) AS n_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "e3_vocab_growth" ->
       s"""WITH fd AS (SELECT token, min(doc_id) AS first_doc FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
