@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the E8 corpus-analysis operators: each
+  * query's 100 TB claim is a PLAN property (broadcast stats, distributed
+  * top-K, shared-scan Expand), so the shape is pinned here; values are
+  * pinned by the DuckDB oracles. */
+class AnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("e8_outliers: the stats table is broadcast — the event stream itself never shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = finalPlan(Analysis.e8Outliers(spark, TestSpark.sf001))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats join must honor the explicit broadcast hint:\n$plan")
+      // no exchange may partition the event scan by event_type: the only
+      // exchanges allowed are the 5-row stats aggregate's and the output
+      // sort's. A hashpartitioning of events on event_type would mean the
+      // full stream shuffles at 100 TB.
+      val hashExchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(hashExchanges.forall(_.contains("event_type")),
+        s"unexpected hash exchange:\n${hashExchanges.mkString("\n")}")
+      assert(hashExchanges.size <= 1,
+        s"only the stats aggregate may hash-exchange:\n${hashExchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("e8_zipf: top-K is distributed TakeOrdered, not a global sort of the vocabulary") {
+    val plan = finalPlan(Analysis.e8Zipf(spark, TestSpark.sf001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrderedAndProject (per-partition K, no global sort):\n$plan")
+  }
+
+  test("e8_profile and e8_drift: multi-DISTINCT shares ONE scan via Expand") {
+    for ((name, df) <- Seq(
+        "e8_profile" -> Analysis.e8Profile(spark, TestSpark.sf001),
+        "e8_drift" -> Analysis.e8Drift(spark, TestSpark.sf001))) {
+      val plan = finalPlan(df)
+      assert(plan.contains("Expand"),
+        s"$name: distinct aggregates must fan out via Expand, not re-scan:\n$plan")
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"$name: expected 1 scan, got $scans:\n$plan")
+    }
+  }
+
+  test("e8_corr: all six coefficients partial-aggregate in one pass") {
+    val plan = finalPlan(Analysis.e8Corr(spark, TestSpark.sf001))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    // corr must partial-aggregate (co-moment accumulators through the
+    // exchange) — a final-only aggregate would stream every row to one task
+    assert(plan.contains("partial_corr") ||
+      "HashAggregate.*partial".r.findFirstIn(plan).isDefined ||
+      plan.contains("SortAggregate"),
+      s"corr must partial-aggregate map-side:\n$plan")
+  }
+
+  test("e8_collocations: unigram/total side tables join broadcast — no bigram-table shuffle beyond its count") {
+    val plan = finalPlan(Analysis.e8Collocations(spark, TestSpark.sf001))
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    val nNlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2 && nNlj >= 2,
+      s"unigram sides and scalar totals must broadcast (got bhj=$nBhj nlj=$nNlj):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join allowed:\n$plan")
+  }
+}
