@@ -86,7 +86,8 @@ object ScaleProbe {
       "e2_ann_recall", "e7_funnel",
       "e1_fuzzy_pairs", "e1_incremental", "e3_redact",
       "e8_profile", "e8_outliers", "e8_zipf", "e8_collocations",
-      "e8_diversity", "e8_decay")
+      "e8_diversity", "e8_decay", "e8_corr", "e8_drift",
+      "e8_transitions", "e9_pagerank")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

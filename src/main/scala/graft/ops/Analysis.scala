@@ -241,8 +241,80 @@ object Analysis {
       .orderBy("column_name")
   }
 
+  /** E8 — per-user event-type transition matrix: P(next event type |
+    * current), the first-order Markov behavior model behind session
+    * analytics and bot detection (a user whose transition row collapses
+    * onto one edge is a script). Plan: ONE shuffle on user_id for the
+    * per-user ordered lead window, then a map-side-combined count to the
+    * types×types matrix (25 rows here) and a window over that tiny
+    * grouped result for row-normalized probabilities — nothing
+    * event-stream-sized moves after the first exchange, at any volume. */
+  def e8Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    steps
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** PageRank parameters — interpolated into BOTH engines. Damping 0.85
+    * is the canonical choice; 3 iterations is enough to rank the fixture
+    * graph (and keeps the unrolled oracle CTE chain readable) — a
+    * deployment loops to convergence with the same per-iteration plan. */
+  val PrDamping = 0.85
+  val PrBase = 0.15
+  val PrIters = 3
+
+  /** E9 — PageRank over the near-duplicate graph (the LSH-verified
+    * MinHash pair table, undirected): rank ≈ how central a document is in
+    * its duplication neighborhood — high-rank nodes are the canonical
+    * copies of heavily-duplicated content, the principled alternative to
+    * min-doc_id keeper selection (and the first graph-ANALYTICS operator
+    * next to the connected-components cluster resolution). Vertices are
+    * restricted to edge endpoints: an isolated document has the floor
+    * rank by definition and never needs to enter the iteration — at
+    * 100 TB the loop moves the PAIR table (pairs << corpus), never the
+    * corpus. Plan: the shared memoized pair table feeds a degree
+    * aggregate + PrIters rounds of (edge ⋈ rank ⋈ degree → sum by dst) —
+    * one edge-sized shuffle per round; the 1-row vertex count and the
+    * per-round rank table ride broadcast. Both engines run the identical
+    * double arithmetic (base/n + d·Σ r/deg), so ranks hash-match at 6
+    * decimals. */
+  def e9Pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairTable(s, d)
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+    val verts = edges.select(col("src").as("id")).distinct()
+    val nv = verts.agg(count(lit(1)).as("n"))
+    var r = verts.crossJoin(broadcast(nv))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(r, edges("src") === r("id"))
+        .join(deg, "src")
+        .select(col("dst"), (col("r") / col("dg").cast("double")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      r = verts.crossJoin(broadcast(nv))
+        .join(contrib, verts("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(PrBase) / col("n").cast("double") +
+            lit(PrDamping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    r.select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_corr" -> (e8Corr _),
+    "e8_transitions" -> (e8Transitions _),
+    "e9_pagerank" -> (e9Pagerank _),
     "e8_drift" -> (e8Drift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
@@ -253,6 +325,41 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_transitions" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM steps
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+        |    AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "e9_pagerank" -> {
+      val base =
+        s"""e AS (SELECT da AS src, db AS dst FROM mhp
+           |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+           |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+           |v AS (SELECT DISTINCT src AS id FROM e),
+           |nv AS (SELECT count(*) AS n FROM v),
+           |r0 AS (SELECT id, 1.0 / CAST(n AS DOUBLE) AS r FROM v CROSS JOIN nv)""".stripMargin
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT e.dst AS id,
+           |    sum(r${k - 1}.r / CAST(deg.dg AS DOUBLE)) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r$k AS (SELECT v.id,
+           |    $PrBase / CAST(nv.n AS DOUBLE) + $PrDamping * coalesce(c$k.s, 0.0) AS r
+           |  FROM v CROSS JOIN nv LEFT JOIN c$k ON v.id = c$k.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters
+         |SELECT id AS doc_id, round(r, 6) AS rank
+         |FROM r$PrIters ORDER BY doc_id""".stripMargin
+    },
     "e8_corr" -> {
       val blocks = CorrPairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b,

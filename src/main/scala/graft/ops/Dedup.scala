@@ -250,7 +250,7 @@ object Dedup {
     * the DuckDB side replicates signature + banding + verification. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def minhashPairTable(s: SparkSession, d: String): DataFrame =
+  private[ops] def minhashPairTable(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent((s, d), _ =>
       e1MinhashPairs(s, d).select(col("da"), col("db")).localCheckpoint(false))
 

@@ -66,6 +66,27 @@ class AnalysisSpec extends AnyFunSuite {
       s"corr must partial-aggregate map-side:\n$plan")
   }
 
+  test("e9_pagerank: rank mass is conserved and degree dominates within a component") {
+    val rows = Analysis.e9Pagerank(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    // each iteration maps total mass 1 → base + damping·1 = 1: the
+    // undirected edge-endpoint graph has no dangling nodes, so the sum
+    // must survive all PrIters rounds (catches a dropped-contribution or
+    // double-counted-edge bug that per-row oracle hashing would also
+    // catch, but this pins the WHY)
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass != 1")
+    assert(rows.forall(_.getAs[Double]("rank") > 0))
+  }
+
+  test("e8_transitions: probabilities row-normalize to 1 per from_type") {
+    val rows = Analysis.e8Transitions(spark, TestSpark.sf001).collect()
+    val byFrom = rows.groupBy(_.getAs[String]("from_type"))
+      .view.mapValues(_.map(_.getAs[Double]("p")).sum)
+    byFrom.foreach { case (f, s) =>
+      assert(math.abs(s - 1.0) < 1e-3, s"row $f sums to $s") }
+  }
+
   test("e8_collocations: unigram/total side tables join broadcast — no bigram-table shuffle beyond its count") {
     val plan = finalPlan(Analysis.e8Collocations(spark, TestSpark.sf001))
     val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
