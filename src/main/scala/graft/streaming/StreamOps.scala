@@ -248,6 +248,25 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4k — streaming anomaly scoring: the e8_outliers monitoring pass run
+    * on the ingest stream. The (mean, sd) stats table is computed BATCH-
+    * side (the deployed pattern: stats refresh nightly over the corpus,
+    * scoring runs per arriving event) and broadcast into every
+    * micro-batch as a stream-static join — no streaming state at all, so
+    * the scorer's cost per event is two arithmetic ops and a 5-row hash
+    * probe at any stream rate. Output is row-identical to the batch
+    * e8_outliers over the same events (asserted in StreamingSpec). */
+  def streamOutliers(s: SparkSession, dir: String, schema: StructType,
+      stats: org.apache.spark.sql.DataFrame, sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("m")) / col("sd"))
+      .filter(abs(col("z")) > graft.ops.Analysis.OutlierZ)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
   /** E4d — stateful dedup on event_id within the watermark. */
   def streamDedup(s: SparkSession, dir: String, schema: StructType,
       sinkName: String): StreamingQuery =

@@ -39,6 +39,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming z-score outliers equal the batch e8_outliers (E4k)") {
+    // stats computed batch-side over the same fixture the stream replays:
+    // the deployed shape (nightly stats, per-event scoring) — and exactly
+    // what makes the streamed scores bit-identical to the batch pass
+    val stats = graft.Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type")
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+    val q = StreamOps.streamOutliers(spark, stagedDir, schema, stats, "e4k_sink")
+    assert(q.awaitTermination(60000), "outlier stream did not finish in 60s")
+    val streamed = spark.table("e4k_sink").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Analysis.e8Outliers(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming per-day HLL sketch equals the batch sketch (E4j)") {
     // one part file → one micro-batch → one final row per window; HLL
     // merge is register-wise max (order-independent), so the streamed
