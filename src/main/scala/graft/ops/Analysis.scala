@@ -311,10 +311,53 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** E9 — degree distribution of the near-dup graph: how many documents
+    * have k near-duplicates, the one-page summary of corpus duplication
+    * structure (a heavy tail = template families; a spike at high k = a
+    * mirror site). Two tiny chained aggregates over the shared pair
+    * table — endpoint degrees, then degree histogram; nothing
+    * corpus-sized moves. */
+  def e9Degrees(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairTable(s, d)
+    pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** E9 — global triangle count of the near-dup graph plus the number of
+    * connected vertex pairs ("wedges" through the canonical ordering),
+    * yielding the global clustering signal: near-dup TRIANGLES are
+    * transitive-duplication evidence (A≈B≈C≈A = one content family;
+    * triangle-free pairs are chains of borderline matches — exactly the
+    * structures cluster resolution will weld or split). Standard
+    * ordered-triple enumeration on the (da < db) canonical edge list:
+    * e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — two equi-join shuffles of the
+    * PAIR table (never the corpus), candidate wedges bounded by the
+    * per-node degree the LSH caps already bound. */
+  def e9Triangles(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val wedges = p.as("e1")
+      .join(p.as("e2"), col("e1.db") === col("e2.da"))
+      .select(col("e1.da").as("a"), col("e1.db").as("b"),
+        col("e2.db").as("c"))
+    val tris = wedges.join(p.as("e3"),
+        col("a") === col("e3.da") && col("c") === col("e3.db"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nw = wedges.agg(count(lit(1)).as("n_wedges"))
+    tris.crossJoin(nw)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(col("n_triangles") / col("n_wedges").cast("double"), 4)
+          .as("closure"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
     "e9_pagerank" -> (e9Pagerank _),
+    "e9_degrees" -> (e9Degrees _),
+    "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
@@ -337,6 +380,24 @@ object Analysis {
         |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "e9_degrees" -> {
+      s"""WITH ${Dedup.minhashCtes},
+         |ids AS (SELECT da AS id FROM mhp UNION ALL SELECT db FROM mhp),
+         |deg AS (SELECT id, count(*) AS degree FROM ids GROUP BY 1)
+         |SELECT degree, count(*) AS n_docs FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin
+    },
+    "e9_triangles" -> {
+      s"""WITH ${Dedup.minhashCtes},
+         |w AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         |  FROM mhp e1 JOIN mhp e2 ON e1.db = e2.da),
+         |t AS (SELECT count(*) AS n_triangles FROM w
+         |  JOIN mhp e3 ON w.a = e3.da AND w.c = e3.db),
+         |nw AS (SELECT count(*) AS n_wedges FROM w)
+         |SELECT n_triangles, n_wedges,
+         |  round(n_triangles / CAST(n_wedges AS DOUBLE), 4) AS closure
+         |FROM t CROSS JOIN nw""".stripMargin
+    },
     "e9_pagerank" -> {
       val base =
         s"""e AS (SELECT da AS src, db AS dst FROM mhp
