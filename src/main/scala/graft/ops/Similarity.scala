@@ -440,7 +440,51 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** E2 — one full k-means iteration (E-step + M-step): every vector is
+    * assigned to its nearest label-centroid (the e2_vq_assign E-step),
+    * then centroids are recomputed as the per-(cluster, dim) mean, with
+    * the per-coordinate |shift| against the previous codebook — the
+    * convergence signal a training loop watches. This is the iterative-
+    * refinement shape of distributed k-means on Spark: the codebook is k
+    * rows riding BROADCAST both ways (old centroids into the argmax, old
+    * coordinates into the shift join); the only corpus-sized movement is
+    * ONE vec_id-combined argmax exchange, and the M-step explode
+    * partial-aggregates to k·dims keys map-side. The embedding rides
+    * THROUGH the argmax aggregate (first(ed) next to max(struct(...)))
+    * so the E-step result never joins back against a second corpus
+    * scan. A deployment loops this stage to convergence; each loop is
+    * the same plan. */
+  def e2KmeansIter(s: SparkSession, d: String): DataFrame = {
+    val cen = centroidArrays(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+    val assigned = e.join(broadcast(cen))
+      .withColumn("sim",
+        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("enrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"),
+        first(col("ed")).as("ed"))
+      .select((-col("m.nl")).as("cluster"), col("ed"))
+    val oldLong = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("c_old"))
+      .select(col("label").as("olabel"), col("dim").as("odim"), col("c_old"))
+    assigned
+      .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(round(avg(col("x")), 4).as("c_new"), count(lit(1)).as("n"))
+      .join(broadcast(oldLong),
+        col("cluster") === col("olabel") && col("dim") === col("odim"))
+      .select(col("cluster"), col("dim"), col("c_new"), col("n"),
+        round(abs(col("c_new") - col("c_old")), 4).as("shift"))
+      .orderBy("cluster", "dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
     "e2_ann_lsh" -> (e2AnnLsh _),
@@ -633,6 +677,27 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e2_kmeans_iter" ->
+      s"""WITH $centroidCte,
+         |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
+         |  FROM cend GROUP BY label),
+         |asg AS (SELECT vec_id, clabel AS cluster FROM (
+         |  SELECT e.vec_id, c.clabel,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cen)
+         |        DESC, c.clabel) AS rn
+         |  FROM embeddings e, cen c) WHERE rn = 1),
+         |nc AS (
+         |  SELECT a.cluster, i.range AS dim,
+         |    round(avg(CAST(e.embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)), 4)
+         |      AS c_new,
+         |    count(*) AS n
+         |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, range(0, 64) i
+         |  GROUP BY a.cluster, i.range)
+         |SELECT nc.cluster, CAST(nc.dim AS INT) AS dim, nc.c_new, nc.n,
+         |  round(abs(nc.c_new - cd.c), 4) AS shift
+         |FROM nc JOIN cend cd ON cd.label = nc.cluster AND cd.dim = nc.dim
+         |ORDER BY cluster, dim""".stripMargin,
     "e2_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
