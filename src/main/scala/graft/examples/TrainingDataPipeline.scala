@@ -144,8 +144,39 @@ object TrainingDataPipeline {
           else SimpleTestResult.failing("no exact duplicates", "dup groups remain"))
       })
 
+    val profile = SimpleJob("profile_corpus", dependencies = Seq("publish_corpus"),
+      runFn = (s, log) => {
+        // the E8 data-quality publication: a per-column fingerprint of the
+        // shipped corpus (the profile an operator diffs between runs — see
+        // ops.Analysis.e8Profile/e8Drift for the declared-query forms).
+        // ONE pass; the multi-DISTINCT shares the scan via Expand.
+        val corpus = s.read.parquet(s"$outDir/corpus")
+        val cols = Seq("doc_id", "source", "lang", "n_tokens")
+        val aggs = cols.flatMap { c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")) }
+        corpus.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+            ") AS (column_name, n_nulls, n_distinct)")
+          .write.mode("overwrite").parquet(s"$outDir/profile")
+        log.info(s"profiled $outDir/profile")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val p = s.read.parquet(s"$outDir/profile").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        Seq(
+          if (p.size == 4) SimpleTestResult.passing("profile covers all columns")
+          else SimpleTestResult.failing("profile covers all columns", s"${p.size} rows"),
+          if (p.get("doc_id").exists(_._1 == 0))
+            SimpleTestResult.passing("doc_id has no nulls")
+          else SimpleTestResult.failing("doc_id has no nulls",
+            s"${p.get("doc_id").map(_._1)} nulls"))
+      })
+
     Batch("training_data_curation",
-      Seq(dedup, quality, featurize, chunkPack, publish))
+      Seq(dedup, quality, featurize, chunkPack, publish, profile))
   }
 
   /** Convenience runner for manual use: sbt "runMain graft.examples.TrainingDataPipeline". */

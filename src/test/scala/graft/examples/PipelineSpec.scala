@@ -17,7 +17,8 @@ class PipelineSpec extends AnyFunSuite {
       .run(TrainingDataPipeline.batch(TestSpark.sf001, out))
     assert(status.brokenJobs.isEmpty, s"broken: ${status.brokenJobs}")
     assert(status.jobResults.map(_.jobName) == Seq("dedup_documents",
-      "quality_filter", "featurize", "chunk_pack", "publish_corpus"))
+      "quality_filter", "featurize", "chunk_pack", "publish_corpus",
+      "profile_corpus"))
     assert(status.jobResults.forall(_.status == JobStatus.Successful))
     val corpus = spark.read.parquet(s"$out/corpus")
     val nIn = graft.Tables.documents(spark, TestSpark.sf001).count()
@@ -37,6 +38,11 @@ class PipelineSpec extends AnyFunSuite {
     val worst = chunks.groupBy("source", "pack_id")
       .agg(sum(col("n_tokens")).as("t")).agg(max(col("t"))).head().getLong(0)
     assert(worst <= graft.ops.TextOps.PackBudget + graft.ops.TextOps.ChunkTokens - 1)
+    // the published data-quality profile covers the corpus and agrees
+    // with it (distinct doc_ids == corpus rows — the corpus is keyed)
+    val prof = spark.read.parquet(s"$out/profile").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof("doc_id") == nOut, s"profile ${prof("doc_id")} != $nOut")
     // admin store recorded the run with passing tests
     val stored = store.latestBatch("training_data_curation").get
     assert(stored.jobResults.flatMap(_.testResults).forall(_.passed))
