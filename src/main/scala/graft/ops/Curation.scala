@@ -176,7 +176,58 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** Purpose salt for the mixture sampler — independent of every other
+    * sampling salt so composing this draw with the e6 samplers/splits
+    * keeps all of them unbiased. Positive so the oracle's xor stays
+    * below 2^63. Resolution: rates quantize to 1/MixRateRes. */
+  val MixSampleSalt = 0x59f2c1b7e3a48d26L
+  val MixRateRes = 10000L
+
+  /** E7 — temperature-mixture SAMPLING: the e7_temperature_mix weights
+    * applied to the corpus. Per-source keep rate = epochs / max(epochs)
+    * (the max-epoch source keeps everything; every other source is
+    * down-sampled toward the α=0.5 smoothed share — rejection-free
+    * one-pass resampling; a trainer recovers the exact target mix by
+    * epoch-repeating the max source). Membership is the deterministic
+    * splitmix64 gate: slot(doc_id) mod MixRateRes < floor(rate·MixRateRes)
+    * — reproducible across runs, engines, and backfills, like every e6
+    * sampler. Output is the per-source audit (planned rate, kept
+    * docs/tokens, realized share). Plan: two vocabulary-sized aggregates
+    * build the rate table (broadcast back), the keep gate is SCAN-SIDE
+    * arithmetic, and the audit re-aggregates |sources| keys — the corpus
+    * itself is never shuffled. */
+  def e7MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftext.minhashExpression.mix64
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val bySrc = docs.groupBy("source").agg(sum(col("nt")).as("tokens"))
+      .withColumn("w", round(sqrt(col("tokens")), 6).cast("decimal(28,6)"))
+    val tot = bySrc.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("tw"))
+    val ep = bySrc.join(broadcast(tot))
+      .select(col("source"),
+        round((col("w").cast("double") / col("tw").cast("double")) /
+          (col("tokens").cast("double") / col("tt").cast("double")), 4)
+          .as("epochs"))
+    val mx = ep.agg(max(col("epochs")).as("max_ep"))
+    val rates = ep.join(broadcast(mx))
+      .select(col("source"), round(col("epochs") / col("max_ep"), 6).as("rate"))
+      .withColumn("thr", floor(col("rate") * MixRateRes).cast("long"))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(pmod(mix64(col("doc_id").bitwiseXOR(lit(MixSampleSalt)))
+        .bitwiseAND(lit(Long.MaxValue)), lit(MixRateRes)) < col("thr"))
+    val agg = kept.groupBy("source")
+      .agg(max(col("rate")).as("rate"), count(lit(1)).as("n_kept"),
+        sum(col("nt")).as("tokens_kept"))
+    val ktot = agg.agg(sum(col("tokens_kept")).as("kt"))
+    agg.join(broadcast(ktot))
+      .select(col("source"), col("rate"), col("n_kept"), col("tokens_kept"),
+        round(col("tokens_kept") / col("kt").cast("double"), 4)
+          .as("realized_share"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_mixture_sample" -> (e7MixtureSample _),
     "e7_funnel" -> (e7Funnel _),
     "e7_source_stats" -> (e7SourceStats _),
     "e7_curated" -> (e7Curated _),
@@ -185,6 +236,36 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_mixture_sample" -> {
+      import OracleSql._
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |src AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tokens,
+         |  CAST(round(sqrt(CAST(sum(nt) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w
+         |  FROM t GROUP BY source),
+         |tot AS (SELECT sum(tokens) AS tt, sum(w) AS tw FROM src),
+         |ep AS (SELECT source,
+         |  round((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) /
+         |    (CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE)), 4) AS epochs
+         |  FROM src, tot),
+         |mxep AS (SELECT max(epochs) AS max_ep FROM ep),
+         |rates AS (SELECT source, round(epochs / max_ep, 6) AS rate,
+         |  CAST(floor(round(epochs / max_ep, 6) * $MixRateRes) AS BIGINT)
+         |    AS thr FROM ep, mxep),
+         |hm_in AS (SELECT doc_id, source, nt,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$MixSampleSalt' AS HUGEINT)) AS h0
+         |  FROM t),
+         |${mixCtes("hm", "h0", "h1", Seq("doc_id", "source", "nt"))},
+         |kept AS (SELECT m.source, m.nt FROM hm m JOIN rates r USING (source)
+         |  WHERE (h1 % CAST(power(2, 63) AS HUGEINT)) % $MixRateRes < r.thr),
+         |agg AS (SELECT source, count(*) AS n_kept,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_kept FROM kept GROUP BY source),
+         |ktot AS (SELECT sum(tokens_kept) AS kt FROM agg)
+         |SELECT a.source, r.rate, a.n_kept, a.tokens_kept,
+         |  round(a.tokens_kept / CAST(kt AS DOUBLE), 4) AS realized_share
+         |FROM agg a JOIN rates r USING (source), ktot
+         |ORDER BY source""".stripMargin
+    },
     "e7_temperature_mix" ->
       """WITH t AS (SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
