@@ -262,6 +262,33 @@ object Analysis {
       .orderBy("from_type", "to_type")
   }
 
+  /** E8 — CUSUM change-point trace per event type: the cumulative sum of
+    * (daily mean − series mean), the classic sequential drift detector —
+    * a metric that quietly shifts level mid-month shows as a V/Λ in the
+    * trace long before pointwise z-scores (e8_outliers) fire, completing
+    * the quality family: profile (static), drift (two loads), outliers
+    * (pointwise), cusum (temporal). Plan: the event stream reduces to
+    * (type, day) daily means in one map-side-combined aggregate; both
+    * windows (series mean, day-ordered running sum) run over the
+    * DAY-DOMAIN rows — types × days, constant per partition at any event
+    * volume. Rounding before the cumulative sum keeps the running doubles
+    * identical cross-engine. */
+  def e8Cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(round(avg(col("value")), 4).as("daily_mean"))
+    val wAll = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("base", round(avg(col("daily_mean")).over(wAll), 4))
+      .withColumn("cusum",
+        round(sum(col("daily_mean") - col("base")).over(wCum), 4))
+      .select(col("event_type"), col("day"), col("daily_mean"), col("cusum"))
+      .orderBy("event_type", "day")
+  }
+
   /** PageRank parameters — interpolated into BOTH engines. Damping 0.85
     * is the canonical choice; 3 iterations is enough to rank the fixture
     * graph (and keeps the unrolled oracle CTE chain readable) — a
@@ -355,6 +382,7 @@ object Analysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
+    "e8_cusum" -> (e8Cusum _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_degrees" -> (e9Degrees _),
     "e9_triangles" -> (e9Triangles _),
@@ -368,6 +396,18 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  round(avg(value), 4) AS daily_mean
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT *, round(avg(daily_mean)
+        |  OVER (PARTITION BY event_type), 4) AS base FROM daily)
+        |SELECT event_type, day, daily_mean,
+        |  round(sum(daily_mean - base) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    4) AS cusum
+        |FROM b ORDER BY event_type, day""".stripMargin,
     "e8_transitions" ->
       """WITH steps AS (
         |  SELECT event_type AS from_type,
