@@ -87,6 +87,28 @@ class AnalysisSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-3, s"row $f sums to $s") }
   }
 
+  test("e7_mixture_sample: max-epoch source keeps all, shares sum to 1, rate table broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Curation.e7MixtureSample(spark, TestSpark.sf001)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // the argmax-epoch source's rate rounds to exactly 1.0 — it keeps
+      // every document (the down-sample-only design: no rejection pass
+      // ever needs to upsample)
+      assert(rows.map(_.getAs[Double]("rate")).max == 1.0)
+      val shares = rows.map(_.getAs[Double]("realized_share")).sum
+      assert(math.abs(shares - 1.0) < 1e-2, s"shares sum to $shares")
+      // smaller-rate sources keep a smaller token fraction than their
+      // natural share would give them (the whole point of the smoothing)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"rate table must ride broadcast — the corpus never shuffles for the gate:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("e8_collocations: unigram/total side tables join broadcast — no bigram-table shuffle beyond its count") {
     val plan = finalPlan(Analysis.e8Collocations(spark, TestSpark.sf001))
     val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
