@@ -19,14 +19,20 @@ object Analysis {
   /** E8 — column profile of `orders`: per column, the null count, exact
     * distinct count, and stringified min/max — the per-run data-quality
     * fingerprint an ETL control plane stores and diffs between loads
-    * (schema drift, null regressions, key-cardinality jumps). ONE pass:
-    * all 24 aggregates run in a single Aggregate; the multiple DISTINCT
-    * targets make Catalyst plan an Expand (each row fans out once per
-    * distinct column) — one scan, 6× exchange rows, each a slim
-    * (grouping-id, value) pair; at 100 TB swap exact distinct for the
-    * q42 HLL sketch and the Expand disappears. The `stack` to long
-    * format touches 1 row. Numeric min/max are stringified via
-    * DECIMAL(18,2) so both engines print identical text. */
+    * (schema drift, null regressions, key-cardinality jumps). TWO
+    * aggregate passes, deliberately: the null/distinct counts run in one
+    * multi-DISTINCT aggregate whose Expand fans each row out per distinct
+    * column as slim (grouping-id, value) pairs with all-LONG buffers —
+    * so Catalyst keeps it a HashAggregate — while the min/max pass is a
+    * separate single-row scan. Folding min/max(string) into the Expand
+    * aggregate gives the buffer a var-length field, which demotes the
+    * whole thing to SortAggregate and SORTS the expanded rows twice
+    * (measured 19.1 s vs 5.0 s at the 100× probe — the sort, not the
+    * Expand, was the cost). The two 1-row results cross-join broadcast;
+    * stack touches 1 row. At 100 TB swap exact distinct for the q42 HLL
+    * sketch and the Expand disappears entirely. Numeric min/max are
+    * stringified via DECIMAL(18,2) so both engines print identical
+    * text. */
   def e8Profile(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     def nn(c: String) = (count(lit(1)) - count(col(c))).as(s"nn_$c")
@@ -39,10 +45,13 @@ object Analysis {
     val cols = Seq(
       ("o_orderkey", asStr), ("o_custkey", asStr), ("o_orderstatus", asStr),
       ("o_totalprice", asDec), ("o_orderdate", asTs), ("o_orderpriority", asStr))
-    val aggs = cols.flatMap { case (c, f) => Seq(nn(c), nd(c)) ++ mnmx(c, f) }
+    val countAggs = cols.flatMap { case (c, _) => Seq(nn(c), nd(c)) }
+    val rangeAggs = cols.flatMap { case (c, f) => mnmx(c, f) }
+    val counts = o.agg(countAggs.head, countAggs.tail: _*)
+    val ranges = o.agg(rangeAggs.head, rangeAggs.tail: _*)
     val stackArgs = cols.map { case (c, _) =>
       s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }.mkString(", ")
-    o.agg(aggs.head, aggs.tail: _*)
+    counts.crossJoin(broadcast(ranges))
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_nulls, n_distinct, min_val, max_val)")
       .orderBy("column_name")

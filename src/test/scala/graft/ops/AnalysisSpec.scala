@@ -42,16 +42,25 @@ class AnalysisSpec extends AnyFunSuite {
       s"top-K must be TakeOrderedAndProject (per-partition K, no global sort):\n$plan")
   }
 
-  test("e8_profile and e8_drift: multi-DISTINCT shares ONE scan via Expand") {
-    for ((name, df) <- Seq(
-        "e8_profile" -> Analysis.e8Profile(spark, TestSpark.sf001),
-        "e8_drift" -> Analysis.e8Drift(spark, TestSpark.sf001))) {
-      val plan = finalPlan(df)
-      assert(plan.contains("Expand"),
-        s"$name: distinct aggregates must fan out via Expand, not re-scan:\n$plan")
-      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-      assert(scans == 1, s"$name: expected 1 scan, got $scans:\n$plan")
-    }
+  test("e8_profile and e8_drift: multi-DISTINCT stays a HASH aggregate over the Expand") {
+    // e8_drift: all 12 distinct counts share one scan via Expand.
+    val driftPlan = finalPlan(Analysis.e8Drift(spark, TestSpark.sf001))
+    assert(driftPlan.contains("Expand"),
+      s"e8_drift: distinct aggregates must fan out via Expand, not re-scan:\n$driftPlan")
+    assert(driftPlan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"e8_drift: expected 1 scan:\n$driftPlan")
+    // e8_profile: TWO scans by design — null/distinct counts in the
+    // Expand aggregate, min/max in a separate single-row pass. The
+    // Expand aggregate must remain a HashAggregate: folding min/max
+    // (string) in demotes it to SortAggregate, which sorts the expanded
+    // rows twice (the 19 s → 5 s rewrite at the 100× probe).
+    val profPlan = finalPlan(Analysis.e8Profile(spark, TestSpark.sf001))
+    assert(profPlan.contains("Expand"), s"e8_profile lost its Expand:\n$profPlan")
+    assert(profPlan.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"e8_profile: expected the 2-pass shape:\n$profPlan")
+    val expandSection = profPlan.split("Expand")(0)
+    assert(expandSection.contains("HashAggregate"),
+      s"the distinct aggregate above the Expand must be hash-based:\n$profPlan")
   }
 
   test("e8_corr: all six coefficients partial-aggregate in one pass") {
