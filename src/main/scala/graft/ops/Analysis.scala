@@ -280,21 +280,27 @@ object Analysis {
     * (type, day) daily means in one map-side-combined aggregate; both
     * windows (series mean, day-ordered running sum) run over the
     * DAY-DOMAIN rows — types × days, constant per partition at any event
-    * volume. Rounding before the cumulative sum keeps the running doubles
-    * identical cross-engine. */
+    * volume. All accumulated quantities are integer MICRO-UNITS (the q44
+    * treatment): a rounded double mean re-summed by each engine in its
+    * own order can flip a 4-decimal rounding boundary (it did, once, at
+    * sf0.001 — cusum row off by exactly 1e-4), while per-row
+    * round(value·10⁴) is order-free and every sum after it is exact long
+    * arithmetic. */
   def e8Cusum(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .groupBy(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-      .agg(round(avg(col("value")), 4).as("daily_mean"))
+      .agg(round(sum(round(col("value") * 10000).cast("long")) /
+          count(lit(1)).cast("double"), 0).cast("long").as("dmu"))
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .withColumn("base", round(avg(col("daily_mean")).over(wAll), 4))
-      .withColumn("cusum",
-        round(sum(col("daily_mean") - col("base")).over(wCum), 4))
-      .select(col("event_type"), col("day"), col("daily_mean"), col("cusum"))
+      .withColumn("bu", round(avg(col("dmu")).over(wAll), 0).cast("long"))
+      .withColumn("cu", sum(col("dmu") - col("bu")).over(wCum))
+      .select(col("event_type"), col("day"),
+        round(col("dmu") / 10000.0, 4).as("daily_mean"),
+        round(col("cu") / 10000.0, 4).as("cusum"))
       .orderBy("event_type", "day")
   }
 
@@ -408,15 +414,18 @@ object Analysis {
     "e8_cusum" ->
       """WITH daily AS (SELECT event_type,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  round(avg(value), 4) AS daily_mean
+        |  CAST(round(sum(CAST(round(value * 10000) AS BIGINT))
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dmu
         |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT *, round(avg(daily_mean)
-        |  OVER (PARTITION BY event_type), 4) AS base FROM daily)
-        |SELECT event_type, day, daily_mean,
-        |  round(sum(daily_mean - base) OVER (PARTITION BY event_type
-        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    4) AS cusum
-        |FROM b ORDER BY event_type, day""".stripMargin,
+        |b AS (SELECT *, CAST(round(avg(dmu)
+        |  OVER (PARTITION BY event_type)) AS BIGINT) AS bu FROM daily),
+        |c AS (SELECT *, sum(dmu - bu) OVER (PARTITION BY event_type
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cu FROM b)
+        |SELECT event_type, day,
+        |  round(CAST(dmu AS DOUBLE) / 10000.0, 4) AS daily_mean,
+        |  round(CAST(cu AS DOUBLE) / 10000.0, 4) AS cusum
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "e8_transitions" ->
       """WITH steps AS (
         |  SELECT event_type AS from_type,
