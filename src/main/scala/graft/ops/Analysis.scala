@@ -439,37 +439,48 @@ object Analysis {
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
     "e9_degrees" -> {
+      // mhp2/w materialized for the same inlining reason as e9_pagerank
       s"""WITH ${Dedup.minhashCtes},
-         |ids AS (SELECT da AS id FROM mhp UNION ALL SELECT db FROM mhp),
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |ids AS (SELECT da AS id FROM mhp2 UNION ALL SELECT db FROM mhp2),
          |deg AS (SELECT id, count(*) AS degree FROM ids GROUP BY 1)
          |SELECT degree, count(*) AS n_docs FROM deg
          |GROUP BY degree ORDER BY degree""".stripMargin
     },
     "e9_triangles" -> {
       s"""WITH ${Dedup.minhashCtes},
-         |w AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
-         |  FROM mhp e1 JOIN mhp e2 ON e1.db = e2.da),
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |w AS MATERIALIZED (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         |  FROM mhp2 e1 JOIN mhp2 e2 ON e1.db = e2.da),
          |t AS (SELECT count(*) AS n_triangles FROM w
-         |  JOIN mhp e3 ON w.a = e3.da AND w.c = e3.db),
+         |  JOIN mhp2 e3 ON w.a = e3.da AND w.c = e3.db),
          |nw AS (SELECT count(*) AS n_wedges FROM w)
          |SELECT n_triangles, n_wedges,
          |  round(n_triangles / CAST(n_wedges AS DOUBLE), 4) AS closure
          |FROM t CROSS JOIN nw""".stripMargin
     },
     "e9_pagerank" -> {
+      // Every CTE that is referenced more than once (transitively, the
+      // whole MinHash chain through `e`) is AS MATERIALIZED: DuckDB
+      // otherwise INLINES each reference, so the 3-iteration loop would
+      // recompute the full signature pipeline ~10× — at sf0.1 that
+      // recomputation spilled past the machine's disk before it failed.
+      // Materializing mirrors what the Spark side does anyway (the pair
+      // table is localCheckpoint'd once and shared).
       val base =
-        s"""e AS (SELECT da AS src, db AS dst FROM mhp
+        s"""e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
            |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
-           |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
-           |v AS (SELECT DISTINCT src AS id FROM e),
-           |nv AS (SELECT count(*) AS n FROM v),
-           |r0 AS (SELECT id, 1.0 / CAST(n AS DOUBLE) AS r FROM v CROSS JOIN nv)""".stripMargin
+           |deg AS MATERIALIZED (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+           |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+           |nv AS MATERIALIZED (SELECT count(*) AS n FROM v),
+           |r0 AS MATERIALIZED (SELECT id, 1.0 / CAST(n AS DOUBLE) AS r
+           |  FROM v CROSS JOIN nv)""".stripMargin
       val iters = (1 to PrIters).map { k =>
-        s"""c$k AS (SELECT e.dst AS id,
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS id,
            |    sum(r${k - 1}.r / CAST(deg.dg AS DOUBLE)) AS s
            |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
            |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
-           |r$k AS (SELECT v.id,
+           |r$k AS MATERIALIZED (SELECT v.id,
            |    $PrBase / CAST(nv.n AS DOUBLE) + $PrDamping * coalesce(c$k.s, 0.0) AS r
            |  FROM v CROSS JOIN nv LEFT JOIN c$k ON v.id = c$k.id)""".stripMargin
       }.mkString(",\n")
