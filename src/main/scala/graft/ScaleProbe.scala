@@ -88,7 +88,7 @@ object ScaleProbe {
       "e8_profile", "e8_outliers", "e8_zipf", "e8_collocations",
       "e8_diversity", "e8_decay", "e8_corr", "e8_drift",
       "e8_transitions", "e9_pagerank", "e9_degrees", "e9_triangles",
-      "e2_kmeans_iter", "e7_mixture_sample", "e8_cusum")
+      "e2_kmeans_iter", "e7_mixture_sample", "e8_cusum", "e1_lsh_recall")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -98,7 +98,7 @@ object ScaleProbe {
         // e2_ann_recall consumes the exact per-label-block baseline, so it
         // shares e2_cosine_topk's quadratic-verifier profile
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk",
-          "e2_ann_recall"))
+          "e2_ann_recall", "e1_lsh_recall"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

@@ -594,8 +594,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** E1 — the dedup accuracy scoreboard (the e2_ann_recall analogue):
+    * LSH pair recall against the exact shingle-Jaccard ground truth.
+    * Precision is 1.0 by construction (every band candidate is verified
+    * with the same exact Jaccard the ground-truth pass uses, over the
+    * same capped shingle sets), so the one number that matters is how
+    * many true near-dup pairs band collisions surfaced — the dial that
+    * band/row tuning (4×16 here) trades against candidate volume. Both
+    * sides derive from the ONE materialized shingle/pair table; the
+    * three counts are 1-row aggregates cross-joined broadcast. The exact
+    * side is the quadratic verifier, so this query shares its ≥100×
+    * probe exclusion. */
+  def e1LshRecall(s: SparkSession, d: String): DataFrame = {
+    val ex = e1NgramJaccard(s, d).select(col("da"), col("db"))
+    val lsh = minhashPairTable(s, d)
+    val common = lsh.join(ex, Seq("da", "db"), "left_semi")
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
+    "e1_lsh_recall" -> (e1LshRecall _),
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
     "e1_exact_dedup" -> (e1ExactDedup _),
@@ -782,6 +805,19 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "e1_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |ex AS MATERIALIZED (SELECT da, db FROM inter
+         |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2),
+         |mh AS MATERIALIZED (SELECT da, db FROM mhp),
+         |ne AS (SELECT count(*) AS n_exact FROM ex),
+         |nl AS (SELECT count(*) AS n_lsh FROM mh),
+         |cm AS (SELECT count(*) AS n_common FROM mh m
+         |  JOIN ex e ON m.da = e.da AND m.db = e.db)
+         |SELECT n_exact, n_lsh, n_common,
+         |  round(CAST(n_common AS DOUBLE) / n_exact, 4) AS recall
+         |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin,
     "e1_fuzzy_pairs" ->
       s"""WITH d0 AS (SELECT doc_id, lang, n_chars // $FuzzyLenBucket AS lb,
          |  substring(text, 1, 2) AS pfx2,
