@@ -483,7 +483,34 @@ object Similarity {
       .orderBy("cluster", "dim")
   }
 
+  /** E2 — IVF index balance audit: the cell-population distribution of
+    * the √n-cell index behind e2_ann_ivf. Balance is the number that
+    * justifies an nProbe setting — a skewed index (hot cells ≫ √n) means
+    * probe work concentrates and recall per probe drops, and it is the
+    * signal to retrain seeds (e2_kmeans_iter) or re-salt. Emits one row:
+    * cell count, min/avg/max population, and the max/avg skew ratio.
+    * Plan: the same broadcast-assign as the index build (argmin over √n
+    * seeds riding broadcast), one |cells|-key count, one 1-row stats
+    * fold — the vectors never shuffle. */
+  def e2IvfStats(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = e
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
+      .limit(ivfCells(countOnce(s, d, e)))
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    ivfAssigned(e, seeds, 1)
+      .groupBy("cell").agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("pop")).as("min_pop"),
+        round(avg(col("pop")), 4).as("avg_pop"),
+        max(col("pop")).as("max_pop"),
+        round(max(col("pop")).cast("double") / avg(col("pop")), 4).as("skew"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
@@ -677,6 +704,13 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e2_ivf_stats" ->
+      s"""WITH ${ivfCtes(1)},
+         |pops AS (SELECT cell, count(*) AS pop FROM build GROUP BY cell)
+         |SELECT count(*) AS n_cells, min(pop) AS min_pop,
+         |  round(avg(pop), 4) AS avg_pop, max(pop) AS max_pop,
+         |  round(max(pop) / avg(pop), 4) AS skew
+         |FROM pops""".stripMargin,
     "e2_kmeans_iter" ->
       s"""WITH $centroidCte,
          |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
