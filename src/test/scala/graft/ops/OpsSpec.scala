@@ -464,4 +464,18 @@ class OpsSpec extends AnyFunSuite {
     val o = graft.SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
   }
+
+  test("e1_lsh_recall: LSH pairs are a subset of exact pairs (precision 1) and recall is sane") {
+    val r = Dedup.e1LshRecall(spark, TestSpark.sf001).head()
+    val (nExact, nLsh, nCommon) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_lsh"), r.getAs[Long]("n_common"))
+    // every LSH pair is verified with the SAME exact Jaccard over the
+    // SAME capped shingle sets the ground truth uses, so lsh ⊆ exact
+    // exactly — n_common must equal n_lsh, which is the precision-1
+    // claim in the Scaladoc made checkable
+    assert(nCommon == nLsh, s"LSH emitted a pair outside the exact set: $nLsh vs $nCommon")
+    assert(nExact > 0 && nLsh > 0)
+    val rec = r.getAs[Double]("recall")
+    assert(rec > 0.0 && rec <= 1.0, s"recall $rec")
+  }
 }
