@@ -47,4 +47,53 @@ class PipelineSpec extends AnyFunSuite {
     val stored = store.latestBatch("training_data_curation").get
     assert(stored.jobResults.flatMap(_.testResults).forall(_.passed))
   }
+
+  test("a checkpointed streaming ingest runs as a control-plane job") {
+    // the production front door: the E4i fingerprint-dedup ingest
+    // executed THROUGH the runner, so its cadence, retries, logging, and
+    // data tests live in the same admin tables as the batch jobs — and a
+    // re-run (same checkpoint) is an incremental no-op, not a re-ingest.
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.functions._
+    val out = TestSpark.tmpDir("stream_job")
+    val srcDir = s"$out/incoming"
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("ingest_ts",
+        expr("timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND"))
+    docs.write.mode("overwrite").parquet(srcDir)
+    docs.write.mode("append").parquet(srcDir) // redelivery: corpus arrives twice
+    val ingest = graft.model.SimpleJob("stream_ingest",
+      runFn = (s, log) => {
+        val q = StreamOps.streamFingerprintDedupToFiles(s, srcDir,
+          s.read.parquet(srcDir).schema, s"$out/admitted", s"$out/ckpt")
+        if (!q.awaitTermination(120000)) {
+          q.stop(); log.error("ingest stream timed out")
+          graft.model.JobStatus.Failed("stream timeout")
+        } else { log.info("ingest caught up"); graft.model.JobStatus.Successful }
+      },
+      testFn = (s, _) => {
+        val admitted = s.read.parquet(s"$out/admitted")
+        val dup = admitted.groupBy("fp").count().filter(col("count") > 1).count()
+        Seq(
+          if (admitted.count() > 0) graft.model.SimpleTestResult.passing("admitted non-empty")
+          else graft.model.SimpleTestResult.failing("admitted non-empty", "0 rows"),
+          if (dup == 0) graft.model.SimpleTestResult.passing("one row per fingerprint")
+          else graft.model.SimpleTestResult.failing("one row per fingerprint", s"$dup dup groups"))
+      })
+    val store = new AdminStore(spark, s"$out/admin")
+    val batch = graft.model.Batch("streaming_ingest", Seq(ingest))
+    val st1 = new BatchRunner(spark, store).run(batch)
+    assert(st1.brokenJobs.isEmpty, s"broken: ${st1.brokenJobs}")
+    val n1 = spark.read.parquet(s"$out/admitted").count()
+    assert(n1 > 0)
+    // second control-plane run with the same checkpoint: offsets are
+    // committed, so nothing is re-ingested — exactly-once through the
+    // runner, the property a scheduled 100 TB ingest leans on
+    val st2 = new BatchRunner(spark, store).run(batch)
+    assert(st2.brokenJobs.isEmpty, s"broken: ${st2.brokenJobs}")
+    assert(spark.read.parquet(s"$out/admitted").count() == n1,
+      "re-run with committed offsets must not re-ingest")
+    assert(store.latestBatch("streaming_ingest").get
+      .jobResults.flatMap(_.testResults).forall(_.passed))
+  }
 }
