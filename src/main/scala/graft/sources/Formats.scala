@@ -49,4 +49,15 @@ object Formats {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(cols: _*).parquet(path)
+
+  /** Schema-evolved parquet read: unions the footer schemas of every file
+    * under `path`, so a table whose files span schema versions (columns
+    * added over years of ingest — the normal state of a 100 TB corpus)
+    * reads as one frame with nulls for columns a file predates. This is
+    * an explicit helper, not the readParquet default, because merging
+    * costs a footer pass over EVERY file at planning time — the steady
+    * state should pin the current schema via readParquet/schema(), and
+    * reach for this one during migrations and backfills. */
+  def readParquetEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
 }

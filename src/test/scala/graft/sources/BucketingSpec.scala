@@ -129,4 +129,25 @@ class BucketingSpec extends AnyFunSuite {
       assert(math.abs(cos(emb(v), emb(n)) - sim) < 1e-3)
     }
   }
+
+  test("schema-evolved parquet reads union file schemas with nulls for missing columns") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("evolve")
+    // v1 files: (doc_id, text); v2 adds a quality column — years of
+    // ingest in two files
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = Formats.readParquetEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    // pre-evolution rows surface the new column as null, not an error
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("quality"))))
+    assert(rows(2).getDouble(rows(2).fieldIndex("quality")) == 0.9)
+    // and the pinned-schema read still works over the mixed directory
+    val pinned = spark.read.schema(merged.schema).parquet(dir)
+    assert(pinned.count() == 3)
+  }
 }
