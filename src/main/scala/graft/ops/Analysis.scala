@@ -304,6 +304,32 @@ object Analysis {
       .orderBy("event_type", "day")
   }
 
+  /** E8 — Benford leading-digit analysis of `o_totalprice`: observed
+    * first-digit shares against Benford's log₁₀(1+1/d) expectation — the
+    * classic forensic screen for fabricated or template-generated numeric
+    * columns (organically-priced totals track Benford; synthetic uniform
+    * generators don't, and the per-digit deviation says which). The
+    * digit is extracted in INTEGER space (first character of the cents
+    * value's decimal representation) so both engines agree exactly;
+    * the only doubles are one division and the log₁₀ constants, computed
+    * identically. One scan, 9-key map-side-combined aggregate. */
+  def e8Benford(s: SparkSession, d: String): DataFrame = {
+    val digits = orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("t"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("t").cast("double"), 4).as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+          .as("benford"),
+        round(col("n") / col("t").cast("double") -
+          log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+          .as("dev"))
+      .orderBy("digit")
+  }
+
   /** PageRank parameters — interpolated into BOTH engines. Damping 0.85
     * is the canonical choice; 3 iterations is enough to rank the fixture
     * graph (and keeps the unrolled oracle CTE chain readable) — a
@@ -398,6 +424,7 @@ object Analysis {
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
     "e8_cusum" -> (e8Cusum _),
+    "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_degrees" -> (e9Degrees _),
     "e9_triangles" -> (e9Triangles _),
@@ -411,6 +438,17 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_benford" ->
+      """WITH dg AS (SELECT CAST(left(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT digit, n,
+        |  round(n / CAST(t AS DOUBLE), 4) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS benford,
+        |  round(n / CAST(t AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS dev
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     "e8_cusum" ->
       """WITH daily AS (SELECT event_type,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
