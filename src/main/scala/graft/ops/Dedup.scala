@@ -616,9 +616,23 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
+  /** E1 — duplicate-family size distribution: how many clusters have k
+    * members (singletons included) — the headline table of a dedup
+    * report: mass in large families = mirrored/template content and
+    * predicts exactly how many documents keeper-selection will drop
+    * (Σ (k−1)·n_k). Two tiny aggregates over the cluster labels the
+    * propagation loop already computes; nothing corpus-sized moves
+    * beyond the e1_dedup_clusters pass it shares. */
+  def e1ClusterStats(s: SparkSession, d: String): DataFrame =
+    e1DedupClusters(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
+    "e1_cluster_stats" -> (e1ClusterStats _),
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
     "e1_exact_dedup" -> (e1ExactDedup _),
@@ -855,6 +869,19 @@ object Dedup {
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b)
          |SELECT v AS doc_id, min(lab) AS cluster FROM reach
          |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "e1_cluster_stats" ->
+      s"""WITH RECURSIVE $minhashCtesBlock,
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |cl AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+         |cs AS (SELECT cluster, count(*) AS cluster_size FROM cl
+         |  GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters FROM cs
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "e1_contamination" ->
       s"""WITH $jaccardCtes,
          |${Sampling.slotCtes(Sampling.SplitSalt)},
