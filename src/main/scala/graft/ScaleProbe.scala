@@ -89,7 +89,8 @@ object ScaleProbe {
       "e8_diversity", "e8_decay", "e8_corr", "e8_drift",
       "e8_transitions", "e9_pagerank", "e9_degrees", "e9_triangles",
       "e2_kmeans_iter", "e7_mixture_sample", "e8_cusum", "e1_lsh_recall",
-      "e2_ivf_stats", "e8_benford", "e1_cluster_stats")
+      "e2_ivf_stats", "e8_benford", "e1_cluster_stats",
+      "e4f3_funnel_rates")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

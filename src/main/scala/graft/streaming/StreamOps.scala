@@ -102,8 +102,12 @@ object StreamOps {
     * events can never qualify each other and the latest strictly-earlier
     * qualified predecessor is always the best witness (monotone). Integer
     * epoch-micro comparisons keep the DuckDB oracle exact. */
-  def funnel(s: SparkSession, d: String, steps: Seq[String],
-      stepWindowUs: Long, finalCol: String): DataFrame = {
+  /** The shared cascade frame: every event row annotated with reach_k =
+    * the latest time the step-(k+1) prefix completed strictly before it,
+    * within stepWindowUs per hop. ONE user_id shuffle at any chain
+    * length; shared by the funnel and the rates report. */
+  private def funnelCascade(s: SparkSession, d: String, steps: Seq[String],
+      stepWindowUs: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("tu"))
@@ -113,12 +117,17 @@ object StreamOps {
         expr("unix_micros(ts)").as("tu"))
       .withColumn("reach_0",
         max(when(col("event_type") === steps.head, col("tu"))).over(w))
-    val cascaded = steps.drop(1).dropRight(1).zipWithIndex.foldLeft(base) {
+    steps.drop(1).dropRight(1).zipWithIndex.foldLeft(base) {
       case (df, (step, i)) =>
         df.withColumn(s"reach_${i + 1}",
           max(when(col("event_type") === step && col(s"reach_$i").isNotNull &&
             col("tu") <= col(s"reach_$i") + stepWindowUs, col("tu"))).over(w))
     }
+  }
+
+  def funnel(s: SparkSession, d: String, steps: Seq[String],
+      stepWindowUs: Long, finalCol: String): DataFrame = {
+    val cascaded = funnelCascade(s, d, steps, stepWindowUs)
     val k = steps.size - 2
     cascaded
       .filter(col("event_type") === steps.last && col(s"reach_$k").isNotNull &&
@@ -126,6 +135,39 @@ object StreamOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_funnels"), min(col("tu")).as(finalCol))
       .orderBy("user_id")
+  }
+
+  /** E4 — funnel conversion RATES: per step, how many users completed the
+    * prefix up to it (within the same per-hop window the funnel uses) and
+    * the step-over-step conversion — the percentages product teams
+    * actually publish, where the per-user funnel table is the drill-down.
+    * Derived from the SAME cascade frame as `funnel` (one user_id
+    * shuffle), then a per-user flag aggregate, a 1-row total, and a
+    * |steps|-row stack. */
+  def funnelRates(s: SparkSession, d: String, steps: Seq[String],
+      stepWindowUs: Long): DataFrame = {
+    val cascaded = funnelCascade(s, d, steps, stepWindowUs)
+    val flagAggs = steps.indices.map { k =>
+      if (k == 0)
+        max(when(col("event_type") === steps.head, 1L).otherwise(0L)).as("c0")
+      else
+        max(when(col("event_type") === steps(k) &&
+          col(s"reach_${k - 1}").isNotNull &&
+          col("tu") <= col(s"reach_${k - 1}") + stepWindowUs, 1L)
+          .otherwise(0L)).as(s"c$k")
+    }
+    val perUser = cascaded.groupBy("user_id")
+      .agg(flagAggs.head, flagAggs.tail: _*)
+    val totAggs = steps.indices.map(k => sum(col(s"c$k")).as(s"n$k"))
+    val stackArgs = steps.zipWithIndex.map { case (st, k) =>
+      val conv = if (k == 0) "CAST(1.0 AS DOUBLE)"
+                 else s"round(n$k / CAST(n${k - 1} AS DOUBLE), 4)"
+      s"${k}L, '$st', n$k, $conv"
+    }.mkString(", ")
+    perUser.agg(totAggs.head, totAggs.tail: _*)
+      .selectExpr(s"stack(${steps.size}, $stackArgs) AS " +
+        "(step, step_name, n_users, conversion)")
+      .orderBy("step")
   }
 
   /** Mirror of `funnel` in DuckDB SQL, generated from the same step list
@@ -151,6 +193,48 @@ object StreamOps {
        |  AND tu <= reach_$k + $stepWindowUs
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  /** DuckDB mirror of `funnelRates`, generated from the same step list
+    * and window constant (the funnelOracle discipline). */
+  private def funnelRatesOracle(steps: Seq[String], stepWindowUs: Long): String = {
+    val frame = "PARTITION BY user_id ORDER BY tu RANGE BETWEEN " +
+      "UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val ctes = Seq(
+      s"ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events)",
+      s"s0 AS (SELECT *, max(CASE WHEN event_type = '${steps.head}' THEN tu END) " +
+        s"OVER ($frame) AS reach_0 FROM ev)") ++
+      steps.drop(1).dropRight(1).zipWithIndex.map { case (step, i) =>
+        s"s${i + 1} AS (SELECT *, max(CASE WHEN event_type = '$step' " +
+          s"AND reach_$i IS NOT NULL AND tu <= reach_$i + $stepWindowUs " +
+          s"THEN tu END) OVER ($frame) AS reach_${i + 1} FROM s$i)"
+      }
+    val last = steps.size - 2
+    val flags = steps.indices.map { k =>
+      if (k == 0)
+        s"max(CASE WHEN event_type = '${steps.head}' THEN 1 ELSE 0 END) AS c0"
+      else
+        s"max(CASE WHEN event_type = '${steps(k)}' AND reach_${k - 1} IS NOT NULL " +
+          s"AND tu <= reach_${k - 1} + $stepWindowUs THEN 1 ELSE 0 END) AS c$k"
+    }.mkString(",\n  ")
+    val tot = steps.indices.map(k => s"CAST(sum(c$k) AS BIGINT) AS n$k").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (st, k) =>
+      val conv = if (k == 0) "CAST(1.0 AS DOUBLE)"
+                 else s"round(n$k / CAST(n${k - 1} AS DOUBLE), 4)"
+      s"SELECT CAST($k AS BIGINT) AS step, '$st' AS step_name, " +
+        s"n$k AS n_users, $conv AS conversion FROM t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${ctes.mkString(",\n")},
+       |pu AS (SELECT user_id,
+       |  $flags
+       |  FROM s$last GROUP BY user_id),
+       |t AS (SELECT $tot FROM pu)
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The rates report over the 4-step funnel chain. */
+  def e4f3FunnelRates(s: SparkSession, d: String): DataFrame =
+    funnelRates(s, d, Seq("signup", "view", "click", "purchase"), FunnelWindowUs)
 
   /** The classic 3-step view → click → purchase funnel. */
   def e4fFunnel(s: SparkSession, d: String): DataFrame =
@@ -327,6 +411,7 @@ object StreamOps {
     "e4c_sessions" -> (e4cSessions _),
     "e4f_funnel" -> (e4fFunnel _),
     "e4f2_funnel4" -> (e4f2Funnel4 _),
+    "e4f3_funnel_rates" -> (e4f3FunnelRates _),
     "e4g_cohort" -> (e4gCohort _),
     "e4j_window_sketch" -> (e4jWindowSketch _),
   )
@@ -351,6 +436,8 @@ object StreamOps {
         |GROUP BY act.wk, fw.cohort ORDER BY cohort, week_offset""".stripMargin,
     "e4f_funnel" -> funnelOracle(Seq("view", "click", "purchase"),
       FunnelWindowUs, "first_purchase_us"),
+    "e4f3_funnel_rates" -> funnelRatesOracle(
+      Seq("signup", "view", "click", "purchase"), FunnelWindowUs),
     "e4f2_funnel4" -> funnelOracle(Seq("signup", "view", "click", "purchase"),
       FunnelWindowUs, "first_purchase_us"),
     "e4a_tumbling" ->
