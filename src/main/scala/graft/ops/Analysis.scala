@@ -304,6 +304,53 @@ object Analysis {
       .orderBy("event_type", "day")
   }
 
+  /** Autocorrelation lags for e8Autocorr — interpolated into BOTH
+    * engines. Lags 1-3 catch day-over-day persistence and short cycles;
+    * a deployment watching weekly seasonality adds lag 7 with the same
+    * plan shape. */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3)
+
+  /** E8 — lag-k autocorrelation of the per-type daily-mean series: the
+    * periodicity detector that completes the temporal quality family
+    * (cusum sees level SHIFTS, autocorrelation sees CYCLES — a corpus
+    * whose ingest volume or metric rings at a fixed lag has an upstream
+    * scheduler artifact, not organic traffic). Estimator: the standard
+    * ACF r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², with every term kept
+    * in INTEGER arithmetic by multiplying through by n: with S = Σx and
+    * c_t = n·x_t − S (an exact long), r_k = Σ c_t·c_{t+k} / Σ c_t² — a
+    * rounded-double mean would re-round differently per engine, while
+    * one final division is order-free (the e8_cusum micro-unit
+    * discipline, pushed through a quadratic form). Magnitude: micro-unit
+    * daily means ≤1e7, ~31 days → |c| ≤ 3e8, Σc² ≤ 3e18 < 2⁶³; a
+    * deployment with bigger values drops the micro-unit scale factor
+    * before the quadratic. Plan: events reduce to (type, day) in one
+    * map-side-combined aggregate; the n/S window, the lead()s, and the
+    * final aggregate all run over the tiny DAY-DOMAIN rows partitioned
+    * by type — per-type work is days², independent of event volume. */
+  def e8Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(round(col("value") * 10000).cast("long")) /
+          count(lit(1)).cast("double"), 0).cast("long").as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val base = daily
+      .withColumn("c",
+        col("x") * count(lit(1)).over(wAll) - sum(col("x")).over(wAll))
+    val lagged = AcfLags.foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(wOrd))
+    }
+    val aggs = sum(col("c") * col("c")).as("den") +:
+      AcfLags.map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+    lagged.groupBy("event_type")
+      .agg(asLong(count(lit(1))).as("n_days"), aggs: _*)
+      .select(col("event_type") +: col("n_days") +:
+        AcfLags.map(k =>
+          round(col(s"num$k") / col("den").cast("double"), 4).as(s"r$k")): _*)
+      .orderBy("event_type")
+  }
+
   /** E8 — Benford leading-digit analysis of `o_totalprice`: observed
     * first-digit shares against Benford's log₁₀(1+1/d) expectation — the
     * classic forensic screen for fabricated or template-generated numeric
@@ -424,6 +471,7 @@ object Analysis {
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
     "e8_cusum" -> (e8Cusum _),
+    "e8_autocorr" -> (e8Autocorr _),
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_degrees" -> (e9Degrees _),
@@ -449,6 +497,28 @@ object Analysis {
         |  round(n / CAST(t AS DOUBLE)
         |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS dev
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    "e8_autocorr" ->
+      // n·x_t − S keeps the centered terms exact longs; one double
+      // division per lag at the very end (same micro-unit discipline as
+      // e8_cusum, pushed through the quadratic form)
+      s"""WITH daily AS (SELECT event_type,
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  CAST(round(sum(CAST(round(value * 10000) AS BIGINT))
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, day,
+         |  x * (count(*) OVER (PARTITION BY event_type))
+         |    - (sum(x) OVER (PARTITION BY event_type)) AS c FROM daily),
+         |l AS (SELECT event_type, c,
+         |  ${AcfLags.map(k =>
+             s"lead(c, $k) OVER (PARTITION BY event_type ORDER BY day) AS c$k")
+             .mkString(",\n  ")}
+         |  FROM b)
+         |SELECT event_type, count(*) AS n_days,
+         |  ${AcfLags.map(k =>
+             s"round(sum(c * c$k) / CAST(sum(c * c) AS DOUBLE), 4) AS r$k")
+             .mkString(",\n  ")}
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e8_cusum" ->
       """WITH daily AS (SELECT event_type,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

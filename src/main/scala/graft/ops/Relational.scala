@@ -801,8 +801,33 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q46 — UNPIVOT/melt (the inverse of q28's pivot): a wide per-priority
+    * metrics row melts into tidy (key, metric, value) triples — the shape
+    * every metrics store and plotting layer ingests. Spark's native
+    * `unpivot` is a scan-side Expand (each input row fans out to one row
+    * per value column IN PLACE, like the multi-DISTINCT aggregate's
+    * Expand) — no shuffle beyond the tiny upstream aggregate, no UDF, and
+    * output rows = input rows × metrics at any scale. Metrics are all
+    * exactly representable doubles (a count, a DECIMAL sum rounded
+    * BEFORE the cast, a DECIMAL max) — deliberately no avg, whose
+    * DOUBLE return type in the oracle engine would re-round on a
+    * different boundary. */
+  def q46Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        round(sum(col("o_totalprice")), 2).cast("double").as("total_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_price"), col("max_price")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_unpivot" -> (q46Unpivot _),
     "q44_window_dist" -> (q44WindowDist _),
     "q43_approx_quantile" -> (q43ApproxQuantile _),
     "q01_scan_project" -> (q01ScanProject _),
@@ -860,6 +885,18 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q46_unpivot" ->
+      // metrics rounded in DECIMAL then cast, so both engines melt the
+      // same doubles; UNPIVOT column order doesn't matter — the driver
+      // compare sorts rows and columns by name
+      """WITH wide AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     "q44_window_dist" ->
       // micro-units via floor(x*1e6 + 0.5): round() tie semantics differ
       // cross-engine exactly where rank/n lands on a .5 boundary

@@ -60,4 +60,48 @@ object Formats {
     * reach for this one during migrations and backfills. */
   def readParquetEvolved(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each. Streaming ingest and fine-grained partitioned
+    * writes both strand corpora in thousands-of-tiny-files layouts, and at
+    * 100 TB that is a real query-side tax — every file costs a footer
+    * read, a task-schedule round trip, and its own (worthless) row-group
+    * statistics, so scan parallelism is driven by file count instead of
+    * data size. The target file count comes from the CURRENT on-disk
+    * bytes (a filesystem listing, no data pass); rows are re-dealt
+    * round-robin into exactly that many writers via `repartition(n)` —
+    * the rebalance is the one full shuffle this costs, paid once to make
+    * every later scan cheap. Pass `sortCol` to instead range-partition +
+    * sort-within-partitions on a key: same file count, but each output
+    * file then covers a tight key range, so min/max row-group stats prune
+    * scans filtered on that key (poor-man's clustering — the single most
+    * effective layout lever parquet offers). Writes to a sibling tmp dir
+    * and swaps via the committed `_SUCCESS` rename discipline the
+    * AdminStore uses, so a reader never sees a half-compacted table. */
+  def compactParquet(s: SparkSession, path: String,
+      targetBytes: Long = 128L << 20, sortCol: Option[String] = None): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = s.read.parquet(path)
+    val staged = sortCol match {
+      case Some(c) =>
+        df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(c)
+      case None => df.repartition(nFiles)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(bak, true)
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: cannot displace $path")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // roll back — the original is untouched
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(bak, true)
+    nFiles
+  }
 }
