@@ -19,6 +19,11 @@ object Sessions {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are naive (isAdjustedToUTC=false). Read them as
+      // TimestampType under the UTC session TZ — the oracle (DuckDB) treats
+      // them the same way — instead of TIMESTAMP_NTZ, which Spark 4 would
+      // otherwise infer and which breaks unix_micros/date arithmetic parity.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
