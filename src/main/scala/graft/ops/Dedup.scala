@@ -629,7 +629,75 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Span shingle width for exact-substring dedup: a duplicated region must
+    * repeat at least this many consecutive tokens to count. Real pipelines
+    * use ~50 BPE tokens (Lee et al. 2021); the fixture docs are short, so 5
+    * keeps the operator exercised at test scale — the plan is K-invariant. */
+  val SpanK = 5
+
+  /** E1 — exact substring-SPAN dedup: the token-span-level pass ("dedup the
+    * repeated passage, not the document") that document-level exact/minhash
+    * dedup cannot express. A K-token shingle that occurs 2+ times ANYWHERE
+    * in the corpus (other docs or elsewhere in the same doc) marks its K
+    * tokens as duplicated; per document, overlapping/adjacent marked
+    * regions merge into maximal removable spans (gaps-and-islands over the
+    * running max of span ends). Emits per doc the span count, duplicated
+    * token total, and trim ratio — the numbers a span-trimming rewrite
+    * needs. Reference analogue: the repeated-content checks lime-etl jobs
+    * run per-table (`lime_etl/domain/job_test_result.py`) lifted to token
+    * granularity. Plan at scale: positional shingle hashes explode
+    * scan-side (no shingle string leaves the scan), the occurrence count
+    * partial-aggregates map-side, and the only corpus-sized shuffles are
+    * the hash-keyed count/join-back plus ONE doc_id window whose per-key
+    * row count is bounded by document length. The span merge itself is
+    * O(positions) per doc inside that window — no pairwise work anywhere,
+    * unlike the Jaccard paths, so no df cap is needed (a hot shingle adds
+    * one row per occurrence, not df² pairs). */
+  def e1SpanDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positional hashes: posexplode keeps the in-doc offset the pairwise
+    // paths throw away; NOT distinct — a self-repeat is two positions and
+    // both are real duplicated regions. Referenced twice (count + join
+    // back), so materialize once.
+    val pos = documents(s, d)
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), SpanK)))
+      .toDF("doc_id", "pos", "h")
+      .localCheckpoint(false)
+    val dupPos = pos
+      .join(pos.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") >= 2),
+        Seq("h"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // island starts where this shingle's span [pos, pos+K-1] neither
+    // overlaps nor touches the furthest span end seen so far
+    val prevEnd = max(col("pos") + lit(SpanK - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + lit(1), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s0"), max(col("pos")).as("mx"))
+      .select(col("doc_id"), col("s0"), (col("mx") + lit(SpanK - 1)).as("e0"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + lit(1)).as("dup_tokens"))
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("trim_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
     "e1_cluster_stats" -> (e1ClusterStats _),
@@ -775,6 +843,37 @@ object Dedup {
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
+    // span dedup on shingle STRINGS (validates the positional FNV hash
+    // reduction end-to-end); 1-based positions vs Spark's 0-based posexplode
+    // is invisible — only position DIFFERENCES reach the output
+    "e1_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
+         |    toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3] || ' ' ||
+         |    toks[CAST(i AS INT) + 4] AS g
+         |  FROM t, unnest(range(1, len(toks) - ${SpanK - 2})) AS u(i)),
+         |dup AS (SELECT doc_id, pos FROM pos
+         |  WHERE g IN (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > coalesce(max(pos + ${SpanK - 1}) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+         |    THEN 1 ELSE 0 END AS ni FROM dup),
+         |isl2 AS (SELECT doc_id, pos,
+         |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |spans AS (SELECT doc_id, island, min(pos) AS s0,
+         |    max(pos) + ${SpanK - 1} AS e0 FROM isl2 GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(e0 - s0 + 1) AS dup_tokens FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  round(coalesce(a.dup_tokens, 0) /
+         |    len(string_split(d.text, ' ')), 4) AS trim_ratio
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "e1_minhash_accuracy" ->
       // the estimator is slot-agreement over the SAME signatures the pair
       // candidates came from (sig CTE), so the estimates hash-match

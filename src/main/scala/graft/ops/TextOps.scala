@@ -102,6 +102,44 @@ object TextOps {
       .orderBy("tier")
   }
 
+  /** Quality-model parameters: a fixed linear classifier over the e3_quality
+    * feature triple (stopword ratio, mean token length, scaled length). A
+    * stand-in for a trained fasttext-style quality filter — the pipeline
+    * mechanics (broadcast the parameters, score every document, threshold)
+    * are exactly what the trained model needs; only the numbers differ.
+    * All-IEEE arithmetic (+,*,/ are correctly rounded, so Spark and DuckDB
+    * agree bit-for-bit) — deliberately NO sigmoid: exp() varies across
+    * libms and the monotone threshold decision is identical without it. */
+  val QmBias = -1.5
+  val QmWsw = 2.0
+  val QmWlen = 0.25
+  val QmWnt = 1.0
+  val QmNtScale = 256.0
+
+  /** E3 — model-based quality filter: apply the linear classifier to every
+    * document via a broadcast parameter row, emitting the score in integer
+    * micro-units (a double near ±0 rounds to -0.0 in one engine and 0.0 in
+    * the other; integers can't) and the keep decision. Plan at scale: the
+    * parameter row is a 1-row broadcast nested-loop join — the corpus
+    * never shuffles at all; scoring is scan-side whole-stage codegen. */
+  def e3QualityModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Seq((QmBias, QmWsw, QmWlen, QmWnt))
+      .toDF("w0", "w_sw", "w_len", "w_nt")
+    val z = col("w0") + col("w_sw") * (col("nsw") / col("nt")) +
+      col("w_len") * (col("letters") / col("nt")) +
+      col("w_nt") * (col("nt") / lit(QmNtScale))
+    documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(stopwordFilterSql)))
+      .withColumn("letters", length(regexp_replace(col("text"), " ", "")))
+      .crossJoin(broadcast(w))
+      .select(col("doc_id"),
+        round(z * lit(1e6), 0).cast("long").as("score_micro"),
+        (z > lit(0.0)).as("model_keep"))
+      .orderBy("doc_id")
+  }
+
   /** E3 — language ID via Cavnar–Trenkle character-trigram profiles, trained
     * on the corpus itself (lang labels): rank trigrams per language, keep the
     * top 100, score each document by how many of its distinct trigrams hit
@@ -484,6 +522,7 @@ object TextOps {
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
     "e3_quality" -> (e3Quality _),
+    "e3_quality_model" -> (e3QualityModel _),
     "e3_quality_tiers" -> (e3QualityTiers _),
     "e3_langid" -> (e3LangId _),
     "e3_token_freq" -> (e3TokenFreq _),
@@ -639,6 +678,22 @@ object TextOps {
         |round(least(1.0, CAST(nt AS DOUBLE) / 100.0) * (1.0 - CAST(nsw AS DOUBLE) / nt), 4)
         |  AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    "e3_quality_model" ->
+      s"""WITH w AS (SELECT CAST($QmBias AS DOUBLE) AS w0,
+        |  CAST($QmWsw AS DOUBLE) AS w_sw, CAST($QmWlen AS DOUBLE) AS w_len,
+        |  CAST($QmWnt AS DOUBLE) AS w_nt),
+        |q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to'))) AS nsw,
+        |  length(replace(text, ' ', '')) AS letters FROM documents),
+        |s AS (SELECT doc_id,
+        |  w0 + w_sw * (CAST(nsw AS DOUBLE) / nt) +
+        |  w_len * (CAST(letters AS DOUBLE) / nt) +
+        |  w_nt * (nt / CAST($QmNtScale AS DOUBLE)) AS z
+        |  FROM q CROSS JOIN w)
+        |SELECT doc_id, CAST(round(z * 1000000.0, 0) AS BIGINT) AS score_micro,
+        |  z > 0.0 AS model_keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "e3_langid" ->
       s"""WITH $langidCtes
          |SELECT doc_id, pred_lang, score FROM pred ORDER BY doc_id""".stripMargin,

@@ -11,6 +11,79 @@ class OpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("e1_span_dedup matches a brute-force span merge on the full fixture") {
+    val got = Dedup.e1SpanDedup(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("trim_ratio"))))
+      .toMap
+    assert(got.nonEmpty)
+    // brute force: positional K-shingles, corpus-wide occurrence count,
+    // fold-merge of overlapping/adjacent [p, p+K-1] spans per doc
+    val K = Dedup.SpanK
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val shingles = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(K).zipWithIndex.toSeq
+        .withFilter(_._1.length == K)
+        .map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val occ = shingles.groupBy(_._3).map { case (g, xs) => g -> xs.length }
+    val dupByDoc = shingles.filter(s => occ(s._3) >= 2)
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+    docs.foreach { case (id, t) =>
+      val (nt, ns, dt, ratio) = got(id)
+      assert(nt == t.split(" ", -1).length.toLong, s"doc $id n_tokens")
+      val spans = dupByDoc.getOrElse(id, Array.empty[Int])
+        .foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (s0, e0) :: rest if p <= e0 + 1 =>
+              (s0, math.max(e0, p + K - 1)) :: rest
+            case _ => (p, p + K - 1) :: acc
+          }
+        }
+      assert(ns == spans.length.toLong, s"doc $id n_spans")
+      val expDt = spans.map { case (s0, e0) => e0 - s0 + 1 }.sum.toLong
+      assert(dt == expDt, s"doc $id dup_tokens")
+      assert(dt <= nt && dt >= K * ns, s"doc $id span bounds")
+      assert(math.abs(ratio - (expDt.toDouble / nt * 10000).round / 10000.0) < 1e-9)
+    }
+    // the fixture must actually exercise the operator: some doc has a span
+    assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
+  }
+
+  test("e3_quality_model: broadcast scoring matches driver-side doubles, corpus never shuffles") {
+    val rows = TextOps.e3QualityModel(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Boolean]("model_keep")))
+    assert(rows.nonEmpty)
+    // independent recomputation with the same IEEE double arithmetic
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { case (id, micro, keep) =>
+      val toks = docs(id).split(" ", -1)
+      val nt = toks.length
+      val nsw = toks.count(TextOps.Stopwords.contains)
+      val letters = docs(id).replace(" ", "").length
+      val z = TextOps.QmBias + TextOps.QmWsw * (nsw.toDouble / nt) +
+        TextOps.QmWlen * (letters.toDouble / nt) +
+        TextOps.QmWnt * (nt / TextOps.QmNtScale)
+      assert(micro == BigDecimal(z * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        s"doc $id score")
+      assert(keep == (z > 0.0), s"doc $id keep")
+    }
+    // the threshold must actually discriminate on the fixture
+    assert(rows.exists(_._3) && rows.exists(!_._3), "degenerate keep split")
+    // parameters arrive via broadcast; the corpus side has no exchange
+    // before the scoring projection (sort for ORDER BY is the only one)
+    val plan = TextOps.e3QualityModel(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
   test("q42: HLL approx distinct stays within 5% of exact, sketch partial-aggregates") {
     // the declared query folds the bound into err_ok (so the DuckDB oracle
     // can check it end-to-end); the NUMERIC bound on the raw estimate is
