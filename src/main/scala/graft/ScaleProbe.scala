@@ -90,7 +90,8 @@ object ScaleProbe {
       "e8_transitions", "e9_pagerank", "e9_degrees", "e9_triangles",
       "e2_kmeans_iter", "e7_mixture_sample", "e8_cusum", "e1_lsh_recall",
       "e2_ivf_stats", "e8_benford", "e1_cluster_stats",
-      "e4f3_funnel_rates")
+      "e4f3_funnel_rates", "e1_span_dedup", "e3_quality_model",
+      "e1_containment")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -99,8 +100,9 @@ object ScaleProbe {
       if (args.lift(1).contains("linear") || n >= 100)
         // e2_ann_recall consumes the exact per-label-block baseline, so it
         // shares e2_cosine_topk's quadratic-verifier profile
+        // e1_containment shares the exact pairwise co-occurrence join
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk",
-          "e2_ann_recall", "e1_lsh_recall"))
+          "e2_ann_recall", "e1_lsh_recall", "e1_containment"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

@@ -118,6 +118,37 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Minimum max-direction containment for a pair to be reported. */
+  val MinContainment = 0.5
+
+  /** E1 — asymmetric CONTAINMENT pairs: c(A→B) = |A∩B| / |A| over the same
+    * df-capped shingle sets the Jaccard pass uses. A short document quoted
+    * wholesale inside a much longer one has c(A→B) ≈ 1 but Jaccard ≈
+    * |A|/|B| ≈ 0 — symmetric similarity can never flag it, and
+    * quote/subset inclusion is exactly what eval-set decontamination and
+    * license-text detection need. Same co-occurrence join shape (and the
+    * same df cap + Σ df² cost bound) as e1_ngram_jaccard; both direction
+    * ratios are emitted, thresholded on the larger one BEFORE rounding. */
+  def e1Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = rareShingleHashes(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("x"), col("da") === col("x.doc_id"))
+      .join(sz.as("y"), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / col("x.n")).as("cab"),
+        (col("i").cast("double") / col("y.n")).as("cba"))
+      .filter(greatest(col("cab"), col("cba")) >= lit(MinContainment))
+      .select(col("da"), col("db"),
+        round(col("cab"), 4).as("containment_ab"),
+        round(col("cba"), 4).as("containment_ba"))
+      .orderBy("da", "db")
+  }
+
   /** E1 — MinHash+LSH near-dup pairs: candidates from band collisions,
     * verified with exact Jaccard ≥ 0.2 on the shingle sets. Oracle-checked
     * end to end (minhashPairsOracle replicates signature + banding in
@@ -710,6 +741,7 @@ object Dedup {
     "e1_simhash_pairs" -> (e1SimhashPairs _),
     "e1_dedup_clusters" -> (e1DedupClusters _),
     "e1_contamination" -> (e1Contamination _),
+    "e1_containment" -> (e1Containment _),
     "e1_segment_dedup" -> (e1SegmentDedup _),
     "e1_source_overlap" -> (e1SourceOverlap _),
     "e1_boilerplate" -> (e1Boilerplate _),
@@ -887,6 +919,15 @@ object Dedup {
          |  round(eq / 64.0, 4) AS est_jaccard,
          |  round(abs(round(eq / 64.0, 4) - p.jaccard), 4) AS abs_err
          |FROM mhp p JOIN agree USING (da, db) ORDER BY da, db""".stripMargin,
+    "e1_containment" ->
+      s"""WITH $jaccardCtes
+         |SELECT da, db,
+         |  round(CAST(i AS DOUBLE) / x.n, 4) AS containment_ab,
+         |  round(CAST(i AS DOUBLE) / y.n, 4) AS containment_ba
+         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE greatest(CAST(i AS DOUBLE) / x.n, CAST(i AS DOUBLE) / y.n)
+         |  >= $MinContainment
+         |ORDER BY da, db""".stripMargin,
     "e1_minhash_pairs" -> minhashPairsOracle,
     "e1_source_overlap" ->
       s"""WITH $minhashCtesBlock,

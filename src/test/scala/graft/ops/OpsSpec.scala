@@ -53,6 +53,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e1_containment matches brute force and dominates Jaccard per pair") {
+    val got = Dedup.e1Containment(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        ((r.getAs[Double]("containment_ab"), r.getAs[Double]("containment_ba"))))
+      .toMap
+    // brute force over the same df-capped distinct 3-shingle sets
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val sets0 = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets0.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val sets = sets0.map { case (id, ss) =>
+      id -> ss.filter(s => df(s) <= Dedup.MaxShingleDf)
+    }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      i = (sets(a) & sets(b)).size.toDouble
+      if i > 0 && math.max(i / sets(a).size, i / sets(b).size) >= Dedup.MinContainment
+    } yield (a, b) -> ((i / sets(a).size, i / sets(b).size))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    expected.foreach { case (k, (cab, cba)) =>
+      assert(math.abs(got(k)._1 - (cab * 10000).round / 10000.0) < 1e-9, s"$k ab")
+      assert(math.abs(got(k)._2 - (cba * 10000).round / 10000.0) < 1e-9, s"$k ba")
+    }
+    assert(got.nonEmpty, "fixture produced no containment pairs")
+    // containment in either direction upper-bounds Jaccard for the pair
+    val jac = Dedup.e1NgramJaccard(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    got.foreach { case (k, (cab, cba)) =>
+      jac.get(k).foreach(j => assert(j <= math.min(cab, cba) + 1e-9, s"$k jaccard bound"))
+    }
+  }
+
   test("e3_quality_model: broadcast scoring matches driver-side doubles, corpus never shuffles") {
     val rows = TextOps.e3QualityModel(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
