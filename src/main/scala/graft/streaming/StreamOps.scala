@@ -48,6 +48,33 @@ object StreamOps {
         col("n_events"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** Heavy hitters reported per window (ties broken by event_type). */
+  val HhK = 3
+
+  /** E4l — per-window HEAVY HITTERS: top-K event types by count inside each
+    * tumbling hour. The deployable streaming shape: global all-time top-K
+    * over unbounded keys is not expressible with bounded state, but
+    * per-window top-K is — the stream runs ONLY the windowed count (fixed
+    * state per window, evicted by watermark) and the rank runs sink-side
+    * over the window's closed aggregate, which is exactly how this query
+    * pairs its two stages (the same split StreamingSpec asserts
+    * stream==batch on). In batch the rank window partitions by bucket —
+    * per-partition rows are |event_type| (25), so the sort is trivially
+    * bounded at any corpus size. */
+  def e4lHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rk = org.apache.spark.sql.functions.row_number()
+      .over(Window.partitionBy("w").orderBy(col("n").desc, col("event_type")))
+    counts.withColumn("rk", rk)
+      .filter(col("rk") <= HhK)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("rk"))
+      .orderBy("bucket", "rk")
+  }
+
   /** E4j — per-day distinct users, exact AND sketched: the windowed form
     * of the q42 HLL contract. In batch, exact countDistinct sits next to
     * approx_count_distinct and the driver-checkable output carries the
@@ -414,6 +441,7 @@ object StreamOps {
     "e4f3_funnel_rates" -> (e4f3FunnelRates _),
     "e4g_cohort" -> (e4gCohort _),
     "e4j_window_sketch" -> (e4jWindowSketch _),
+    "e4l_heavy_hitters" -> (e4lHeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -445,6 +473,14 @@ object StreamOps {
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
         |count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "e4l_heavy_hitters" ->
+      s"""WITH c AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, event_type, n, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY n DESC, event_type) AS rk FROM c)
+        |SELECT bucket, event_type, n, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= $HhK ORDER BY bucket, rk""".stripMargin,
     "e4b_sliding" ->
       """WITH b AS (SELECT event_type,
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),

@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("sink-side top-K over streamed window counts equals batch e4l heavy hitters") {
+    // the deployable split: the STREAM runs only the watermark-bounded
+    // windowed count; the rank runs sink-side on closed windows
+    val q = StreamOps.streamTumbling(spark, stagedDir, schema, "hh_sink")
+    assert(q.awaitTermination(60000), "heavy-hitter stream did not finish in 60s")
+    import org.apache.spark.sql.expressions.Window
+    val counts = spark.table("hh_sink")
+      .groupBy(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(max(col("n")).as("n"))
+    val rk = row_number().over(
+      Window.partitionBy("bucket").orderBy(col("n").desc, col("event_type")))
+    val streamed = counts.withColumn("rk", rk)
+      .filter(col("rk") <= StreamOps.HhK)
+      .orderBy("bucket", "rk").collect()
+    val batch = StreamOps.e4lHeavyHitters(spark, TestSpark.sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming z-score outliers equal the batch e8_outliers (E4k)") {
     // stats computed batch-side over the same fixture the stream replays:
     // the deployed shape (nightly stats, per-event scoring) — and exactly
