@@ -155,7 +155,33 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** E6 — training-shard export MANIFEST: per shard, the doc count, token
+    * total, and an order-independent content checksum (sum of per-doc
+    * rolling-hash fingerprints — commutative, so the value is stable under
+    * any intra-shard execution order). The dataset-card artifact an export
+    * writes next to its shards: a backfill re-run must reproduce it
+    * exactly (same deterministic shard assignment as e6_global_shuffle),
+    * and an auditor verifies a shard against it without rescanning text.
+    * Plan: fingerprint + token count are scan-side; the |shards|-key
+    * aggregate partial-combines map-side, so the corpus crosses ONE
+    * exchange of |shards| pre-aggregated rows — the per-shard sort of the
+    * shuffle itself isn't needed for the manifest. Checksum headroom:
+    * per-doc fp < 2^30, so the long sum overflows only past ~2^33 docs
+    * per shard — shard counts are chosen ~n/K far below that. */
+  def e6Manifest(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(ShuffleSalt))))
+      .withColumn("shard",
+        pmod(col("prio").bitwiseAND(lit(Long.MaxValue)), lit(ShuffleShards)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(size(split(col("text"), " ")))).as("n_tokens"),
+        sum(graft.functions.Hashes.rollingHash(col("text"))).as("checksum"))
+      .orderBy("shard")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_manifest" -> (e6Manifest _),
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
     "e6_train_val_test" -> (e6TrainValTest _),
@@ -190,6 +216,24 @@ object Sampling {
          |  SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY prio, doc_id) AS rk FROM pr)
          |WHERE rk <= $QuotaK ORDER BY source, rk""".stripMargin
+    },
+    "e6_manifest" -> {
+      import OracleSql._
+      s"""WITH mx_in AS (SELECT doc_id, text,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$ShuffleSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("mx", "h0", "h1", Seq("doc_id", "text"))},
+         |sh AS (SELECT doc_id, text,
+         |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $ShuffleShards AS BIGINT)
+         |    AS shard FROM mx),
+         |fp AS (SELECT shard, len(string_split(text, ' ')) AS nt,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp FROM sh)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(fp) AS BIGINT) AS checksum
+         |FROM fp GROUP BY shard ORDER BY shard""".stripMargin
     },
     "e6_global_shuffle" -> {
       import OracleSql._

@@ -53,6 +53,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e6_manifest agrees with the shuffle assignment and the fingerprint pass") {
+    val man = Sampling.e6Manifest(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("checksum")))).toMap
+    val per = Sampling.e6GlobalShuffle(spark, TestSpark.sf0001).collect()
+      .groupBy(_.getAs[Long]("shard"))
+    // same shard set; counts match the shuffle; pos is a complete 1..n rank
+    assert(man.keySet == per.keySet)
+    per.foreach { case (sh, rows) =>
+      assert(man(sh)._1 == rows.length.toLong, s"shard $sh count")
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1L to rows.length.toLong), s"shard $sh pos ranks")
+    }
+    // the checksum IS the sum of the declared per-doc fingerprints — the
+    // auditor's recomputation path
+    val fp = TextOps.e3Fingerprint(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    per.foreach { case (sh, rows) =>
+      assert(man(sh)._3 == rows.map(r => fp(r.getAs[Long]("doc_id"))).sum,
+        s"shard $sh checksum")
+    }
+  }
+
   test("e1_containment matches brute force and dominates Jaccard per pair") {
     val got = Dedup.e1Containment(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
