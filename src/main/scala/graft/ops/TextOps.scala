@@ -140,6 +140,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 parameters and the fixed keyword set the declared query scores.
+    * The idf is the log-free RATIO (N − df + ½)/(df + ½) for the same
+    * reason as tf-idf: ln() is not bit-stable across libms, and BM25's
+    * ranking is monotone in either form. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("filter", "join", "vector")
+
+  /** E3 — BM25 keyword scoring over a fixed term set: the retrieval-grade
+    * relevance score (tf saturation via k1, length normalization via b)
+    * corpus tooling runs for keyword exploration and contamination
+    * triage. All-IEEE arithmetic end to end; the per-doc score folds the
+    * per-term contributions in TERM ORDER (sorted struct collect, the
+    * centroidArrays pattern) so float summation order — and therefore the
+    * hash — is engine-independent. Plan at scale: the term filter prunes
+    * the token explode scan-side to |terms| survivors per doc; tf
+    * partial-aggregates map-side; df, N/avgdl, and k1/b are 2-, 1- and
+    * 1-row broadcasts — the corpus crosses ONE (doc_id, term)-keyed
+    * exchange of matched rows only. */
+  def e3Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Seq((Bm25K1, Bm25B)).toDF("k1", "b")
+    val dl = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") +
+      col("k1") * (lit(1.0) - col("b") + col("b") * col("dl") / col("avgdl"))
+    val contrib = idf * (col("tf") * (col("k1") + lit(1.0))) / denom
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g)).crossJoin(broadcast(p))
+      .select(col("doc_id"), col("tok"), contrib.as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("tok"), col("s")))),
+            x => x("s")),
+          lit(0.0), (acc, x) => acc + x), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   /** E3 — language ID via Cavnar–Trenkle character-trigram profiles, trained
     * on the corpus itself (lang labels): rank trigrams per language, keep the
     * top 100, score each document by how many of its distinct trigrams hit
@@ -523,6 +571,7 @@ object TextOps {
     "e3_lang_profile" -> (e3LangProfile _),
     "e3_quality" -> (e3Quality _),
     "e3_quality_model" -> (e3QualityModel _),
+    "e3_bm25" -> (e3Bm25 _),
     "e3_quality_tiers" -> (e3QualityTiers _),
     "e3_langid" -> (e3LangId _),
     "e3_token_freq" -> (e3TokenFreq _),
@@ -678,6 +727,28 @@ object TextOps {
         |round(least(1.0, CAST(nt AS DOUBLE) / 100.0) * (1.0 - CAST(nsw AS DOUBLE) / nt), 4)
         |  AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    "e3_bm25" -> {
+      val termsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH p AS (SELECT CAST($Bm25K1 AS DOUBLE) AS k1,
+        |    CAST($Bm25B AS DOUBLE) AS b),
+        |d0 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |g AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ($termsSql) GROUP BY doc_id, tok),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |  ((n - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1.0)) /
+        |    (tf + k1 * (1.0 - b + b * dl / avgdl)) AS s
+        |  FROM tf JOIN dfr USING (tok) JOIN d0 ON tf.doc_id = d0.doc_id
+        |  CROSS JOIN g CROSS JOIN p)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, s := s))),
+        |      x -> x.s)), (a, b2) -> a + b2), 4) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "e3_quality_model" ->
       s"""WITH w AS (SELECT CAST($QmBias AS DOUBLE) AS w0,
         |  CAST($QmWsw AS DOUBLE) AS w_sw, CAST($QmWlen AS DOUBLE) AS w_len,

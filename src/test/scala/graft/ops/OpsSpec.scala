@@ -53,6 +53,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e3_bm25 matches a driver-side recomputation with the same IEEE order") {
+    val got = TextOps.e3Bm25(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Double]("bm25")))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ", -1)))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val tf = docs.map { case (id, toks) =>
+      id -> Bm25TermsSorted.map(t => t -> toks.count(_ == t).toLong)
+        .filter(_._2 > 0)
+    }.toMap
+    val df = Bm25TermsSorted.map(t =>
+      t -> tf.values.count(_.exists(_._1 == t)).toLong).toMap
+    docs.foreach { case (id, toks) =>
+      val terms = tf(id)
+      if (terms.isEmpty) assert(!got.contains(id), s"doc $id unexpected")
+      else {
+        val dl = toks.length.toLong
+        // fold in sorted term order — the declared query's summation order
+        val score = terms.foldLeft(0.0) { case (acc, (t, f)) =>
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          acc + idf * (f * (TextOps.Bm25K1 + 1.0)) /
+            (f + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B +
+              TextOps.Bm25B * dl / avgdl))
+        }
+        assert(got(id)._1 == terms.length.toLong, s"doc $id n_terms")
+        assert(math.abs(got(id)._2 -
+          (score * 10000).round / 10000.0) < 1e-9, s"doc $id score")
+      }
+    }
+  }
+  private lazy val Bm25TermsSorted = TextOps.Bm25Terms.sorted
+
   test("e6_manifest agrees with the shuffle assignment and the fingerprint pass") {
     val man = Sampling.e6Manifest(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[Long]("shard") ->
