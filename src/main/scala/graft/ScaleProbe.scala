@@ -139,6 +139,24 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$skewOut/documents.parquet")
       timeQuery("e3_pack", skewOut, "e3_pack[90%-one-source]")
     }
+
+    // "spanskew" as any arg: the e1_span_dedup hot-shingle probe. Prefix
+    // 90% of documents with the SAME 5 tokens — one shingle whose
+    // occurrence count is 0.9·|corpus|. The pairwise dedup paths need a
+    // df cap precisely because such a shingle costs df² there; span dedup
+    // claims linear cost per occurrence (one dup-position row each, then
+    // a doc_id-bounded window), so the skewed cell should track the
+    // uniform cell above, not blow up.
+    if (args.contains("spanskew")) {
+      val skewOut = s"$out-spanskew"
+      spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 10 < 9,
+            concat(lit("alpha beta gamma delta epsilon "), col("text")))
+            .otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$skewOut/documents.parquet")
+      timeQuery("e1_span_dedup", skewOut, "e1_span_dedup[hot-5gram]")
+    }
     spark.stop()
   }
 }
