@@ -159,7 +159,12 @@ object TextOps {
     * partial-aggregates map-side; df, N/avgdl, and k1/b are 2-, 1- and
     * 1-row broadcasts — the corpus crosses ONE (doc_id, term)-keyed
     * exchange of matched rows only. */
-  def e3Bm25(s: SparkSession, d: String): DataFrame = {
+  def e3Bm25(s: SparkSession, d: String): DataFrame =
+    bm25(s, d, Bm25Terms)
+
+  /** The general form: score every document against `terms`. The declared
+    * query binds the fixture constant; a caller passes any keyword set. */
+  def bm25(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
     import s.implicits._
     val p = Seq((Bm25K1, Bm25B)).toDF("k1", "b")
     val dl = documents(s, d)
@@ -168,7 +173,7 @@ object TextOps {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok").isin(Bm25Terms: _*))
+      .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
