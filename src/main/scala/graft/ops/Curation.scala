@@ -226,7 +226,58 @@ object Curation {
       .orderBy("source")
   }
 
+  /** E7 — the DATASET CARD: the one-page summary table a released corpus
+    * ships (corpus totals, language shares, dedup rates, quality
+    * aggregates) as (section, metric, value) rows. Determinism rule:
+    * every `value` is either an integer count cast to double or ONE
+    * division of two integer sums — never a float sum over rows, whose
+    * accumulation order (and therefore hash) differs between engines.
+    * Plan: five independent map-side-combined aggregates over scan-side
+    * integers, each reduced to ≤ |langs| rows before a union of tiny
+    * frames — the corpus is scanned once per section, nothing
+    * corpus-sized ever shuffles. */
+  def e7DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def row(section: String, metric: org.apache.spark.sql.Column,
+        value: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      Seq(lit(section).as("section"), metric.as("metric"),
+        round(value.cast("double"), 6).as("value"))
+    val base = docs.agg(
+      count(lit(1)).as("nd"),
+      sum(size(split(col("text"), " "))).as("nt"),
+      countDistinct(col("source")).as("ns"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(Dedup.contentFingerprint(col("text"))).as("nfp"),
+      sum(size(expr(TextOps.stopwordFilterSql))).as("nsw"))
+    val corpus = base.select(array(
+      struct(row("corpus", lit("n_docs"), col("nd")): _*),
+      struct(row("corpus", lit("n_tokens"), col("nt")): _*),
+      struct(row("corpus", lit("n_sources"), col("ns")): _*),
+      struct(row("corpus", lit("n_langs"), col("nl")): _*),
+      struct(row("dedup", lit("exact_dup_docs"), col("nd") - col("nfp")): _*),
+      struct(row("dedup", lit("exact_dup_rate"),
+        (col("nd") - col("nfp")) / col("nd")): _*),
+      struct(row("quality", lit("avg_doc_tokens"), col("nt") / col("nd")): _*),
+      struct(row("quality", lit("stopword_ratio"), col("nsw") / col("nt")): _*)
+    ).as("a")).select(explode(col("a")).as("r")).select("r.*")
+    val langShares = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+      .select(row("lang_share", col("lang"), col("c") / col("nd")): _*)
+    val spans = Dedup.e1SpanDedup(s, d)
+      .agg(sum(col("dup_tokens")).as("dt"), sum(col("n_tokens")).as("tt"))
+      .select(row("dedup", lit("span_dup_token_rate"),
+        col("dt") / col("tt")): _*)
+    val keeps = TextOps.e3QualityModel(s, d)
+      .agg(sum(when(col("model_keep"), 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("nd"))
+      .select(row("quality", lit("model_keep_rate"), col("k") / col("nd")): _*)
+    corpus.unionByName(langShares).unionByName(spans).unionByName(keeps)
+      .orderBy("section", "metric")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_dataset_card" -> (e7DatasetCard _),
     "e7_mixture_sample" -> (e7MixtureSample _),
     "e7_funnel" -> (e7Funnel _),
     "e7_source_stats" -> (e7SourceStats _),
@@ -236,6 +287,48 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the span and quality-model sections reuse those queries' own oracle
+    // SQL verbatim as subqueries — the card can never drift from the
+    // declared queries it summarizes
+    "e7_dataset_card" ->
+      s"""WITH base AS (SELECT count(*) AS nd,
+         |  sum(len(string_split(text, ' '))) AS nt,
+         |  count(DISTINCT source) AS ns, count(DISTINCT lang) AS nl,
+         |  count(DISTINCT md5(lower(trim(text)))) AS nfp,
+         |  sum(len(list_filter(string_split(text, ' '),
+         |    t -> t IN ('the','a','of','and','to')))) AS nsw FROM documents),
+         |corpus AS (
+         |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+         |    round(CAST(nd AS DOUBLE), 6) AS value FROM base
+         |  UNION ALL SELECT 'corpus', 'n_tokens',
+         |    round(CAST(nt AS DOUBLE), 6) FROM base
+         |  UNION ALL SELECT 'corpus', 'n_sources',
+         |    round(CAST(ns AS DOUBLE), 6) FROM base
+         |  UNION ALL SELECT 'corpus', 'n_langs',
+         |    round(CAST(nl AS DOUBLE), 6) FROM base
+         |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
+         |    round(CAST(nd - nfp AS DOUBLE), 6) FROM base
+         |  UNION ALL SELECT 'dedup', 'exact_dup_rate',
+         |    round(CAST(nd - nfp AS DOUBLE) / nd, 6) FROM base
+         |  UNION ALL SELECT 'quality', 'avg_doc_tokens',
+         |    round(CAST(nt AS DOUBLE) / nd, 6) FROM base
+         |  UNION ALL SELECT 'quality', 'stopword_ratio',
+         |    round(CAST(nsw AS DOUBLE) / nt, 6) FROM base),
+         |ls AS (SELECT 'lang_share' AS section, lang AS metric,
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT nd FROM base), 6) AS value
+         |  FROM documents GROUP BY lang),
+         |sp AS (SELECT 'dedup' AS section, 'span_dup_token_rate' AS metric,
+         |  round(CAST(sum(dup_tokens) AS DOUBLE) / sum(n_tokens), 6) AS value
+         |  FROM (${Dedup.oracles("e1_span_dedup")})),
+         |km AS (SELECT 'quality' AS section, 'model_keep_rate' AS metric,
+         |  round(CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS value
+         |  FROM (${TextOps.oracles("e3_quality_model")}))
+         |SELECT section, metric, value FROM corpus
+         |UNION ALL SELECT * FROM ls
+         |UNION ALL SELECT * FROM sp
+         |UNION ALL SELECT * FROM km
+         |ORDER BY section, metric""".stripMargin,
     "e7_mixture_sample" -> {
       import OracleSql._
       s"""WITH t AS (SELECT doc_id, source,

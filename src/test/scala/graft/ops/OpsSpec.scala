@@ -53,6 +53,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e7_dataset_card values cross-check against the queries it summarizes") {
+    val card = Curation.e7DatasetCard(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
+        r.getAs[Double]("value")).toMap
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val nd = docs.count()
+    assert(card(("corpus", "n_docs")) == nd.toDouble)
+    // exact_dup_docs == sum of (family size - 1) over the exact-dedup pass
+    val dups = Dedup.e1ExactDedup(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("n") - 1).sum
+    assert(card(("dedup", "exact_dup_docs")) == dups.toDouble)
+    // keep rate matches the declared quality-model query
+    val keeps = TextOps.e3QualityModel(spark, TestSpark.sf0001).collect()
+      .count(_.getAs[Boolean]("model_keep"))
+    assert(math.abs(card(("quality", "model_keep_rate")) -
+      (keeps.toDouble / nd * 1e6).round / 1e6) < 1e-12)
+    // lang shares sum to 1 within rounding
+    val shares = card.collect { case (("lang_share", _), v) => v }
+    assert(shares.nonEmpty && math.abs(shares.sum - 1.0) < 1e-4)
+  }
+
   test("e3_bm25 matches a driver-side recomputation with the same IEEE order") {
     val got = TextOps.e3Bm25(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
