@@ -250,6 +250,42 @@ object Analysis {
       .orderBy("column_name")
   }
 
+  /** Purpose salt for the KS two-sample split (independent of DriftSalt,
+    * so the KS halves and the profile-drift halves are uncorrelated). */
+  val KsSalt = 0x3f8e6a25c9d417b2L
+
+  /** E8 — two-sample Kolmogorov–Smirnov DISTRIBUTION drift per event type:
+    * D = max |ECDF₁ − ECDF₂| between two deterministic halves of the value
+    * stream. e8_drift compares cardinality fingerprints; KS compares the
+    * SHAPE of the value distribution — the statistic a monitoring system
+    * thresholds to catch "same row counts, different distribution"
+    * regressions. Everything stays rational until the final division of
+    * two integer counts (IEEE-identical cross-engine); emitted in integer
+    * micro-units. Tie semantics: the cumulative window is RANGE-framed
+    * (both engines' default with ORDER BY), so the ECDF step lands after
+    * ALL rows of a tied value — the textbook D over tied samples. Plan at
+    * scale: the split gate is scan-side splitmix arithmetic; ONE
+    * event_type exchange for the cumulative window (per-key rows =
+    * values per type), and the max partial-aggregates map-side. */
+  def e8KsDrift(s: SparkSession, d: String): DataFrame = {
+    val sided = events(s, d).select(col("event_type"), col("value"),
+      when(Sampling.slot(col("event_id"), KsSalt) < 50, 0L).otherwise(1L)
+        .as("grp"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    sided
+      .withColumn("c1", sum(when(col("grp") === 0L, 1L).otherwise(0L)).over(w))
+      .withColumn("c2", sum(when(col("grp") === 1L, 1L).otherwise(0L)).over(w))
+      .withColumn("n1", sum(when(col("grp") === 0L, 1L).otherwise(0L))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("n2", sum(when(col("grp") === 1L, 1L).otherwise(0L))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("dif", abs(col("c1") / col("n1") - col("c2") / col("n2")))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        round(max(col("dif")) * lit(1e6), 0).cast("long").as("ks_micro"))
+      .orderBy("event_type")
+  }
+
   /** E8 — per-user event-type transition matrix: P(next event type |
     * current), the first-order Markov behavior model behind session
     * analytics and bot detection (a user whose transition row collapses
@@ -477,6 +513,7 @@ object Analysis {
     "e9_degrees" -> (e9Degrees _),
     "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
+    "e8_ks_drift" -> (e8KsDrift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
     "e8_zipf" -> (e8Zipf _),
@@ -603,6 +640,31 @@ object Analysis {
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
            |round(corr($a, $b), 4) AS pearson FROM lineitem""".stripMargin }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+    "e8_ks_drift" -> {
+      import OracleSql._
+      s"""WITH mx_in AS (SELECT event_type, value,
+         |  xor(CAST(event_id AS HUGEINT), CAST('$KsSalt' AS HUGEINT)) AS h0
+         |  FROM events),
+         |${mixCtes("mx", "h0", "h1", Seq("event_type", "value"))},
+         |sided AS (SELECT event_type, value,
+         |  CASE WHEN (h1 % CAST(power(2, 63) AS HUGEINT)) % 100 < 50
+         |       THEN 0 ELSE 1 END AS grp FROM mx),
+         |cum AS (SELECT event_type,
+         |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY event_type ORDER BY value) AS c1,
+         |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY event_type ORDER BY value) AS c2,
+         |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY event_type) AS n1,
+         |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY event_type) AS n2
+         |  FROM sided)
+         |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+         |  CAST(max(n2) AS BIGINT) AS n2,
+         |  CAST(round(max(abs(CAST(c1 AS DOUBLE) / n1 -
+         |    CAST(c2 AS DOUBLE) / n2)) * 1000000.0, 0) AS BIGINT) AS ks_micro
+         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
     },
     "e8_drift" -> {
       import OracleSql._

@@ -53,6 +53,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e8_ks_drift equals a driver-side two-sample KS computation") {
+    val got = Analysis.e8KsDrift(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("ks_micro"))))
+      .toMap
+    assert(got.nonEmpty)
+    // rebuild the same split with the declared slot gate, then textbook KS
+    val sided = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), col("value"),
+        Sampling.slot(col("event_id"), Analysis.KsSalt).as("slot"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("slot") < 50))
+    sided.groupBy(_._1).foreach { case (et, rows) =>
+      val a = rows.filter(_._3).map(_._2).sorted
+      val b = rows.filterNot(_._3).map(_._2).sorted
+      val values = rows.map(_._2).distinct.sorted
+      val d = values.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.length -
+          b.count(_ <= v).toDouble / b.length)
+      }.max
+      val (n1, n2, ks) = got(et)
+      assert(n1 == a.length.toLong && n2 == b.length.toLong, s"$et sizes")
+      assert(ks == BigDecimal(d * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"$et D")
+      assert(ks >= 0 && ks <= 1000000, s"$et bounds")
+    }
+  }
+
   test("e7_dataset_card values cross-check against the queries it summarizes") {
     val card = Curation.e7DatasetCard(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
