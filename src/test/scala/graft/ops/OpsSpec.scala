@@ -11,6 +11,55 @@ class OpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("e1_span_dedup handles edge documents (empty, sub-K, self-repeat, double spaces)") {
+    import spark.implicits._
+    val K = Dedup.SpanK
+    val docs = Seq(
+      (1L, ""),                                        // empty text
+      (2L, "one"),                                     // single token
+      (3L, "a b c d"),                                 // K-1 tokens: no shingle
+      (4L, "x x x x x x x x x x"),                     // self-repeating
+      (5L, "p q r s t u v w"),                         // shares nothing
+      (6L, "m n o p q  r s t"),                        // double space (empty token)
+      (7L, "m n o p q  r s t"),                        // exact duplicate of 6
+      (8L, "z y m n o p q x w v")                      // contains 6's 5-prefix
+    ).map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    val dir = graft.TestSpark.tmpDir("spanedge")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.e1SpanDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens")))).toMap
+    // brute force with the same split-keeps-empties tokenization
+    val shingles = docs.flatMap { case (id, t, _, _, _) =>
+      t.split(" ", -1).sliding(K).zipWithIndex.toSeq
+        .withFilter(_._1.length == K).map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val occ = shingles.groupBy(_._3).map { case (g, xs) => g -> xs.length }
+    docs.foreach { case (id, t, _, _, _) =>
+      val toks = t.split(" ", -1)
+      val dup = shingles.filter(s => s._1 == id && occ(s._3) >= 2).map(_._2).sorted
+      val spans = dup.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        acc match {
+          case (s0, e0) :: rest if p <= e0 + 1 =>
+            (s0, math.max(e0, p + K - 1)) :: rest
+          case _ => (p, p + K - 1) :: acc
+        }
+      }
+      val (nt, ns, dt) = got(id)
+      assert(nt == toks.length.toLong, s"doc $id n_tokens")
+      assert(ns == spans.length.toLong, s"doc $id n_spans")
+      assert(dt == spans.map { case (a, b) => b - a + 1 }.sum.toLong, s"doc $id dup")
+    }
+    // the self-repeating doc dups ITSELF: all tokens covered by one span
+    assert(got(4L) == ((10L, 1L, 10L)), s"self-repeat doc: ${got(4L)}")
+    // exact duplicates 6/7 are fully covered
+    assert(got(6L)._3 == got(6L)._1 && got(7L)._3 == got(7L)._1)
+    // empty / sub-K docs have zero spans
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id)._2 == 0L, s"doc $id"))
+  }
+
   test("e1_span_dedup matches a brute-force span merge on the full fixture") {
     val got = Dedup.e1SpanDedup(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
