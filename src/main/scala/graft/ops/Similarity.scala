@@ -381,8 +381,9 @@ object Similarity {
     * to `topC` (rank filter pushes into WindowGroupLimit — each input
     * partition ships ≤ topC rows per query into the exchange). Returns
     * (qid, vec_id, adist DOUBLE unrounded, rn). */
-  private def adcRanked(s: SparkSession, d: String, topC: Int): DataFrame = {
-    val queries = embeddings(s, d)
+  /** The PqNQueries deterministic query vectors as (qid, qd DOUBLE[]). */
+  private def pqQueries(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qd"),
         org.apache.spark.sql.graftext.minhashExpression
@@ -390,31 +391,86 @@ object Similarity {
       .orderBy(col("m"), col("qid"))
       .limit(PqNQueries)
       .select(col("qid"), col("qd"))
-    // per-query lookup table: dt[sub * PqKsub + code] = squared L2 between
-    // the query's subspace slice and that codeword's — assembled in index
-    // order via sorted struct collect, the centroidArrays pattern
-    val dt = queries.join(broadcast(pqSeeds(s, d)))
+
+  /** Per-query ADC lookup table (qid, dt): dt[sub * PqKsub + code] =
+    * squared L2 between the query's subspace slice and that codeword's —
+    * assembled in index order via sorted struct collect, the
+    * centroidArrays pattern. */
+  private def adcTables(s: SparkSession, d: String): DataFrame =
+    pqQueries(s, d).join(broadcast(pqSeeds(s, d)))
       .select(col("qid"), col("seed_idx"),
         posexplode(expr(subDists("qd", "cd"))).as(Seq("sub", "pd")))
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(
         (col("sub") * PqKsub + col("seed_idx")).as("ix"), col("pd")))),
         x => x("pd")).as("dt"))
-    val ca = pqCodeRows(s, d)
+
+  /** (vec_id, codes) — each vector's PqM codeword indices in sub order. */
+  private def codesArr(s: SparkSession, d: String): DataFrame =
+    pqCodeRows(s, d)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x("code")).as("codes"))
+
+  /** The ADC distance of a (codes, dt) row pair — PqM table lookups summed
+    * in index order inside ONE expression (no cross-row float accumulation). */
+  private def adcDistExpr: org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, ${PqM - 1}), 0.0D, (acc, j) ->
+       |  acc + element_at(dt,
+       |    CAST(j * $PqKsub + element_at(codes, j + 1) + 1 AS INT)))"""
+      .stripMargin)
+
+  private def adcRanked(s: SparkSession, d: String, topC: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    ca.join(broadcast(dt))
+    codesArr(s, d).join(broadcast(adcTables(s, d)))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adist", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), 0.0D, (acc, j) ->
-           |  acc + element_at(dt,
-           |    CAST(j * $PqKsub + element_at(codes, j + 1) + 1 AS INT)))"""
-          .stripMargin))
+      .withColumn("adist", adcDistExpr)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topC)
       .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+  }
+
+  /** Probe width for the combined IVF-PQ index. */
+  val IvfPqProbe = 2
+
+  /** E2 — the COMBINED IVF-PQ index: coarse quantizer first (each database
+    * vector indexed under its top-1 cell, queries fanned to their top-2),
+    * then ADC over codes WITHIN the probed cells only. This is the
+    * production ANN architecture (FAISS IVFADC): the IVF stage cuts
+    * candidates from n to ~nProbe·n/√n, and the PQ stage makes each
+    * surviving comparison 8 table lookups over 32×-compressed codes — the
+    * raw-vector scan disappears from BOTH stages. Same deterministic seed
+    * set as e2_ann_ivf and the same codes/tables as e2_pq_search, so the
+    * whole index is oracle-replicable; candidates are cell-restricted
+    * (structurally asserted in spec), distances are bit-identical to the
+    * full ADC scan's. At 100 TB the cell assignment shuffles compact
+    * (vec_id, cell, codes) rows once at build time; a query batch touches
+    * |probed cells| / |cells| of the codes table. */
+  def e2AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = e
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
+      .limit(ivfCells(countOnce(s, d, e)))
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val build = ivfAssigned(e, seeds, 1).select(col("vec_id"), col("cell"))
+    // the query batch's float vectors, fanned to their top-IvfPqProbe cells
+    val qIds = pqQueries(s, d).select(col("qid"))
+    val probe = ivfAssigned(
+      e.join(broadcast(qIds), col("vec_id") === col("qid")).drop("qid"),
+      seeds, IvfPqProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    codesArr(s, d).join(build, "vec_id")
+      .join(broadcast(probe.join(adcTables(s, d), "qid")), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", adcDistExpr)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqTopK)
+      .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rn")
   }
 
   /** E2 — PQ search with exact re-rank: the production IVF-PQ serving
@@ -531,6 +587,7 @@ object Similarity {
     "e2_vq_assign" -> (e2VqAssign _),
     "e2_pq_codes" -> (e2PqCodes _),
     "e2_pq_search" -> (e2PqSearch _),
+    "e2_ann_ivfpq" -> (e2AnnIvfPq _),
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
   )
@@ -746,6 +803,40 @@ object Similarity {
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
+    // adCtes supplies the codebook/codes/query-table chain; the IVF stage
+    // is rebuilt against its `emb` (no-salt splitmix seed order, same
+    // tie-breaks as the e2_ann_ivf oracle), then ADC runs only where the
+    // candidate's build cell meets the query's probed cells
+    "e2_ann_ivfpq" -> {
+      import OracleSql._
+      s"""WITH $adCtes,
+         |ivm_in AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h0 FROM embeddings),
+         |${mixCtes("ivm", "h0", "h1iv", Seq("vec_id"))},
+         |ivs AS (SELECT vec_id, ${toSigned("h1iv")} AS m FROM ivm),
+         |seeds2 AS (SELECT e.vec_id AS cell, e.ed AS ce
+         |  FROM emb e JOIN ivs ON e.vec_id = ivs.vec_id
+         |  ORDER BY ivs.m, e.vec_id
+         |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+         |ranked2 AS (SELECT emb.vec_id, s.cell, row_number() OVER (
+         |    PARTITION BY emb.vec_id
+         |    ORDER BY list_cosine_similarity(emb.ed, s.ce) DESC, s.cell) AS crn
+         |  FROM emb, seeds2 s),
+         |bld AS (SELECT vec_id, cell FROM ranked2 WHERE crn = 1),
+         |prb AS (SELECT vec_id AS qid, cell FROM ranked2
+         |  WHERE crn <= $IvfPqProbe AND vec_id IN (SELECT qid FROM qs)),
+         |adp AS (SELECT d.qid, c.vec_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(0, $PqM), j ->
+         |      d.dt[CAST(j * $PqKsub + c.codes[CAST(j + 1 AS INT)] + 1 AS INT)])),
+         |    (a, b) -> a + b) AS adist
+         |  FROM dta d JOIN prb p ON p.qid = d.qid
+         |  JOIN bld b ON b.cell = p.cell AND b.vec_id <> d.qid
+         |  JOIN carr c ON c.vec_id = b.vec_id)
+         |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(adist, 4) AS adist
+         |FROM (SELECT qid, vec_id, adist, row_number() OVER (
+         |  PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM adp)
+         |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
+    },
     "e2_pq_rerank" -> pqRerankOracle,
     "e2_ann_recall" ->
       // both sides on 4-decimal-rounded sims so the engines judge the

@@ -102,6 +102,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e2_ann_ivfpq: cell-restricted ADC agrees with the full scan where they overlap") {
+    val ivfpq = Similarity.e2AnnIvfPq(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("rn"), r.getAs[Double]("adist"))))
+    assert(ivfpq.nonEmpty)
+    // per query: ranks are 1..k and distances nondecreasing
+    ivfpq.groupBy(_._1._1).foreach { case (q, rows) =>
+      val byRn = rows.sortBy(_._2._1)
+      assert(byRn.map(_._2._1).toSeq == (1L to byRn.length.toLong), s"q $q ranks")
+      assert(byRn.sliding(2).forall {
+        case Array(a, b) => a._2._2 <= b._2._2 + 1e-12
+        case _           => true
+      }, s"q $q distance order")
+    }
+    // where the cell-restricted and full ADC scans report the same pair,
+    // the distance is identical (the codes/tables are shared); and the
+    // full scan's best can only be <= the restricted best (restriction
+    // loses candidates, never improves them)
+    val full = Similarity.e2PqSearch(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("rn"), r.getAs[Double]("adist")))).toMap
+    val ivfpqMap = ivfpq.toMap
+    ivfpqMap.keySet.intersect(full.keySet).foreach { k =>
+      assert(ivfpqMap(k)._2 == full(k)._2, s"pair $k adist differs")
+    }
+    ivfpqMap.keys.map(_._1).toSeq.distinct.foreach { q =>
+      val fullBest = full.collect { case ((`q`, _), (1L, a)) => a }
+      val restrBest = ivfpqMap.collect { case ((`q`, _), (1L, a)) => a }
+      if (fullBest.nonEmpty && restrBest.nonEmpty)
+        assert(fullBest.head <= restrBest.head + 1e-12, s"q $q best bound")
+    }
+  }
+
   test("e8_ks_drift equals a driver-side two-sample KS computation") {
     val got = Analysis.e8KsDrift(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[String]("event_type") ->
