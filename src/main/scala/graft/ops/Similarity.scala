@@ -430,6 +430,42 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
   }
 
+  /** Purpose salt for the ingest corpus/batch split. */
+  val IvfIngestSalt = 0x1d7e4c92a6b35f08L
+
+  /** E2 — incremental INDEX INGEST: a new vector batch assigned to the
+    * FROZEN coarse quantizer (seeds from the existing corpus only — no
+    * rebuild), emitting per-cell corpus population, ingested count, and
+    * growth. The e1_incremental discipline applied to the vector index:
+    * at 100 TB you assign the nightly batch against the standing seed set
+    * and watch growth_pct for the cells that drift toward retraining
+    * (e2_ivf_stats audits the standing index; this audits the DELTA).
+    * Deterministic splitmix corpus/batch split; seeds broadcast to both
+    * assignment passes; vectors never shuffle — per-cell counts
+    * partial-aggregate map-side. */
+  def e2IvfIngest(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+      .withColumn("slot", Sampling.slot(col("vec_id"), IvfIngestSalt))
+    val corpus = e.filter(col("slot") < 90).drop("slot")
+    val batch = e.filter(col("slot") >= 90).drop("slot")
+    val seeds = corpus
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
+      .limit(ivfCells(countOnce(s, d + "#ivf_ingest", corpus)))
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val cp = ivfAssigned(corpus, seeds, 1)
+      .groupBy("cell").agg(count(lit(1)).as("corpus_pop"))
+    val bp = ivfAssigned(batch, seeds, 1)
+      .groupBy("cell").agg(count(lit(1)).as("ingested"))
+    cp.join(bp, Seq("cell"), "left")
+      .select(col("cell"), col("corpus_pop"),
+        coalesce(col("ingested"), lit(0L)).as("ingested"),
+        round(lit(100.0) * coalesce(col("ingested"), lit(0L)) /
+          col("corpus_pop"), 2).as("growth_pct"))
+      .orderBy("cell")
+  }
+
   /** Probe width for the combined IVF-PQ index. */
   val IvfPqProbe = 2
 
@@ -588,6 +624,7 @@ object Similarity {
     "e2_pq_codes" -> (e2PqCodes _),
     "e2_pq_search" -> (e2PqSearch _),
     "e2_ann_ivfpq" -> (e2AnnIvfPq _),
+    "e2_ivf_ingest" -> (e2IvfIngest _),
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
   )
@@ -803,6 +840,47 @@ object Similarity {
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
+    "e2_ivf_ingest" -> {
+      import OracleSql._
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |sl_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$IvfIngestSalt' AS HUGEINT)) AS h0
+         |  FROM embeddings),
+         |${mixCtes("sl", "h0", "hs", Seq("vec_id"))},
+         |sided AS (SELECT vec_id,
+         |  CAST((hs % CAST(power(2, 63) AS HUGEINT)) % 100 AS BIGINT) AS slot
+         |  FROM sl),
+         |corp AS (SELECT e.vec_id, e.e FROM emb e
+         |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot < 90),
+         |btch AS (SELECT e.vec_id, e.e FROM emb e
+         |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot >= 90),
+         |ivm_in AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h0 FROM corp),
+         |${mixCtes("ivm", "h0", "hm", Seq("vec_id"))},
+         |ivs AS (SELECT vec_id, ${toSigned("hm")} AS m FROM ivm),
+         |seeds AS (SELECT c.vec_id AS cell, c.e AS ce
+         |  FROM corp c JOIN ivs ON c.vec_id = ivs.vec_id
+         |  ORDER BY ivs.m, c.vec_id
+         |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM corp)),
+         |ca AS (SELECT c.vec_id, s.cell, row_number() OVER (
+         |    PARTITION BY c.vec_id
+         |    ORDER BY list_cosine_similarity(c.e, s.ce) DESC, s.cell) AS crn
+         |  FROM corp c, seeds s),
+         |ba AS (SELECT b.vec_id, s.cell, row_number() OVER (
+         |    PARTITION BY b.vec_id
+         |    ORDER BY list_cosine_similarity(b.e, s.ce) DESC, s.cell) AS crn
+         |  FROM btch b, seeds s),
+         |cp AS (SELECT cell, count(*) AS corpus_pop FROM ca WHERE crn = 1
+         |  GROUP BY cell),
+         |bp AS (SELECT cell, count(*) AS ingested FROM ba WHERE crn = 1
+         |  GROUP BY cell)
+         |SELECT cp.cell, cp.corpus_pop,
+         |  CAST(coalesce(bp.ingested, 0) AS BIGINT) AS ingested,
+         |  round(100.0 * coalesce(bp.ingested, 0) / cp.corpus_pop, 2)
+         |    AS growth_pct
+         |FROM cp LEFT JOIN bp ON cp.cell = bp.cell
+         |ORDER BY cp.cell""".stripMargin
+    },
     // adCtes supplies the codebook/codes/query-table chain; the IVF stage
     // is rebuilt against its `emb` (no-salt splitmix seed order, same
     // tie-breaks as the e2_ann_ivf oracle), then ADC runs only where the

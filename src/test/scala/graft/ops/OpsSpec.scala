@@ -102,6 +102,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "fixture produced no duplicated spans")
   }
 
+  test("e2_ivf_ingest: frozen-seed ingest partitions the batch and preserves totals") {
+    val rows = Similarity.e2IvfIngest(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("corpus_pop"),
+        r.getAs[Long]("ingested"), r.getAs[Double]("growth_pct")))
+    assert(rows.nonEmpty)
+    // every seed cell appears exactly once with at least its own vector
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(_._2 >= 1))
+    // the split totals are conserved: every corpus vector sits in exactly
+    // one cell, every batch vector ingests into exactly one cell
+    val slots = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(Sampling.slot(col("vec_id"), Similarity.IvfIngestSalt).as("sl"))
+      .collect().map(_.getAs[Long]("sl"))
+    val (nCorpus, nBatch) = (slots.count(_ < 90).toLong, slots.count(_ >= 90).toLong)
+    assert(rows.map(_._2).sum == nCorpus, "corpus total")
+    assert(rows.map(_._3).sum == nBatch, "batch total")
+    assert(rows.length == Similarity.ivfCells(nCorpus), "cell count = ceil(sqrt(|corpus|))")
+    rows.foreach { case (c, pop, ing, g) =>
+      assert(math.abs(g - (100.0 * ing / pop * 100).round / 100.0) < 1e-9, s"cell $c pct")
+    }
+  }
+
   test("e2_ann_ivfpq: cell-restricted ADC agrees with the full scan where they overlap") {
     val ivfpq = Similarity.e2AnnIvfPq(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
