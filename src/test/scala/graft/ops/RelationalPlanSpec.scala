@@ -135,4 +135,40 @@ class RelationalPlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("e4l: the per-window rank prunes via WindowGroupLimit before the exchange") {
+    val plan = finalPlan(
+      graft.streaming.StreamOps.e4lHeavyHitters(spark, TestSpark.sf001))
+    // partial + final group-limit: each input partition ships <= K rows
+    // per window into the rank exchange
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    // the windowed count partial-aggregates map-side before its exchange
+    assert(plan.contains("HashAggregate"), plan.take(400))
+  }
+
+  test("e2_ann_ivfpq: the query side (probe cells + ADC tables) rides a broadcast") {
+    val plan = finalPlan(Similarity.e2AnnIvfPq(spark, TestSpark.sf0001))
+    // the per-query state is tiny by construction (PqNQueries rows); it
+    // must reach the cell join as a broadcast, never a corpus shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the probe/dt side broadcast:\n$plan")
+  }
+
+  test("e3_bm25 and e6_manifest: scans are column-pruned to what the op reads") {
+    val bm = finalPlan(TextOps.e3Bm25(spark, TestSpark.sf001))
+    val bmSchemas = "ReadSchema: [^\\n]+".r.findAllIn(bm).toList
+    assert(bmSchemas.nonEmpty && bmSchemas.forall(s =>
+      !s.contains("lang") && !s.contains("n_chars") && !s.contains("source")),
+      s"bm25 must not read lang/source/n_chars:\n$bmSchemas")
+    val mf = finalPlan(Sampling.e6Manifest(spark, TestSpark.sf001))
+    val mfSchemas = "ReadSchema: [^\\n]+".r.findAllIn(mf).toList
+    assert(mfSchemas.nonEmpty && mfSchemas.forall(s =>
+      !s.contains("lang") && !s.contains("source")),
+      s"manifest must not read lang/source:\n$mfSchemas")
+    // manifest: the corpus crosses exactly one aggregate exchange (+ the
+    // final 8-row sort exchange)
+    assert("Exchange".r.findAllIn(mf).length <= 2,
+      s"manifest should shuffle once before the tiny sort:\n$mf")
+  }
 }
