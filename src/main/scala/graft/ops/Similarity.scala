@@ -159,9 +159,23 @@ object Similarity {
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("x").cast("double")), 4).as("c"),
+      .agg(microMean.as("c"),
         count(lit(1)).as("n"))
       .orderBy("label", "dim")
+
+  /** Order-independent centroid mean: each coordinate is quantized to
+    * integer micro-units scan-side (floor(x·1e6 + 0.5) — floor on
+    * identical IEEE doubles is bit-deterministic in every engine, unlike
+    * round-via-shortest-decimal), the micro-units sum as exact longs (an
+    * order-independent, map-side-combinable aggregate), and ONE double
+    * division + 4-dp round closes it out. A plain `round(avg(double), 4)`
+    * is accumulation-order-dependent: Spark's partitioned partials and
+    * DuckDB's scan sum in different orders, and a mean within ~1e-13 of a
+    * 4-dp boundary splits the engines — the e2_kmeans_iter r6 hash miss.
+    * Same treatment as e7_temperature_mix / e3_quality_model / q44. */
+  private def microMean: Column =
+    round(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))) /
+      (count(lit(1)) * lit(1000000.0)), 4)
 
   /** Per-label centroid vectors as array<double> with their L2 norm —
     * the broadcast-ready codebook built from e2Centroids' aggregate. */
@@ -169,7 +183,7 @@ object Similarity {
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("x").cast("double")), 4).as("c"))
+      .agg(microMean.as("c"))
       .groupBy(col("label").as("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x("c")).as("cen"))
@@ -572,12 +586,12 @@ object Similarity {
     val oldLong = embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("x").cast("double")), 4).as("c_old"))
+      .agg(microMean.as("c_old"))
       .select(col("label").as("olabel"), col("dim").as("odim"), col("c_old"))
     assigned
       .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
-      .agg(round(avg(col("x")), 4).as("c_new"), count(lit(1)).as("n"))
+      .agg(microMean.as("c_new"), count(lit(1)).as("n"))
       .join(broadcast(oldLong),
         col("cluster") === col("olabel") && col("dim") === col("odim"))
       .select(col("cluster"), col("dim"), col("c_new"), col("n"),
@@ -705,12 +719,18 @@ object Similarity {
        |  FROM probe a JOIN build b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  /** Shared centroid CTE (per-label per-dim rounded means; dim pinned to
-    * the fixture's 64) for the centroid and assignment oracles. */
+  /** Shared centroid CTE (per-label per-dim means; dim pinned to the
+    * fixture's 64) for the centroid and assignment oracles. The mean is
+    * the same order-independent micro-unit form as the Spark `microMean`:
+    * floor(x·1e6 + 0.5) per coordinate (bit-deterministic on identical
+    * doubles), exact integer sum, one division, 4-dp round — a plain
+    * avg(DOUBLE) sums in scan order and can diverge from Spark's
+    * partitioned partials at a 4-dp rounding boundary. */
   private val centroidCte: String =
     """cend AS (
       |  SELECT label, i.range AS dim,
-      |    round(avg(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)), 4) AS c,
+      |    round(sum(CAST(floor(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0), 4) AS c,
       |    count(*) AS n
       |  FROM embeddings, range(0, 64) i
       |  GROUP BY label, i.range)""".stripMargin
@@ -815,20 +835,41 @@ object Similarity {
          |  round(avg(pop), 4) AS avg_pop, max(pop) AS max_pop,
          |  round(max(pop) / avg(pop), 4) AS skew
          |FROM pops""".stripMargin,
+    // E-step sim replicates the Spark fold bit for bit: index-ordered
+    // dot (the zip_with/aggregate chain), enrm/cnrm as sqrt of the same
+    // left fold of x*x, one dot/(enrm*cnrm) division — so the argmax
+    // tie-break sees IDENTICAL doubles in both engines. DuckDB's
+    // list_cosine_similarity orders its internal ops differently and two
+    // near-equal cosines could rank differently across engines.
     "e2_kmeans_iter" ->
       s"""WITH $centroidCte,
          |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
          |  FROM cend GROUP BY label),
+         |cenn AS (SELECT clabel, cen,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(cen, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cen),
+         |embn AS (SELECT vec_id, ed,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ed, x -> x * x)), (a, b) -> a + b)) AS enrm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |    FROM embeddings)),
+         |sims AS (SELECT e.vec_id, c.clabel,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, 65), i ->
+         |      e.ed[CAST(i AS INT)] * c.cen[CAST(i AS INT)])),
+         |    (a, b) -> a + b) / (e.enrm * c.cnrm) AS sim
+         |  FROM embn e, cenn c),
          |asg AS (SELECT vec_id, clabel AS cluster FROM (
-         |  SELECT e.vec_id, c.clabel,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cen)
-         |        DESC, c.clabel) AS rn
-         |  FROM embeddings e, cen c) WHERE rn = 1),
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, clabel) AS rn
+         |  FROM sims) WHERE rn = 1),
          |nc AS (
          |  SELECT a.cluster, i.range AS dim,
-         |    round(avg(CAST(e.embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)), 4)
-         |      AS c_new,
+         |    round(sum(CAST(floor(CAST(e.embedding[CAST(i.range + 1 AS INT)]
+         |        AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+         |      / (count(*) * 1000000.0), 4) AS c_new,
          |    count(*) AS n
          |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, range(0, 64) i
          |  GROUP BY a.cluster, i.range)
