@@ -25,6 +25,13 @@ object Sessions {
       // otherwise infer and which breaks unix_micros/date arithmetic parity.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // The whole-stage-codegen cache defaults to 100 compiled classes —
+      // a session that executes the full 148-query library (Bench, Verify,
+      // Plans) evicts constantly and re-runs Janino on every repetition,
+      // which BENCH_r06 showed as a fake up-to-13× "regression" on
+      // late-measured queries. The library has ~500 distinct codegen
+      // stages; 10k entries keeps them all resident for the session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
