@@ -279,10 +279,21 @@ object Analysis {
         .over(Window.partitionBy("event_type")))
       .withColumn("n2", sum(when(col("grp") === 1L, 1L).otherwise(0L))
         .over(Window.partitionBy("event_type")))
-      .withColumn("dif", abs(col("c1") / col("n1") - col("c2") / col("n2")))
+      // Guard the ECDF ratios: if a deterministic split leaves one half
+      // empty for a type, Spark's non-ANSI x/0 yields NULL while DuckDB's
+      // IEEE double division yields inf — a silent cross-engine
+      // divergence instead of a clean miss. A `when(n>0)` divisor (NULLIF
+      // in the oracle) makes both engines produce NULL, and the
+      // degenerate type is then dropped outright: KS over an empty
+      // sample is undefined, not zero. Fixtures never hit this; a small
+      // or heavily skewed corpus could.
+      .withColumn("dif",
+        abs(col("c1") / when(col("n1") > 0, col("n1")) -
+          col("c2") / when(col("n2") > 0, col("n2"))))
       .groupBy("event_type")
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         round(max(col("dif")) * lit(1e6), 0).cast("long").as("ks_micro"))
+      .filter(col("n1") > 0 && col("n2") > 0)
       .orderBy("event_type")
   }
 
@@ -662,9 +673,12 @@ object Analysis {
          |  FROM sided)
          |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
          |  CAST(max(n2) AS BIGINT) AS n2,
-         |  CAST(round(max(abs(CAST(c1 AS DOUBLE) / n1 -
-         |    CAST(c2 AS DOUBLE) / n2)) * 1000000.0, 0) AS BIGINT) AS ks_micro
-         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+         |  CAST(round(max(abs(CAST(c1 AS DOUBLE) / NULLIF(n1, 0) -
+         |    CAST(c2 AS DOUBLE) / NULLIF(n2, 0))) * 1000000.0, 0) AS BIGINT)
+         |    AS ks_micro
+         |FROM cum GROUP BY event_type
+         |HAVING max(n1) > 0 AND max(n2) > 0
+         |ORDER BY event_type""".stripMargin
     },
     "e8_drift" -> {
       import OracleSql._

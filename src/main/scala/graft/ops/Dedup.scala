@@ -57,6 +57,13 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drops the per-(session, corpus) shingle and pair memos — see
+    * Similarity.clearMemos for the shared immutable-corpus-path
+    * assumption these caches live under (no invalidation: a corpus dir
+    * is a write-once snapshot; sweep drivers that churn paths clear
+    * between points). */
+  def clearMemos(): Unit = { shingleCache.clear(); pairCache.clear() }
+
   private def rareShingleHashes(s: SparkSession, d: String): DataFrame =
     // Memoized per (session, corpus): FIVE declared queries (jaccard,
     // minhash, clusters, contamination, and the pipeline example) derive

@@ -156,28 +156,36 @@ object Sampling {
   }
 
   /** E6 — training-shard export MANIFEST: per shard, the doc count, token
-    * total, and an order-independent content checksum (sum of per-doc
-    * rolling-hash fingerprints — commutative, so the value is stable under
-    * any intra-shard execution order). The dataset-card artifact an export
-    * writes next to its shards: a backfill re-run must reproduce it
-    * exactly (same deterministic shard assignment as e6_global_shuffle),
-    * and an auditor verifies a shard against it without rescanning text.
-    * Plan: fingerprint + token count are scan-side; the |shards|-key
-    * aggregate partial-combines map-side, so the corpus crosses ONE
-    * exchange of |shards| pre-aggregated rows — the per-shard sort of the
-    * shuffle itself isn't needed for the manifest. Checksum headroom:
-    * per-doc fp < 2^30, so the long sum overflows only past ~2^33 docs
-    * per shard — shard counts are chosen ~n/K far below that. */
+    * total, and an order-independent content checksum. The dataset-card
+    * artifact an export writes next to its shards: a backfill re-run must
+    * reproduce it exactly (same deterministic shard assignment as
+    * e6_global_shuffle), and an auditor verifies a shard against it
+    * without rescanning text. Checksum = XOR of splitmix64(doc-hash ⊕
+    * content-fingerprint) terms: XOR is commutative (stable under any
+    * intra-shard execution order, like the sum it replaces) but each term
+    * now folds the DOC IDENTITY into the mix — a plain fp sum was linear,
+    * so moving duplicated content between docs of the same shard left it
+    * unchanged, and its 30-bit range meant ~2^-30 collision odds, weaker
+    * than an audit artifact should be. Mixed-term XOR detects
+    * moved/attributed content and carries full 64-bit avalanche
+    * (~2^-64). Plan: fingerprint + token count + term are scan-side; the
+    * |shards|-key aggregate partial-combines map-side, so the corpus
+    * crosses ONE exchange of |shards| pre-aggregated rows — the
+    * per-shard sort of the shuffle itself isn't needed for the
+    * manifest. */
   def e6Manifest(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
         .mix64(col("doc_id").bitwiseXOR(lit(ShuffleSalt))))
       .withColumn("shard",
         pmod(col("prio").bitwiseAND(lit(Long.MaxValue)), lit(ShuffleShards)))
+      .withColumn("term", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("prio").bitwiseXOR(
+          graft.functions.Hashes.rollingHash(col("text")))))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         asLong(sum(size(split(col("text"), " ")))).as("n_tokens"),
-        sum(graft.functions.Hashes.rollingHash(col("text"))).as("checksum"))
+        expr("bit_xor(term)").as("checksum"))
       .orderBy("shard")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -223,17 +231,19 @@ object Sampling {
          |  xor(CAST(doc_id AS HUGEINT), CAST('$ShuffleSalt' AS HUGEINT)) AS h0
          |  FROM documents),
          |${mixCtes("mx", "h0", "h1", Seq("doc_id", "text"))},
-         |sh AS (SELECT doc_id, text,
+         |sh AS (SELECT doc_id, text, h1,
          |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $ShuffleShards AS BIGINT)
          |    AS shard FROM mx),
-         |fp AS (SELECT shard, len(string_split(text, ' ')) AS nt,
+         |fp AS (SELECT shard, h1, len(string_split(text, ' ')) AS nt,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(range(1, length(text) + 1),
          |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
-         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp FROM sh)
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp FROM sh),
+         |tm_in AS (SELECT shard, nt, xor(h1, CAST(fp AS HUGEINT)) AS t0 FROM fp),
+         |${mixCtes("tm", "t0", "t1", Seq("shard", "nt"))}
          |SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
-         |  CAST(sum(fp) AS BIGINT) AS checksum
-         |FROM fp GROUP BY shard ORDER BY shard""".stripMargin
+         |  bit_xor(${toSigned("t1")}) AS checksum
+         |FROM tm GROUP BY shard ORDER BY shard""".stripMargin
     },
     "e6_global_shuffle" -> {
       import OracleSql._

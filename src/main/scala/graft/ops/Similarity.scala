@@ -343,8 +343,24 @@ object Similarity {
     * the broadcast codebook; the (vec_id, sub) argmin partial-combines
     * map-side (the e2_vq_assign aggregate-argmin pattern), so the one
     * exchange carries PqM compact rows per vector. */
+  /** IMMUTABLE-CORPUS-PATH ASSUMPTION (shared with Dedup's shingle/pair
+    * memos and corpusCount): keys are (session, corpus path) with no
+    * snapshot component, so a fixture directory rewritten in-place within
+    * a session would be served stale codes, and a long multi-corpus sweep
+    * retains every corpus's checkpoint blocks for the session lifetime.
+    * Both are deliberate — corpora here are write-once fixture dirs, as a
+    * production index build's input snapshot is — and sweep drivers that
+    * do churn paths (ScaleProbe between scale points) call
+    * [[clearMemos]] to drop the cached plans and their checkpoint
+    * blocks. */
   private val pqCodesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drops this object's per-(session, corpus) memos (PQ codes table,
+    * corpus counts). The next query rebuilds them; existing DataFrames
+    * already handed out stay valid (checkpoint blocks are released by the
+    * session's ContextCleaner once unreferenced). */
+  def clearMemos(): Unit = { pqCodesCache.clear(); corpusCount.clear() }
 
   private def pqCodeRows(s: SparkSession, d: String): DataFrame =
     // Memoized per (session, corpus) with a LAZY checkpoint, like the dedup

@@ -257,13 +257,19 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
         (1L to rows.length.toLong), s"shard $sh pos ranks")
     }
-    // the checksum IS the sum of the declared per-doc fingerprints — the
-    // auditor's recomputation path
+    // the checksum is recomputable from the declared per-doc fingerprints
+    // alone — the auditor's path: XOR of mix64(shard-prio ⊕ fp) terms,
+    // doc attribution folded into each term (a plain fp sum was blind to
+    // duplicated content moving between docs of a shard)
+    val mixScalar = org.apache.spark.sql.graftext.minhashExpression.mix _
     val fp = TextOps.e3Fingerprint(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
     per.foreach { case (sh, rows) =>
-      assert(man(sh)._3 == rows.map(r => fp(r.getAs[Long]("doc_id"))).sum,
-        s"shard $sh checksum")
+      val want = rows.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        mixScalar(mixScalar(id ^ Sampling.ShuffleSalt) ^ fp(id))
+      }.reduce(_ ^ _)
+      assert(man(sh)._3 == want, s"shard $sh checksum")
     }
   }
 
