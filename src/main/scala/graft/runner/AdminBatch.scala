@@ -3,7 +3,7 @@ package graft.runner
 import java.time.temporal.ChronoUnit
 
 import graft.model._
-import graft.store.AdminStore
+import graft.store.AdminStoreApi
 import org.apache.spark.sql.SparkSession
 
 /** Built-in admin retention job (service/admin/delete_old_logs.py:11-86):
@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * floored to midnight like datetime.combine(date, time.min)
   * (delete_old_logs.py:63-67). Its test asserts no surviving entry predates
   * the cutoff (delete_old_logs.py:57-86). */
-final case class DeleteOldLogs(store: AdminStore, clock: Clock,
+final case class DeleteOldLogs(store: AdminStoreApi, clock: Clock,
     daysToKeep: Int = 3, cadenceSeconds: Long = 0) extends JobSpec {
   val name = "delete_old_logs"
   override val minSecondsBetweenRefreshes: Long = cadenceSeconds
@@ -49,7 +49,7 @@ final case class DeleteOldLogs(store: AdminStore, clock: Clock,
 object AdminBatch {
   val DefaultCadenceSeconds: Long = 12 * 3600
 
-  def apply(store: AdminStore, clock: Clock, daysToKeep: Int = 3,
+  def apply(store: AdminStoreApi, clock: Clock, daysToKeep: Int = 3,
       cadenceSeconds: Long = DefaultCadenceSeconds): Batch =
     Batch("admin", Seq(DeleteOldLogs(store, clock, daysToKeep, cadenceSeconds)))
 }

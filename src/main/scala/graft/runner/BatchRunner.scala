@@ -43,7 +43,7 @@ import org.apache.spark.sql.SparkSession
   */
 final class BatchRunner(
     spark: SparkSession,
-    store: AdminStore,
+    store: AdminStoreApi,
     clock: Clock = Clock.System,
     logToConsole: Boolean = false,
     maxCompensationDepth: Int = 3) {
@@ -356,13 +356,13 @@ object BatchRunner {
   def runBatch[Cfg <: GraftConfig](spark: SparkSession, spec: BatchSpec[Cfg],
       config: Cfg, clock: Clock = Clock.System,
       logToConsole: Boolean = false): BatchStatus = {
-    val store = new AdminStore(spark, config.adminPath)
+    val store = AdminStoreApi.forUri(spark, config.adminPath)
     new BatchRunner(spark, store, clock, logToConsole).run(spec, config)
   }
 
   /** Convenience: run the built-in admin batch (run_admin,
     * batch_runner.py:19-33). */
-  def runAdmin(spark: SparkSession, store: AdminStore,
+  def runAdmin(spark: SparkSession, store: AdminStoreApi,
       clock: Clock = Clock.System, daysToKeep: Int = 3,
       logToConsole: Boolean = false): BatchStatus =
     new BatchRunner(spark, store, clock, logToConsole)
@@ -373,7 +373,7 @@ object BatchRunner {
     * GraftConfig.daysLogsToKeep effective. */
   def runAdmin(spark: SparkSession, config: GraftConfig, clock: Clock,
       logToConsole: Boolean): BatchStatus =
-    runAdmin(spark, new AdminStore(spark, config.adminPath), clock,
+    runAdmin(spark, AdminStoreApi.forUri(spark, config.adminPath), clock,
       config.daysLogsToKeep, logToConsole)
 
   private lazy val jobEc: ExecutionContext = ExecutionContext.fromExecutorService(
@@ -386,7 +386,7 @@ object BatchRunner {
     * its own scheduler pool so long stages from one batch don't starve the
     * others. Pool-level timeout via Await, like the reference's
     * future.get(timeout). */
-  def runInParallel(spark: SparkSession, store: AdminStore, batches: Seq[Batch],
+  def runInParallel(spark: SparkSession, store: AdminStoreApi, batches: Seq[Batch],
       maxParallel: Int = 4, timeout: Duration = Duration.Inf,
       clock: Clock = Clock.System,
       logToConsole: Boolean = false): Seq[BatchStatus] = {

@@ -3,7 +3,7 @@ package graft.runner
 import scala.collection.mutable.ListBuffer
 
 import graft.model._
-import graft.store.{AdminStore, LogRow}
+import graft.store.{AdminStoreApi, LogRow}
 
 /** Buffered structured loggers. The reference commits one DB row per log
   * call (sqlalchemy_job_logger.py:31-43) — durable but pathological as one
@@ -23,20 +23,20 @@ abstract class BufferedLogger(clock: Clock, console: Boolean) extends JobLogger 
   def info(msg: String): Unit = log(LogLevel.Info, msg)
   def error(msg: String): Unit = log(LogLevel.Error, msg)
 
-  protected def write(store: AdminStore, rows: Seq[LogRow]): Unit
-  def flush(store: AdminStore): Unit = synchronized {
+  protected def write(store: AdminStoreApi, rows: Seq[LogRow]): Unit
+  def flush(store: AdminStoreApi): Unit = synchronized {
     if (buf.nonEmpty) { write(store, buf.toSeq); buf.clear() }
   }
 }
 
 final class BatchLogger(val parentId: String, clock: Clock, console: Boolean)
     extends BufferedLogger(clock, console) {
-  protected def write(store: AdminStore, rows: Seq[LogRow]): Unit =
+  protected def write(store: AdminStoreApi, rows: Seq[LogRow]): Unit =
     store.appendBatchLog(rows)
 }
 
 final class JobSinkLogger(val parentId: String, clock: Clock, console: Boolean)
     extends BufferedLogger(clock, console) {
-  protected def write(store: AdminStore, rows: Seq[LogRow]): Unit =
+  protected def write(store: AdminStoreApi, rows: Seq[LogRow]): Unit =
     store.appendJobLog(rows)
 }

@@ -69,8 +69,11 @@ final case class LogRow(
   * triggers crash-restore (see `exists`), but releases it as soon as the
   * restore completes.
   */
-final class AdminStore(val spark: SparkSession, val root: String) {
+final class AdminStore(val spark: SparkSession, val root: String)
+    extends AdminStoreApi {
   import spark.implicits._
+
+  protected def sync[T](f: => T): T = ioLock.synchronized(f)
 
   /** Canonical identity of the admin root, so two stores built from
     * different spellings of one directory share the same locks. */
@@ -189,12 +192,6 @@ final class AdminStore(val spark: SparkSession, val root: String) {
 
   def close(): Unit = ioLock.synchronized { releaseWriterLock() }
 
-  val BATCHES = "batches"
-  val JOBS = "jobs"
-  val JOB_TEST_RESULTS = "job_test_results"
-  val BATCH_LOG = "batch_log"
-  val JOB_LOG = "job_log"
-
   private def path(table: String) = s"$root/$table"
 
   private def fs: FileSystem =
@@ -251,9 +248,6 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     spark.catalog.refreshByPath(path(table))
   }
 
-  /** Merge-by-PK (repo.update semantics, sqlalchemy_batch_repository.py and
-    * test_batch_repository.py:60-102): replace rows whose `id` appears in
-    * `rows`, keep the rest. */
   def upsertBatches(rows: Seq[BatchRow]): Unit = ioLock.synchronized {
     upsert(BATCHES, rows.map(_.id), batches.toDF(), rows.toDS().toDF())
   }
@@ -271,9 +265,7 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     swapWrite(table, kept.unionByName(fresh))
   }
 
-  /** Retention rewrite: keep rows with ts >= cutoff
-    * (delete_old_entries, sqlalchemy_batch_log_repository.py:29-36).
-    * Returns the number of rows deleted. */
+  /** Retention rewrite: keep rows with ts >= cutoff. */
   def deleteOlderThan(table: String, cutoff: Instant): Long = ioLock.synchronized {
     if (!exists(table)) return 0L
     val df = spark.read.parquet(path(table))
@@ -283,8 +275,6 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     n
   }
 
-  /** Cascade delete of batches (+ child jobs, test results) older than the
-    * cutoff — explicit cascade like sqlalchemy_batch_repository.py:31-41. */
   def deleteBatchesOlderThan(cutoff: Instant): Long = ioLock.synchronized {
     if (!exists(BATCHES)) return 0L
     val cutoffLit = lit(java.sql.Timestamp.from(cutoff))
@@ -341,92 +331,9 @@ final class AdminStore(val spark: SparkSession, val root: String) {
     spark.catalog.refreshByPath(dst.toString)
   }
 
-  // ---- Read queries (the reference's repository surface, §2.B shapes) ----
-
-  private def byNameDesc(df: DataFrame, nameCol: String, name: String): DataFrame =
-    // case-insensitive match = ilike without wildcards
-    // (sqlalchemy_job_repository.py:35)
-    df.filter(lower(col(nameCol)) === name.toLowerCase)
-      .orderBy(col("ts").desc, col("id").desc)
-
-  /** Latest run of a batch (get_latest, sqlalchemy_batch_repository.py:47-56). */
-  def latestBatch(name: String): Option[BatchStatus] = ioLock.synchronized {
-    byNameDesc(batches.toDF(), "name", name).as[BatchRow]
-      .take(1).headOption.map(hydrate)
-  }
-
-  /** Stored state of one batch run, by id (fresh read). */
-  def batchById(id: String): Option[BatchStatus] = ioLock.synchronized {
-    batches.filter(_.id == id).collect().headOption.map(hydrate)
-  }
-
-  /** Previous run — OFFSET 1 because the current in-progress row is already
-    * inserted (sqlalchemy_batch_repository.py:76-86). */
-  def previousBatch(name: String): Option[BatchStatus] = ioLock.synchronized {
-    byNameDesc(batches.toDF(), "name", name).as[BatchRow]
-      .take(2).drop(1).headOption.map(hydrate)
-  }
-
-  /** Reconstruct the nested BatchStatus from the flat tables (the join +
-    * collect form of the ORM relationships, admin_orm.py:105-129). */
-  def hydrate(b: BatchRow): BatchStatus = {
-    val jobRows = jobs.filter(_.batch_id == b.id).collect().toSeq
-    val jobIds = jobRows.map(_.id)
-    val tests =
-      if (jobIds.isEmpty) Map.empty[String, Seq[JobTestRow]]
-      else jobTestResults.toDF().filter(col("job_id").isin(jobIds: _*))
-        .as[JobTestRow].collect().toSeq.groupBy(_.job_id)
-    val results = jobRows.sortBy(_.ts).map { j =>
-      val status: JobStatus =
-        if (j.running) JobStatus.InProgress
-        else if (j.skipped) JobStatus.Skipped(j.skipped_reason.getOrElse(""))
-        else if (j.execution_error_occurred.contains(true))
-          JobStatus.Failed(j.execution_error_message.getOrElse(""))
-        else JobStatus.Successful
-      JobResult(j.id, j.batch_id, j.job_name, status, j.execution_millis,
-        tests.getOrElse(j.id, Nil).sortBy(_.test_name).map(t =>
-          JobTestResult(t.id, t.job_id, t.test_name, t.test_passed,
-            t.test_failure_message, t.ts)),
-        j.ts)
-    }
-    BatchStatus(b.id, b.name, results, b.execution_millis,
-      b.execution_error_message, b.running, b.ts)
-  }
-
-  /** Last successful run ts of a job: flag-filtered max
-    * (get_last_successful_ts, sqlalchemy_job_repository.py:67-82). */
-  def lastSuccessfulTs(jobName: String): Option[Instant] = ioLock.synchronized {
-    maxTs(jobs.toDF()
-      .filter(lower(col("job_name")) === jobName.toLowerCase)
-      .filter(!col("running") && !col("skipped") &&
-        col("execution_error_occurred") === false), max(col("ts")))
-  }
-
-  /** Test results of the most recent non-skipped run of a job
-    * (latest_test_results, batch_runner.py:411-443). */
-  def latestTestResults(jobName: String): Seq[JobTestRow] = ioLock.synchronized {
-    val latestJob = jobs.toDF()
-      .filter(lower(col("job_name")) === jobName.toLowerCase)
-      .filter(!col("running") && !col("skipped"))
-      .orderBy(col("ts").desc, col("id").desc)
-      .as[JobRow].take(1).headOption
-    latestJob.map(j => jobTestResults.filter(_.job_id == j.id).collect().toSeq)
-      .getOrElse(Nil)
-  }
-
-  /** Earliest log ts (get_earliest, sqlalchemy_batch_log_repository.py:42-51). */
-  def earliestBatchLogTs: Option[Instant] = ioLock.synchronized {
-    maxTs(batchLog.toDF(), min(col("ts")))
-  }
-
-  private def maxTs(df: DataFrame, aggCol: org.apache.spark.sql.Column): Option[Instant] =
-    df.agg(aggCol).collect().headOption
-      .flatMap(r => Option(r.getTimestamp(0)).map(_.toInstant))
-
-  /** Regression delta between the latest two runs
-    * (get_latest_batch_delta, sqlalchemy_batch_repository.py:58-74). */
-  def batchDelta(name: String): Option[BatchDelta] =
-    latestBatch(name).map(cur => BatchDelta(cur, previousBatch(name)))
+  // Read queries (latestBatch/previousBatch/hydrate/lastSuccessfulTs/
+  // latestTestResults/earliestBatchLogTs/batchDelta) are inherited from
+  // AdminStoreApi — shared with the JDBC backend.
 }
 
 object AdminStore {
