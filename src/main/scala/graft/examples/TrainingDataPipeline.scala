@@ -45,8 +45,12 @@ object TrainingDataPipeline {
         // Pair-based drops (remove every `db`) miss docs whose only path
         // to the cluster minimum runs through a LARGER doc_id — components
         // catch those. Pairs come from the LSH path (the production shape;
-        // e1NgramJaccard is the small-scale exact verifier of the same set).
-        val pairs = Dedup.e1MinhashPairs(s, sfDir)
+        // e1NgramJaccard is the small-scale exact verifier of the same
+        // set), PERSISTED as a table under the pipeline's own output dir:
+        // the pairwise stage runs once, survives executor loss, and a
+        // restarted run (or any downstream consumer) reads the table
+        // instead of recomputing it.
+        val pairs = Dedup.materializedPairTable(s, sfDir, s"$outDir/pairs")
           .filter(col("jaccard") >= 0.8).select("da", "db")
         val losers = Dedup
           .connectedComponents(docs.select(col("doc_id")), pairs)

@@ -292,6 +292,26 @@ object Dedup {
     pairCache.computeIfAbsent((s, d), _ =>
       e1MinhashPairs(s, d).select(col("da"), col("db")).localCheckpoint(false))
 
+  /** Cluster-durable variant of the pair-table memo: write the LSH
+    * near-dup pair table ONCE to `path` (skipped when the table already
+    * exists) and read it back as a regular parquet table. The
+    * localCheckpoint memo above is EXECUTOR-LOCAL storage — lost on
+    * executor failure with no recompute lineage — which is fine for one
+    * in-process session but not for a real pipeline; the production shape
+    * is this one: persist the pair table as a table, fan every downstream
+    * stage (cluster resolution, keeper selection, curation, PageRank) out
+    * from the table, and let a restarted run reuse it without re-running
+    * the pairwise stage. Write-once-if-absent mirrors the
+    * immutable-corpus-path discipline of the memos (see clearMemos); a
+    * recompute against a NEW corpus snapshot writes a new path. */
+  def materializedPairTable(s: SparkSession, d: String, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      graft.sources.Formats.writeParquet(e1MinhashPairs(s, d), path)
+    graft.sources.Formats.readParquet(s, path)
+  }
+
   /** Min-label propagation over an undirected edge list (da, db):
     * every vertex in `vertices` (column doc_id) — and every edge
     * endpoint, which is unioned in so a partial vertex list cannot stall

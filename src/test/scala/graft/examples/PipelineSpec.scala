@@ -46,6 +46,24 @@ class PipelineSpec extends AnyFunSuite {
     // admin store recorded the run with passing tests
     val stored = store.latestBatch("training_data_curation").get
     assert(stored.jobResults.flatMap(_.testResults).forall(_.passed))
+    // the near-dup pair table was PERSISTED as a table under the output
+    // dir (the cluster-durable variant of the in-process memo) and holds
+    // exactly the declared LSH pair set
+    val pairsOnDisk = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val declared = graft.ops.Dedup.e1MinhashPairs(spark, TestSpark.sf001)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairsOnDisk == declared)
+    // write-once/read-many: a second materialization round-trips through
+    // the existing table without rewriting it
+    val dir = new java.io.File(s"$out/pairs")
+    val mtimes = dir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val again = graft.ops.Dedup
+      .materializedPairTable(spark, TestSpark.sf001, s"$out/pairs")
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(again == declared)
+    assert(dir.listFiles().map(f => f.getName -> f.lastModified()).toMap == mtimes,
+      "existing pair table must not be rewritten")
   }
 
   test("a checkpointed streaming ingest runs as a control-plane job") {
