@@ -447,30 +447,82 @@ object Analysis {
     * per-round rank table ride broadcast. Both engines run the identical
     * double arithmetic (base/n + d·Σ r/deg), so ranks hash-match at 6
     * decimals. */
-  def e9Pagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.minhashPairTable(s, d)
+  /** The endpoint-restricted rank graph shared by the fixed-iteration
+    * declared query and the convergence loop. */
+  private final case class PrGraph(edges: DataFrame, deg: DataFrame,
+      verts: DataFrame, nv: DataFrame)
+
+  private def prGraph(pairs: DataFrame): PrGraph = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
     val verts = edges.select(col("src").as("id")).distinct()
-    val nv = verts.agg(count(lit(1)).as("n"))
-    var r = verts.crossJoin(broadcast(nv))
+    PrGraph(edges, deg, verts, verts.agg(count(lit(1)).as("n")))
+  }
+
+  private def prInit(g: PrGraph): DataFrame =
+    g.verts.crossJoin(broadcast(g.nv))
       .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
-    for (_ <- 1 to PrIters) {
-      val contrib = edges
-        .join(r, edges("src") === r("id"))
-        .join(deg, "src")
-        .select(col("dst"), (col("r") / col("dg").cast("double")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      r = verts.crossJoin(broadcast(nv))
-        .join(contrib, verts("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (lit(PrBase) / col("n").cast("double") +
-            lit(PrDamping) * coalesce(col("s"), lit(0.0))).as("r"))
-    }
+
+  /** One damping round: edge ⋈ rank ⋈ degree → contribution sum by dst —
+    * the single edge-sized shuffle each iteration costs. */
+  private def prRound(g: PrGraph, r: DataFrame): DataFrame = {
+    val contrib = g.edges
+      .join(r, g.edges("src") === r("id"))
+      .join(g.deg, "src")
+      .select(col("dst"), (col("r") / col("dg").cast("double")).as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+    g.verts.crossJoin(broadcast(g.nv))
+      .join(contrib, g.verts("id") === contrib("dst"), "left")
+      .select(col("id"),
+        (lit(PrBase) / col("n").cast("double") +
+          lit(PrDamping) * coalesce(col("s"), lit(0.0))).as("r"))
+  }
+
+  def e9Pagerank(s: SparkSession, d: String): DataFrame = {
+    val g = prGraph(Dedup.minhashPairTable(s, d))
+    var r = prInit(g)
+    for (_ <- 1 to PrIters) r = prRound(g, r)
     r.select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
       .orderBy("doc_id")
+  }
+
+  /** PageRank to CONVERGENCE — the deployment loop the fixed-iteration
+    * declared query documents: the same prRound plan repeats until
+    * max |Δrank| < tol, with the driver reading ONE scalar per round
+    * (the connectedComponents discipline — no rank rows are collected)
+    * and a localCheckpoint truncating the growing lineage each round.
+    * `maxIters` is the runaway valve for a tol below what damping^k can
+    * reach in reasonable rounds. Returns the converged ranks (rounded at
+    * 6 decimals like the declared query) and the number of rounds run —
+    * the stopping rule is: after computing round k, stop when
+    * max |r_k − r_{k−1}| < tol. */
+  def pageRankConverged(s: SparkSession, d: String, tol: Double,
+      maxIters: Int): (DataFrame, Int) =
+    pageRankConverged(Dedup.minhashPairTable(s, d), tol, maxIters)
+  def pageRankConverged(s: SparkSession, d: String, tol: Double): (DataFrame, Int) =
+    pageRankConverged(s, d, tol, 50)
+
+  /** Convergence core over an arbitrary undirected pair table (da, db) —
+    * the near-dup graph in the declared query; any edge list (citation,
+    * link, co-occurrence graphs) in a deployment. */
+  def pageRankConverged(pairs: DataFrame, tol: Double,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val g = prGraph(pairs)
+    var r = prInit(g).localCheckpoint(true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta >= tol) {
+      val next = prRound(g, r).localCheckpoint(true)
+      delta = next
+        .join(r.select(col("id"), col("r").as("r0")), "id")
+        .agg(max(abs(col("r") - col("r0")))).head().getDouble(0)
+      r = next
+      it += 1
+    }
+    (r.select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
+      .orderBy("doc_id"), it)
   }
 
   /** E9 — degree distribution of the near-dup graph: how many documents

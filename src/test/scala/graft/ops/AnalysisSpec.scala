@@ -88,6 +88,68 @@ class AnalysisSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("rank") > 0))
   }
 
+  /** Pure-Scala replica of the damping iteration with the same stopping
+    * rule as pageRankConverged — ground truth for both the round count
+    * and the converged ranks. */
+  private def prReplica(pairs: Seq[(Long, Long)], tol: Double,
+      maxIters: Int): (Map[Long, Double], Int) = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val verts = edges.map(_._1).distinct.sorted
+    val n = verts.length.toDouble
+    var r = verts.map(v => v -> 1.0 / n).toMap
+    var k = 0
+    var delta = Double.MaxValue
+    while (delta >= tol && k < maxIters) {
+      val contrib = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      val next = verts.map(v => v ->
+        (Analysis.PrBase / n + Analysis.PrDamping * contrib.getOrElse(v, 0.0)))
+        .toMap
+      delta = verts.map(v => math.abs(next(v) - r(v))).max
+      r = next; k += 1
+    }
+    (r, k)
+  }
+
+  private def assertConvergedMatches(pairsDf: DataFrame,
+      pairs: Seq[(Long, Long)], tol: Double): Int = {
+    val (df, iters) = Analysis.pageRankConverged(pairsDf, tol, 60)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    val (truth, k) = prReplica(pairs, tol, 60)
+    assert(k < 60, "graph must converge before the cap")
+    assert(iters == k, s"distributed loop stopped at $iters, truth is $k")
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (v, t) =>
+      assert(math.abs(got(v) - t) < 1e-5, s"rank of $v: ${got(v)} vs $t") }
+    k
+  }
+
+  test("pageRankConverged stops at the graph's true convergence round") {
+    import spark.implicits._
+    val tol = 1e-4
+    // 1) the fixture's near-dup graph. Its components are mostly cliques
+    //    — k-regular subgraphs sit exactly at the uniform fixed point —
+    //    so TRUE convergence is fast; the property is that the
+    //    distributed stopping rule agrees with the replica exactly,
+    //    whatever the round count is.
+    val fixture = Dedup.minhashPairTable(spark, TestSpark.sf001).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assertConvergedMatches(
+      Dedup.minhashPairTable(spark, TestSpark.sf001), fixture.toSeq, tol)
+    // 2) an IRREGULAR graph (path + star) where rank genuinely moves for
+    //    many rounds: convergence must land beyond the declared query's
+    //    fixed 3 iterations, proving the loop is a real refinement and
+    //    doesn't stop early on a still-moving rank vector.
+    val chain = (1L to 9L).map(i => (i, i + 1)) ++
+      (11L to 15L).map(i => (10L, i))
+    val kChain = assertConvergedMatches(
+      chain.toDF("da", "db"), chain, tol)
+    assert(kChain > Analysis.PrIters,
+      s"irregular graph must need more than ${Analysis.PrIters} rounds, took $kChain")
+  }
+
   test("e8_transitions: probabilities row-normalize to 1 per from_type") {
     val rows = Analysis.e8Transitions(spark, TestSpark.sf001).collect()
     val byFrom = rows.groupBy(_.getAs[String]("from_type"))
