@@ -825,8 +825,80 @@ object Relational {
       .orderBy("o_orderpriority", "metric")
   }
 
+  /** Q47 — SCD type-2 dimension build (Kimball slowly-changing dimension,
+    * the core warehouse-ETL op a lime-etl-style batch framework exists to
+    * schedule): the versioned history of each customer's order PRIORITY.
+    * A version row opens where the attribute CHANGES vs the customer's
+    * previous order (lag ≠ current, or first order) and closes when the
+    * next change opens (lead over the change rows; NULL = current
+    * version). Both windows share one (o_custkey) partitioning and one
+    * (date, orderkey) sort, so the corpus crosses ONE exchange and the
+    * change filter runs between the two window ops on the already-sorted
+    * partitions — the standard distributed SCD2 plan, parallel across
+    * keys at any scale. The orderkey tie-break makes same-day orders a
+    * total order, so version boundaries are engine-independent. */
+  def q47Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(fmtDate(col("o_orderdate")), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        fmtDate(col("o_orderdate")).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Merge cutoff — rows before it form the snapshot, rows at/after it are
+    * the incremental batch. Interpolated into BOTH engines; chosen so the
+    * fixture exercises keep AND update AND insert at every scale factor. */
+  val MergeCutoff = "1998-04-01"
+
+  /** Q48 — latest-wins MERGE/upsert of an incremental batch into a keyed
+    * snapshot (the reference's `repo.update` merge-by-PK, SURVEY §2.A,
+    * expressed as a data-plane operator — and the batch form of the
+    * AdminStore parquet upsert). Snapshot = each customer's latest order
+    * before the cutoff (in production a materialized table — recomputed
+    * here because fixtures are immutable, the e1_incremental discipline);
+    * batch = the raw post-cutoff change stream, possibly many rows per
+    * key. MERGE semantics: per key, the newest row wins (date, orderkey
+    * tie-break); every output row is classified `keep` (snapshot row
+    * survived), `update` (batch row replaced a snapshot row), or `insert`
+    * (batch row for a key the snapshot lacked) — the audit column a
+    * warehouse MERGE reports. Plan: union + ONE row_number window and a
+    * same-window max for existence — a single exchange on the key, no
+    * join; at 100 TB this beats the join-based MERGE whenever the batch
+    * touches a nontrivial key fraction, and AQE handles the skewed-key
+    * case. */
+  def q48MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val snapW = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val snap = o.filter(col("o_orderdate") < tsLit(MergeCutoff))
+      .withColumn("rn", row_number().over(snapW)).filter(col("rn") === 1)
+      .drop("rn").withColumn("src", lit("snap"))
+    val batch = o.filter(col("o_orderdate") >= tsLit(MergeCutoff))
+      .withColumn("src", lit("batch"))
+    val mw = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val ew = Window.partitionBy("o_custkey")
+    snap.unionByName(batch)
+      .withColumn("rn", row_number().over(mw))
+      .withColumn("has_snap",
+        max(when(col("src") === "snap", 1).otherwise(0)).over(ew))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), fmtDate(col("o_orderdate")).as("o_date"),
+        when(col("src") === "snap", "keep")
+          .when(col("has_snap") === 1, "update")
+          .otherwise("insert").as("action"))
+      .orderBy("o_custkey")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_scd2" -> (q47Scd2 _),
+    "q48_merge_upsert" -> (q48MergeUpsert _),
     "q46_unpivot" -> (q46Unpivot _),
     "q44_window_dist" -> (q44WindowDist _),
     "q43_approx_quantile" -> (q43ApproxQuantile _),
@@ -885,6 +957,44 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q47_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |    lead(strftime(o_orderdate, '%Y-%m-%d')) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderkey, o_orderpriority, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM f ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "q48_merge_upsert" ->
+      s"""WITH snap AS (
+         |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+         |    o_orderdate, 'snap' AS src FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate < TIMESTAMP '$MergeCutoff')
+         |  WHERE rn = 1),
+         |btch AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+         |    o_orderdate, 'batch' AS src
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '$MergeCutoff'),
+         |u AS (SELECT * FROM snap UNION ALL SELECT * FROM btch),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         |    max(CASE WHEN src = 'snap' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY o_custkey) AS has_snap
+         |  FROM u)
+         |SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  CASE WHEN src = 'snap' THEN 'keep'
+         |       WHEN has_snap = 1 THEN 'update'
+         |       ELSE 'insert' END AS action
+         |FROM m WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q46_unpivot" ->
       // metrics rounded in DECIMAL then cast, so both engines melt the
       // same doubles; UNPIVOT column order doesn't matter — the driver

@@ -188,7 +188,59 @@ object Sampling {
         expr("bit_xor(term)").as("checksum"))
       .orderBy("shard")
 
+  /** DSIR feature-space size — interpolated into BOTH engines. 64 keeps
+    * the fixture oracle readable; production uses 10k–100k buckets. */
+  val DsirBuckets = 64L
+  /** The target-corpus predicate: which documents define the distribution
+    * we resample TOWARD (here: the English slice). */
+  val DsirTargetLang = "en"
+
+  /** E6 — DSIR-style data selection via hashed-n-gram importance weights
+    * (Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    * much more likely its tokens are under a TARGET distribution (the
+    * high-quality / in-domain slice — here the `en` documents) than under
+    * the RAW distribution, and keep the documents the target up-weights.
+    * The feature space is hashed unigrams (FNV-1a mod 64 buckets); the
+    * per-bucket weight is the hits-per-million difference hpm_target −
+    * hpm_raw computed in exact INTEGER division (the e3_lm_score log-free
+    * treatment: a float log-ratio sum is accumulation-order-dependent,
+    * an integer hpm-difference sum is exact and order-independent), and a
+    * document's score is the sum of its tokens' bucket weights — positive
+    * means "more target-like than raw-like", the keep decision. A
+    * production DSIR samples ∝ exp(score); the deterministic sign gate
+    * keeps the e6 reproducibility contract (membership is a pure function
+    * of the corpus, never a random draw).
+    *
+    * Plan: pass 1 builds the 64-bucket feature table in ONE corpus scan
+    * (cr and ct from the same aggregate — the raw and target counts share
+    * the scan), partial-combined map-side to 64 keys; totals fold those 64
+    * rows; the weight table rides a broadcast back over pass 2's token
+    * stream, whose per-doc sum partial-aggregates WITHIN each input
+    * partition (a doc's tokens are colocated by construction) so the only
+    * corpus-sized exchange carries one row per document. Nothing is
+    * collected; the model is 64 rows at any corpus size. */
+  def e6Dsir(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= lit(""))).as("tok"))
+      .withColumn("b", pmod(graft.functions.Hashes.fnv64(col("tok")),
+        lit(DsirBuckets)))
+    val bc = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val w = bc.crossJoin(broadcast(bc.agg(
+        sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
+      .select(col("b"),
+        (expr("1000000 * ct div nt") - expr("1000000 * cr div nr")).as("w"))
+    toks.join(broadcast(w), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_dsir" -> (e6Dsir _),
     "e6_manifest" -> (e6Manifest _),
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
@@ -213,6 +265,40 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-token FNV-1a 64 replicated in HUGEINT (the simhash oracle's
+    // fold), bucket = unsigned h mod 64 — equal to Spark's pmod(signed,
+    // 64) because 64 divides 2^64 so the signed fold leaves the low six
+    // bits unchanged. All weight arithmetic is integer division (//), so
+    // no float ever enters the score.
+    "e6_dsir" -> {
+      import OracleSql._
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+         |  FROM documents),
+         |bk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(range(1, length(tok) + 1),
+         |          i -> CAST(unicode(substring(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+         |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT),
+         |                    CAST(b AS BIGINT)) AS HUGEINT))
+         |                 * 1099511628211) % $M) % $DsirBuckets AS BIGINT) AS b
+         |  FROM tk),
+         |bc AS (SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct
+         |  FROM bk GROUP BY b),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+         |w AS (SELECT b,
+         |    (1000000 * ct) // nt - (1000000 * cr) // nr AS w
+         |  FROM bc, tot)
+         |SELECT bk.doc_id AS doc_id, bk.lang AS lang,
+         |  count(*) AS n_tokens, CAST(sum(w.w) AS BIGINT) AS score,
+         |  sum(w.w) > 0 AS keep
+         |FROM bk JOIN w ON bk.b = w.b
+         |GROUP BY bk.doc_id, bk.lang ORDER BY doc_id""".stripMargin
+    },
     "e6_quota_sample" -> {
       import OracleSql._
       s"""WITH mx_in AS (SELECT doc_id, source, lang,

@@ -124,14 +124,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
-  private def ivfSearch(s: SparkSession, d: String, nProbe: Int): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val seeds = e
-      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+  /** The ceil(√n) IVF seed set (deterministic splitmix64 sample) shared by
+    * the search, stats, and semantic-dedup queries. */
+  private def ivfSeeds(s: SparkSession, d: String, e: DataFrame): DataFrame =
+    e.orderBy(org.apache.spark.sql.graftext.minhashExpression
         .mix64(col("vec_id")), col("vec_id"))
       .limit(ivfCells(countOnce(s, d, e)))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
+
+  private def ivfSearch(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
     val build = ivfAssigned(e, seeds, 1)
     val probe = if (nProbe == 1) build else ivfAssigned(e, seeds, nProbe)
     val w = Window.partitionBy(col("a.vec_id"))
@@ -626,12 +630,7 @@ object Similarity {
     * fold — the vectors never shuffle. */
   def e2IvfStats(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val seeds = e
-      .orderBy(org.apache.spark.sql.graftext.minhashExpression
-        .mix64(col("vec_id")), col("vec_id"))
-      .limit(ivfCells(countOnce(s, d, e)))
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
+    val seeds = ivfSeeds(s, d, e)
     ivfAssigned(e, seeds, 1)
       .groupBy("cell").agg(count(lit(1)).as("pop"))
       .agg(count(lit(1)).as("n_cells"),
@@ -641,7 +640,52 @@ object Similarity {
         round(max(col("pop")).cast("double") / avg(col("pop")), 4).as("skew"))
   }
 
+  /** Cosine threshold above which two vectors in the same cell are
+    * semantic duplicates — interpolated into BOTH engines. Matches the
+    * e2_embedding_neardup threshold so the two passes are comparable. */
+  val SemDedupTau = 0.35
+
+  /** E2 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): the embedding-space analogue of the e1 lexical
+    * dedup family. Paraphrases, translations-of-boilerplate, and
+    * templated rewrites embed near each other while sharing few shingles,
+    * so MinHash never pairs them — clustering the embedding space and
+    * dropping all-but-one per near-duplicate group is how production
+    * pipelines remove them. Decision rule here: within an IVF cell
+    * (the cluster structure e2_ann_ivf already maintains — broadcast
+    * ceil(√n) seed set, one assign pass, vectors never shuffle), a vector
+    * is DROPPED iff some lower-id vector in its cell has cosine ≥ τ; its
+    * KEEPER is the lowest-id such vector ("keep first seen", the
+    * deterministic stand-in for the paper's keep-farthest-from-centroid,
+    * matching the min-doc_id keeper rule of e1_dedup_clusters). Output:
+    * the dropped rows (vec_id, cell, keeper_id, sim-to-keeper).
+    *
+    * Scale: pairwise work is in-cell only (n·√n bound, the e5_image_neardup
+    * treatment); the keeper choice is a per-vector min over in-cell
+    * qualifying pairs — WindowGroupLimit prunes each input partition to
+    * its per-vector top-1 before the exchange. A near-dup pair straddling
+    * a cell boundary is missed by construction — the nProbe dial
+    * (assigning the probe side to its top-2 cells, e2_ann_ivf2) is the
+    * recall knob, and the lexical LSH passes catch verbatim copies
+    * regardless of cell. */
+  def e2Semdedup(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+    val w = Window.partitionBy(col("a.vec_id")).orderBy(col("b.vec_id"))
+    build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") >= SemDedupTau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("b.vec_id").as("keeper_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_semdedup" -> (e2Semdedup _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_cosine_topk" -> (e2CosineTopk _),
@@ -844,6 +888,18 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e2_semdedup" ->
+      s"""WITH ${ivfCtes(1)},
+         |cand AS (
+         |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS keeper_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >= $SemDedupTau)
+         |SELECT vec_id, cell, keeper_id, round(sim, 4) AS sim FROM (
+         |  SELECT vec_id, cell, keeper_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
+         |  FROM cand) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e2_ivf_stats" ->
       s"""WITH ${ivfCtes(1)},
          |pops AS (SELECT cell, count(*) AS pop FROM build GROUP BY cell)

@@ -798,6 +798,147 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
   }
 
+  test("e2_semdedup: dropped set matches a brute-force in-cell keep-first scan") {
+    import org.apache.spark.sql.graftext.minhashExpression.mix
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.toMap
+    val seeds = emb.map(_._1).sortBy(id => (mix(id), id))
+      .take(Similarity.ivfCells(emb.length))
+    // top-1 cell: max cosine, ties to the LOWER cell id (the ivfAssigned rule)
+    val cellOf = emb.map { case (id, v) =>
+      id -> seeds.map(c => (c, cos(v, byId(c))))
+        .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)._1
+    }.toMap
+    val expected: Map[Long, (Long, Long, Double)] = emb.flatMap { case (id, v) =>
+      val ks = emb.filter { case (b, bv) =>
+        b < id && cellOf(b) == cellOf(id) && cos(v, bv) >= Similarity.SemDedupTau }
+      if (ks.isEmpty) None
+      else { val (kid, kv) = ks.minBy(_._1); Some(id -> ((cellOf(id), kid, cos(v, kv)))) }
+    }.toMap
+    val got = Similarity.e2Semdedup(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cell"),
+        r.getAs[Long]("keeper_id"), r.getAs[Double]("sim")))).toMap
+    assert(got.nonEmpty, "fixture produced no semantic duplicates")
+    assert(got.keySet == expected.keySet,
+      s"dropped sets differ: extra=${got.keySet.diff(expected.keySet)} missing=${expected.keySet.diff(got.keySet)}")
+    got.foreach { case (id, (cell, keeper, sim)) =>
+      val (ecell, ekeeper, esim) = expected(id)
+      assert(keeper < id, s"vec $id keeper not lower-id")
+      assert(cell == ecell && keeper == ekeeper, s"vec $id cell/keeper")
+      assert(math.abs(sim - esim) <= 5e-5, s"vec $id sim $sim vs $esim")
+    }
+    // the kept set is everything not dropped — dedup never empties a cell:
+    // each cell's lowest-id member has no lower-id neighbor, so it survives
+    val keptPerCell = emb.map(_._1).groupBy(cellOf)
+      .map { case (c, ids) => c -> ids.filterNot(got.contains) }
+    assert(keptPerCell.values.forall(_.nonEmpty), "a cell lost every member")
+  }
+
+  test("e6_dsir: integer importance weights match brute force; target slice scores higher") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    val B = Sampling.DsirBuckets.toInt
+    def bucket(t: String): Int = {
+      val h = org.apache.spark.sql.graftext.hashExpressions.fnv1a64(t)
+      (((h % B) + B) % B).toInt
+    }
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, lang, bucket(t))) }
+    val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
+    toks.foreach { case (_, lang, b) =>
+      cr(b) += 1; if (lang == Sampling.DsirTargetLang) ct(b) += 1 }
+    val nr = cr.sum; val nt = ct.sum
+    val w = Array.tabulate(B)(b => 1000000L * ct(b) / nt - 1000000L * cr(b) / nr)
+    val expected = toks.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.length.toLong, xs.map(x => w(x._3)).sum)) }
+    val got = Sampling.e6Dsir(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("score"),
+        r.getAs[Boolean]("keep")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (_, n, score, keep)) =>
+      val (en, escore) = expected(id)
+      assert(n == en && score == escore, s"doc $id: ($n,$score) vs ($en,$escore)")
+      assert(keep == (score > 0), s"doc $id keep flag")
+    }
+    // the selection must actually separate the distributions: the target
+    // slice's mean score exceeds the non-target slice's
+    val (tgt, rest) = got.values.partition(_._1 == Sampling.DsirTargetLang)
+    def mean(xs: Iterable[Long]): Double = xs.sum.toDouble / xs.size
+    assert(mean(tgt.map(_._3)) > mean(rest.map(_._3)),
+      "target-language docs do not score higher than the rest")
+    assert(tgt.count(_._4) * rest.size > rest.count(_._4) * tgt.size,
+      "keep rate should be higher on the target slice")
+  }
+
+  test("q47_scd2: versions match a brute-force lag/lead replay and tile each history") {
+    val rows = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        graft.Tables.fmtDate(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[String]("o_orderpriority"), r.getAs[String]("d")))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._4, o._2))
+      val changes = sorted.zipWithIndex.filter { case (o, i) =>
+        i == 0 || sorted(i - 1)._3 != o._3 }.map(_._1)
+      changes.zipWithIndex.map { case (o, i) =>
+        (ck, o._2, o._3, o._4,
+          if (i + 1 < changes.length) Some(changes(i + 1)._4) else None) }
+    }.toSet
+    val got = Relational.q47Scd2(spark, TestSpark.sf0001).collect().map { r =>
+      (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[String]("o_orderpriority"), r.getAs[String]("valid_from"),
+        Option(r.getAs[String]("valid_to")), r.getAs[Boolean]("is_current"))
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet == expected)
+    // exactly one current version per customer; valid ranges chain
+    got.groupBy(_._1).foreach { case (ck, vs) =>
+      assert(vs.count(_._6) == 1, s"cust $ck current-version count")
+      val sorted = vs.sortBy(v => (v._4, v._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"cust $ck gap: $a -> $b")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty, s"cust $ck last version must be open")
+    }
+  }
+
+  test("q48_merge_upsert: keep/update/insert classification matches brute force") {
+    val rows = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        graft.Tables.fmtDate(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[String]("d")))
+    val cutoff = Relational.MergeCutoff
+    val expected = rows.groupBy(_._1).map { case (ck, os) =>
+      val snap = os.filter(_._4 < cutoff).sortBy(o => (o._4, o._2)).lastOption
+      val batch = os.filter(_._4 >= cutoff).sortBy(o => (o._4, o._2)).lastOption
+      val winner = batch.orElse(snap).get
+      val action =
+        if (batch.isEmpty) "keep" else if (snap.isDefined) "update" else "insert"
+      ck -> ((winner._2, winner._3, winner._4, action))
+    }
+    val got = Relational.q48MergeUpsert(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> ((r.getAs[Long]("o_orderkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[String]("o_date"),
+        r.getAs[String]("action")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (ck, e) => assert(got(ck) == e, s"cust $ck: ${got(ck)} vs $e") }
+    assert(got.values.map(_._4).toSet == Set("keep", "update", "insert"),
+      "fixture must exercise all three merge actions")
+  }
+
   test("e1_lsh_recall: LSH pairs are a subset of exact pairs (precision 1) and recall is sane") {
     val r = Dedup.e1LshRecall(spark, TestSpark.sf001).head()
     val (nExact, nLsh, nCommon) = (r.getAs[Long]("n_exact"),

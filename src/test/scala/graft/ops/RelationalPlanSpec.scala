@@ -54,6 +54,17 @@ class RelationalPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q47: both SCD2 windows ride one hash exchange (lag and lead share the sort)") {
+    val plan = finalPlan(Relational.q47Scd2(spark, TestSpark.sf001))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // lag runs pre-filter and lead post-filter over the SAME
+    // (o_custkey)/(date, orderkey) window spec — Catalyst must reuse the
+    // partitioning+sort, so the corpus crosses exactly one hash exchange
+    // (the trailing ORDER BY adds only a range exchange)
+    assert(nHash == 1, s"expected 1 hash exchange for the SCD2 windows, got $nHash:\n$plan")
+    assert("Window".r.findAllIn(plan).length >= 2, s"expected two window ops:\n$plan")
+  }
+
   test("q25: percentiles aggregate to a cents histogram before any window") {
     val plan = finalPlan(Relational.q25Percentile(spark, TestSpark.sf001))
     // the round-3 hazard: row_number over a 3-value partition key sorts the
