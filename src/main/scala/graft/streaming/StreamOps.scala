@@ -432,6 +432,58 @@ object StreamOps {
       .option("path", outDir).option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4m — foreachBatch MERGE sink: the streaming form of
+    * q48_merge_upsert. Structured Streaming's file sink is append-only;
+    * keyed upserts need `foreachBatch`, which hands each micro-batch to
+    * BATCH code — here the same latest-wins merge plan the declared q48
+    * query runs (union + one row_number window per key; batch rows
+    * outrank equal-keyed snapshot rows via a generation column, so a
+    * redelivered row converges instead of flapping). The snapshot is
+    * swapped via write-to-tmp + rename — never overwritten in place
+    * while a reader may be scanning it (AdminStore.swapWrite is the
+    * hardened production form with backup-and-restore; this is the
+    * minimal correct shape). The checkpoint makes restart exactly-once:
+    * committed micro-batches are not re-applied, and re-applying one
+    * would be a no-op anyway (latest-wins is idempotent) — the
+    * at-least-once-tolerant design every streaming MERGE should have.
+    * At scale the per-batch merge cost is |snapshot ∪ batch| through one
+    * hash exchange; a real deployment bounds it by partitioning the
+    * snapshot on the key and rewriting only touched partitions. */
+  def streamMergeSink(s: SparkSession, dir: String, schema: StructType,
+      snapDir: String, checkpointDir: String): StreamingQuery =
+    s.readStream.schema(schema)
+      // bound each micro-batch (and exercise multi-batch convergence):
+      // AvailableNow drains the source as a SEQUENCE of per-file batches
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val ss = b.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(ss.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapDir)
+        val existing =
+          if (fs.exists(dst)) ss.read.parquet(snapDir)
+          else b.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc,
+            col("gen").desc)
+        val merged = existing.withColumn("gen", lit(0L))
+          .unionByName(b.withColumn("gen", lit(1L)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "gen")
+        val tmp = new org.apache.hadoop.fs.Path(s"$snapDir.tmp$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new IllegalStateException(s"failed to swap $tmp -> $dst")
+        ss.catalog.refreshByPath(snapDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e4a_tumbling" -> (e4aTumbling _),
     "e4b_sliding" -> (e4bSliding _),

@@ -330,6 +330,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch merge sink converges to the batch latest-wins snapshot (E4m)") {
+    val base = TestSpark.tmpDir("mergestream")
+    val srcDir = s"$base/orders"
+    val snapDir = s"$base/snapshot"
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    // three chronological chunks → three micro-batches (maxFilesPerTrigger
+    // 1), so later batches must OVERWRITE earlier winners per key
+    Seq(("1900-01-01", "1995-01-01"), ("1995-01-01", "1997-01-01"),
+      ("1997-01-01", "2100-01-01")).zipWithIndex.foreach { case ((lo, hi), i) =>
+      orders.filter(col("o_orderdate") >= graft.Tables.tsLit(lo) &&
+          col("o_orderdate") < graft.Tables.tsLit(hi))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val nFiles = spark.read.parquet(srcDir).inputFiles.length
+    assert(nFiles >= 3, s"expected >=3 source files, got $nFiles")
+    val q = StreamOps.streamMergeSink(spark, srcDir,
+      spark.read.parquet(srcDir).schema, snapDir, s"$base/chk")
+    assert(q.awaitTermination(120000), "merge stream did not finish in 120s")
+
+    val got = spark.read.parquet(snapDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val expect = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(got.count() == expect.count(), "one row per customer")
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0,
+      "streamed snapshot equals the batch latest-wins merge")
+
+    // restart with the same checkpoint: committed batches are not
+    // re-applied and the snapshot is unchanged (exactly-once + idempotent)
+    val before = got.collect().map(_.toSeq).toSet
+    val q2 = StreamOps.streamMergeSink(spark, srcDir,
+      spark.read.parquet(srcDir).schema, snapDir, s"$base/chk")
+    assert(q2.awaitTermination(60000))
+    val after = spark.read.parquet(snapDir).collect().map(_.toSeq).toSet
+    assert(after == before, "restart must be a no-op")
+  }
+
   test("streaming fingerprint dedup admits one document per content hash (E4i)") {
     // incremental-ingest redelivery: the whole corpus arrives twice
     val dir = TestSpark.tmpDir("docstream") + "/documents"
