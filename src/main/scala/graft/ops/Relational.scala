@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -895,8 +895,104 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Q49 — declarative data-quality check suite: the reference's per-job
+    * "data tests" (test results stored beside run logs, SURVEY §2.A)
+    * scaled up to a constraint REPORT over whole tables — the
+    * expectations gate a warehouse load runs before publishing. One row
+    * per check: (check_name, n_checked, n_violations, pass). Checks
+    * cover the four standard families: key uniqueness, referential
+    * integrity, value domain, and range expectations (the qty ≤ 40 rule
+    * is deliberately tighter than the data — an expectation that
+    * drifted — so the report exercises the failing path too).
+    *
+    * Plan discipline: checks against the SAME table share ONE scan —
+    * each table aggregates to a single row of violation counters
+    * (map-side combined), and stack() fans that row into per-check rows
+    * (the e7_funnel treatment), so the whole suite costs one scan per
+    * table plus one key-projected join per FK check, never a scan per
+    * check. The FK joins carry only the key columns; nothing corpus-
+    * sized shuffles. */
+  def q49DqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("nd"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("sviol"))
+      .select(expr(
+        """stack(2,
+          |  'orders_pk_unique', n, n - nd,
+          |  'orders_status_domain', n, sviol)
+          |  AS (check_name, n_checked, n_violations)""".stripMargin))
+    val li = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fkviol"),
+        sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("qviol"))
+      .select(expr(
+        """stack(2,
+          |  'lineitem_fk_orders', n, fkviol,
+          |  'lineitem_qty_le_40', n, qviol)
+          |  AS (check_name, n_checked, n_violations)""".stripMargin))
+    val cu = customer(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_nationkey").isNull, 1L).otherwise(0L)).as("fkviol"))
+      .select(lit("customer_fk_nation").as("check_name"),
+        col("n").as("n_checked"), col("fkviol").as("n_violations"))
+    val ev = events(s, d).agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("vviol"))
+      .select(lit("events_value_nonneg").as("check_name"),
+        col("n").as("n_checked"), col("vviol").as("n_violations"))
+    o.unionByName(li).unionByName(cu).unionByName(ev)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  /** Incremental-aggregate cutoff (l_shipdate) — interpolated into BOTH
+    * engines. */
+  val IncrCutoff = "1998-01-01"
+
+  /** Q50 — incremental aggregate maintenance: the e1_incremental
+    * discipline applied to a METRIC table. A 100 TB pipeline never
+    * recomputes its corpus-wide aggregates from scratch each load; it
+    * keeps the aggregate STATE (per-group partial sums/counts) and folds
+    * each new batch in, which is sound exactly when the aggregate is
+    * algebraic (sum/count here — the same property that lets Spark
+    * partial-aggregate map-side). The query materializes the state from
+    * the pre-cutoff slice, the delta from the post-cutoff batch, and
+    * merges them with a re-aggregation over the union — two group-sized
+    * inputs, never the corpus; quantities are summed in DECIMAL so state
+    * + delta equals the from-scratch aggregate EXACTLY, not just
+    * approximately (a double sum would drift by fold order and the
+    * incremental path would diverge from a backfill — the property the
+    * spec asserts). n_delta exposes how much of each group the batch
+    * touched — the audit column an incremental load logs. */
+  def q50IncrAgg(s: SparkSession, d: String): DataFrame = {
+    def slice(pred: Column): DataFrame =
+      lineitem(s, d).filter(pred)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    val state = slice(col("l_shipdate") < tsLit(IncrCutoff))
+      .withColumn("n_delta", lit(0L))
+    val delta = slice(col("l_shipdate") >= tsLit(IncrCutoff))
+      .withColumn("n_delta", col("n_rows"))
+    state.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("sum_qty")).as("sum_qty"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_delta")).as("n_delta"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("n_rows"), col("n_delta"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dq_checks" -> (q49DqChecks _),
+    "q50_incr_agg" -> (q50IncrAgg _),
     "q47_scd2" -> (q47Scd2 _),
     "q48_merge_upsert" -> (q48MergeUpsert _),
     "q46_unpivot" -> (q46Unpivot _),
@@ -957,6 +1053,48 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q49_dq_checks" ->
+      """WITH o AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |      AS sviol FROM orders),
+        |li AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fkviol,
+        |    sum(CASE WHEN l.l_quantity > 40 THEN 1 ELSE 0 END) AS qviol
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cu AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN nn.n_nationkey IS NULL THEN 1 ELSE 0 END) AS fkviol
+        |  FROM customer c LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey),
+        |ev AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS vviol FROM events),
+        |rep AS (
+        |  SELECT 'orders_pk_unique' AS check_name, n AS n_checked,
+        |    n - nd AS n_violations FROM o
+        |  UNION ALL SELECT 'orders_status_domain', n, sviol FROM o
+        |  UNION ALL SELECT 'lineitem_fk_orders', n, fkviol FROM li
+        |  UNION ALL SELECT 'lineitem_qty_le_40', n, qviol FROM li
+        |  UNION ALL SELECT 'customer_fk_nation', n, fkviol FROM cu
+        |  UNION ALL SELECT 'events_value_nonneg', n, vviol FROM ev)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM rep ORDER BY check_name""".stripMargin,
+    "q50_incr_agg" ->
+      s"""WITH st AS (SELECT l_returnflag, l_linestatus,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |    count(*) AS n_rows, 0 AS n_delta
+         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '$IncrCutoff'
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT l_returnflag, l_linestatus,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |    count(*) AS n_rows, count(*) AS n_delta
+         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$IncrCutoff'
+         |  GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(sum_qty) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_delta) AS BIGINT) AS n_delta
+         |FROM (SELECT * FROM st UNION ALL SELECT * FROM dl)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_scd2" ->
       """WITH ch AS (
         |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,

@@ -939,6 +939,51 @@ class OpsSpec extends AnyFunSuite {
       "fixture must exercise all three merge actions")
   }
 
+  test("q50_incr_agg: state + delta equals the from-scratch aggregate exactly") {
+    val got = Relational.q50IncrAgg(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("sum_qty"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_delta")))).toMap
+    val full = graft.Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))).toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (k, (sq, n, nd)) =>
+      // DECIMAL accumulation: incremental == backfill EXACTLY, not ±eps
+      assert(sq == full(k)._1, s"group $k sum: $sq vs ${full(k)._1}")
+      assert(n == full(k)._2, s"group $k count")
+      assert(nd >= 0 && nd <= n)
+    }
+    assert(got.values.exists(_._3 > 0), "the delta slice must be non-empty")
+  }
+
+  test("q49_dq_checks: counters match direct recomputation; drift check fails as designed") {
+    val got = Relational.q49DqChecks(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass")))).toMap
+    assert(got.size == 6)
+    val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
+    val o = graft.Tables.orders(spark, TestSpark.sf0001)
+    val nLi = li.count(); val nO = o.count()
+    assert(got("orders_pk_unique") ==
+      ((nO, nO - o.select("o_orderkey").distinct().count(), true)))
+    assert(got("lineitem_fk_orders")._1 == nLi)
+    assert(got("lineitem_fk_orders")._2 ==
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count())
+    val qviol = li.filter(col("l_quantity") > 40).count()
+    assert(got("lineitem_qty_le_40") == ((nLi, qviol, qviol == 0)))
+    assert(qviol > 0 && !got("lineitem_qty_le_40")._3,
+      "the drifted range expectation must exercise the failing path")
+    assert(got("customer_fk_nation")._3 && got("events_value_nonneg")._3)
+    got.foreach { case (name, (n, v, pass)) =>
+      assert(v >= 0 && v <= n && pass == (v == 0), s"check $name inconsistent")
+    }
+  }
+
   test("e1_lsh_recall: LSH pairs are a subset of exact pairs (precision 1) and recall is sane") {
     val r = Dedup.e1LshRecall(spark, TestSpark.sf001).head()
     val (nExact, nLsh, nCommon) = (r.getAs[Long]("n_exact"),
