@@ -93,7 +93,10 @@ object ScaleProbe {
       "e4f3_funnel_rates", "e1_span_dedup", "e3_quality_model",
       "e1_containment", "e4l_heavy_hitters", "e6_manifest", "e3_bm25",
       "e7_dataset_card", "e8_ks_drift", "e2_ann_ivfpq", "e2_ivf_ingest",
-      "e5_scene_cuts")
+      "e5_scene_cuts",
+      // round 7
+      "e2_semdedup", "e6_dsir", "q47_scd2", "q48_merge_upsert",
+      "q49_dq_checks", "q50_incr_agg", "e8_seasonality")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

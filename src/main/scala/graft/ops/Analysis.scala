@@ -566,7 +566,31 @@ object Analysis {
           .as("closure"))
   }
 
+  /** E8 — hour-of-week seasonality profile: the 7×24 activity heatmap
+    * (events and distinct users per weekday-hour cell, plus each cell's
+    * share of all traffic) — the baseline behind bot detection (humans
+    * have diurnal structure, scrapers don't), load-shaped scheduling, and
+    * the expected-volume envelope per-cell alerting compares against.
+    * Weekday is Monday-based (Spark `weekday`; DuckDB isodow − 1) so the
+    * engines agree without locale-dependent day names; share is an exact
+    * integer parts-per-million division. Plan: one scan → a 168-key
+    * aggregate (count + distinct users partial-combine map-side; user
+    * cardinality per cell bounds the distinct exchange), then the 1-row
+    * total broadcast back — fixed-size exchanges at any corpus size. */
+  def e8Seasonality(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .groupBy(weekday(col("ts")).cast("long").as("wd"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n_events")).as("tot"))))
+      .select(col("wd"), col("hr"), col("n_events"), col("n_users"),
+        expr("1000000 * n_events div tot").as("ppm"))
+      .orderBy("wd", "hr")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_seasonality" -> (e8Seasonality _),
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
     "e8_cusum" -> (e8Cusum _),
@@ -586,6 +610,15 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_seasonality" ->
+      """WITH c AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(n_events) AS tot FROM c)
+        |SELECT wd, hr, n_events, n_users,
+        |  CAST((1000000 * n_events) // tot AS BIGINT) AS ppm
+        |FROM c CROSS JOIN t ORDER BY wd, hr""".stripMargin,
     "e8_benford" ->
       """WITH dg AS (SELECT CAST(left(CAST(CAST(round(o_totalprice * 100)
         |    AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit FROM orders),
