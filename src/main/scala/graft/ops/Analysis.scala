@@ -589,7 +589,42 @@ object Analysis {
       .orderBy("wd", "hr")
   }
 
+  /** E8 — source-concentration report: how dominated the corpus token
+    * budget is by its largest sources — the one-row health metric a
+    * data-mixture owner tracks release over release (a crawl that
+    * collapses to three domains trains a worse model than its token count
+    * suggests). Emits the Herfindahl–Hirschman index over per-source
+    * token shares, the top source and its share, and the effective source
+    * count 1/HHI (the "how many equal-sized sources is this corpus worth"
+    * number). Shares are integer ppm (token·10⁶ div total) and HHI is the
+    * exact integer Σppm², so the sum is order-independent across engines
+    * and partitionings — the q44/e3_quality_model micro-unit discipline;
+    * the only float op is the final 10¹²/HHI division. Reference
+    * analogue: the per-table row-count health checks lime-etl publishes
+    * per run (`job_test_result.py`), lifted to a distribution statistic.
+    * Plan at scale: one |sources|-key map-side-combined aggregate over the
+    * scan; everything after runs on the vocabulary-sized source table
+    * (broadcast total, TakeOrdered top-1) — the corpus is read once and
+    * never shuffled. */
+  def e8Concentration(s: SparkSession, d: String): DataFrame = {
+    val perSrc = documents(s, d)
+      .groupBy("source")
+      .agg(asLong(sum(size(split(col("text"), " ")))).as("tk"))
+    val g = broadcast(perSrc.agg(count(lit(1)).as("n_sources"),
+      asLong(sum(col("tk"))).as("total_tokens")))
+    val sp = perSrc.crossJoin(g)
+      .select(col("source"), expr("1000000 * tk div total_tokens").as("ppm"))
+    val top = sp.orderBy(col("ppm").desc, col("source")).limit(1)
+      .select(col("source").as("top_source"), col("ppm").as("top_share_ppm"))
+    val h = sp.agg(asLong(sum(col("ppm") * col("ppm"))).as("hhi"))
+    g.crossJoin(broadcast(top)).crossJoin(broadcast(h))
+      .select(col("n_sources"), col("total_tokens"), col("top_source"),
+        col("top_share_ppm"), col("hhi"),
+        round(lit(1.0e12) / col("hhi"), 2).as("effective_sources"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_concentration" -> (e8Concentration _),
     "e8_seasonality" -> (e8Seasonality _),
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
@@ -610,6 +645,21 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_concentration" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(tk) AS BIGINT) AS total_tokens FROM t),
+        |sp AS (SELECT source,
+        |    CAST((1000000 * tk) // total_tokens AS BIGINT) AS ppm
+        |  FROM t CROSS JOIN g),
+        |top AS (SELECT source AS top_source, ppm AS top_share_ppm FROM sp
+        |  ORDER BY ppm DESC, source LIMIT 1),
+        |h AS (SELECT CAST(sum(ppm * ppm) AS BIGINT) AS hhi FROM sp)
+        |SELECT n_sources, total_tokens, top_source, top_share_ppm, hhi,
+        |  round(1000000000000.0 / hhi, 2) AS effective_sources
+        |FROM g CROSS JOIN top CROSS JOIN h""".stripMargin,
     "e8_seasonality" ->
       """WITH c AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd,
         |    CAST(hour(ts) AS BIGINT) AS hr,

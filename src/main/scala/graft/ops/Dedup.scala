@@ -687,6 +687,49 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** E1 — quality-aware keeper selection: the curation decision the cluster
+    * resolution exists to feed. min-doc_id keeper selection (e1_dedup_clusters'
+    * `cluster` label, and what e7_curated ships) keeps an arbitrary copy;
+    * this pass keeps the HIGHEST-QUALITY member of every near-dup cluster
+    * (the e3_quality composite score), the policy production pipelines
+    * (e.g. RefinedWeb-style dedup) actually run — among mirrored copies,
+    * keep the cleanest one. Emits, per cluster: size, the keeper (argmax
+    * score, ties to the smallest doc_id), its score, and the doc/token
+    * volume the drop decision removes. Reference analogue: the
+    * duplicate-row checks in `lime_etl`'s job tests pick which row
+    * survives; this is that decision at corpus scale with an explicit
+    * quality policy.
+    *
+    * Plan at scale: quality is scan-side arithmetic (no shuffle); cluster
+    * labels come from the pair-table-sized propagation loop; then ONE
+    * doc_id equi-join and ONE cluster-keyed aggregate whose argmax is a
+    * map-side-combinable `max(struct(...))` — no window over the corpus,
+    * no per-cluster sort. The score rides in integer micro-units so the
+    * argmax tie-break is engine-independent (the e2_kmeans_iter /
+    * e3_quality_model float-order treatment). */
+  def e1KeeperQuality(s: SparkSession, d: String): DataFrame = {
+    val q = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(TextOps.stopwordFilterSql)))
+      .select(col("doc_id"), asLong(col("nt")).as("nt"),
+        asLong(round(round(TextOps.qualityScore(col("nt"), col("nsw")), 4)
+          * 10000)).as("score_micro"))
+    connectedComponents(
+      documents(s, d).select(col("doc_id")), minhashPairTable(s, d))
+      .join(q, Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("score_micro"), negate(col("doc_id")).as("nd"),
+          col("doc_id"), col("nt"))).as("best"),
+        asLong(sum(col("nt"))).as("tot"))
+      .select(col("cluster"), col("cluster_size"),
+        col("best.doc_id").as("keeper_doc_id"),
+        round(col("best.score_micro") / 10000.0, 4).as("keeper_score"),
+        (col("cluster_size") - 1).as("dropped_docs"),
+        (col("tot") - col("best.nt")).as("dropped_tokens"))
+      .orderBy("cluster")
+  }
+
   /** Span shingle width for exact-substring dedup: a duplicated region must
     * repeat at least this many consecutive tokens to count. Real pipelines
     * use ~50 BPE tokens (Lee et al. 2021); the fixture docs are short, so 5
@@ -759,6 +802,7 @@ object Dedup {
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
     "e1_cluster_stats" -> (e1ClusterStats _),
+    "e1_keeper_quality" -> (e1KeeperQuality _),
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
     "e1_exact_dedup" -> (e1ExactDedup _),
@@ -1049,6 +1093,35 @@ object Dedup {
          |  GROUP BY cluster)
          |SELECT cluster_size, count(*) AS n_clusters FROM cs
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "e1_keeper_quality" -> {
+      val sw = TextOps.Stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE $minhashCtesBlock,
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |cl AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+         |q0 AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         |  len(list_filter(string_split(text, ' '), t -> t IN ($sw))) AS nsw
+         |  FROM documents),
+         |sc AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+         |  CAST(round(round(least(1.0, CAST(nt AS DOUBLE) / 100.0) *
+         |    (1.0 - CAST(nsw AS DOUBLE) / nt), 4) * 10000) AS BIGINT) AS sm
+         |  FROM q0),
+         |j AS (SELECT cluster, sc.doc_id, nt, sm FROM cl JOIN sc USING (doc_id)),
+         |r AS (SELECT cluster, doc_id, nt, sm,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY sm DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY cluster) AS csz,
+         |  sum(nt) OVER (PARTITION BY cluster) AS tot
+         |  FROM j)
+         |SELECT cluster, CAST(csz AS BIGINT) AS cluster_size,
+         |  doc_id AS keeper_doc_id, round(sm / 10000.0, 4) AS keeper_score,
+         |  CAST(csz - 1 AS BIGINT) AS dropped_docs,
+         |  CAST(tot - nt AS BIGINT) AS dropped_tokens
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+    },
     "e1_contamination" ->
       s"""WITH $jaccardCtes,
          |${Sampling.slotCtes(Sampling.SplitSalt)},

@@ -989,8 +989,28 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Q51 — LATERAL correlated subquery [EXT]: top-2 customers by balance
+    * per nation through the SQL lateral-join surface (the "for each row of
+    * the outer table, run this parameterized subquery" shape analysts
+    * write; Postgres/DuckDB LATERAL, Spark 3.2+). Declared through
+    * `spark.sql` deliberately: Catalyst decorrelates the LIMIT-per-group
+    * subquery into a window/rank plan over ONE join — the same physical
+    * shape as q18_topk — rather than executing the subquery per outer row
+    * (the 100 TB difference between a plan and a loop). The DataFrame
+    * twin of this query is q18; this entry pins the SQL surface. */
+  def q51Lateral(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+         |FROM parquet.`$d/nation.parquet` n,
+         |LATERAL (SELECT c_name, c_acctbal
+         |  FROM parquet.`$d/customer.parquet`
+         |  WHERE c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_lateral" -> (q51Lateral _),
     "q49_dq_checks" -> (q49DqChecks _),
     "q50_incr_agg" -> (q50IncrAgg _),
     "q47_scd2" -> (q47Scd2 _),
@@ -1053,6 +1073,13 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q51_lateral" ->
+      """SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin,
     "q49_dq_checks" ->
       """WITH o AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
         |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)

@@ -563,7 +563,89 @@ object TextOps {
           .as("n_redacted"))
       .orderBy("doc_id")
 
+  /** How many merge candidates / post-merge pairs the BPE queries emit. */
+  val BpeTopPairs = 20
+  val BpeTopAfter = 10
+
+  /** E3 — BPE tokenizer training, the counting step: corpus-wide adjacent
+    * character-pair frequencies over word occurrences (frequency-weighted,
+    * exactly what a byte-pair-encoding learner maximizes), ranked. The
+    * top row IS the next BPE merge. This is the step that makes
+    * distributed tokenizer training possible at 100 TB: the pair explode
+    * is scan-side (no word string leaves the scan un-aggregated) and the
+    * aggregate's key domain is the SYMBOL-PAIR vocabulary (≤ |alphabet|²
+    * on the first iteration), so the shuffle carries a few hundred rows
+    * with map-side combine no matter the corpus size; the rank runs on
+    * that tiny table. Reference analogue: the token-level profiling the
+    * reference's jobs do per table, lifted to subword statistics. */
+  def e3BpePairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))))
+      .filter(col("rank") <= BpeTopPairs)
+      .select(col("rank").cast("long").as("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
+  /** E3 — one full BPE merge ITERATION: pick the argmax pair from
+    * e3BpePairs, apply it greedily left-to-right to every word occurrence
+    * (standard BPE: after a merge the new symbol does not re-merge with a
+    * preceding `a`, so "aaa" under merge aa → [aa, a]), and recount the
+    * now-symbol-level pair frequencies. Looping this plan IS BPE
+    * training; each round's state is one broadcast merge row, never a
+    * corpus-sized structure. The fold runs per row inside the scan (a
+    * Catalyst `aggregate` over the char sequence — symbols are
+    * comma-joined so the accumulator stays a flat string), and the
+    * recount aggregate is again symbol-pair-vocabulary-sized. The oracle
+    * replicates the fold with DuckDB's list_reduce character for
+    * character. */
+  def e3BpeMerge(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val top = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(substring(col("pair"), 1, 1).as("a"),
+        substring(col("pair"), 2, 1).as("b"))
+    val merged = words.crossJoin(broadcast(top))
+      .select(concat(col("a"), col("b")).as("merged"), expr(
+        """aggregate(
+          |  transform(sequence(2, length(w)), i -> substring(w, i, 1)),
+          |  substring(w, 1, 1),
+          |  (acc, c) -> CASE WHEN (acc = a OR endswith(acc, concat(',', a)))
+          |                    AND c = b
+          |              THEN concat(acc, c)
+          |              ELSE concat(acc, ',', c) END)""".stripMargin)
+        .as("syms"))
+      .select(col("merged"), split(col("syms"), ",").as("sl"))
+      .filter(size(col("sl")) >= 2)
+    merged
+      .select(col("merged"), explode(expr(
+        "transform(sequence(1, size(sl) - 1), i -> concat(sl[i - 1], '+', sl[i]))"))
+        .as("pair"))
+      .groupBy("merged", "pair").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))))
+      .filter(col("rank") <= BpeTopAfter)
+      .select(col("rank").cast("long").as("rank"), col("merged"),
+        col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_bpe_pairs" -> (e3BpePairs _),
+    "e3_bpe_merge" -> (e3BpeMerge _),
     "e3_redact" -> (e3Redact _),
     "e3_vocab_growth" -> (e3VocabGrowth _),
     "e3_pack" -> (e3Pack _),
@@ -603,7 +685,44 @@ object TextOps {
       |    PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn FROM score)
       |WHERE rn = 1)""".stripMargin
 
+  /** Shared oracle CTE block: word occurrences (len ≥ 2) and their
+    * adjacent char pairs — the common core of the two BPE oracles. */
+  private val bpeCtes: String =
+    """w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e3_bpe_pairs" ->
+      s"""WITH $bpeCtes,
+         |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+         |  GROUP BY pair),
+         |r AS (SELECT pair, n,
+         |  row_number() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, pair, n FROM r
+         |WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
+    "e3_bpe_merge" ->
+      s"""WITH $bpeCtes,
+         |top AS (SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b
+         |  FROM (SELECT pair, count(*) AS n FROM p GROUP BY pair
+         |        ORDER BY n DESC, pair LIMIT 1)),
+         |m AS (SELECT a || b AS merged, string_split(list_reduce(
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substr(w, CAST(i AS INT), 1)),
+         |    (acc, c) -> CASE WHEN (acc = a OR ends_with(acc, ',' || a))
+         |                      AND c = b
+         |                THEN acc || c ELSE acc || ',' || c END), ',') AS sl
+         |  FROM w2 CROSS JOIN top),
+         |p2 AS (SELECT merged, unnest(list_transform(range(1, len(sl)),
+         |    i -> sl[CAST(i AS INT)] || '+' || sl[CAST(i AS INT) + 1]))
+         |    AS pair FROM m),
+         |c AS (SELECT merged, pair, CAST(count(*) AS BIGINT) AS n FROM p2
+         |  GROUP BY merged, pair),
+         |r AS (SELECT merged, pair, n,
+         |  row_number() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, merged, pair, n FROM r
+         |WHERE rank <= $BpeTopAfter ORDER BY rank""".stripMargin,
     "e3_redact" ->
       s"""SELECT doc_id,
          |regexp_replace(text, '\\b(spark|hash|key)\\b', '[MASK]', 'g')

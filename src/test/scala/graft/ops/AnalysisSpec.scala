@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.TestSpark
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, size, split, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions for the E8 corpus-analysis operators: each
@@ -188,5 +189,22 @@ class AnalysisSpec extends AnyFunSuite {
       s"unigram sides and scalar totals must broadcast (got bhj=$nBhj nlj=$nNlj):\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join allowed:\n$plan")
+  }
+
+  test("e8_concentration: HHI bounds, effective sources, and top share reconcile") {
+    val r = Analysis.e8Concentration(spark, TestSpark.sf0001).head()
+    val (ns, hhi) = (r.getAs[Long]("n_sources"), r.getAs[Long]("hhi"))
+    val eff = r.getAs[Double]("effective_sources")
+    // HHI of n sources lives in [10^12/n (uniform), 10^12 (monopoly)];
+    // ppm floor-rounding can only pull it slightly below the exact value
+    assert(hhi >= 1000000000000L / ns - ns && hhi <= 1000000000000L, s"hhi $hhi")
+    assert(eff >= 1.0 - 1e-9 && eff <= ns + 1e-9, s"effective $eff of $ns")
+    // the top source must hold at least the uniform share
+    assert(r.getAs[Long]("top_share_ppm") >= 1000000L / ns)
+    // cross-check the top source against a direct group-by
+    val direct = graft.Tables.documents(spark, TestSpark.sf0001)
+      .groupBy("source").agg(sum(size(split(col("text"), " "))).as("tk"))
+      .orderBy(col("tk").desc, col("source")).head()
+    assert(r.getAs[String]("top_source") == direct.getAs[String]("source"))
   }
 }

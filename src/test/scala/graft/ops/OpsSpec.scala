@@ -997,4 +997,63 @@ class OpsSpec extends AnyFunSuite {
     val rec = r.getAs[Double]("recall")
     assert(rec > 0.0 && rec <= 1.0, s"recall $rec")
   }
+
+  test("e1_keeper_quality: keeper is the argmax-quality cluster member; volumes reconcile") {
+    val clusters = Dedup.e1DedupClusters(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val score = TextOps.e3Quality(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((math.round(r.getAs[Double]("score") * 10000), r.getAs[Long]("n_tokens")))).toMap
+    val got = Dedup.e1KeeperQuality(spark, TestSpark.sf0001).collect()
+    assert(got.map(_.getAs[Long]("cluster")).toSet == clusters.values.toSet)
+    got.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val members = clusters.collect { case (d, cl) if cl == c => d }.toSeq.sorted
+      val keeper = r.getAs[Long]("keeper_doc_id")
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $c")
+      // argmax score, ties to smallest doc_id — brute-forced
+      val want = members.maxBy(d => (score(d)._1, -d))
+      assert(keeper == want, s"cluster $c keeper $keeper, brute force $want")
+      assert(r.getAs[Long]("cluster_size") == members.size)
+      assert(r.getAs[Long]("dropped_docs") == members.size - 1)
+      assert(r.getAs[Long]("dropped_tokens") ==
+        members.filterNot(_ == keeper).map(score(_)._2).sum)
+    }
+    // multi-doc clusters exist at this SF, so the policy is exercised
+    assert(got.exists(_.getAs[Long]("dropped_docs") > 0))
+  }
+
+  test("e3_bpe_merge: greedy left-to-right fold matches brute force, incl. overlapping pairs") {
+    // 'aaa' under merge aa must become [aa, a] (no re-merge), 'baab' → [b, aa, b]
+    val docs = Seq((1L, "aaa baab aa ab x"), (2L, "aaab aaaa ba"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    val dir = graft.TestSpark.tmpDir("bpe")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute force: pair counts over words len>=2 → top pair (count desc,
+    // pair asc) is 'aa'; greedy merge; recount
+    val words = docs.flatMap(_._2.split(" ")).filter(_.length >= 2)
+    val firstCounts = words.flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val (topPair, _) = firstCounts.toSeq.minBy { case (p, n) => (-n, p) }
+    val (a, b) = (topPair(0), topPair(1))
+    def greedy(w: String): Seq[String] =
+      w.drop(1).foldLeft(Seq(w.take(1))) { (acc, c) =>
+        if (acc.last == a.toString && c == b) acc.init :+ (acc.last + c)
+        else acc :+ c.toString
+      }
+    val after = words.map(greedy).flatMap(sy => sy.zip(sy.drop(1)))
+      .map { case (x, y) => s"$x+$y" }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = TextOps.e3BpeMerge(spark, dir).collect()
+    assert(got.head.getAs[String]("merged") == topPair)
+    got.foreach { r =>
+      val p = r.getAs[String]("pair")
+      assert(after(p) == r.getAs[Long]("n"), s"pair $p")
+    }
+    // ranks are the brute-force descending order with pair tie-break
+    val wantOrder = after.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(got.length).map(_._1)
+    assert(got.map(_.getAs[String]("pair")).toSeq == wantOrder)
+  }
 }

@@ -182,4 +182,15 @@ class RelationalPlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(mf).length <= 2,
       s"manifest should shuffle once before the tiny sort:\n$mf")
   }
+
+  test("q51_lateral decorrelates to one rank-filter join — no per-row subquery loop") {
+    val plan = finalPlan(Relational.q51Lateral(spark, TestSpark.sf001))
+    // Catalyst must rewrite the correlated LIMIT subquery into a window
+    // group-limit / rank over ONE customer scan joined to nation — the
+    // q18_topk physical shape
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"lateral LIMIT should become a window rank:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"one scan per table, no re-scan per outer row:\n$plan")
+  }
 }
