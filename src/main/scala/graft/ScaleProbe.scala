@@ -96,7 +96,9 @@ object ScaleProbe {
       "e5_scene_cuts",
       // round 7
       "e2_semdedup", "e6_dsir", "q47_scd2", "q48_merge_upsert",
-      "q49_dq_checks", "q50_incr_agg", "e8_seasonality")
+      "q49_dq_checks", "q50_incr_agg", "e8_seasonality",
+      "e1_keeper_quality", "e8_concentration", "e3_bpe_pairs",
+      "e3_bpe_merge", "q51_lateral", "e2_sq8")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -371,7 +371,32 @@ object Multimodal {
       .orderBy("doc_id", "dup_id")
   }
 
+  /** E5 — exact BLOB dedup: content-hash the raw bytes BEFORE any decode —
+    * the first pass of every media pipeline (mirrored uploads and exact
+    * re-posts are the bulk of media duplication, and a hash pass costs a
+    * scan while a decode pass costs CPU-hours). Emits one row per
+    * duplicated fingerprint: copy count, the keeper (min doc_id, the
+    * e1_exact_dedup policy), per-copy byte size, and the bytes a
+    * keeper-only store saves. Plan at scale: md5 is computed scan-side
+    * over the binary column (blobs never shuffle — the exchange carries
+    * 16-byte fingerprints and counts) into one fingerprint-keyed
+    * map-side-combinable aggregate. One row per distinct fingerprint,
+    * like e1_exact_dedup (a production pass filters n_copies ≥ 2; the
+    * full table is the asset store's content-addressed index). The
+    * multimodal twin of e1_exact_dedup; near-dup (perceptual) media
+    * matching is e5_image_neardup. */
+  def e5BlobDedup(s: SparkSession, d: String): DataFrame =
+    withBlobs(s, d).toDF()
+      .select(col("doc_id"), md5(col("blob")).as("fp"),
+        length(col("blob")).cast("long").as("n_bytes"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"),
+        max(col("n_bytes")).as("n_bytes"),
+        (sum(col("n_bytes")) - max(col("n_bytes"))).cast("long").as("bytes_saved"))
+      .orderBy("keeper_doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e5_blob_dedup" -> (e5BlobDedup _),
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
     "e5_band_features" -> (e5BandFeatures _),
@@ -421,6 +446,15 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // the blob IS the UTF-8 text bytes (ASCII fixture), so DuckDB's md5
+    // over the text replicates Spark's md5 over the binary exactly
+    "e5_blob_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper_doc_id, max(n_bytes) AS n_bytes,
+        |  CAST(sum(n_bytes) - max(n_bytes) AS BIGINT) AS bytes_saved
+        |FROM b GROUP BY fp ORDER BY keeper_doc_id""".stripMargin,
     "e5_image_neardup" -> imageNeardupOracle,
     // the fake decode is pure byte arithmetic → DuckDB recomputes it exactly
     "e5_blob_features" ->

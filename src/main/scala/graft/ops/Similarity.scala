@@ -684,7 +684,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — int8 SCALAR quantization (SQ8) audit: the other standard vector
+    * compression next to PQ (FAISS's SQ8 / Milvus IVF_SQ8): each
+    * coordinate maps to one byte via a per-dimension affine
+    * code = round(255·(x−min)/(max−min)) — 4× smaller than float32 with
+    * near-lossless recall, and unlike PQ the decode is a two-FLOP affine
+    * (no codebook lookup), which is why serving stacks often prefer it.
+    * Emits the per-dimension quantizer itself (min/max), code-space
+    * utilization (distinct codes of 256 — a skewed dim that uses 30 codes
+    * wastes its byte), and the reconstruction MSE — the three numbers
+    * that decide SQ8-vs-PQ for a corpus. Plan at scale: the stats pass is
+    * a 64-key min/max aggregate (map-side combined, order-independent —
+    * no float-sum hazard); the quantize pass joins the 64-row stats table
+    * back BROADCAST, and the audit aggregate is again 64-key. Two narrow
+    * scans, no corpus shuffle; a production build samples the stats scan.
+    * Squared errors ride as integer e-10 units so the MSE is an exact
+    * long sum (microMean discipline). Guarded for degenerate constant
+    * dimensions (mx = mn → code 0, zero error) on BOTH engines. */
+  def e2Sq8(s: SparkSession, d: String): DataFrame = {
+    val coords = embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val stats = coords.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    coords.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", expr(
+        """CASE WHEN mx > mn THEN CAST(least(greatest(
+          |  floor((x - mn) * 255.0 / (mx - mn) + 0.5), 0.0), 255.0) AS BIGINT)
+          |ELSE 0 END""".stripMargin))
+      .withColumn("recon",
+        expr("CASE WHEN mx > mn THEN mn + code * (mx - mn) / 255.0 ELSE mn END"))
+      .withColumn("e10", expr(
+        "CAST(floor((x - recon) * (x - recon) * 10000000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("dim")
+      .agg(round(min(col("mn")), 6).as("mn"), round(min(col("mx")), 6).as("mx"),
+        countDistinct(col("code")).as("n_codes"),
+        expr("sum(e10) div count(1)").as("mse_e10"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_sq8" -> (e2Sq8 _),
     "e2_semdedup" -> (e2Semdedup _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
@@ -888,6 +928,25 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e2_sq8" ->
+      """WITH c AS (SELECT CAST(i.range AS INT) AS dim,
+        |    CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, range(0, 64) i),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM c GROUP BY dim),
+        |q AS (SELECT c.dim, x, mn, mx,
+        |    CASE WHEN mx > mn THEN CAST(least(greatest(
+        |      floor((x - mn) * 255.0 / (mx - mn) + 0.5), 0.0), 255.0) AS BIGINT)
+        |    ELSE 0 END AS code
+        |  FROM c JOIN st USING (dim)),
+        |r AS (SELECT dim, mn, mx, code, x,
+        |    CASE WHEN mx > mn THEN mn + code * (mx - mn) / 255.0 ELSE mn END
+        |      AS recon
+        |  FROM q)
+        |SELECT dim, round(min(mn), 6) AS mn, round(min(mx), 6) AS mx,
+        |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+        |  CAST(sum(CAST(floor((x - recon) * (x - recon) * 10000000000.0 + 0.5)
+        |    AS BIGINT)) // count(*) AS BIGINT) AS mse_e10
+        |FROM r GROUP BY dim ORDER BY dim""".stripMargin,
     "e2_semdedup" ->
       s"""WITH ${ivfCtes(1)},
          |cand AS (

@@ -567,59 +567,65 @@ object TextOps {
   val BpeTopPairs = 20
   val BpeTopAfter = 10
 
-  /** E3 — BPE tokenizer training, the counting step: corpus-wide adjacent
-    * character-pair frequencies over word occurrences (frequency-weighted,
-    * exactly what a byte-pair-encoding learner maximizes), ranked. The
-    * top row IS the next BPE merge. This is the step that makes
-    * distributed tokenizer training possible at 100 TB: the pair explode
-    * is scan-side (no word string leaves the scan un-aggregated) and the
-    * aggregate's key domain is the SYMBOL-PAIR vocabulary (≤ |alphabet|²
-    * on the first iteration), so the shuffle carries a few hundred rows
-    * with map-side combine no matter the corpus size; the rank runs on
-    * that tiny table. Reference analogue: the token-level profiling the
-    * reference's jobs do per table, lifted to subword statistics. */
-  def e3BpePairs(s: SparkSession, d: String): DataFrame = {
-    val pairs = documents(s, d)
+  /** The word-FREQUENCY table (w, wn) over words of length ≥ 2 — the
+    * structure every real BPE trainer (sentencepiece, HF tokenizers)
+    * reduces the corpus to before its merge loop: ONE corpus scan, one
+    * word-vocabulary-sized aggregate, and every subsequent training
+    * iteration runs on this tiny table with counts as weights — the
+    * corpus is never rescanned. At 100 TB this is the difference between
+    * a merge loop over terabytes and one over megabytes (word vocabulary
+    * grows ~Heaps-law sublinearly; see e3_vocab_growth). */
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+
+  /** E3 — BPE tokenizer training, the counting step: corpus-wide adjacent
+    * character-pair frequencies (occurrence-weighted, exactly what a
+    * byte-pair-encoding learner maximizes), ranked; the top row IS the
+    * next BPE merge. Plan: the corpus collapses to the word-frequency
+    * table first (`wordFreq` — one scan, vocabulary-sized exchange), the
+    * pair explode and the weighted count then run on that tiny table, so
+    * the whole counting step after the first aggregate is
+    * corpus-size-independent. Reference analogue: the token-level
+    * profiling the reference's jobs do per table, lifted to subword
+    * statistics. */
+  def e3BpePairs(s: SparkSession, d: String): DataFrame =
+    wordFreq(s, d)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("n"))
-    pairs
+        .as("pair"), col("wn"))
+      .groupBy("pair").agg(sum(col("wn")).as("n"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("pair"))))
       .filter(col("rank") <= BpeTopPairs)
       .select(col("rank").cast("long").as("rank"), col("pair"), col("n"))
       .orderBy("rank")
-  }
 
-  /** E3 — one full BPE merge ITERATION: pick the argmax pair from
-    * e3BpePairs, apply it greedily left-to-right to every word occurrence
-    * (standard BPE: after a merge the new symbol does not re-merge with a
-    * preceding `a`, so "aaa" under merge aa → [aa, a]), and recount the
-    * now-symbol-level pair frequencies. Looping this plan IS BPE
-    * training; each round's state is one broadcast merge row, never a
-    * corpus-sized structure. The fold runs per row inside the scan (a
-    * Catalyst `aggregate` over the char sequence — symbols are
-    * comma-joined so the accumulator stays a flat string), and the
-    * recount aggregate is again symbol-pair-vocabulary-sized. The oracle
-    * replicates the fold with DuckDB's list_reduce character for
-    * character. */
+  /** E3 — one full BPE merge ITERATION: pick the argmax pair, apply it
+    * greedily left-to-right to every DISTINCT word (standard BPE: after a
+    * merge the new symbol does not re-merge with a preceding `a`, so
+    * "aaa" under merge aa → [aa, a]), and recount the now-symbol-level
+    * pair frequencies weighted by word count. Looping this plan IS BPE
+    * training, and after `wordFreq`'s one corpus scan every iteration
+    * touches only the vocabulary table + one broadcast merge row — the
+    * production trainer shape. The fold is a per-row Catalyst `aggregate`
+    * over the char sequence (symbols comma-joined so the accumulator
+    * stays a flat string); the oracle replicates it with DuckDB's
+    * list_reduce character for character. */
   def e3BpeMerge(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
+    val words = wordFreq(s, d)
     val top = words
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("n"))
+        .as("pair"), col("wn"))
+      .groupBy("pair").agg(sum(col("wn")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(1)
       .select(substring(col("pair"), 1, 1).as("a"),
         substring(col("pair"), 2, 1).as("b"))
     val merged = words.crossJoin(broadcast(top))
-      .select(concat(col("a"), col("b")).as("merged"), expr(
+      .select(concat(col("a"), col("b")).as("merged"), col("wn"), expr(
         """aggregate(
           |  transform(sequence(2, length(w)), i -> substring(w, i, 1)),
           |  substring(w, 1, 1),
@@ -628,13 +634,13 @@ object TextOps {
           |              THEN concat(acc, c)
           |              ELSE concat(acc, ',', c) END)""".stripMargin)
         .as("syms"))
-      .select(col("merged"), split(col("syms"), ",").as("sl"))
+      .select(col("merged"), col("wn"), split(col("syms"), ",").as("sl"))
       .filter(size(col("sl")) >= 2)
     merged
-      .select(col("merged"), explode(expr(
+      .select(col("merged"), col("wn"), explode(expr(
         "transform(sequence(1, size(sl) - 1), i -> concat(sl[i - 1], '+', sl[i]))"))
         .as("pair"))
-      .groupBy("merged", "pair").agg(count(lit(1)).as("n"))
+      .groupBy("merged", "pair").agg(sum(col("wn")).as("n"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("pair"))))
       .filter(col("rank") <= BpeTopAfter)

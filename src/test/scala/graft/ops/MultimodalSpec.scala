@@ -167,4 +167,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fromJson == expected)
     assert(fromOrc == expected)
   }
+
+  test("e5_blob_dedup: duplicated blobs collapse to the min-id keeper with exact bytes_saved") {
+    val dir = TestSpark.tmpDir("blobdedup")
+    // 7=copy of 3, 9+10=copies of 5; 4 unique
+    Seq((3L, "alpha beta gamma"), (4L, "delta"), (5L, "epsilon zeta"),
+      (7L, "alpha beta gamma"), (9L, "epsilon zeta"), (10L, "epsilon zeta"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.e5BlobDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("keeper_doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("bytes_saved")))).toMap
+    assert(got == Map(
+      3L -> ((2L, 16L, 16L)),   // one 16-byte copy dropped
+      4L -> ((1L, 5L, 0L)),
+      5L -> ((3L, 12L, 24L))))  // two 12-byte copies dropped
+  }
 }

@@ -1056,4 +1056,20 @@ class OpsSpec extends AnyFunSuite {
       .take(got.length).map(_._1)
     assert(got.map(_.getAs[String]("pair")).toSeq == wantOrder)
   }
+
+  test("e2_sq8: codes stay in one byte and MSE is bounded by half a quantization step") {
+    val rows = Similarity.e2Sq8(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      val nCodes = r.getAs[Long]("n_codes")
+      assert(nCodes >= 1 && nCodes <= 256, s"dim ${r.getAs[Int]("dim")}: $nCodes codes")
+      // worst-case per-coordinate error is half a step: ((mx-mn)/510)^2
+      val bound = math.pow((mx - mn) / 510.0, 2) * 1e10 + 1
+      assert(r.getAs[Long]("mse_e10") <= bound,
+        s"dim ${r.getAs[Int]("dim")}: mse ${r.getAs[Long]("mse_e10")} > $bound")
+    }
+    // quantization actually uses the code space on real data
+    assert(rows.map(_.getAs[Long]("n_codes")).max > 64)
+  }
 }
