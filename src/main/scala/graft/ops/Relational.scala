@@ -1008,9 +1008,44 @@ object Relational {
          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
          |ORDER BY n_name, bal DESC, c_name""".stripMargin)
 
+  /** Q52 — calendar-spine gap filling [EXT]: daily order revenue joined
+    * onto a COMPLETE generated date spine, missing days zero-filled, with
+    * a 7-day trailing average — the report-table pattern every warehouse
+    * runs (a groupBy alone silently drops zero-activity days, which
+    * corrupts moving averages and day-over-day deltas; the reference's
+    * per-run log tables have the same every-period-present need). Plan at
+    * scale: the fact table reduces to a DAY-DOMAIN-sized aggregate (one
+    * map-side-combined exchange); the spine is generated from a 1-row
+    * broadcast bounds aggregate (never a stored calendar scan); join and
+    * window then run over day-domain rows (thousands, at ANY fact
+    * volume), so the deliberate single-partition window is bounded by the
+    * calendar, not the data. Revenue rides as exact integer cents; the
+    * only doubles are the final two display divisions. */
+  def q52DateSpine(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val bounds = broadcast(
+      daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("avg7",
+        round(sum(col("cents")).over(w) / (count(lit(1)).over(w) * 100.0), 2))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_orders"), round(col("cents") / 100.0, 2).as("revenue"),
+        col("avg7"))
+      .orderBy("day")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_lateral" -> (q51Lateral _),
+    "q52_date_spine" -> (q52DateSpine _),
     "q49_dq_checks" -> (q49DqChecks _),
     "q50_incr_agg" -> (q50IncrAgg _),
     "q47_scd2" -> (q47Scd2 _),
@@ -1073,6 +1108,29 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q52_date_spine" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |  AS day FROM b),
+        |j AS (SELECT spine.day, coalesce(n_orders, 0) AS n_orders,
+        |    coalesce(cents, 0) AS cents
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |w AS (SELECT day, n_orders, cents,
+        |    sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+        |  FROM j)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  round(cents / 100.0, 2) AS revenue,
+        |  round(s7 / (n7 * 100.0), 2) AS avg7
+        |FROM w ORDER BY day""".stripMargin,
     "q51_lateral" ->
       """SELECT n_name, c_name, round(c_acctbal, 2) AS bal
         |FROM nation n,

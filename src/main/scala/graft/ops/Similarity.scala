@@ -110,6 +110,44 @@ object Similarity {
     * in ScalaTest. Oracle-checked like the base path. */
   def e2AnnIvf2(s: SparkSession, d: String): DataFrame = ivfSearch(s, d, 2)
 
+  /** Metadata predicate for the filtered-ANN query (a fixed label slice —
+    * production filters are arbitrary attribute predicates with the same
+    * plan shape). */
+  val FilterLabel = 3
+
+  /** E2 — FILTERED vector search ("nearest neighbor WHERE label = 3"):
+    * the metadata-constrained ANN every retrieval deployment actually
+    * serves (RAG over one tenant/language/date-range, dedup within a
+    * source). Semantics are PRE-filter: the predicate restricts the
+    * candidate set itself, so results are the true nearest among matches
+    * — post-filtering an unfiltered top-k would return fewer than k (or
+    * zero) under a selective predicate. Plan: the build side applies the
+    * predicate at the SCAN (pushed to parquet), then assigns survivors to
+    * their IVF cell via the same broadcast √n seed set; the probe side
+    * fans out to top-2 cells — the standard filtered-search dial, because
+    * a selective filter empties cells and extra probes buy back coverage
+    * (queries whose probed cells hold no match drop from the output; the
+    * production fallback is escalating nProbe for them). Join work is
+    * |matches|-bounded, not corpus-bounded — a 1% filter makes filtered
+    * search CHEAPER, never slower, under pre-filtering. */
+  def e2AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
+    val probe = ivfAssigned(e, seeds, 2)
+    val build = ivfAssigned(e.filter(col("label") === FilterLabel), seeds, 1)
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    probe.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Vectors with their top-`nProbe` cells by cosine (ties to the lower
     * cell id), via one broadcast of the √n seed set. */
   private def ivfAssigned(e: DataFrame, seeds: DataFrame, nProbe: Int): DataFrame = {
@@ -725,6 +763,7 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_sq8" -> (e2Sq8 _),
+    "e2_ann_filtered" -> (e2AnnFiltered _),
     "e2_semdedup" -> (e2Semdedup _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
@@ -1124,6 +1163,18 @@ object Similarity {
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),
+    "e2_ann_filtered" ->
+      s"""WITH ${ivfCtes(2)},
+         |fb AS (SELECT b.vec_id, b.e, b.cell FROM build b
+         |  JOIN embeddings em ON b.vec_id = em.vec_id
+         |  WHERE em.label = $FilterLabel)
+         |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM probe a JOIN fb b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e2_knn_classify" ->
       s"""WITH ${ivfCtes(1)},
          |knn AS (

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-table layout: immutable snapshot directories plus an
+  * atomically-swapped CURRENT pointer — the core mechanism (and the core
+  * guarantee) of every table format's time travel, expressed over plain
+  * parquet. Layout:
+  *
+  * {{{ root/v00001/part-*.parquet   — immutable snapshot
+  *     root/_CURRENT               — one line: the live version number }}}
+  *
+  * Writers publish a NEW directory and then swap the pointer via
+  * tmp+rename (the same single-object atomic-commit discipline as
+  * streamMergeSink's snapshot swap); readers resolve the pointer once and
+  * read an immutable directory, so a reader never observes a half-written
+  * table no matter how the writer dies — crash before the swap leaves an
+  * orphan directory, never a corrupt CURRENT. Old versions stay readable
+  * (audit, rollback, reproducing yesterday's training run against
+  * yesterday's corpus — the TESTDATA.md reproducibility story applied to
+  * outputs). Everything here is METADATA-scale: version resolution is one
+  * small-file read, rollback is one pointer write; no data files are
+  * copied or rewritten, at any table size.
+  *
+  * Reference analogue: the admin store's append-only batch/job history
+  * (`lime_etl/adapter/admin_session.py`) — run-over-run state with the
+  * previous runs queryable — applied to published datasets. A real
+  * deployment adds snapshot expiry (delete directories older than the
+  * retention window — the DeleteOldLogs admin job pointed at versions). */
+object Versioned {
+
+  private def fs(s: SparkSession, root: String) =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def vdir(root: String, v: Int) = f"$root/v$v%05d"
+
+  /** All published versions, ascending (directories with a committed
+    * pointer history; orphans from crashed writers are excluded by
+    * convention of reading only ≤ current). */
+  def versions(s: SparkSession, root: String): Seq[Int] = {
+    val f = fs(s, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{5}"))
+      .map(_.getPath.getName.drop(1).toInt).sorted
+  }
+
+  /** The live version, if any. */
+  def current(s: SparkSession, root: String): Option[Int] = {
+    val f = fs(s, root)
+    val cur = new Path(s"$root/_CURRENT")
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Some(br.readLine().trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Publish `df` as the next version and swap the pointer. Returns the
+    * new version number. */
+  def write(df: DataFrame, root: String): Int = {
+    val s = df.sparkSession
+    val next = versions(s, root).lastOption.getOrElse(0) + 1
+    df.write.parquet(vdir(root, next)) // fails if the dir exists: no clobber
+    setCurrent(s, root, next)
+    next
+  }
+
+  /** Point the table at an existing version (rollback / roll-forward):
+    * one atomic pointer write, no data movement. */
+  def setCurrent(s: SparkSession, root: String, v: Int): Unit = {
+    require(versions(s, root).contains(v), s"no such version $v")
+    val f = fs(s, root)
+    val tmp = new Path(s"$root/_CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // FileContext rename-with-OVERWRITE is the atomic replace primitive
+    // (plain FileSystem.rename refuses an existing destination)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(s"$root/_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read a pinned version — immutable, so the plan is reproducible
+    * forever (the "train against last Tuesday's corpus" read). */
+  def read(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.parquet(vdir(root, v))
+
+  /** Read the live version. */
+  def readCurrent(s: SparkSession, root: String): DataFrame = {
+    val v = current(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    read(s, root, v)
+  }
+}

@@ -1072,4 +1072,25 @@ class OpsSpec extends AnyFunSuite {
     // quantization actually uses the code space on real data
     assert(rows.map(_.getAs[Long]("n_codes")).max > 64)
   }
+
+  test("e2_ann_filtered: every neighbor satisfies the predicate; filter reaches the scan") {
+    val labelOf = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val df = Similarity.e2AnnFiltered(spark, TestSpark.sf0001)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neighbor_id")) == Similarity.FilterLabel,
+        s"neighbor ${r.getAs[Long]("neighbor_id")} violates the predicate")
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.0001 && sim <= 1.0001)
+    }
+    // pre-filter semantics: the predicate must prune the build-side SCAN,
+    // not post-filter the join output
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*EqualTo\\(label".r.findFirstIn(plan).isDefined,
+      s"label predicate must reach parquet:\n${plan.take(4000)}")
+  }
 }
