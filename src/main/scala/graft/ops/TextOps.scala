@@ -649,7 +649,48 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Dimensionality of the feature-hashed document vectors. */
+  val HashDim = 16
+
+  /** E3 — feature-HASHED document embeddings (the hashing trick,
+    * Weinberger et al. 2009; sklearn HashingVectorizer / Vowpal Wabbit):
+    * each token maps to dimension fnv64(tok) mod HashDim with sign
+    * bit (fnv64 >> 4) & 1, accumulated per document and L2-normalized —
+    * a fixed-width vector per document with NO vocabulary table, NO
+    * training, and NO model artifact to ship. This is the text→vector
+    * bridge when no learned embedding exists (cheap clustering,
+    * locality-sensitive sketches, dedup blocking over the e2 machinery),
+    * and the signed hash makes collisions cancel in expectation instead
+    * of biasing counts. Plan at 100 TB: tokens explode scan-side, the
+    * ONLY exchange is the (doc_id, dim) aggregate — HashDim rows per doc,
+    * map-side combinable — and the norm runs as a HashDim-row window per
+    * doc. Counts stay exact integers; the one double op per row is the
+    * final v/‖v‖ division (sqrt of an exact integer sum — deterministic).
+    * Oracle replicates fnv64 in HUGEINT (the e1_simhash treatment); the
+    * mod-2⁶⁴-divisible dim/sign extraction makes signed-vs-unsigned
+    * arithmetic agree exactly. */
+  def e3HashEmbed(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.Hashes.fnv64(col("tok")), lit(HashDim))
+          .cast("long").as("dim"),
+        (lit(1L) - lit(2L) *
+          (shiftrightunsigned(graft.functions.Hashes.fnv64(col("tok")), 4)
+            % 2)).as("sign"))
+      .groupBy("doc_id", "dim").agg(sum(col("sign")).as("v"))
+      .withColumn("nrm", sqrt(sum(col("v") * col("v")).over(w)))
+      .select(col("doc_id"), col("dim"),
+        col("v"),
+        when(col("nrm") > 0, round(col("v") / col("nrm"), 4))
+          .otherwise(lit(0.0)).as("nv"))
+      .orderBy("doc_id", "dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_hash_embed" -> (e3HashEmbed _),
     "e3_bpe_pairs" -> (e3BpePairs _),
     "e3_bpe_merge" -> (e3BpeMerge _),
     "e3_redact" -> (e3Redact _),
@@ -700,6 +741,29 @@ object TextOps {
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(range(1, length(tok) + 1),
+         |          i -> CAST(unicode(substring(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+         |      (h, b) -> ((h - h % 256 +
+         |          CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+         |  FROM t),
+         |sv AS (SELECT doc_id, CAST(u % $HashDim AS BIGINT) AS dim,
+         |    1 - 2 * CAST((u // 16) % 2 AS BIGINT) AS sign FROM h),
+         |g AS (SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS v
+         |  FROM sv GROUP BY doc_id, dim),
+         |n AS (SELECT doc_id, dim, v,
+         |    sqrt(CAST(sum(v * v) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm
+         |  FROM g)
+         |SELECT doc_id, dim, v,
+         |  CASE WHEN nrm > 0 THEN round(v / nrm, 4) ELSE 0.0 END AS nv
+         |FROM n ORDER BY doc_id, dim""".stripMargin,
     "e3_bpe_pairs" ->
       s"""WITH $bpeCtes,
          |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p

@@ -66,10 +66,21 @@ object Versioned {
     * new version number. */
   def write(df: DataFrame, root: String): Int = {
     val s = df.sparkSession
-    val next = versions(s, root).lastOption.getOrElse(0) + 1
-    df.write.parquet(vdir(root, next)) // fails if the dir exists: no clobber
+    val (next, dir) = stage(s, root)
+    df.write.parquet(dir) // fails if the dir exists: no clobber
     setCurrent(s, root, next)
     next
+  }
+
+  /** Two-phase publish for writers that produce their own files (the
+    * compaction rewrite, a streaming sink's epoch, an external tool):
+    * `stage` allocates the next snapshot directory, the caller writes
+    * into it, and `setCurrent(v)` is the commit — readers never see the
+    * version until the pointer swaps, and a crashed writer leaves only an
+    * uncommitted orphan directory. */
+  def stage(s: SparkSession, root: String): (Int, String) = {
+    val next = versions(s, root).lastOption.getOrElse(0) + 1
+    (next, vdir(root, next))
   }
 
   /** Point the table at an existing version (rollback / roll-forward):

@@ -1093,4 +1093,22 @@ class OpsSpec extends AnyFunSuite {
       "PushedFilters: \\[[^\\]]*EqualTo\\(label".r.findFirstIn(plan).isDefined,
       s"label predicate must reach parquet:\n${plan.take(4000)}")
   }
+
+  test("e3_hash_embed: per-doc vectors are unit-norm, dims in range, counts reconcile") {
+    val rows = TextOps.e3HashEmbed(spark, TestSpark.sf0001).collect()
+    assert(rows.forall { r =>
+      val dim = r.getAs[Long]("dim"); dim >= 0 && dim < TextOps.HashDim
+    })
+    val tokCount = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").count(_.nonEmpty)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val norm2 = rs.map(r => math.pow(r.getAs[Double]("nv"), 2)).sum
+      // rounded components still sum to ~1
+      assert(math.abs(norm2 - 1.0) < 0.01, s"doc $id norm² $norm2")
+      // |v| per doc can never exceed the doc's token count
+      assert(rs.map(r => math.abs(r.getAs[Long]("v"))).sum <= tokCount(id))
+    }
+  }
 }

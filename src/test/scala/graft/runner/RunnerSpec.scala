@@ -338,4 +338,26 @@ class RunnerSpec extends AnyFunSuite {
     assert(status.jobResults.head.testResults.forall(_.passed))
     assert(store.batchLog.toDF().filter(col("message") === "ancient").count() == 0)
   }
+
+  test("CompactTable maintenance job: versioned cutover through the runner, conservation test passes") {
+    val (_, store, runner) = fixture()
+    val dir = TestSpark.tmpDir("mtable")
+    val root = TestSpark.tmpDir("mver")
+    spark.range(0, 5000)
+      .select(col("id"), md5(col("id").cast("string")).as("p"))
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val status = runner.run(
+      Batch("maintenance", Seq(CompactTable(dir, root, 256L * 1024))))
+    assert(!status.running && status.errorMessage.isEmpty)
+    assert(status.jobResults.head.status == JobStatus.Successful)
+    assert(status.jobResults.head.testResults.forall(_.passed))
+    // committed snapshot: same content, fewer files
+    assert(graft.sources.Versioned.current(spark, root).contains(1))
+    assert(graft.sources.Versioned.readCurrent(spark, root).count() == 5000)
+    val nOut = new java.io.File(root, "v00001").listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nOut < 20, s"expected compaction, got $nOut files")
+    // the run is in the admin tables like any ETL job
+    assert(store.latestBatch("maintenance").exists(_.brokenJobs.isEmpty))
+  }
 }
