@@ -623,7 +623,79 @@ object Analysis {
         round(lit(1.0e12) / col("hhi"), 2).as("effective_sources"))
   }
 
+  /** Group-size threshold below which a quasi-identifier group is flagged
+    * re-identifiable (the k of k-anonymity). */
+  val KanonK = 5
+
+  /** E8 — k-anonymity audit: the re-identification risk report a privacy
+    * review runs before a corpus ships. Documents sharing a
+    * quasi-identifier tuple — here (lang, source, 200-char length bucket);
+    * production swaps in whatever attribute projection release policy
+    * names — form equivalence groups; a group of size g < k means its
+    * members are distinguishable among fewer than k records, the standard
+    * k-anonymity failure. Emits the group-size histogram with each size's
+    * doc mass and risky flag: the shape of the report tells a reviewer
+    * whether to generalize buckets (coarsen), suppress small groups, or
+    * pass. Plan at scale: one QI-keyed aggregate (map-side combinable,
+    * key domain = |langs|·|sources|·|buckets|), then a histogram
+    * aggregate over group sizes — the corpus is scanned once and never
+    * shuffled; both exchanges are vocabulary-sized. */
+  def e8Kanon(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 200").as("len_bucket"))
+      .agg(count(lit(1)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_groups"), asLong(sum(col("g"))).as("n_docs"))
+      .withColumn("risky", col("g") < KanonK)
+      .orderBy("g")
+
+  /** Poisson-bootstrap replicate count and per-(doc, replicate) hash salt. */
+  val BootB = 16
+  val BootSalt = 0x51a7b2396cd40e85L
+  /** Cumulative Poisson(1) CDF in 2^53 units: a draw u53 < BootCdf53(k)
+    * (first match) gets weight k; the tail past 8 (P ≈ 10⁻⁶) caps at 9. */
+  private val BootCdf53 = Seq(3313563428353947L, 6627126856707895L,
+    8283908570884869L, 8836169142277194L, 8974234285125275L,
+    9001847313694891L, 9006449485123161L, 9007106938184342L,
+    9007189119816990L)
+
+  /** E8 — Poisson BOOTSTRAP over the corpus: per-replicate weighted mean
+    * document length with effective sample size — the uncertainty
+    * estimate (spread across replicates ⇒ confidence interval) for any
+    * corpus statistic a release report quotes. Classical bootstrap
+    * resamples n-of-n WITH replacement — inexpressible at scale without
+    * shuffling the corpus B times — but each document's multiplicity in a
+    * replicate is asymptotically Poisson(1), so the standard big-data
+    * form draws a deterministic per-(doc, replicate) Poisson weight
+    * SCAN-SIDE and aggregates: B map-side-combined partial sums, an
+    * exchange of B rows, zero data movement. Weights come from splitmix64
+    * via an exact integer inverse-CDF (u53 vs 2⁵³-unit thresholds — no
+    * float compare to diverge cross-engine), so replicates are
+    * reproducible across runs, engines, and backfills like every e6
+    * sampler. The one double op per replicate is the final mean division,
+    * NULL-guarded for the (never-observed) empty replicate on both
+    * engines. */
+  def e8Bootstrap(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("r"))
+      .withColumn("m", org.apache.spark.sql.graftext.minhashExpression.mix64(
+        (col("doc_id") * BootB + col("r")).bitwiseXOR(lit(BootSalt))))
+      .withColumn("u53", shiftrightunsigned(col("m"), 11))
+      .withColumn("w", BootCdf53.zipWithIndex.foldRight(lit(9L)) {
+        case ((t, k), acc) => when(col("u53") < t, lit(k.toLong)).otherwise(acc)
+      })
+      .groupBy("r")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("nt")).as("swnt"))
+      .select(col("r").cast("long").as("r"), col("n_eff"),
+        when(col("n_eff") > 0,
+          round(col("swnt") / col("n_eff").cast("double"), 4)).as("mean_tokens"))
+      .orderBy("r")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_kanon" -> (e8Kanon _),
+    "e8_bootstrap" -> (e8Bootstrap _),
     "e8_concentration" -> (e8Concentration _),
     "e8_seasonality" -> (e8Seasonality _),
     "e8_corr" -> (e8Corr _),
@@ -645,6 +717,34 @@ object Analysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_kanon" ->
+      s"""WITH q AS (SELECT lang, source, n_chars // 200 AS len_bucket,
+         |    count(*) AS g
+         |  FROM documents GROUP BY 1, 2, 3),
+         |h AS (SELECT g, CAST(count(*) AS BIGINT) AS n_groups,
+         |    CAST(sum(g) AS BIGINT) AS n_docs FROM q GROUP BY g)
+         |SELECT CAST(g AS BIGINT) AS g, n_groups, n_docs,
+         |  g < $KanonK AS risky FROM h ORDER BY g""".stripMargin,
+    "e8_bootstrap" -> {
+      import OracleSql._
+      val cases = BootCdf53.zipWithIndex
+        .map { case (t, k) => s"WHEN u53 < $t THEN $k" }.mkString("\n|  ")
+      s"""WITH dd AS (SELECT doc_id, len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |b0 AS (SELECT doc_id, nt, r.range AS r FROM dd, range(0, $BootB) r),
+         |bm_in AS (SELECT nt, r,
+         |  xor(CAST(doc_id * $BootB + r AS HUGEINT),
+         |      CAST('5883867397891559045' AS HUGEINT)) AS v FROM b0),
+         |${mixCtes("bm", "v", "m", Seq("nt", "r"))},
+         |bw AS (SELECT nt, r, CASE $cases ELSE 9 END AS w FROM
+         |  (SELECT nt, r, m // 2048 AS u53 FROM bm)),
+         |ag AS (SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(w * nt) AS BIGINT) AS swnt FROM bw GROUP BY r)
+         |SELECT CAST(r AS BIGINT) AS r, n_eff,
+         |  CASE WHEN n_eff > 0 THEN round(swnt / CAST(n_eff AS DOUBLE), 4)
+         |  END AS mean_tokens
+         |FROM ag ORDER BY r""".stripMargin
+    },
     "e8_concentration" ->
       """WITH t AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tk

@@ -662,9 +662,11 @@ object TextOps {
     * locality-sensitive sketches, dedup blocking over the e2 machinery),
     * and the signed hash makes collisions cancel in expectation instead
     * of biasing counts. Plan at 100 TB: tokens explode scan-side, the
-    * ONLY exchange is the (doc_id, dim) aggregate — HashDim rows per doc,
-    * map-side combinable — and the norm runs as a HashDim-row window per
-    * doc. Counts stay exact integers; the one double op per row is the
+    * (doc_id, dim) aggregate is map-side combinable (its exchange carries
+    * HashDim rows per doc), and the norm window re-partitions those same
+    * HashDim-per-doc rows by doc_id — both exchanges are output-sized,
+    * never token-sized. Counts stay exact integers; the one double op per
+    * row is the
     * final v/‖v‖ division (sqrt of an exact integer sum — deterministic).
     * Oracle replicates fnv64 in HUGEINT (the e1_simhash treatment); the
     * mod-2⁶⁴-divisible dim/sign extraction makes signed-vs-unsigned

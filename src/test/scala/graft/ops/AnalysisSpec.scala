@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.TestSpark
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, size, split, sum}
+import org.apache.spark.sql.functions.{avg, col, size, split, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions for the E8 corpus-analysis operators: each
@@ -189,6 +189,38 @@ class AnalysisSpec extends AnyFunSuite {
       s"unigram sides and scalar totals must broadcast (got bhj=$nBhj nlj=$nNlj):\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join allowed:\n$plan")
+  }
+
+  test("e8_kanon: group-size histogram reconciles with the corpus; risky flag honors k") {
+    val rows = Analysis.e8Kanon(spark, TestSpark.sf0001).collect()
+    val total = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("risky") ==
+        (r.getAs[Long]("g") < Analysis.KanonK))
+      // n_docs = g * n_groups by construction
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("g") * r.getAs[Long]("n_groups"))
+    }
+  }
+
+  test("e8_bootstrap: replicates are Poisson-sized and means bracket the true mean") {
+    val n = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    val trueMean = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    val rows = Analysis.e8Bootstrap(spark, TestSpark.sf0001).collect()
+    assert(rows.length == Analysis.BootB)
+    // Poisson(1) superposition: n_eff ~ Poisson(n), so within ±6√n of n
+    rows.foreach { r =>
+      val eff = r.getAs[Long]("n_eff")
+      assert(math.abs(eff - n) <= 6 * math.sqrt(n.toDouble), s"n_eff $eff vs $n")
+    }
+    // the replicate means form a CI that contains the point estimate
+    val means = rows.map(_.getAs[Double]("mean_tokens"))
+    assert(means.min <= trueMean && trueMean <= means.max,
+      s"true $trueMean outside [${means.min}, ${means.max}]")
+    // replicates differ (independent salted streams actually resample)
+    assert(means.distinct.length > Analysis.BootB / 2)
   }
 
   test("e8_concentration: HHI bounds, effective sources, and top share reconcile") {
