@@ -148,6 +148,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — HARD-NEGATIVE mining: for every vector, the most similar vector
+    * with a DIFFERENT label — the contrastive-training data op (triplet /
+    * InfoNCE batches want negatives that are hard, i.e. near the anchor,
+    * not random; retrieval fine-tuning mines them exactly like this). The
+    * per-query predicate is RELATIVE (`b.label ≠ a.label`), which no
+    * static pre-filter can express — the complement of e2_ann_filtered's
+    * fixed-slice case, and together they cover the two filtered-search
+    * shapes. Plan: the same broadcast-seed IVF cell join as e2_ann_ivf
+    * (probe top-2 cells for coverage), with the label inequality fused
+    * into the join condition so mismatched pairs never materialize;
+    * work stays n·√n cell-local. Labels ride the assignment projection —
+    * no extra join. */
+  def e2HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    def assigned(nProbe: Int): DataFrame =
+      e.join(broadcast(seeds))
+        .withColumn("c_sim",
+          graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")))
+        .withColumn("c_rn", row_number().over(assignW))
+        .filter(col("c_rn") <= nProbe)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+          col("cell"))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    assigned(2).as("a")
+      .join(assigned(1).as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.label") =!= col("b.label"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("negative_id"),
+        col("b.label").as("negative_label"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Vectors with their top-`nProbe` cells by cosine (ties to the lower
     * cell id), via one broadcast of the √n seed set. */
   private def ivfAssigned(e: DataFrame, seeds: DataFrame, nProbe: Int): DataFrame = {
@@ -764,6 +805,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_sq8" -> (e2Sq8 _),
     "e2_ann_filtered" -> (e2AnnFiltered _),
+    "e2_hard_negatives" -> (e2HardNegatives _),
     "e2_semdedup" -> (e2Semdedup _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
@@ -1163,6 +1205,21 @@ object Similarity {
     "e2_ann_lsh" -> annLshOracle,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),
+    "e2_hard_negatives" ->
+      s"""WITH ${ivfCtes(2)},
+         |pl AS (SELECT p.vec_id, p.e, p.cell, em.label
+         |  FROM probe p JOIN embeddings em ON p.vec_id = em.vec_id),
+         |bl AS (SELECT b.vec_id, b.e, b.cell, em.label
+         |  FROM build b JOIN embeddings em ON b.vec_id = em.vec_id)
+         |SELECT vec_id, label, negative_id, negative_label,
+         |  round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS vec_id, a.label AS label,
+         |    b.vec_id AS negative_id, b.label AS negative_label,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM pl a JOIN bl b ON a.cell = b.cell AND a.label <> b.label)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e2_ann_filtered" ->
       s"""WITH ${ivfCtes(2)},
          |fb AS (SELECT b.vec_id, b.e, b.cell FROM build b

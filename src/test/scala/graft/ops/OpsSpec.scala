@@ -1094,6 +1094,24 @@ class OpsSpec extends AnyFunSuite {
       s"label predicate must reach parquet:\n${plan.take(4000)}")
   }
 
+  test("e2_hard_negatives: every mined negative crosses the label boundary, full coverage") {
+    val rows = Similarity.e2HardNegatives(spark, TestSpark.sf0001).collect()
+    val n = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
+    // any other label qualifies, so (unlike the fixed-slice filtered
+    // search) every probed vector finds a negative in its cells
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") != r.getAs[Int]("negative_label"))
+      val s = r.getAs[Double]("sim")
+      assert(s >= -1.0001 && s <= 1.0001)
+    }
+    // hard negatives are near the anchor by construction: the median
+    // mined similarity must beat a random-pair baseline (~0 for random
+    // directions)
+    val sims = rows.map(_.getAs[Double]("sim")).sorted
+    assert(sims(sims.length / 2) > 0.1, s"median ${sims(sims.length / 2)}")
+  }
+
   test("e3_hash_embed: per-doc vectors are unit-norm, dims in range, counts reconcile") {
     val rows = TextOps.e3HashEmbed(spark, TestSpark.sf0001).collect()
     assert(rows.forall { r =>
