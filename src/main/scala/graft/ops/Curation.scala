@@ -276,7 +276,40 @@ object Curation {
       .orderBy("section", "metric")
   }
 
+  /** Max share (percent) any single source may hold of the corpus token
+    * budget. */
+  val SourceCapPct = 25L
+
+  /** E7 — per-source token CAP (the RefinedWeb/C4-style domain cap): no
+    * source may exceed SourceCapPct% of the total token budget, so one
+    * over-crawled domain cannot dominate the mixture no matter how large
+    * it lands (the complement of e7_temperature_mix, which rebalances
+    * smoothly — a cap is the hard guarantee a data-governance policy can
+    * state). Emits, per source: its raw tokens, whether the cap binds,
+    * the kept token budget, and the integer-ppm keep rate a downstream
+    * deterministic sampler (e7_mixture_sample's gate with this rate)
+    * enforces document-by-document. All arithmetic is exact integers —
+    * cap = total·pct div 100, rates in ppm — so the policy table is
+    * bit-stable across engines and backfills. Plan: one |sources|-key
+    * aggregate over the scan; the cap math runs on the source table with
+    * a broadcast 1-row total. */
+  def e7SourceCaps(s: SparkSession, d: String): DataFrame = {
+    val perSrc = documents(s, d)
+      .groupBy("source")
+      .agg(asLong(sum(size(split(col("text"), " ")))).as("tokens"))
+    val tot = broadcast(perSrc.agg(asLong(sum(col("tokens"))).as("total")))
+    perSrc.crossJoin(tot)
+      .withColumn("cap_tokens", expr(s"total * $SourceCapPct div 100"))
+      .withColumn("capped", col("tokens") > col("cap_tokens"))
+      .withColumn("kept_tokens", least(col("tokens"), col("cap_tokens")))
+      .withColumn("keep_rate_ppm", expr("1000000 * kept_tokens div tokens"))
+      .select(col("source"), col("tokens"), col("capped"),
+        col("kept_tokens"), col("keep_rate_ppm"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_source_caps" -> (e7SourceCaps _),
     "e7_dataset_card" -> (e7DatasetCard _),
     "e7_mixture_sample" -> (e7MixtureSample _),
     "e7_funnel" -> (e7Funnel _),
@@ -287,6 +320,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_source_caps" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM t),
+         |c AS (SELECT source, tokens,
+         |    CAST((total * $SourceCapPct) // 100 AS BIGINT) AS cap_tokens
+         |  FROM t CROSS JOIN g)
+         |SELECT source, tokens, tokens > cap_tokens AS capped,
+         |  least(tokens, cap_tokens) AS kept_tokens,
+         |  CAST((1000000 * least(tokens, cap_tokens)) // tokens AS BIGINT)
+         |    AS keep_rate_ppm
+         |FROM c ORDER BY source""".stripMargin,
     // the span and quality-model sections reuse those queries' own oracle
     // SQL verbatim as subqueries — the card can never drift from the
     // declared queries it summarizes

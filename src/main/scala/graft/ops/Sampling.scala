@@ -72,6 +72,36 @@ object Sampling {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("split", "lang")
 
+  /** E6 — near-dup-CLUSTER-aware train/val/test split: the split key is
+    * the document's cluster label (min doc_id of its near-dup component),
+    * not the document id — so a document and its near-duplicates can
+    * NEVER straddle splits. A doc-level split leaks: a test document
+    * whose near-copy sits in train is memorization dressed as
+    * generalization (exactly what e1_contamination measures after the
+    * fact; this op prevents it by construction). Singleton documents get
+    * cluster = their own id, so their assignment is IDENTICAL to
+    * e6_train_val_test — the cluster-aware split only moves documents
+    * that have near-duplicates, and the spec proves both the invariance
+    * and the no-straddle property against the pair table. Plan: the
+    * cluster labels come from the shared pair-table propagation
+    * (pair-sized, not corpus-sized), then one doc_id join and the same
+    * scan-side splitmix slot gate as every e6 sampler; the summary
+    * aggregate is 3 rows. */
+  def e6ClusterSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      documents(s, d).select(col("doc_id")), Dedup.minhashPairTable(s, d))
+      .join(documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt")), Seq("doc_id"))
+      .withColumn("slot", slot(col("cluster"), SplitSalt))
+      .withColumn("split",
+        when(col("slot") < 90, "train")
+          .when(col("slot") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("tot_tokens"))
+      .orderBy("split")
+
   /** E6 — quality-weighted deterministic sampling: a document is kept
     * with probability proportional to its quality score (the up-weighting
     * a curation pipeline applies so high-quality text is over-represented
@@ -241,6 +271,7 @@ object Sampling {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_dsir" -> (e6Dsir _),
+    "e6_cluster_split" -> (e6ClusterSplit _),
     "e6_manifest" -> (e6Manifest _),
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
@@ -265,6 +296,37 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // cluster labels from the recursive-CTE replica of the LSH pair
+    // pipeline; the slot gate is the shared splitmix chain applied to the
+    // CLUSTER id (unsigned m mod 2^63 = Spark's & Long.MaxValue)
+    "e6_cluster_split" -> {
+      import OracleSql._
+      s"""WITH RECURSIVE ${Dedup.minhashCtes},
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |cl AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+         |ntt AS (SELECT doc_id, len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |sp_in AS (SELECT cluster, cl.doc_id, nt,
+         |  xor(CAST(cluster AS HUGEINT),
+         |      CAST('${Sampling.SplitSalt}' AS HUGEINT)) AS v
+         |  FROM cl JOIN ntt USING (doc_id)),
+         |${mixCtes("sp", "v", "m", Seq("cluster", "doc_id", "nt"))},
+         |lab AS (SELECT cluster, nt,
+         |  CASE WHEN (m % CAST(power(2, 63) AS HUGEINT)) % 100 < 90
+         |         THEN 'train'
+         |       WHEN (m % CAST(power(2, 63) AS HUGEINT)) % 100 < 95
+         |         THEN 'val'
+         |       ELSE 'test' END AS split FROM sp)
+         |SELECT split, CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS tot_tokens
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin
+    },
     // per-token FNV-1a 64 replicated in HUGEINT (the simhash oracle's
     // fold), bucket = unsigned h mod 64 — equal to Spark's pmod(signed,
     // 64) because 64 divides 2^64 so the signed fold leaves the low six

@@ -1094,6 +1094,52 @@ class OpsSpec extends AnyFunSuite {
       s"label predicate must reach parquet:\n${plan.take(4000)}")
   }
 
+  test("e6_cluster_split: no near-dup pair straddles splits; doc-level split WOULD leak") {
+    def splitOf(key: Long, salt: Long): String = {
+      // replica of Sampling.slot: splitmix64(key ^ salt) & MaxValue % 100
+      var z = (key ^ salt) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val m = (z ^ (z >>> 31)) & Long.MaxValue
+      val s = m % 100
+      if (s < 90) "train" else if (s < 95) "val" else "test"
+    }
+    val clusters = Dedup.e1DedupClusters(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val pairs = Dedup.e1MinhashPairs(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    // the no-straddle property: both ends of every near-dup pair get the
+    // same (cluster-keyed) split
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(clusters(a), Sampling.SplitSalt) ==
+        splitOf(clusters(b), Sampling.SplitSalt), s"pair ($a,$b) straddles")
+    }
+    // and the doc-level split genuinely leaks on this fixture (the
+    // failure mode the operator exists to prevent)
+    assert(pairs.exists { case (a, b) =>
+      splitOf(a, Sampling.SplitSalt) != splitOf(b, Sampling.SplitSalt) })
+    // summary reconciles with the corpus
+    val rows = Sampling.e6ClusterSplit(spark, TestSpark.sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clusters.size)
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+      clusters.values.toSet.size)
+  }
+
+  test("e7_source_caps: cap binds only above the share, kept budget respects it") {
+    val rows = Curation.e7SourceCaps(spark, TestSpark.sf0001).collect()
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    val cap = total * Curation.SourceCapPct / 100
+    rows.foreach { r =>
+      val (tk, kept) = (r.getAs[Long]("tokens"), r.getAs[Long]("kept_tokens"))
+      assert(kept <= cap && kept <= tk)
+      assert(r.getAs[Boolean]("capped") == (tk > cap))
+      if (tk <= cap) {
+        assert(kept == tk)
+        assert(r.getAs[Long]("keep_rate_ppm") == 1000000L)
+      }
+    }
+  }
+
   test("e2_hard_negatives: every mined negative crosses the label boundary, full coverage") {
     val rows = Similarity.e2HardNegatives(spark, TestSpark.sf0001).collect()
     val n = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
