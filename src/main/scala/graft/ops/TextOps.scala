@@ -691,7 +691,42 @@ object TextOps {
       .orderBy("doc_id", "dim")
   }
 
+  /** E3 — character-entropy gibberish score: Shannon entropy (nats) of
+    * each document's character distribution — the quality axis the
+    * length/stopword/repetition gates miss (random-key gibberish has
+    * HIGH entropy, single-char flood has ~0; natural text sits in a
+    * narrow band, so both tails are drop candidates — the Gopher/C4
+    * rule-family member for non-linguistic noise). Plan at scale: the
+    * char explode is scan-side; the (doc, char) count aggregate's
+    * exchange carries ≤|alphabet| rows per doc, and the per-doc fold
+    * runs over that same bounded set. The entropy sum is folded in
+    * SORTED char order on BOTH engines (the e3_bm25 treatment) so float
+    * summation order can never split them; docs with empty text are
+    * excluded on both sides (entropy of nothing is undefined, and
+    * `sequence(1, 0)` is a descending range in Spark). */
+  def e3Entropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        col("text"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+        .as("ch"))
+      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"), col("ch"),
+        (col("c") / col("n") * log(col("n") / col("c"))).as("t"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("distinct_chars"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("ch"), col("t")))),
+            x => x("t")),
+          lit(0.0), (acc, x) => acc + x), 4).as("entropy"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
+        col("entropy"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_entropy" -> (e3Entropy _),
     "e3_hash_embed" -> (e3HashEmbed _),
     "e3_bpe_pairs" -> (e3BpePairs _),
     "e3_bpe_merge" -> (e3BpeMerge _),
@@ -743,6 +778,23 @@ object TextOps {
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_entropy" ->
+      """WITH d0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text
+        |  FROM documents WHERE length(text) >= 1),
+        |ch AS (SELECT doc_id, n,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> substring(text, CAST(i AS INT), 1))) AS ch
+        |  FROM d0),
+        |cc AS (SELECT doc_id, n, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, n, ch,
+        |    (CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) AS t
+        |  FROM cc)
+        |SELECT doc_id, n AS n_chars, CAST(count(*) AS BIGINT)
+        |    AS distinct_chars,
+        |  round(list_reduce(list_prepend(0.0, list(t ORDER BY ch)),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM tt GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "e3_hash_embed" ->
       s"""WITH t AS (SELECT doc_id,
          |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok

@@ -1094,6 +1094,24 @@ class OpsSpec extends AnyFunSuite {
       s"label predicate must reach parquet:\n${plan.take(4000)}")
   }
 
+  test("e3_entropy: matches a direct Shannon computation and respects the log bound") {
+    val rows = TextOps.e3Entropy(spark, TestSpark.sf0001).collect()
+    val texts = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val n = t.length.toDouble
+      val h = t.groupBy(identity).values
+        .map(g => g.size / n * math.log(n / g.size)).sum
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-3)
+      // H <= ln(distinct_chars) — the uniform-distribution bound
+      assert(r.getAs[Double]("entropy") <=
+        math.log(r.getAs[Long]("distinct_chars").toDouble) + 1e-9)
+    }
+  }
+
   test("e6_cluster_split: no near-dup pair straddles splits; doc-level split WOULD leak") {
     def splitOf(key: Long, salt: Long): String = {
       // replica of Sampling.slot: splitmix64(key ^ salt) & MaxValue % 100
