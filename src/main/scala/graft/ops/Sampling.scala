@@ -102,6 +102,39 @@ object Sampling {
         count(lit(1)).as("n_docs"), sum(col("nt")).as("tot_tokens"))
       .orderBy("split")
 
+  /** Percent of the event-time span that lands in the train split. */
+  val TimeSplitPct = 80L
+
+  /** E6 — TEMPORAL train/eval split over the event stream: train on the
+    * first TimeSplitPct% of the time span, evaluate on the rest — the
+    * split forecasting / recommendation / anomaly models require, where
+    * a hash split would leak the future into training (the temporal
+    * analogue of e6_cluster_split's near-dup leakage). The cutoff is
+    * exact integer arithmetic on epoch micros (min + span·pct div 100),
+    * so the boundary is bit-stable across engines and backfills — a
+    * re-run of the split against the same snapshot reproduces it
+    * exactly. Emits per split: event/user/type counts and the actual
+    * time range, whose non-overlap IS the no-leakage property (asserted
+    * in spec). Plan: one broadcast 1-row bounds aggregate, a scan-side
+    * integer gate, and a 2-key aggregate — the stream is read once,
+    * never shuffled beyond the final 2-row exchange. */
+  def e6TimeSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("ts"), col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    val bounds = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx")))
+    ev.crossJoin(bounds)
+      .withColumn("cutoff", expr(s"mn + (mx - mn) * $TimeSplitPct div 100"))
+      .withColumn("split",
+        when(col("us") < col("cutoff"), "train").otherwise("eval"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("to_ts"))
+      .orderBy("split")
+  }
+
   /** E6 — quality-weighted deterministic sampling: a document is kept
     * with probability proportional to its quality score (the up-weighting
     * a curation pipeline applies so high-quality text is over-represented
@@ -272,6 +305,7 @@ object Sampling {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e6_dsir" -> (e6Dsir _),
     "e6_cluster_split" -> (e6ClusterSplit _),
+    "e6_time_split" -> (e6TimeSplit _),
     "e6_manifest" -> (e6Manifest _),
     "e6_stratified_sample" -> (e6StratifiedSample _),
     "e6_sample_ids" -> (e6SampleIds _),
@@ -296,6 +330,20 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "e6_time_split" ->
+      s"""WITH e AS (SELECT ts, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+         |g AS (SELECT ts, user_id, event_type,
+         |    CASE WHEN us < mn + ((mx - mn) * $TimeSplitPct) // 100
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM e CROSS JOIN b)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS from_ts,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS to_ts
+         |FROM g GROUP BY split ORDER BY split""".stripMargin,
     // cluster labels from the recursive-CTE replica of the LSH pair
     // pipeline; the slot gate is the shared splitmix chain applied to the
     // CLUSTER id (unsigned m mod 2^63 = Spark's & Long.MaxValue)

@@ -1143,6 +1143,21 @@ class OpsSpec extends AnyFunSuite {
       clusters.values.toSet.size)
   }
 
+  test("e6_time_split: no temporal leakage — train strictly precedes eval at the 80/20 cutoff") {
+    val rows = Sampling.e6TimeSplit(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "eval"))
+    // the no-leakage property: the whole train range precedes eval
+    assert(rows("train").getAs[String]("to_ts") <
+      rows("eval").getAs[String]("from_ts"))
+    // counts reconcile and the cut lands near 80/20 of the SPAN (event
+    // density varies, so only sanity-bound the ratio)
+    val (nt, ne) = (rows("train").getAs[Long]("n_events"),
+      rows("eval").getAs[Long]("n_events"))
+    assert(nt + ne == graft.Tables.events(spark, TestSpark.sf0001).count())
+    assert(nt > ne, s"train $nt should dominate eval $ne")
+  }
+
   test("e7_source_caps: cap binds only above the share, kept budget respects it") {
     val rows = Curation.e7SourceCaps(spark, TestSpark.sf0001).collect()
     val total = rows.map(_.getAs[Long]("tokens")).sum
