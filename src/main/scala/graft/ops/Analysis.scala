@@ -602,24 +602,29 @@ object Analysis {
     * the only float op is the final 10¹²/HHI division. Reference
     * analogue: the per-table row-count health checks lime-etl publishes
     * per run (`job_test_result.py`), lifted to a distribution statistic.
-    * Plan at scale: one |sources|-key map-side-combined aggregate over the
-    * scan; everything after runs on the vocabulary-sized source table
-    * (broadcast total, TakeOrdered top-1) — the corpus is read once and
-    * never shuffled. */
+    * Plan at scale: ONE |sources|-key map-side-combined aggregate over
+    * ONE corpus scan; the total/ppm enrichment is a whole-table window
+    * over the tiny source table and the report is one more 1-row
+    * aggregate (argmax via min(struct(−ppm, source)) so the tie-break is
+    * smallest source name). The first cut of this query derived
+    * total/top/HHI as separate consumers of the source aggregate, which
+    * Catalyst planned as FIVE corpus scans — the single-consumer chain
+    * below is scan-count-asserted in AnalysisSpec. */
   def e8Concentration(s: SparkSession, d: String): DataFrame = {
-    val perSrc = documents(s, d)
+    val w = Window.partitionBy() // the |sources|-row table, not the corpus
+    documents(s, d)
       .groupBy("source")
       .agg(asLong(sum(size(split(col("text"), " ")))).as("tk"))
-    val g = broadcast(perSrc.agg(count(lit(1)).as("n_sources"),
-      asLong(sum(col("tk"))).as("total_tokens")))
-    val sp = perSrc.crossJoin(g)
-      .select(col("source"), expr("1000000 * tk div total_tokens").as("ppm"))
-    val top = sp.orderBy(col("ppm").desc, col("source")).limit(1)
-      .select(col("source").as("top_source"), col("ppm").as("top_share_ppm"))
-    val h = sp.agg(asLong(sum(col("ppm") * col("ppm"))).as("hhi"))
-    g.crossJoin(broadcast(top)).crossJoin(broadcast(h))
-      .select(col("n_sources"), col("total_tokens"), col("top_source"),
-        col("top_share_ppm"), col("hhi"),
+      .withColumn("total_tokens", asLong(sum(col("tk")).over(w)))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .withColumn("ppm", expr("1000000 * tk div total_tokens"))
+      .groupBy("n_sources", "total_tokens")
+      .agg(asLong(sum(col("ppm") * col("ppm"))).as("hhi"),
+        min(struct(negate(col("ppm")).as("np"), col("source"), col("ppm")))
+          .as("top"))
+      .select(col("n_sources"), col("total_tokens"),
+        col("top.source").as("top_source"),
+        col("top.ppm").as("top_share_ppm"), col("hhi"),
         round(lit(1.0e12) / col("hhi"), 2).as("effective_sources"))
   }
 

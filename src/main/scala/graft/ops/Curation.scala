@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus-curation composites over `documents` — the queries a
@@ -290,15 +291,17 @@ object Curation {
     * deterministic sampler (e7_mixture_sample's gate with this rate)
     * enforces document-by-document. All arithmetic is exact integers —
     * cap = total·pct div 100, rates in ppm — so the policy table is
-    * bit-stable across engines and backfills. Plan: one |sources|-key
-    * aggregate over the scan; the cap math runs on the source table with
-    * a broadcast 1-row total. */
+    * bit-stable across engines and backfills. Plan: ONE |sources|-key
+    * aggregate over ONE corpus scan; the total rides a whole-table
+    * window over the tiny source table (a separate total aggregate
+    * branch would re-scan the corpus — the e8_concentration lesson,
+    * scan-count-asserted in AnalysisSpec). */
   def e7SourceCaps(s: SparkSession, d: String): DataFrame = {
-    val perSrc = documents(s, d)
+    documents(s, d)
       .groupBy("source")
       .agg(asLong(sum(size(split(col("text"), " ")))).as("tokens"))
-    val tot = broadcast(perSrc.agg(asLong(sum(col("tokens"))).as("total")))
-    perSrc.crossJoin(tot)
+      .withColumn("total",
+        asLong(sum(col("tokens")).over(Window.partitionBy())))
       .withColumn("cap_tokens", expr(s"total * $SourceCapPct div 100"))
       .withColumn("capped", col("tokens") > col("cap_tokens"))
       .withColumn("kept_tokens", least(col("tokens"), col("cap_tokens")))

@@ -574,12 +574,26 @@ object TextOps {
     * iteration runs on this tiny table with counts as weights — the
     * corpus is never rescanned. At 100 TB this is the difference between
     * a merge loop over terabytes and one over megabytes (word vocabulary
-    * grows ~Heaps-law sublinearly; see e3_vocab_growth). */
+    * grows ~Heaps-law sublinearly; see e3_vocab_growth). Memoized per
+    * (session, corpus path) with a localCheckpoint — e3_bpe_merge has two
+    * consumers (the argmax pick and the fold), and without the
+    * materialization each consumer re-planned the corpus scan; same
+    * immutable-corpus-path contract as Dedup's shingle/pair memos
+    * (Dedup.clearMemos is the sweep-driver hook). */
+  private val wordFreqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop the memoized word-frequency tables (the Dedup/Similarity
+    * clearMemos contract for sweep drivers that churn corpus paths). */
+  def clearMemos(): Unit = wordFreqCache.clear()
+
   private def wordFreq(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("wn"))
+    wordFreqCache.computeIfAbsent((s, d), _ =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .localCheckpoint(false))
 
   /** E3 — BPE tokenizer training, the counting step: corpus-wide adjacent
     * character-pair frequencies (occurrence-weighted, exactly what a

@@ -191,6 +191,28 @@ class AnalysisSpec extends AnyFunSuite {
       s"no corpus-sized shuffle join allowed:\n$plan")
   }
 
+  test("single-scan report queries read the corpus exactly once") {
+    // the lesson this pins: multiple consumers of the same aggregate
+    // re-plan the corpus scan per branch (e8_concentration's first cut
+    // read documents FIVE times) — totals must ride windows over the
+    // tiny aggregate, not separate aggregate branches
+    for ((name, df) <- Seq(
+        "e8_concentration" -> Analysis.e8Concentration(spark, TestSpark.sf001),
+        "e7_source_caps" -> Curation.e7SourceCaps(spark, TestSpark.sf001),
+        "e8_kanon" -> Analysis.e8Kanon(spark, TestSpark.sf001),
+        "e8_bootstrap" -> Analysis.e8Bootstrap(spark, TestSpark.sf001))) {
+      val plan = finalPlan(df)
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"$name: expected 1 corpus scan, got $scans:\n$plan")
+    }
+    // bpe_merge: two consumers of the MEMOIZED word-frequency table — the
+    // corpus scan happens once at materialization; the query plan itself
+    // must contain no parquet scan at all (checkpointed RDD scans only)
+    val bpe = finalPlan(TextOps.e3BpeMerge(spark, TestSpark.sf001))
+    assert(!bpe.contains("Scan parquet"),
+      s"bpe_merge must run off the checkpointed word-frequency table:\n$bpe")
+  }
+
   test("e8_kanon: group-size histogram reconciles with the corpus; risky flag honors k") {
     val rows = Analysis.e8Kanon(spark, TestSpark.sf0001).collect()
     val total = graft.Tables.documents(spark, TestSpark.sf0001).count()
