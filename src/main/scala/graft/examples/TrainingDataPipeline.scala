@@ -179,8 +179,55 @@ object TrainingDataPipeline {
             s"${p.get("doc_id").map(_._1)} nulls"))
       })
 
+    val splitCorpus = SimpleJob("split_corpus", dependencies = Seq("publish_corpus"),
+      runFn = (s, log) => {
+        // leakage-safe train/val/test: dedup DROPPED only >= 0.8
+        // near-copies, but for SPLITTING the bar is stricter — any
+        // >= 0.2-similar pair straddling train/test is soft contamination
+        // (shared passages, templates). So the split key is the
+        // connected-component label over the FULL persisted pair table
+        // (no jaccard filter), and the gate is the same splitmix slot as
+        // the declared e6_cluster_split. Related-but-kept documents land
+        // in the same split by construction.
+        val corpus = s.read.parquet(s"$outDir/corpus")
+        val pairs = Dedup.materializedPairTable(s, sfDir, s"$outDir/pairs")
+          .select("da", "db")
+        val cl = Dedup.connectedComponents(corpus.select(col("doc_id")), pairs)
+        val slotC = graft.ops.Sampling.slot(col("cluster"),
+          graft.ops.Sampling.SplitSalt)
+        corpus.join(cl, Seq("doc_id"))
+          .withColumn("split",
+            when(slotC < 90, "train").when(slotC < 95, "val")
+              .otherwise("test"))
+          .drop("cluster")
+          .write.mode("overwrite").parquet(s"$outDir/splits")
+        log.info(s"split_corpus wrote $outDir/splits")
+        JobStatus.Successful
+      },
+      testFn = (s, _) => {
+        val splits = s.read.parquet(s"$outDir/splits")
+          .select("doc_id", "split")
+        val pairs = s.read.parquet(s"$outDir/pairs").select("da", "db")
+        // the no-leakage invariant: no persisted near-dup pair may have
+        // surviving endpoints in different splits
+        val straddle = pairs
+          .join(splits.withColumnRenamed("doc_id", "da")
+            .withColumnRenamed("split", "sa"), Seq("da"))
+          .join(splits.withColumnRenamed("doc_id", "db")
+            .withColumnRenamed("split", "sb"), Seq("db"))
+          .filter(col("sa") =!= col("sb")).count()
+        val perSplit = splits.groupBy("split").count().count()
+        Seq(
+          if (straddle == 0) SimpleTestResult.passing("no near-dup pair straddles splits")
+          else SimpleTestResult.failing("no near-dup pair straddles splits",
+            s"$straddle straddling pairs"),
+          if (perSplit == 3) SimpleTestResult.passing("all three splits populated")
+          else SimpleTestResult.failing("all three splits populated",
+            s"$perSplit splits"))
+      })
+
     Batch("training_data_curation",
-      Seq(dedup, quality, featurize, chunkPack, publish, profile))
+      Seq(dedup, quality, featurize, chunkPack, publish, profile, splitCorpus))
   }
 
   /** Convenience runner for manual use: sbt "runMain graft.examples.TrainingDataPipeline". */

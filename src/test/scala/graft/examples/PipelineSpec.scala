@@ -18,7 +18,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(status.brokenJobs.isEmpty, s"broken: ${status.brokenJobs}")
     assert(status.jobResults.map(_.jobName) == Seq("dedup_documents",
       "quality_filter", "featurize", "chunk_pack", "publish_corpus",
-      "profile_corpus"))
+      "profile_corpus", "split_corpus"))
     assert(status.jobResults.forall(_.status == JobStatus.Successful))
     val corpus = spark.read.parquet(s"$out/corpus")
     val nIn = graft.Tables.documents(spark, TestSpark.sf001).count()
@@ -64,6 +64,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == declared)
     assert(dir.listFiles().map(f => f.getName -> f.lastModified()).toMap == mtimes,
       "existing pair table must not be rewritten")
+    // the split table covers the published corpus exactly, and the
+    // no-straddle invariant holds over the FULL persisted pair set (its
+    // own data test asserted it; re-check independently here)
+    val splits = spark.read.parquet(s"$out/splits")
+    assert(splits.count() == nOut)
+    val sMap = splits.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    pairsOnDisk.foreach { case (a, b) =>
+      (sMap.get(a), sMap.get(b)) match {
+        case (Some(x), Some(y)) => assert(x == y, s"pair ($a,$b) straddles")
+        case _ => // an endpoint was curated away — nothing to leak
+      }
+    }
   }
 
   test("a checkpointed streaming ingest runs as a control-plane job") {
