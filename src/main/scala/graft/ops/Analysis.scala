@@ -155,10 +155,12 @@ object Analysis {
     * at most sources × languages rows after map-side combine — then a
     * per-source fold; nothing corpus-sized is shuffled. */
   def e8Diversity(s: SparkSession, d: String): DataFrame = {
+    // per-source doc totals via a window over the sources×langs cell
+    // table — a separate per-source aggregate branch re-scans the corpus
     val bl = documents(s, d).groupBy("source", "lang")
       .agg(count(lit(1)).as("c"))
-    val tot = bl.groupBy("source").agg(sum(col("c")).as("n"))
-    bl.join(tot, "source")
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    bl
       .groupBy("source")
       .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
         round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 4)
@@ -408,12 +410,13 @@ object Analysis {
     * the only doubles are one division and the log₁₀ constants, computed
     * identically. One scan, 9-key map-side-combined aggregate. */
   def e8Benford(s: SparkSession, d: String): DataFrame = {
-    val digits = orders(s, d)
+    orders(s, d)
       .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
         .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val tot = digits.agg(sum(col("n")).as("t"))
-    digits.crossJoin(broadcast(tot))
+      // total via a whole-table window over the 9-digit table — a
+      // separate total aggregate branch re-scans orders
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n"),
         round(col("n") / col("t").cast("double"), 4).as("share"),
         round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
@@ -578,12 +581,14 @@ object Analysis {
     * cardinality per cell bounds the distinct exchange), then the 1-row
     * total broadcast back — fixed-size exchanges at any corpus size. */
   def e8Seasonality(s: SparkSession, d: String): DataFrame = {
-    val cells = events(s, d)
+    events(s, d)
       .groupBy(weekday(col("ts")).cast("long").as("wd"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
-    cells.crossJoin(broadcast(cells.agg(sum(col("n_events")).as("tot"))))
+      // total via a whole-table window over the 168-cell table — a
+      // separate total aggregate branch re-scans the event stream
+      .withColumn("tot", sum(col("n_events")).over(Window.partitionBy()))
       .select(col("wd"), col("hr"), col("n_events"), col("n_users"),
         expr("1000000 * n_events div tot").as("ppm"))
       .orderBy("wd", "hr")

@@ -80,21 +80,23 @@ object Curation {
     * language mixing is tuned against exactly this table, then enforced
     * by the E6 samplers). Plan: one scan-side token count → one
     * (lang, source) aggregate (map-side combined, |langs|×|sources| keys
-    * at any corpus size) → a 1-row broadcast cross join for the
-    * denominator (never a collected scalar). Integer token sums keep the
-    * one rounded division oracle-exact. */
-  def e7Mixture(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
+    * at any corpus size) → the denominator as a whole-table window over
+    * that tiny cell table (never a collected scalar, and never a second
+    * aggregate branch — which would re-scan the corpus). Integer token
+    * sums keep the one rounded division oracle-exact. */
+  def e7Mixture(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("nt"))
-    val total = tok.agg(sum(col("nt")).as("total_tokens"))
-    tok.groupBy("lang", "source")
+      .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
-      .join(broadcast(total))
+      // denominator via a whole-table window over the |langs|×|sources|
+      // cell table — a separate total aggregate branch would re-scan the
+      // corpus (the e8_concentration lesson)
+      .withColumn("total_tokens", sum(col("tokens")).over(Window.partitionBy()))
       .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
         round(col("tokens") / col("total_tokens"), 6).as("token_share"))
       .orderBy("lang", "source")
-  }
 
   /** E7 — temperature-smoothed source sampling weights (α = 0.5): the
     * standard multilingual/multi-domain rebalancing — sample source i with
@@ -110,16 +112,21 @@ object Curation {
     * avoided: sqrt values are rounded to 6dp and summed as DECIMAL (an
     * EXACT, order-independent sum — a raw double sum would depend on
     * partition order), and only the final already-rounded divisions are
-    * double. Plan: |sources|-key aggregate, 1-row broadcast denominator —
-    * flat at any corpus size. */
+    * double. Plan: ONE |sources|-key aggregate over ONE scan, totals via
+    * whole-table windows over the source table — flat at any corpus
+    * size. */
   def e7TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    // totals ride a whole-table window over the source table (a separate
+    // total aggregate branch re-scans the corpus — the e8_concentration
+    // lesson); DECIMAL window sums stay exact and order-independent
     val bySrc = documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("tokens"))
       .withColumn("w", round(sqrt(col("tokens")), 6).cast("decimal(28,6)"))
-    val total = bySrc.agg(sum(col("tokens")).as("total_tokens"),
-      sum(col("w")).as("total_w"))
-    bySrc.join(broadcast(total))
+      .withColumn("total_tokens",
+        sum(col("tokens")).over(Window.partitionBy()))
+      .withColumn("total_w", sum(col("w")).over(Window.partitionBy()))
+    bySrc
       .select(col("source"), col("tokens"),
         round(col("tokens") / col("total_tokens"), 6).as("natural_share"),
         round(col("w").cast("double") / col("total_w").cast("double"), 6)
@@ -199,28 +206,31 @@ object Curation {
     * itself is never shuffled. */
   def e7MixtureSample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftext.minhashExpression.mix64
+    // every corpus-level total rides a whole-table WINDOW over the tiny
+    // source table: the first cut derived tt/tw/max_ep/kt as separate
+    // aggregate branches and Catalyst re-planned the corpus scan per
+    // branch — TEN scans; this shape is two (the rate build and the keep
+    // gate), scan-count-asserted in AnalysisSpec
+    val wAll = Window.partitionBy()
     val docs = documents(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("nt"))
-    val bySrc = docs.groupBy("source").agg(sum(col("nt")).as("tokens"))
+    val rates = docs.groupBy("source").agg(sum(col("nt")).as("tokens"))
       .withColumn("w", round(sqrt(col("tokens")), 6).cast("decimal(28,6)"))
-    val tot = bySrc.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("tw"))
-    val ep = bySrc.join(broadcast(tot))
-      .select(col("source"),
+      .withColumn("tt", sum(col("tokens")).over(wAll))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .withColumn("epochs",
         round((col("w").cast("double") / col("tw").cast("double")) /
-          (col("tokens").cast("double") / col("tt").cast("double")), 4)
-          .as("epochs"))
-    val mx = ep.agg(max(col("epochs")).as("max_ep"))
-    val rates = ep.join(broadcast(mx))
+          (col("tokens").cast("double") / col("tt").cast("double")), 4))
+      .withColumn("max_ep", max(col("epochs")).over(wAll))
       .select(col("source"), round(col("epochs") / col("max_ep"), 6).as("rate"))
       .withColumn("thr", floor(col("rate") * MixRateRes).cast("long"))
-    val kept = docs.join(broadcast(rates), "source")
+    docs.join(broadcast(rates), "source")
       .filter(pmod(mix64(col("doc_id").bitwiseXOR(lit(MixSampleSalt)))
         .bitwiseAND(lit(Long.MaxValue)), lit(MixRateRes)) < col("thr"))
-    val agg = kept.groupBy("source")
+      .groupBy("source")
       .agg(max(col("rate")).as("rate"), count(lit(1)).as("n_kept"),
         sum(col("nt")).as("tokens_kept"))
-    val ktot = agg.agg(sum(col("tokens_kept")).as("kt"))
-    agg.join(broadcast(ktot))
+      .withColumn("kt", sum(col("tokens_kept")).over(wAll))
       .select(col("source"), col("rate"), col("n_kept"), col("tokens_kept"),
         round(col("tokens_kept") / col("kt").cast("double"), 4)
           .as("realized_share"))

@@ -200,11 +200,21 @@ class AnalysisSpec extends AnyFunSuite {
         "e8_concentration" -> Analysis.e8Concentration(spark, TestSpark.sf001),
         "e7_source_caps" -> Curation.e7SourceCaps(spark, TestSpark.sf001),
         "e8_kanon" -> Analysis.e8Kanon(spark, TestSpark.sf001),
-        "e8_bootstrap" -> Analysis.e8Bootstrap(spark, TestSpark.sf001))) {
+        "e8_bootstrap" -> Analysis.e8Bootstrap(spark, TestSpark.sf001),
+        "e8_seasonality" -> Analysis.e8Seasonality(spark, TestSpark.sf001),
+        "e8_benford" -> Analysis.e8Benford(spark, TestSpark.sf001),
+        "e8_diversity" -> Analysis.e8Diversity(spark, TestSpark.sf001),
+        "e7_mixture" -> Curation.e7Mixture(spark, TestSpark.sf001),
+        "e7_temperature_mix" -> Curation.e7TemperatureMix(spark, TestSpark.sf001))) {
       val plan = finalPlan(df)
       val scans = plan.linesIterator.count(_.contains("Scan parquet"))
       assert(scans == 1, s"$name: expected 1 corpus scan, got $scans:\n$plan")
     }
+    // mixture_sample needs the corpus twice by nature (rate build + keep
+    // gate) — its first cut planned TEN scans
+    val ms = finalPlan(Curation.e7MixtureSample(spark, TestSpark.sf001))
+    val msScans = ms.linesIterator.count(_.contains("Scan parquet"))
+    assert(msScans == 2, s"mixture_sample: expected 2 scans, got $msScans:\n$ms")
     // bpe_merge: two consumers of the MEMOIZED word-frequency table — the
     // corpus scan happens once at materialization; the query plan itself
     // must contain no parquet scan at all (checkpointed RDD scans only)
