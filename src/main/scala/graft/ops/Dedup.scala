@@ -125,6 +125,82 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Jaccard threshold for the prefix-filter join, as an exact rational
+    * (4/5 = 0.8) so every gate below is integer arithmetic — no float
+    * threshold comparison can diverge cross-engine. */
+  val PrefixT_Num = 4
+  val PrefixT_Den = 5
+
+  /** E1 — EXACT set-similarity self-join by prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) —
+    * the high-threshold complement to the LSH path. LSH is approximate
+    * (recall < 1 between the band thresholds); this is provably complete:
+    * order every document's shingle set by ascending global document
+    * frequency (rarest first, ties by hash), keep only the first
+    * n − ceil(t·n) + 1 shingles as the JOIN KEY SET, and any pair with
+    * Jaccard ≥ t is guaranteed to collide on at least one prefix shingle
+    * (if both prefixes missed every shared shingle, the shared set would
+    * have to fit inside the suffixes, forcing |A∩B| ≤ ceil(t·|A|) − 1 <
+    * t·|A| ≤ |A∩B| — contradiction). At t = 0.8 the exchange carries only
+    * ~20% of the shingle rows — and the rarest 20%, so Σ df² over prefix
+    * shingles is far below the full co-occurrence join's bound — then a
+    * per-candidate exact verify (sorted-array intersection) confirms the
+    * threshold. Length filter 5·min(n) ≥ 4·max(n) prunes size-incompatible
+    * candidates inside the join condition. 100 TB shape: candidates are
+    * linear-ish in corpus size at high t (web-dedup measurements in the
+    * PPJoin literature), and the verify joins move only candidate docs'
+    * hash arrays, never text. The oracle needs no order replication:
+    * the algorithm is exact, so the answer is definitionally the full
+    * Jaccard-≥-0.8 pair set over the same df-capped sets. */
+  def e1PrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val (cand, _) = prefixCandidates(s, d)
+    val sh = rareShingleHashes(s, d)
+    val arr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    cand
+      .join(arr.as("x"), col("da") === col("x.doc_id"))
+      .join(arr.as("y"), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast("long").as("i"),
+        size(col("x.hs")).cast("long").as("na"),
+        size(col("y.hs")).cast("long").as("nb"))
+      // integer-exact threshold gate: i/(na+nb−i) ≥ 4/5 ⟺ 5i ≥ 4(na+nb−i)
+      .filter(col("i") * PrefixT_Den >=
+        (col("na") + col("nb") - col("i")) * PrefixT_Num)
+      .select(col("da"), col("db"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** Candidate pairs from the df-ordered prefix join plus the prefix row
+    * count (exposed for the spec's efficiency assertion). */
+  private[ops] def prefixCandidates(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = rareShingleHashes(s, d)
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // rank shingles rarest-first within each doc; the (df, h) order is any
+    // consistent global order — correctness never depends on it, only the
+    // candidate count does (rare-first minimizes prefix collisions)
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val pref = sh.join(dfh, Seq("h")).join(sz, Seq("doc_id"))
+      .withColumn("r", row_number().over(w))
+      // prefix length n − ceil(4n/5) + 1; ceil(4n/5) = (4n+4) div 5,
+      // floor() over an exact small-int double is integer-exact
+      .filter(col("r") <= col("n") -
+        floor((col("n") * PrefixT_Num + PrefixT_Num) / PrefixT_Den) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * PrefixT_Den >= col("b.n") * PrefixT_Num &&
+        col("b.n") * PrefixT_Den >= col("a.n") * PrefixT_Num)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    (cand, pref)
+  }
+
   /** Minimum max-direction containment for a pair to be reported. */
   val MinContainment = 0.5
 
@@ -807,6 +883,7 @@ object Dedup {
     "e1_incremental" -> (e1Incremental _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
+    "e1_prefix_join" -> (e1PrefixJoin _),
     "e1_minhash_pairs" -> (e1MinhashPairs _),
     "e1_simhash" -> (e1Simhash _),
     "e1_simhash_pairs" -> (e1SimhashPairs _),
@@ -1070,6 +1147,15 @@ object Dedup {
     "e1_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
+    // prefix filtering is EXACT, so the expected answer is simply the full
+    // Jaccard-≥-4/5 pair set over the same df-capped shingle sets; the
+    // integer gate 5i ≥ 4(na+nb−i) mirrors the Spark side bit for bit
+    "e1_prefix_join" ->
+      s"""WITH $jaccardCtes
+         |SELECT da, db, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE i * $PrefixT_Den >= (x.n + y.n - i) * $PrefixT_Num
+         |ORDER BY da, db""".stripMargin,
     "e1_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtesBlock,
          |edges AS (SELECT da AS a, db AS b FROM mhp

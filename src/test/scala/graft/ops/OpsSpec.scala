@@ -273,6 +273,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e1_prefix_join is exact (brute-force pair set) and prunes the exchange") {
+    val got = Dedup.e1PrefixJoin(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // brute force: full-pairwise Jaccard over the same df-capped sets,
+    // integer threshold gate 5i >= 4(na+nb-i)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val sets0 = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets0.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val sets = sets0.map { case (id, ss) =>
+      id -> ss.filter(s => df(s) <= Dedup.MaxShingleDf)
+    }.filter(_._2.nonEmpty)
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      i = (sets(a) & sets(b)).size.toLong
+      if i * Dedup.PrefixT_Den >=
+        (sets(a).size + sets(b).size - i) * Dedup.PrefixT_Num
+    } yield (a, b) ->
+      (math.round(i.toDouble / (sets(a).size + sets(b).size - i) * 1e4) / 1e4)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, j) => assert(got(k) == j, s"pair $k") }
+    // the scale claim: prefix rows are a strict minority of the shingle
+    // rows the full co-occurrence join would exchange
+    val (_, pref) = Dedup.prefixCandidates(spark, TestSpark.sf0001)
+    val prefRows = pref.count()
+    val allRows = sets.values.map(_.size.toLong).sum
+    assert(prefRows * 2 < allRows,
+      s"prefix $prefRows rows vs $allRows full shingle rows — filter not pruning")
+  }
+
   test("e1_containment matches brute force and dominates Jaccard per pair") {
     val got = Dedup.e1Containment(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
