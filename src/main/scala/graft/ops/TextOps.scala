@@ -740,7 +740,63 @@ object TextOps {
         col("entropy"))
       .orderBy("doc_id")
 
+  /** The phrase the declared phrase-search query looks for. Two terms
+    * exercise the full positional-intersection machinery — a k-term
+    * phrase is k−1 chained position joins of the same shape. */
+  val Phrase: Seq[String] = Seq("sort", "merge")
+
+  /** E3 — inverted-index build audit: per-term document frequency, corpus
+    * frequency, and max in-document tf — the statistics a search/BM25
+    * layer reads and the size estimate for each posting list. Plan: one
+    * (term, doc_id) partial-aggregated exchange for tf, then a
+    * VOCABULARY-bounded final aggregate — Heaps-law sublinear in corpus
+    * size, so the second exchange is tiny at any scale. The postings
+    * themselves ((term, doc, pos) rows) are what `e3_phrase_search`
+    * consumes; a deployment materializes them once via Formats and
+    * serves every query from the index. */
+  def e3Postings(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(asLong(count(lit(1))).as("df"), asLong(sum(col("tf"))).as("cf"),
+        asLong(max(col("tf"))).as("max_tf"))
+      .orderBy("term")
+
+  /** E3 — exact phrase search by positional posting-list intersection
+    * (the inverted-index algorithm, not a LIKE scan): each phrase term's
+    * postings are (doc_id, pos) rows filtered scan-side, and term i is
+    * equi-joined on (doc_id, pos₀ + i) — the composite key is near-unique,
+    * so the join spreads evenly no matter how common the words are (a
+    * doc_id-only join would hot-spot on long documents). Emits per-doc
+    * occurrence count and the first match position (1-based). At 100 TB
+    * the exchanges carry only the PHRASE TERMS' postings — a fraction
+    * proportional to the terms' cf, never the corpus — and against a
+    * materialized postings table the scan prunes to two term partitions. */
+  def e3PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val start = toks.filter(col("w") === Phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = Phrase.zipWithIndex.drop(1).foldLeft(start) {
+      case (acc, (w, i)) =>
+        val t = toks.filter(col("w") === w)
+          .select(col("doc_id").as("di"), col("pos").as("pi"))
+        acc.join(t, acc("doc_id") === col("di") &&
+            col("pi") === col("p0") + i)
+          .drop("di", "pi")
+    }
+    matched.groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_occ"),
+        asLong(min(col("p0")) + 1).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_postings" -> (e3Postings _),
+    "e3_phrase_search" -> (e3PhraseSearch _),
     "e3_entropy" -> (e3Entropy _),
     "e3_hash_embed" -> (e3HashEmbed _),
     "e3_bpe_pairs" -> (e3BpePairs _),
@@ -793,6 +849,27 @@ object TextOps {
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_postings" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, tk[CAST(i AS INT)] AS w
+        |  FROM t, unnest(range(1, len(tk) + 1)) u(i)),
+        |tf AS (SELECT w AS term, doc_id, count(*) AS tf FROM p
+        |  WHERE w <> '' GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf, CAST(max(tf) AS BIGINT) AS max_tf
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    // DuckDB's 1-based list positions equal Spark's 0-based posexplode + 1,
+    // so first_pos lines up and the +1 adjacency offset is base-invariant
+    "e3_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INT)] AS w
+         |  FROM t, unnest(range(1, len(tk) + 1)) u(i))
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(min(a.pos) AS BIGINT) AS first_pos
+         |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  AND b.w = '${Phrase(1)}'
+         |WHERE a.w = '${Phrase.head}'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "e3_entropy" ->
       """WITH d0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text
         |  FROM documents WHERE length(text) >= 1),

@@ -273,6 +273,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e3_phrase_search matches a brute-force sliding-window scan") {
+    val got = TextOps.e3PhraseSearch(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Long]("first_pos")))).toMap
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val ph = TextOps.Phrase
+    val expected = docs.flatMap { case (id, t) =>
+      val hits = t.split(" ", -1).sliding(ph.length).zipWithIndex
+        .filter(_._1.toSeq == ph).map(_._2).toSeq
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.min.toLong + 1)))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain the phrase")
+  }
+
   test("e1_prefix_join is exact (brute-force pair set) and prunes the exchange") {
     val got = Dedup.e1PrefixJoin(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
