@@ -302,7 +302,41 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Salt for the within-source shuffle rank of the interleave. */
+  val InterleaveSalt = 0x4c8e2f17a9d35b6eL
+
+  /** E6 — deterministic proportional source INTERLEAVE: the training-order
+    * assignment that follows the mixture decision. Reading sources
+    * back-to-back trains on correlated batches; a global random shuffle
+    * fixes that but loses the mixture's per-source pacing when sources are
+    * later re-weighted. Stride scheduling gives both: shuffle WITHIN each
+    * source (splitmix64 rank, like e6_global_shuffle), then place source
+    * s's r-th document at fractional position (2r−1)/(2n_s) — the classic
+    * low-discrepancy stride — so every prefix of the training order holds
+    * each source in proportion to its share, within ±1 document (the spec
+    * asserts this for every prefix). Position is integer micro-units
+    * ((10⁶·(2r−1)) div (2n) — exact cross-engine; overflow only beyond
+    * ~4.6·10¹² docs in ONE source), ties broken by (source, doc_id).
+    * Plan: per-source window rank (distributed by source), per-source
+    * counts broadcast back, key computed scan-side; the final order is a
+    * range-partitioned sort — no single-task stage anywhere. */
+  def e6Interleave(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    val ranked = documents(s, d)
+      .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(InterleaveSalt))))
+      .withColumn("r", asLong(row_number().over(w)))
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "source")
+      .withColumn("pos_ppm", expr("(1000000 * (2*r - 1)) div (2*n)"))
+      .select(col("doc_id"), col("source"), col("r").as("src_rank"),
+        col("pos_ppm"))
+      .orderBy("pos_ppm", "source", "doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_interleave" -> (e6Interleave _),
     "e6_dsir" -> (e6Dsir _),
     "e6_cluster_split" -> (e6ClusterSplit _),
     "e6_time_split" -> (e6TimeSplit _),
@@ -440,6 +474,22 @@ object Sampling {
          |SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  bit_xor(${toSigned("t1")}) AS checksum
          |FROM tm GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "e6_interleave" -> {
+      import OracleSql._
+      s"""WITH mx_in AS (SELECT doc_id, source,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$InterleaveSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("mx", "h0", "h1", Seq("doc_id", "source"))},
+         |rk AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${toSigned("h1")}, doc_id) AS BIGINT) AS r FROM mx),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1)
+         |SELECT doc_id, rk.source AS source, r AS src_rank,
+         |  CAST((1000000 * (2 * r - 1)) // (2 * n.n) AS BIGINT) AS pos_ppm
+         |FROM rk JOIN n ON rk.source = n.source
+         |ORDER BY pos_ppm, source, doc_id""".stripMargin
     },
     "e6_global_shuffle" -> {
       import OracleSql._

