@@ -321,7 +321,58 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Token budget for the epoch plan, as a multiple of the corpus, and
+    * the per-source repetition ceiling — both interpolated into the
+    * oracle. 3×/3 makes the cap BIND on roughly half the fixture sources,
+    * so the redistribution branch is actually exercised. */
+  val EpochBudgetX = 3L
+  val MaxEpochs = 3L
+
+  /** E7 — the EPOCH PLAN: turn a total token budget (EpochBudgetX × the
+    * corpus) plus the α=0.5 temperature weights into concrete per-source
+    * token draws, under a hard repetition ceiling (MaxEpochs passes over
+    * any one source — the data-constrained-scaling discipline: repeating
+    * a small source beyond a few epochs stops helping, so its surplus
+    * budget should flow to sources that still have fresh text). One
+    * water-filling round: target = budget·w/Σw; sources over their cap
+    * are clipped and the clipped surplus is re-granted to UNCAPPED
+    * sources in proportion to their weights (again clipped — the
+    * declared semantics is exactly one redistribution round, the fixed
+    * point at fixture scale). Weights are integer micro-units
+    * (round(√tokens·10⁶)) and every division is an integer div, so the
+    * plan is bit-stable across engines and backfills. Plan shape: ONE
+    * |sources|-key aggregate over ONE corpus scan; all corpus-level sums
+    * ride whole-table windows over the tiny source table. */
+  def e7EpochPlan(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d)
+      .groupBy("source")
+      .agg(asLong(sum(size(split(col("text"), " ")))).as("tokens"))
+      .withColumn("w",
+        round(sqrt(col("tokens")) * lit(1000000L)).cast("long"))
+      .withColumn("tw", asLong(sum(col("w")).over(Window.partitionBy())))
+      .withColumn("total",
+        asLong(sum(col("tokens")).over(Window.partitionBy())))
+      .withColumn("target", expr(s"total * $EpochBudgetX * w div tw"))
+      .withColumn("cap", expr(s"tokens * $MaxEpochs"))
+      .withColumn("alloc1", least(col("target"), col("cap")))
+      .withColumn("leftover",
+        asLong(sum(col("target") - col("alloc1")).over(Window.partitionBy())))
+      .withColumn("wunc", asLong(sum(when(col("target") < col("cap"),
+        col("w")).otherwise(0L)).over(Window.partitionBy())))
+      .withColumn("extra", when(col("target") < col("cap") && col("wunc") > 0,
+        expr("leftover * w div wunc")).otherwise(0L))
+      .withColumn("plan_tokens",
+        least(col("alloc1") + col("extra"), col("cap")))
+    src.select(col("source"), col("tokens"),
+        expr("1000000 * w div tw").as("weight_ppm"),
+        (col("target") > col("cap")).as("capped"),
+        col("plan_tokens"),
+        expr("1000 * plan_tokens div tokens").as("epochs_m3"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_epoch_plan" -> (e7EpochPlan _),
     "e7_source_caps" -> (e7SourceCaps _),
     "e7_dataset_card" -> (e7DatasetCard _),
     "e7_mixture_sample" -> (e7MixtureSample _),
@@ -333,6 +384,31 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_epoch_plan" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, tokens,
+         |    CAST(round(sqrt(tokens) * 1000000) AS BIGINT) AS w FROM t),
+         |g AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         |    CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |a AS (SELECT source, tokens, w, tw,
+         |    (total * $EpochBudgetX * w) // tw AS target,
+         |    tokens * $MaxEpochs AS cap FROM w CROSS JOIN g),
+         |b AS (SELECT *, least(target, cap) AS alloc1 FROM a),
+         |l AS (SELECT CAST(sum(target - alloc1) AS BIGINT) AS leftover,
+         |    CAST(sum(CASE WHEN target < cap THEN w ELSE 0 END) AS BIGINT)
+         |      AS wunc FROM b),
+         |f AS (SELECT source, tokens, w, tw, target, cap,
+         |    least(alloc1 + CASE WHEN target < cap AND wunc > 0
+         |      THEN (leftover * w) // wunc ELSE 0 END, cap) AS plan_tokens
+         |  FROM b CROSS JOIN l)
+         |SELECT source, tokens,
+         |  CAST((1000000 * w) // tw AS BIGINT) AS weight_ppm,
+         |  target > cap AS capped,
+         |  CAST(plan_tokens AS BIGINT) AS plan_tokens,
+         |  CAST((1000 * plan_tokens) // tokens AS BIGINT) AS epochs_m3
+         |FROM f ORDER BY source""".stripMargin,
     "e7_source_caps" ->
       s"""WITH t AS (SELECT source,
          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

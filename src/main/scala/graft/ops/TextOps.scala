@@ -794,7 +794,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** E3 — quality-filter CALIBRATION sweep: for each candidate threshold
+    * (0.0 to 0.9 in 0.1 steps), the docs/tokens that would survive and
+    * the keep rate — the curve a curator reads to pick the operating
+    * point BEFORE committing a corpus-sized filter run (each threshold is
+    * a (kept volume, quality floor) trade; the knee of this curve is the
+    * conventional pick). ONE corpus scan: the 4-dp score is computed once
+    * per doc and exploded against the 10-threshold literal array, so the
+    * aggregate sees 10·n tiny integer rows, partial-combined to 10 keys.
+    * Thresholds and scores compare in integer 10⁻⁴ units (a double `score
+    * ≥ 0.3` would hinge on binary rounding at the boundary), and the keep
+    * rate divides integers (threshold 0 keeps everything, so the window
+    * max IS the corpus total — no second scan for the denominator). */
+  def e3QualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val q = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(stopwordFilterSql)))
+      .select(asLong(col("nt")).as("nt"),
+        round(round(qualityScore(col("nt"), col("nsw")), 4) * 10000)
+          .cast("long").as("m4"))
+      .select(col("nt"), col("m4"),
+        explode(array((0 until 10).map(i => lit(i * 1000L)): _*)).as("thr_m4"))
+      .filter(col("m4") >= col("thr_m4"))
+      .groupBy("thr_m4")
+      .agg(asLong(count(lit(1))).as("kept_docs"),
+        asLong(sum(col("nt"))).as("kept_tokens"))
+    q.withColumn("keep_rate_ppm",
+        expr("1000000 * kept_docs div max(kept_docs) OVER ()"))
+      .orderBy("thr_m4")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_quality_calibration" -> (e3QualityCalibration _),
     "e3_postings" -> (e3Postings _),
     "e3_phrase_search" -> (e3PhraseSearch _),
     "e3_entropy" -> (e3Entropy _),
@@ -849,6 +880,22 @@ object TextOps {
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_quality_calibration" ->
+      """WITH q AS (SELECT len(string_split(text, ' ')) AS nt,
+        |  CAST(round(round(least(1.0,
+        |      len(string_split(text, ' ')) / 100.0) *
+        |      (1.0 - len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to'))) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) * 10000)
+        |    AS BIGINT) AS m4 FROM documents),
+        |e AS (SELECT nt, m4, t * 1000 AS thr_m4
+        |  FROM q, range(0, 10) r(t) WHERE m4 >= t * 1000),
+        |a AS (SELECT thr_m4, CAST(count(*) AS BIGINT) AS kept_docs,
+        |  CAST(sum(nt) AS BIGINT) AS kept_tokens FROM e GROUP BY 1)
+        |SELECT thr_m4, kept_docs, kept_tokens,
+        |  CAST(1000000 * kept_docs // max(kept_docs) OVER () AS BIGINT)
+        |    AS keep_rate_ppm
+        |FROM a ORDER BY thr_m4""".stripMargin,
     "e3_postings" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |p AS (SELECT doc_id, tk[CAST(i AS INT)] AS w

@@ -273,6 +273,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e7_epoch_plan respects the cap and never over-allocates the budget") {
+    val rows = Curation.e7EpochPlan(spark, TestSpark.sf0001).collect()
+    val tokens = rows.map(_.getAs[Long]("tokens"))
+    val plan = rows.map(_.getAs[Long]("plan_tokens"))
+    val budget = tokens.sum * Curation.EpochBudgetX
+    assert(plan.sum <= budget, s"allocated ${plan.sum} > budget $budget")
+    // integer-div shortfall only: the plan should land within |sources|
+    // weight-rounding units of the full budget
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("tokens") * Curation.MaxEpochs
+      assert(r.getAs[Long]("plan_tokens") <= cap)
+      if (r.getAs[Boolean]("capped"))
+        assert(r.getAs[Long]("plan_tokens") == cap, s"${r.getAs[String]("source")}")
+    }
+    assert(rows.exists(_.getAs[Boolean]("capped")), "cap should bind on fixture")
+    assert(rows.exists(!_.getAs[Boolean]("capped")), "cap should not bind everywhere")
+  }
+
   test("e6_interleave keeps every prefix proportional per source (stride bound)") {
     val rows = Sampling.e6Interleave(spark, TestSpark.sf0001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("pos_ppm")))
