@@ -543,6 +543,43 @@ object Analysis {
       .orderBy("degree")
   }
 
+  /** Synchronous label-propagation rounds for e9_label_prop — fixed so
+    * the oracle can unroll them (the PrIters treatment). */
+  val LpIters = 2
+
+  /** E9 — COMMUNITY detection by synchronous label propagation over the
+    * near-dup graph: each vertex starts labeled with its own id, and each
+    * round adopts the MODE of its neighbors' labels (ties broken by the
+    * smaller label, so every round is deterministic — the known LP
+    * pitfall is unordered tie-breaking). Communities are the dense cores
+    * connected components cannot see: CC welds everything reachable, LP
+    * splits a chain of borderline matches into its tight families —
+    * exactly the refinement the cluster-resolution pass wants when LSH
+    * links two template families through one bridge document. Vertices
+    * are edge endpoints only, and each round is one edge-table join plus
+    * one (vertex, label)-keyed aggregate plus a per-vertex top-1 window —
+    * every shuffle is pair-table-sized, the corpus never moves (the
+    * connectedComponents/PageRank discipline). Fixed LpIters rounds keep
+    * it oracle-able; a deployment loops rounds with the
+    * pageRankConverged one-scalar-per-round stopping rule. */
+  def e9LabelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Dedup.minhashPairTable(s, d)
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to LpIters)
+      labels = edges.join(labels, col("dst") === col("v"))
+        .groupBy("src", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("v"), col("lab"))
+    labels.select(col("v").as("doc_id"), col("lab").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** E9 — global triangle count of the near-dup graph plus the number of
     * connected vertex pairs ("wedges" through the canonical ordering),
     * yielding the global clustering signal: near-dup TRIANGLES are
@@ -714,6 +751,7 @@ object Analysis {
     "e8_autocorr" -> (e8Autocorr _),
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
+    "e9_label_prop" -> (e9LabelProp _),
     "e9_degrees" -> (e9Degrees _),
     "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
@@ -859,6 +897,24 @@ object Analysis {
          |SELECT n_triangles, n_wedges,
          |  round(n_triangles / CAST(n_wedges AS DOUBLE), 4) AS closure
          |FROM t CROSS JOIN nw""".stripMargin
+    },
+    "e9_label_prop" -> {
+      val base =
+        """e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+          |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM e)""".stripMargin
+      val iters = (1 to LpIters).map { k =>
+        s"""m$k AS MATERIALIZED (SELECT e.src, l.lab, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON e.dst = l.v GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (SELECT src AS v, lab FROM (
+           |  SELECT src, lab, row_number() OVER (PARTITION BY src
+           |    ORDER BY c DESC, lab) AS rn FROM m$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters
+         |SELECT v AS doc_id, lab AS community
+         |FROM l$LpIters ORDER BY doc_id""".stripMargin
     },
     "e9_pagerank" -> {
       // Every CTE that is referenced more than once (transitively, the

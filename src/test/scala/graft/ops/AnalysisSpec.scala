@@ -127,6 +127,23 @@ class AnalysisSpec extends AnyFunSuite {
     k
   }
 
+  test("e9_label_prop: communities stay inside components and refine them") {
+    val lp = Analysis.e9LabelProp(spark, TestSpark.sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    val cc = Dedup.e1DedupClusters(spark, TestSpark.sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(lp.nonEmpty)
+    // a label can only have propagated along edges, so every vertex's
+    // community label must live in the SAME connected component
+    lp.foreach { case (v, lab) =>
+      assert(cc(v) == cc(lab), s"vertex $v label $lab crosses components")
+    }
+    // refinement: at least as many communities as components (on endpoints)
+    val nCommunities = lp.values.toSet.size
+    val nComponents = lp.keys.map(cc).toSet.size
+    assert(nCommunities >= nComponents)
+  }
+
   test("pageRankConverged stops at the graph's true convergence round") {
     import spark.implicits._
     val tol = 1e-4
