@@ -873,7 +873,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CDC parameters: rolling-window width (words) for the boundary hash,
+    * expected chunk length (boundary fires when the mixed window hash ≡ 0
+    * mod CdcAvg, so chunks average ~CdcAvg words), and the corpus-wide
+    * occurrence count at which a chunk counts as duplicated. */
+  val CdcK = 3
+  val CdcAvg = 8L
+  val CdcMinOcc = 2
+
+  /** E1 — CONTENT-DEFINED CHUNKING dedup (the Rabin/rolling-hash family
+    * storage dedup and recent text-dedup work both use): cut each
+    * document at positions where splitmix64(window-hash) ≡ 0 mod CdcAvg,
+    * then count how often each variable-length chunk recurs corpus-wide.
+    * Because boundaries are anchored to CONTENT, not offsets, an inserted
+    * sentence only perturbs its own chunk — where e1_segment_dedup's
+    * fixed windows shift at every later offset and lose all matches
+    * past the edit. Complements the span pass: spans need the duplicated
+    * region to share exact K-shingles at every position; CDC fingerprints
+    * whole chunks, so one hash identity per ~CdcAvg words. Plan: token
+    * split, window hashes, boundary gate, chunk slicing and chunk
+    * fingerprints are ALL scan-side array ops (zero shuffles until the
+    * fingerprint count); the only exchanges are the fp-keyed occurrence
+    * aggregate (16-byte rows, map-side combined) and the join back —
+    * documents and chunk text never shuffle. */
+  def e1CdcChunks(s: SparkSession, d: String): DataFrame = {
+    val mixGate = (h: org.apache.spark.sql.Column) =>
+      pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(h)
+        .bitwiseAND(lit(Long.MaxValue)), lit(CdcAvg)) === lit(0L)
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), CdcK).as("wh"))
+      .withColumn("n", size(col("toks")))
+      // boundary candidates are interior window starts 1..|wh|−1 (the
+      // guard matters: Spark's sequence(1, 0) would count DOWN)
+      .withColumn("starts", concat(array(lit(0)),
+        when(size(col("wh")) >= 2,
+          filter(sequence(lit(1), size(col("wh")) - 1),
+            i => mixGate(element_at(col("wh"), i + 1))))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("ch", expr(
+        """transform(starts, (st, j) -> named_struct(
+          |  'st', st,
+          |  'en', CASE WHEN j + 1 < size(starts)
+          |             THEN element_at(starts, j + 2) ELSE n END))""".stripMargin))
+      .withColumn("cf", expr(
+        """transform(ch, c -> named_struct(
+          |  'len', c.en - c.st,
+          |  'cs', array_join(slice(toks, c.st + 1, c.en - c.st), ' ')))"""
+          .stripMargin))
+    val chunks = docs
+      .select(col("doc_id"), asLong(col("n")).as("n_tokens"),
+        explode(col("cf")).as("c"))
+      .select(col("doc_id"), col("n_tokens"),
+        asLong(col("c.len")).as("len"), Hashes.fnv64(col("c.cs")).as("fp"))
+    val occ = chunks.groupBy("fp").agg(count(lit(1)).as("occ"))
+    chunks.join(occ, "fp")
+      .groupBy("doc_id", "n_tokens")
+      .agg(asLong(count(lit(1))).as("n_chunks"),
+        asLong(sum(when(col("occ") >= CdcMinOcc, 1L).otherwise(0L)))
+          .as("dup_chunks"),
+        asLong(sum(when(col("occ") >= CdcMinOcc, col("len")).otherwise(0L)))
+          .as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_cdc_chunks" -> (e1CdcChunks _),
     "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
@@ -1023,6 +1091,52 @@ object Dedup {
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
+    // CDC: the boundary gate replicates wordShingleHashes (FNV-1a of the
+    // joined window, HUGEINT mod 2^64) through the splitmix chain; chunk
+    // identity is the chunk STRING here vs its fnv64 on the Spark side —
+    // occurrence counts agree modulo 2^-64 collisions (the e1_span_dedup
+    // string-vs-hash validation convention)
+    "e1_cdc_chunks" -> {
+      import OracleSql._
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |win_in AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+         |    list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(range(1, length(g) + 1),
+         |          i2 -> CAST(unicode(substring(g, CAST(i2 AS INT), 1)) AS HUGEINT))),
+         |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |                 * 1099511628211) % $M) AS h0
+         |  FROM (SELECT doc_id, i,
+         |      array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${CdcK - 1}], ' ') AS g
+         |    FROM t, unnest(range(1, len(toks) - ${CdcK - 2})) u(i))),
+         |${mixCtes("win", "h0", "hm", Seq("doc_id", "p"))},
+         |bnd AS (SELECT doc_id, p FROM win
+         |  WHERE p >= 1 AND (hm % CAST(power(2, 63) AS HUGEINT)) % $CdcAvg = 0),
+         |wpos AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS wp,
+         |    toks[CAST(i AS INT)] AS w
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+         |wc AS (SELECT w.doc_id, w.wp, w.w,
+         |    sum(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY w.doc_id ORDER BY w.wp) AS chunk
+         |  FROM wpos w LEFT JOIN bnd b
+         |    ON b.doc_id = w.doc_id AND b.p = w.wp),
+         |chunks AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS len,
+         |    string_agg(w, ' ' ORDER BY wp) AS cs
+         |  FROM wc GROUP BY 1, 2),
+         |occ AS (SELECT cs, count(*) AS occ FROM chunks GROUP BY 1),
+         |per AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN occ >= $CdcMinOcc THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_chunks,
+         |    CAST(sum(CASE WHEN occ >= $CdcMinOcc THEN len ELSE 0 END) AS BIGINT)
+         |      AS dup_tokens
+         |  FROM chunks c JOIN occ USING (cs) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  p.n_chunks, p.dup_chunks, p.dup_tokens,
+         |  round(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 4) AS dup_ratio
+         |FROM t JOIN per p ON t.doc_id = p.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
     // span dedup on shingle STRINGS (validates the positional FNV hash
     // reduction end-to-end); 1-based positions vs Spark's 0-based posexplode
     // is invisible — only position DIFFERENCES reach the output

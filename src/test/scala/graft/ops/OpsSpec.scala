@@ -273,6 +273,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e1_cdc_chunks: chunks partition each doc; boundaries survive an insertion") {
+    val rows = Dedup.e1CdcChunks(spark, TestSpark.sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    assert(rows.exists(_.getAs[Long]("dup_chunks") > 0), "fixture has near-dups")
+    // the content-anchored property: duplicate a doc with one token
+    // inserted near the front — all chunks strictly after the edited
+    // chunk keep their boundaries, so most of the copy still dedups
+    // (fixed-offset segmentation would lose every segment past the edit)
+    val mix = org.apache.spark.sql.graftext.minhashExpression.mix _
+    def chunksOf(words: Seq[String]): Seq[Seq[String]] = {
+      val wh = words.sliding(Dedup.CdcK).filter(_.length == Dedup.CdcK)
+        .map(w => org.apache.spark.sql.graftext.hashExpressions
+          .fnv1a64(w.mkString(" "))).toArray
+      val starts = 0 +: (1 until wh.length)
+        .filter(i => ((mix(wh(i)) & Long.MaxValue) % Dedup.CdcAvg) == 0L)
+      starts.zipWithIndex.map { case (st, j) =>
+        val en = if (j + 1 < starts.length) starts(j + 1) else words.length
+        words.slice(st, en)
+      }
+    }
+    val base = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("text").head().getAs[String]("text").split(" ", -1).toSeq
+    val edited = (base.take(2) :+ "INSERTED") ++ base.drop(2)
+    val a = chunksOf(base).map(_.mkString(" ")).toSet
+    val b = chunksOf(edited).map(_.mkString(" ")).toSet
+    val shared = (a & b).size
+    assert(shared >= a.size - 2,
+      s"only $shared of ${a.size} chunks survived a 1-token insertion")
+  }
+
   test("e7_epoch_plan respects the cap and never over-allocates the budget") {
     val rows = Curation.e7EpochPlan(spark, TestSpark.sf0001).collect()
     val tokens = rows.map(_.getAs[Long]("tokens"))
