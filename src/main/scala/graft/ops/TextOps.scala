@@ -663,6 +663,114 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Number of BPE merges the iterative trainer learns (unrolled in the
+    * oracle, so keep it small enough to read). */
+  val BpeRounds = 4
+
+  /** One left-to-right BPE merge pass for the pair (a, b) over the
+    * comma-joined symbol string in `syms` (split into `sl`): the
+    * e3_bpe_merge fold generalized to multi-character symbols — the
+    * accumulator's LAST symbol (comma-guarded) is checked against `a`,
+    * so a freshly merged symbol can't be re-consumed in the same pass.
+    * Symbols are corpus word characters, so the comma separator is safe
+    * (fixture alphabet is [a-z0-9]; the e3_bpe_merge convention). */
+  private def bpeFoldOnce(a: String, b: String): org.apache.spark.sql.Column =
+    expr(
+      s"""CASE WHEN size(sl) < 2 THEN syms ELSE
+         |aggregate(slice(sl, 2, size(sl) - 1), element_at(sl, 1),
+         |  (acc, s) -> CASE WHEN (acc = '$a' OR endswith(acc, ',$a'))
+         |                    AND s = '$b'
+         |              THEN concat(acc, s)
+         |              ELSE concat(acc, ',', s) END)
+         |END""".stripMargin)
+
+  /** Learned merge table + final per-word symbol table, memoized per
+    * (session, corpus): the driver loop reads ONE tiny argmax row per
+    * round (the connectedComponents discipline) while the symbol state
+    * lives in the vocabulary-sized word table — the corpus itself is
+    * scanned exactly once (inside the memoized wordFreq). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]()
+
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(String, String, Long)], DataFrame) =
+    bpeCache.computeIfAbsent((s, d), _ => {
+      var cur = wordFreq(s, d).select(col("w"), col("wn"), expr(
+        "concat_ws(',', transform(sequence(1, length(w)), i -> substring(w, i, 1)))")
+        .as("syms"))
+      val merges = (1 to BpeRounds).map { _ =>
+        val top = cur.withColumn("sl", split(col("syms"), ","))
+          .filter(size(col("sl")) >= 2)
+          .select(col("wn"), explode(expr(
+            """transform(sequence(1, size(sl) - 1), i -> named_struct(
+              |  'a', element_at(sl, i), 'b', element_at(sl, i + 1)))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .head()
+        val (a, b, n) = (top.getAs[String]("a"), top.getAs[String]("b"),
+          top.getAs[Long]("n"))
+        cur = cur.withColumn("sl", split(col("syms"), ","))
+          .withColumn("syms", bpeFoldOnce(a, b)).drop("sl")
+          .localCheckpoint(false)
+        (a, b, n)
+      }
+      (merges, cur)
+    })
+
+  /** Clears the BPE memo together with the word-frequency one (the
+    * shared sweep-driver contract). */
+  def clearBpeMemos(): Unit = bpeCache.clear()
+
+  /** E3 — the learned BPE MERGE TABLE: BpeRounds iterations of the full
+    * greedy loop (count adjacent symbol pairs weighted by word frequency
+    * → merge the argmax everywhere → recount), i.e. e3_bpe_merge run to
+    * a vocabulary. Each round's counting aggregate is PAIR-VOCABULARY-
+    * sized and rides the memoized word table — the corpus is scanned
+    * once, then training cost is independent of corpus size (Heaps-law
+    * word growth is the only scale coupling). Ties break (count desc,
+    * a, b) so the learned vocabulary is engine-deterministic; the
+    * oracle unrolls all rounds as CTE blocks. */
+  def e3BpeVocab(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeTrained(s, d)
+    val rows = merges.zipWithIndex.map { case ((a, b, n), i) =>
+      (i + 1L, a, b, a + b, n)
+    }
+    s.createDataFrame(rows)
+      .toDF("rank", "a", "b", "merged", "n")
+      .orderBy("rank")
+  }
+
+  /** E3 — BPE tokenizer APPLICATION: segment every document with the
+    * learned merge table (merges applied in rank order, one full
+    * left-to-right pass each — exactly the corpus state the trainer
+    * constructed, so train and apply can never disagree on a word).
+    * Per-word token counts come from the same final symbol table the
+    * trainer produced (vocabulary-sized, broadcast-joinable); the corpus
+    * pass just explodes tokens and sums — words shorter than the
+    * trainer's 2-char floor count 1 token (empty split artifacts 0).
+    * Emits per-doc word/token/char counts and chars-per-token in integer
+    * milli-units — the compression dial a tokenizer report publishes. */
+  def e3BpeApply(s: SparkSession, d: String): DataFrame = {
+    val (_, words) = bpeTrained(s, d)
+    val perWord = words.select(col("w"),
+      asLong(size(split(col("syms"), ","))).as("nb"))
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"), "left")
+      .withColumn("nb", coalesce(col("nb"),
+        when(length(col("w")) >= 1, 1L).otherwise(0L)))
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_words"),
+        asLong(sum(col("nb"))).as("n_bpe_tokens"),
+        asLong(sum(length(col("w")))).as("n_chars"))
+      .withColumn("cpt_m3",
+        when(col("n_bpe_tokens") > 0,
+          expr("1000 * n_chars div n_bpe_tokens")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Dimensionality of the feature-hashed document vectors. */
   val HashDim = 16
 
@@ -825,6 +933,8 @@ object TextOps {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_bpe_vocab" -> (e3BpeVocab _),
+    "e3_bpe_apply" -> (e3BpeApply _),
     "e3_quality_calibration" -> (e3QualityCalibration _),
     "e3_postings" -> (e3Postings _),
     "e3_phrase_search" -> (e3PhraseSearch _),
@@ -871,6 +981,38 @@ object TextOps {
       |    PARTITION BY doc_id ORDER BY s DESC, cand_lang) AS rn FROM score)
       |WHERE rn = 1)""".stripMargin
 
+  /** DuckDB replica of the full BpeRounds-iteration BPE trainer: the
+    * word-frequency table, then per round (pair counts over the comma-
+    * joined symbol strings → (n DESC, a, b) argmax → the same
+    * last-symbol-guarded left-to-right fold as bpeFoldOnce via
+    * list_reduce). Ends at `ws$BpeRounds` (w, wn, syms) with each
+    * round's pick in `top$k`. */
+  private def bpeTrainCtes: String = {
+    val init =
+      """ws0 AS (SELECT w, wn,
+        |  array_to_string(list_transform(range(1, length(w) + 1),
+        |    i -> substring(w, CAST(i AS INT), 1)), ',') AS syms
+        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |    WHERE length(w) >= 2 GROUP BY w))""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""sl$k AS (SELECT w, wn, syms, string_split(syms, ',') AS sl
+         |  FROM ws${k - 1}),
+         |pr$k AS (SELECT sl[CAST(i AS INT)] AS a, sl[CAST(i AS INT) + 1] AS b,
+         |    CAST(sum(wn) AS BIGINT) AS n
+         |  FROM sl$k, unnest(range(1, len(sl))) u(i) GROUP BY 1, 2),
+         |top$k AS (SELECT a, b, n FROM pr$k ORDER BY n DESC, a, b LIMIT 1),
+         |ws$k AS (SELECT w, wn,
+         |    CASE WHEN len(sl) < 2 THEN syms ELSE
+         |      list_reduce(sl, (acc, s) ->
+         |        CASE WHEN (acc = a OR ends_with(acc, ',' || a)) AND s = b
+         |             THEN acc || s ELSE acc || ',' || s END)
+         |    END AS syms
+         |  FROM sl$k CROSS JOIN top$k)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$rounds"
+  }
+
   /** Shared oracle CTE block: word occurrences (len ≥ 2) and their
     * adjacent char pairs — the common core of the two BPE oracles. */
   private val bpeCtes: String =
@@ -880,6 +1022,31 @@ object TextOps {
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e3_bpe_vocab" -> {
+      val union = (1 to BpeRounds).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, a, b, a || b AS merged, n FROM top$k"
+      }.mkString("\nUNION ALL\n")
+      s"WITH $bpeTrainCtes\n$union\nORDER BY rank"
+    },
+    "e3_bpe_apply" ->
+      s"""WITH $bpeTrainCtes,
+         |pw AS (SELECT w,
+         |    CAST(len(string_split(syms, ',')) AS BIGINT) AS nb
+         |  FROM ws$BpeRounds),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |j AS (SELECT t.doc_id, t.w, coalesce(pw.nb,
+         |    CASE WHEN length(t.w) >= 1 THEN 1 ELSE 0 END) AS nb
+         |  FROM tok t LEFT JOIN pw USING (w)),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(length(w)) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+         |  CAST(CASE WHEN n_bpe_tokens > 0
+         |    THEN (1000 * n_chars) // n_bpe_tokens ELSE 0 END AS BIGINT)
+         |    AS cpt_m3
+         |FROM per ORDER BY doc_id""".stripMargin,
     "e3_quality_calibration" ->
       """WITH q AS (SELECT len(string_split(text, ' ')) AS nt,
         |  CAST(round(round(least(1.0,

@@ -273,6 +273,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e3_bpe_vocab/apply match a brute-force greedy BPE trainer") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val wf = docs.flatMap(_._2.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var syms: Map[String, Vector[String]] =
+      wf.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val merges = (1 to TextOps.BpeRounds).map { _ =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      syms.foreach { case (w, sl) =>
+        sl.sliding(2).withFilter(_.length == 2)
+          .foreach(p => counts((p(0), p(1))) += wf(w))
+      }
+      val (a, b) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head._1
+      syms = syms.map { case (w, sl) =>
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        sl.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        w -> out.toVector
+      }
+      (a, b, counts((a, b)))
+    }
+    val got = TextOps.e3BpeVocab(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("n")))
+    assert(got.toSeq == merges.toSeq, s"got ${got.toSeq} want $merges")
+    // apply: per-doc token counts against the brute-forced symbol table
+    val gotApply = TextOps.e3BpeApply(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    docs.foreach { case (id, t) =>
+      val want = t.split(" ", -1).map { w =>
+        if (w.isEmpty) 0L
+        else if (w.length < 2) 1L
+        else syms(w).length.toLong
+      }.sum
+      assert(gotApply(id) == want, s"doc $id")
+    }
+    // compression: merges should shrink the stream on the fixture
+    val tokens = TextOps.e3BpeApply(spark, TestSpark.sf0001)
+      .agg(sum(col("n_bpe_tokens")), sum(col("n_chars"))).head()
+    assert(tokens.getLong(0) < tokens.getLong(1),
+      "BPE tokens should undercut character count")
+  }
+
   test("e1_cdc_chunks: chunks partition each doc; boundaries survive an insertion") {
     val rows = Dedup.e1CdcChunks(spark, TestSpark.sf0001).collect()
     rows.foreach { r =>
