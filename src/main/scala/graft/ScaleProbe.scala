@@ -101,7 +101,13 @@ object ScaleProbe {
       "e3_bpe_merge", "q51_lateral", "e2_sq8", "e5_blob_dedup",
       "e2_ann_filtered", "q52_date_spine", "e3_hash_embed",
       "e8_kanon", "e8_bootstrap", "e2_hard_negatives",
-      "e6_cluster_split", "e7_source_caps", "e3_entropy", "e6_time_split")
+      "e6_cluster_split", "e7_source_caps", "e3_entropy", "e6_time_split",
+      // round 7 continuation
+      "e1_cdc_chunks", "e1_prefix_join", "e3_bpe_vocab", "e3_bpe_apply",
+      "e3_postings", "e3_phrase_search", "e3_quality_calibration",
+      "e6_interleave", "e7_epoch_plan", "e9_label_prop",
+      "q53_sessionize", "e2_ann_multiprobe", "e2_embed_outliers",
+      "e1_incremental_neardup")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

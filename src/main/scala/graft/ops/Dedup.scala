@@ -728,6 +728,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** E1 — incremental NEAR-dup dedup: the fuzzy twin of e1_incremental.
+    * The exact-fingerprint anti join admits a near-copy (one edited
+    * sentence defeats it); this pass checks each new-batch document's
+    * MinHash bands against the EXISTING CORPUS's band index and reports,
+    * per batch document that collides-and-verifies (exact Jaccard ≥ 0.2
+    * on the df-capped shingle sets), its best corpus match — the
+    * documents a nightly ingest must NOT admit even though their bytes
+    * are new. Same IncrSalt slot split as e1_incremental, so the two
+    * queries describe the same nightly batch under both policies. Plan
+    * at scale: the band index over the corpus is the pre-built artifact
+    * (same banded table e1_minhash_pairs ships); the batch's bands probe
+    * it with an equi-join on (band, bh) — batch-sized × collision rate,
+    * never corpus × corpus — and only colliding candidates fetch shingle
+    * sets for verification. The argmax is a map-side-combinable
+    * max(struct), keyed on integer basis-points so the tie-break is
+    * engine-independent. */
+  def e1IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      Sampling.slot(c, IncrSalt) >= 90
+    e1MinhashPairs(s, d)
+      .filter(isBatch(col("da")) =!= isBatch(col("db")))
+      .select(
+        when(isBatch(col("da")), col("da")).otherwise(col("db")).as("doc_id"),
+        when(isBatch(col("da")), col("db")).otherwise(col("da")).as("match_id"),
+        expr("CAST(round(jaccard * 10000) AS BIGINT)").as("jbp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jbp"), (-col("match_id")).as("nm"))).as("best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("best.nm")).as("match_id"),
+        round(col("best.jbp") / 10000.0, 4).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** E1 — the dedup accuracy scoreboard (the e2_ann_recall analogue):
     * LSH pair recall against the exact shingle-Jaccard ground truth.
     * Precision is 1.0 by construction (every band candidate is verified
@@ -912,21 +946,30 @@ object Dedup {
           filter(sequence(lit(1), size(col("wh")) - 1),
             i => mixGate(element_at(col("wh"), i + 1))))
           .otherwise(array().cast("array<int>"))))
-      .withColumn("ch", expr(
-        """transform(starts, (st, j) -> named_struct(
-          |  'st', st,
-          |  'en', CASE WHEN j + 1 < size(starts)
-          |             THEN element_at(starts, j + 2) ELSE n END))""".stripMargin))
-      .withColumn("cf", expr(
-        """transform(ch, c -> named_struct(
-          |  'len', c.en - c.st,
-          |  'cs', array_join(slice(toks, c.st + 1, c.en - c.st), ' ')))"""
-          .stripMargin))
+      // each chunk ends where the next starts (last chunk ends at n).
+      // CRITICAL PLAN PROPERTY: no lambda body may reference an outer
+      // ARRAY-VALUED expression — CollapseProject inlines the alias, and
+      // a higher-order function re-evaluates its body PER ELEMENT, so
+      // `element_at(starts, ...)` inside a transform re-ran the whole
+      // interpreted mix64 boundary filter per chunk: O(chunks × tokens)
+      // per document, measured 35 s of a 65 s total at sf0.1. arrays_zip
+      // evaluates `starts`/`ends` ONCE per row, and after the explode
+      // every remaining expression is per-row and codegen'd (measured
+      // 65 s → ~2 s, same rows/hashes).
+      .withColumn("ends", concat(
+        when(size(col("starts")) >= 2,
+          slice(col("starts"), lit(2), size(col("starts")) - 1))
+          .otherwise(array().cast("array<int>")),
+        array(col("n"))))
+      .withColumn("ch", arrays_zip(col("starts"), col("ends")))
     val chunks = docs
-      .select(col("doc_id"), asLong(col("n")).as("n_tokens"),
-        explode(col("cf")).as("c"))
+      .select(col("doc_id"), asLong(col("n")).as("n_tokens"), col("toks"),
+        explode(col("ch")).as("c"))
       .select(col("doc_id"), col("n_tokens"),
-        asLong(col("c.len")).as("len"), Hashes.fnv64(col("c.cs")).as("fp"))
+        asLong(col("c.ends") - col("c.starts")).as("len"),
+        Hashes.fnv64(array_join(
+          slice(col("toks"), col("c.starts") + 1, col("c.ends") - col("c.starts")),
+          " ")).as("fp"))
     val occ = chunks.groupBy("fp").agg(count(lit(1)).as("occ"))
     chunks.join(occ, "fp")
       .groupBy("doc_id", "n_tokens")
@@ -949,6 +992,7 @@ object Dedup {
     "e1_keeper_quality" -> (e1KeeperQuality _),
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
+    "e1_incremental_neardup" -> (e1IncrementalNeardup _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_prefix_join" -> (e1PrefixJoin _),
@@ -1261,6 +1305,34 @@ object Dedup {
     "e1_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
+    "e1_incremental_neardup" -> {
+      import OracleSql._
+      // slotCtes can't be reused verbatim: its `slots` CTE name collides
+      // with the band-slot CTE inside minhashCtes, so the IncrSalt slot
+      // chain gets its own `is*` names here.
+      s"""WITH $minhashCtes,
+         |is0 AS (SELECT doc_id,
+         |  (xor(CAST(doc_id AS HUGEINT), CAST('$IncrSalt' AS HUGEINT)) + $A)
+         |    % $M AS z0 FROM documents),
+         |is1 AS (SELECT doc_id, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM is0),
+         |is2 AS (SELECT doc_id, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM is1),
+         |isl AS (SELECT doc_id,
+         |  (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot
+         |  FROM is2),
+         |x AS (
+         |  SELECT CASE WHEN sa.slot >= 90 THEN mhp.da ELSE mhp.db END AS doc_id,
+         |    CASE WHEN sa.slot >= 90 THEN mhp.db ELSE mhp.da END AS match_id,
+         |    CAST(round(jaccard * 10000) AS BIGINT) AS jbp
+         |  FROM mhp JOIN isl sa ON mhp.da = sa.doc_id
+         |  JOIN isl sb ON mhp.db = sb.doc_id
+         |  WHERE (sa.slot >= 90) <> (sb.slot >= 90)),
+         |r AS (SELECT doc_id, match_id, jbp,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY jbp DESC, match_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_matches FROM x)
+         |SELECT doc_id, n_matches, match_id, round(jbp / 10000.0, 4) AS jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     // prefix filtering is EXACT, so the expected answer is simply the full
     // Jaccard-≥-4/5 pair set over the same df-capped shingle sets; the
     // integer gate 5i ≥ 4(na+nb−i) mirrors the Spark side bit for bit

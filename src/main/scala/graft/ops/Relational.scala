@@ -1042,8 +1042,46 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Session gap for q53 — 12 h in epoch micros, interpolated into BOTH
+    * engines. Chosen against the fixture's inter-event profile (median
+    * per-user gap ≈ 7.3 h) so users split into multi-event sessions. */
+  val SessionGapUs: Long = 12L * 3600L * 1000000L
+
+  /** Q53 — batch sessionization (gaps-and-islands) [EXT]: assign every
+    * event to a per-user session whose boundary is an inter-event gap
+    * > SessionGapUs, then aggregate per session — the batch analogue of
+    * the e4c streaming session window, expressed in the classic
+    * lag → boundary-flag → running-sum idiom every warehouse uses for
+    * clickstream/telemetry sessionization (the reference's batch/job
+    * history is exactly such an event stream). All arithmetic is exact
+    * integer epoch micros, so the boundary decision is bit-stable across
+    * engines. Plan at scale: ONE hash exchange on user_id; both windows
+    * (lag and running sum) and the session aggregate run inside that
+    * partitioning — no second shuffle (the groupBy keys are a superset
+    * of the partition key), per-user history is bounded, and no state
+    * beyond the sort, so the same plan runs on 10^11 events. */
+  def q53Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > lit(SessionGapUs), 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("boundary")).over(run))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        expr("(max(us) - min(us)) div 1000000").as("dur_s"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_sessionize" -> (q53Sessionize _),
     "q51_lateral" -> (q51Lateral _),
     "q52_date_spine" -> (q52DateSpine _),
     "q49_dq_checks" -> (q49DqChecks _),
@@ -1108,6 +1146,22 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    "q53_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(ts) AS us FROM events),
+         |l AS (SELECT *, lag(us) OVER
+         |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL
+         |      OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS bd FROM l),
+         |sess AS (SELECT *, CAST(sum(bd) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS BIGINT) AS session_no FROM b)
+         |SELECT user_id, session_no, count(*) AS n_events,
+         |  count(DISTINCT event_type) AS n_types,
+         |  (max(us) - min(us)) // 1000000 AS dur_s,
+         |  min(event_id) AS first_event
+         |FROM sess GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
     "q52_date_spine" ->
       """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
         |    count(*) AS n_orders,

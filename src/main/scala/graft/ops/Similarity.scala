@@ -66,6 +66,45 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — MULTI-PROBE LSH ANN: same 12-bit hyperplane index as
+    * e2_ann_lsh, but each query vector probes its own bucket PLUS the 12
+    * buckets at Hamming distance 1 (one sign flipped) — the multi-probe
+    * trick (Lv et al., VLDB'07) that buys the recall of many hash tables
+    * from ONE table by also looking where a near-miss hyperplane vote
+    * would have landed. The candidate set is a strict superset of
+    * e2_ann_lsh's (the d=0 probe is the base bucket), so per-vector best
+    * sim can only improve — asserted as a monotone property in ScalaTest.
+    * At 100 TB this is the memory-bound regime's dial: nProbes scales
+    * candidate work linearly while extra tables would scale INDEX STORAGE
+    * linearly; production systems probe, not replicate. Plan: the probe
+    * fan-out is a scan-side explode (13 rows per query vector, no extra
+    * shuffle); the join stays an equi-join on the probed bucket; a pair
+    * can't repeat (probe buckets are distinct, build side is indexed
+    * once) so no dedup step. Oracle: annLshOracle's plane replica plus a
+    * range(-1,12) bit-flip cross join. */
+  def e2AnnMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val sig = withNorm(embeddings(s, d))
+      .withColumn("bucket",
+        org.apache.spark.sql.graftext.hyperplaneExpression
+          .hyperplaneSig(col("embedding"), 12))
+    val probes = sig.withColumn("pbucket",
+      explode(array((-1 until 12).map {
+        case -1 => col("bucket")
+        case f  => col("bucket").bitwiseXOR(lit(1L << f))
+      }: _*)))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    probes.as("a")
+      .join(sig.as("b"),
+        col("a.pbucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** IVF cell count for a corpus of n vectors: ceil(√n), the textbook
     * sizing — per-cell population ~√n keeps BOTH the broadcast
     * (k seeds ~ √n; ~80 MB at 10^11 vectors) and the within-cell search
@@ -201,6 +240,40 @@ object Similarity {
       .withColumn("c_rn", row_number().over(assignW))
       .filter(col("c_rn") <= nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
+  /** E2 — embedding-space OUTLIER detection for data cleaning: flag, per
+    * IVF cell, the 5% of vectors LEAST similar to their own cell seed —
+    * the curation gate that catches corrupt embeddings, mojibake text
+    * embedded as noise, and off-distribution documents before training
+    * (SemDeDup's complement: e2_semdedup removes the over-represented
+    * center, this removes the pathological fringe). The threshold is a
+    * per-cell RANK, not a global sim cutoff, so dense and sparse regions
+    * are audited at the same rate and the rule needs no tuned constant.
+    * Plan at scale: the same broadcast seed join as every IVF query (no
+    * pairwise work), then ONE |cells|-keyed exchange for the two windows;
+    * ceil is exact integer arithmetic ((n*5+99) div 100) so the flag set
+    * is bit-stable cross-engine. */
+  def e2EmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val scored = e.join(broadcast(seeds))
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")))
+      .withColumn("c_rn", row_number().over(assignW))
+      .filter(col("c_rn") === 1)
+      .select(col("vec_id"), col("cell"), col("c_sim"))
+    val w = Window.partitionBy("cell").orderBy(col("c_sim"), col("vec_id"))
+    scored
+      .withColumn("r", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("r") <= expr("(cell_n * 5 + 99) div 100"))
+      .select(col("cell"), col("vec_id"), round(col("c_sim"), 4).as("sim_c"),
+        col("cell_n"))
+      .orderBy("cell", "vec_id")
   }
 
   /** The ceil(√n) IVF seed set (deterministic splitmix64 sample) shared by
@@ -812,6 +885,8 @@ object Similarity {
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
     "e2_ann_lsh" -> (e2AnnLsh _),
+    "e2_ann_multiprobe" -> (e2AnnMultiprobe _),
+    "e2_embed_outliers" -> (e2EmbedOutliers _),
     "e2_ann_ivf" -> (e2AnnIvf _),
     "e2_ann_ivf2" -> (e2AnnIvf2 _),
     "e2_centroids" -> (e2Centroids _),
@@ -829,9 +904,11 @@ object Similarity {
     * signed accumulation in index order (±1.0 * x is IEEE-exact, so the
     * reduce matches the Scala loop bit for bit), then bucket join and
     * deterministic top-1. Dim is pinned to the fixture's 64; nPlanes 12. */
-  private val annLshOracle: String = {
+  /** Shared CTE prefix ending in `emb` (vec_id, e) and `sig`
+    * (vec_id, bucket) — the plane derivation both LSH oracles use. */
+  private val lshSigCtes: String = {
     import OracleSql._
-    s"""WITH pl0 AS (
+    s"""pl0 AS (
        |  SELECT p.range AS p, i.range AS i,
        |    (CAST(p.range AS HUGEINT) * $A + CAST(i.range AS HUGEINT) * $C1) % $M AS z0
        |  FROM range(0, 12) p, range(0, 64) i),
@@ -849,7 +926,11 @@ object Similarity {
        |  FROM emb, planes),
        |sig AS (
        |  SELECT vec_id, CAST(sum(CASE WHEN acc >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM accs GROUP BY vec_id),
+       |  FROM accs GROUP BY vec_id)""".stripMargin
+  }
+
+  private val annLshOracle: String =
+    s"""WITH $lshSigCtes,
        |j AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    list_cosine_similarity(x.e, y.e) AS sim
@@ -859,7 +940,24 @@ object Similarity {
        |  SELECT vec_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn FROM j)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
-  }
+
+  /** Multi-probe replica: base bucket plus the 12 one-bit-flip probes
+    * (range(-1,12): f = -1 is the unflipped base probe). */
+  private val annMultiprobeOracle: String =
+    s"""WITH $lshSigCtes,
+       |probes AS (
+       |  SELECT vec_id, xor(bucket, CASE WHEN f.range < 0 THEN 0
+       |    ELSE CAST(power(2, f.range) AS BIGINT) END) AS pbucket
+       |  FROM sig, range(-1, 12) f),
+       |j AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(x.e, y.e) AS sim
+       |  FROM probes a JOIN sig b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id
+       |  JOIN emb x ON x.vec_id = a.vec_id JOIN emb y ON y.vec_id = b.vec_id)
+       |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn FROM j)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   /** DuckDB replica of the IVF path: seeds are the ceil(√n) vec_ids with
     * the smallest signed splitmix64(vec_id) (= minhashExpression.mix64,
@@ -1203,6 +1301,21 @@ object Similarity {
          |JOIN embeddings l ON l.vec_id = e.vec_id
          |GROUP BY l.label ORDER BY label""".stripMargin,
     "e2_ann_lsh" -> annLshOracle,
+    "e2_ann_multiprobe" -> annMultiprobeOracle,
+    "e2_embed_outliers" ->
+      s"""WITH ${ivfCtes(1)},
+         |scored AS (
+         |  SELECT b.vec_id, b.cell, list_cosine_similarity(b.e, s.ce) AS c_sim
+         |  FROM build b JOIN seeds s ON s.cell = b.cell),
+         |rk AS (
+         |  SELECT vec_id, cell, c_sim,
+         |    row_number() OVER (PARTITION BY cell ORDER BY c_sim, vec_id) AS r,
+         |    count(*) OVER (PARTITION BY cell) AS cell_n
+         |  FROM scored)
+         |SELECT cell, vec_id, round(c_sim, 4) AS sim_c,
+         |  CAST(cell_n AS BIGINT) AS cell_n
+         |FROM rk WHERE r <= (cell_n * 5 + 99) // 100
+         |ORDER BY cell, vec_id""".stripMargin,
     "e2_ann_ivf" -> annIvfOracle(1),
     "e2_ann_ivf2" -> annIvfOracle(2),
     "e2_hard_negatives" ->

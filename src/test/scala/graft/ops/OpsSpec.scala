@@ -729,6 +729,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN multi-probe: superset coverage, per-vector best sim never worse") {
+    // multi-probe candidates strictly contain the base-bucket candidates
+    // (the d=0 probe IS the base bucket), so every vector the base LSH
+    // covers is covered here, and its best-neighbor sim can only improve
+    val base = Similarity.e2AnnLsh(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val mp = Similarity.e2AnnMultiprobe(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(base.keySet.subsetOf(mp.keySet), "multi-probe lost a covered vector")
+    assert(mp.size > base.size, "1-bit probes should cover extra vectors")
+    base.foreach { case (v, s0) =>
+      assert(mp(v) >= s0 - 1e-9, s"vector $v: multi-probe sim regressed")
+    }
+  }
+
+  test("q53 sessionize: partitions the stream, boundaries respect the gap") {
+    val sess = Relational.q53Sessionize(spark, TestSpark.sf001).collect()
+    val nEvents = graft.Tables.events(spark, TestSpark.sf001).count()
+    // every event lands in exactly one session
+    assert(sess.map(_.getLong(2)).sum == nEvents)
+    // session numbers are contiguous from 1 per user
+    sess.groupBy(_.get(0)).foreach { case (_, rows) =>
+      val nos = rows.map(_.getLong(1)).sorted
+      assert(nos.head == 1L && nos.last == nos.length.toLong)
+    }
+    // types never exceed events; durations are non-negative
+    sess.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) >= 0L)
+    }
+  }
+
+  test("embed outliers: exactly ceil(5%) flagged per cell, deterministic") {
+    val out = Similarity.e2EmbedOutliers(spark, TestSpark.sf001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cellN = rows.head.getLong(3)
+      assert(rows.length.toLong == (cellN * 5 + 99) / 100,
+        "flag count is not ceil(5% of cell)")
+    }
+    val again = Similarity.e2EmbedOutliers(spark, TestSpark.sf001).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("incremental neardup: batch docs only, matches in corpus, verified j") {
+    val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
+    assert(out.nonEmpty)
+    def slot(id: Long): Long = {
+      // splitmix64(id ^ IncrSalt) & Long.MaxValue mod 100, as in Sampling.slot
+      var z = id ^ Dedup.IncrSalt; z += 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & Long.MaxValue) % 100
+    }
+    out.foreach { r =>
+      assert(slot(r.getLong(0)) >= 90, "flagged doc must be in the new batch")
+      assert(slot(r.getLong(2)) < 90, "best match must be in the corpus")
+      assert(r.getLong(1) >= 1L)
+      val j = r.getDouble(3)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
   test("connectedComponents labels edge endpoints missing from the vertex list") {
     // vertex list only knows doc 3, but the chain 1-2-3 must still resolve
     // to cluster 1 (a partial vertex list must not stall propagation)
