@@ -371,7 +371,40 @@ object Curation {
       .orderBy("source")
   }
 
+  /** E7 — count-weighted keeper manifest (weight histogram): the
+    * alternative dedup POLICY to dropping — keep one copy per near-dup
+    * cluster and train it with weight = cluster size, preserving the
+    * corpus distribution that plain dedup tilts (heavily-duplicated
+    * content is popular content; weight-1-per-copy and keep-one-drop-rest
+    * are the two extremes, and count-weighting is the tunable middle
+    * ground the dedup literature recommends auditing before choosing).
+    * Emits the weight histogram with the token mass at stake per weight:
+    * `tokens_total` (what weight-w clusters hold), `tokens_kept` (what
+    * their keepers retrain on) — the difference is exactly what the drop
+    * policy deletes and the weight policy re-inflates. Keeper = the
+    * cluster label itself (min doc_id, e1_dedup_clusters' canonical
+    * choice). Plan at scale: rides the SHARED pair-table propagation
+    * labels (never re-pairs), one doc_id join for token counts, one
+    * cluster-keyed aggregate, then a histogram aggregate keyed by weight
+    * — bounded by the largest duplicate family, not the corpus. */
+  def e7DedupWeights(s: SparkSession, d: String): DataFrame = {
+    val nt = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    Dedup.e1DedupClusters(s, d).join(nt, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("weight"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(col("doc_id") === col("cluster"), col("nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .groupBy("weight")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("tokens_total").as("tokens_total"),
+        sum("tokens_kept").as("tokens_kept"))
+      .orderBy("weight")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_dedup_weights" -> (e7DedupWeights _),
     "e7_epoch_plan" -> (e7EpochPlan _),
     "e7_source_caps" -> (e7SourceCaps _),
     "e7_dataset_card" -> (e7DatasetCard _),
@@ -384,6 +417,26 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_dedup_weights" ->
+      s"""WITH RECURSIVE ${Dedup.minhashCtes},
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |cl AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v),
+         |nt AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |g AS (SELECT cl.cluster, count(*) AS weight,
+         |    CAST(sum(nt.nt) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN cl.doc_id = cl.cluster THEN nt.nt ELSE 0 END)
+         |      AS BIGINT) AS tokens_kept
+         |  FROM cl JOIN nt USING (doc_id) GROUP BY cl.cluster)
+         |SELECT weight, count(*) AS n_clusters,
+         |  CAST(sum(tokens_total) AS BIGINT) AS tokens_total,
+         |  CAST(sum(tokens_kept) AS BIGINT) AS tokens_kept
+         |FROM g GROUP BY weight ORDER BY weight""".stripMargin,
     "e7_epoch_plan" ->
       s"""WITH t AS (SELECT source,
          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

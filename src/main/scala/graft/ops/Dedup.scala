@@ -927,10 +927,11 @@ object Dedup {
     * whole chunks, so one hash identity per ~CdcAvg words. Plan: token
     * split, window hashes, boundary gate, chunk slicing and chunk
     * fingerprints are ALL scan-side array ops (zero shuffles until the
-    * fingerprint count); the only exchanges are the fp-keyed occurrence
-    * aggregate (16-byte rows, map-side combined) and the join back —
-    * documents and chunk text never shuffle. */
+    * fingerprint count); the only exchange is the fp-keyed occurrence
+    * window over thin chunk rows — documents and chunk text never
+    * shuffle. */
   def e1CdcChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mixGate = (h: org.apache.spark.sql.Column) =>
       pmod(org.apache.spark.sql.graftext.minhashExpression.mix64(h)
         .bitwiseAND(lit(Long.MaxValue)), lit(CdcAvg)) === lit(0L)
@@ -970,8 +971,15 @@ object Dedup {
         Hashes.fnv64(array_join(
           slice(col("toks"), col("c.starts") + 1, col("c.ends") - col("c.starts")),
           " ")).as("fp"))
-    val occ = chunks.groupBy("fp").agg(count(lit(1)).as("occ"))
-    chunks.join(occ, "fp")
+    // occurrence counting as a window over fp, not aggregate + join-back:
+    // the join shape evaluates the expensive chunk pipeline TWICE (the agg
+    // branch and the probe branch each recompute the array ops — no
+    // exchange reuse between a partial-agg exchange and a join exchange);
+    // the window shuffles the same thin (32-byte) chunk rows once and
+    // reads the pipeline once. Measured ~2× at sf0.1.
+    chunks
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id", "n_tokens")
       .agg(asLong(count(lit(1))).as("n_chunks"),
         asLong(sum(when(col("occ") >= CdcMinOcc, 1L).otherwise(0L)))

@@ -760,6 +760,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q53 sessionize agrees with Spark's native session_window at the same gap") {
+    // the gaps-and-islands formulation and the built-in session_window
+    // must partition events identically (boundary semantics differ only
+    // at EXACT gap equality, which the micro-timestamped fixture can't hit)
+    val native = graft.Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "12 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val ours = Relational.q53Sessionize(spark, TestSpark.sf001)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ours == native)
+  }
+
   test("embed outliers: exactly ceil(5%) flagged per cell, deterministic") {
     val out = Similarity.e2EmbedOutliers(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)

@@ -193,4 +193,34 @@ class RelationalPlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans <= 2, s"one scan per table, no re-scan per outer row:\n$plan")
   }
+
+  test("q53: both windows AND the session aggregate ride ONE user_id exchange") {
+    val plan = finalPlan(Relational.q53Sessionize(spark, TestSpark.sf001))
+    // lag window, running-sum window, and groupBy(user_id, session_no) all
+    // run inside hashpartitioning(user_id); only the display orderBy adds a
+    // range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx:\n$plan")
+  }
+
+  test("e2_ann_multiprobe: probe fan-out is a scan-side explode, no loop join") {
+    val plan = finalPlan(Similarity.e2AnnMultiprobe(spark, TestSpark.sf001))
+    assert(plan.contains("Generate explode"),
+      s"probe buckets must come from a scan-side explode:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket probe must stay an equi-join:\n$plan")
+  }
+
+  test("e2_embed_outliers: broadcast seed assign; both cell windows share one exchange") {
+    val plan = finalPlan(Similarity.e2EmbedOutliers(spark, TestSpark.sf001))
+    // the seed join is the broadcast cross the IVF family uses (argmax
+    // prunes it); the corpus crosses exactly two hash exchanges — vec_id
+    // for the assignment argmax, cell for the rank+count windows (which
+    // must NOT each add their own)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"seed set must ride a broadcast, never shuffle the corpus:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 hash exchanges (vec_id, cell), got $hashEx:\n$plan")
+  }
 }
