@@ -81,6 +81,55 @@ object Analysis {
       .orderBy("event_id")
   }
 
+  /** MAD flag threshold ×10⁴: 4.4478 = 3 × 1.4826 (the normal-consistency
+    * constant), so the cut matches e8_outliers' 3σ under normality while
+    * staying exact integer arithmetic. */
+  val MadK = 44478L
+
+  /** Twice the exact median of integer column `v` per `key`, from the
+    * value-domain histogram (the q25 cents-histogram idiom): med2 =
+    * value@rank((n−1) div 2) + value@rank(n div 2), so even-count
+    * midpoints need no fractional types. Windows run over the histogram
+    * (value domain), never rows. */
+  private def median2(df: DataFrame, key: String, v: String): DataFrame = {
+    val w = Window.partitionBy(key)
+    val hist = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(v)))
+      .withColumn("n", sum(col("cnt")).over(w))
+    def at(rank: org.apache.spark.sql.Column) =
+      max(when(rank.between(col("cum") - col("cnt"), col("cum") - 1), col(v)))
+    hist.groupBy(key)
+      .agg((at(expr("(n - 1) div 2")) + at(expr("n div 2"))).as("med2"))
+  }
+
+  /** E8 — ROBUST outlier detection via median absolute deviation: events
+    * whose |value − median| exceeds 3 × 1.4826 × MAD of their type — the
+    * robust twin of e8_outliers, which a single extreme batch can blind
+    * (outliers inflate the mean/σ they are judged against; the median/MAD
+    * breakdown point is 50%, so the fence holds even when a burst of bad
+    * rows IS the anomaly being hunted). Exactness: values in integer
+    * 10⁻⁴ units, both medians as integer-exact DOUBLED medians from the
+    * q25 histogram idiom, and the flag decision 20000·dev2 > MadK·mad4
+    * entirely in integers — no float boundary can split the engines.
+    * Plan at scale: two histogram aggregates (value-domain-sized
+    * exchanges, map-side combined; windows run over the histogram, never
+    * rows) and two broadcast stats joins — the event stream itself is
+    * never shuffled, same discipline as e8_outliers. */
+  def e8MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"), expr("CAST(round(value * 10000) AS BIGINT)").as("vm"))
+    val med = median2(ev, "event_type", "vm")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("vm") * 2 - col("med2")))
+    val mad = median2(dev, "event_type", "dev2")
+      .withColumnRenamed("med2", "mad4")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev2") * lit(20000L) > col("mad4") * lit(MadK))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("dev2") / 20000.0, 4).as("dev"))
+      .orderBy("event_id")
+  }
+
   /** Rank depth for the Zipf fit — interpolated into BOTH engines. */
   val ZipfTopK = 200
 
@@ -758,6 +807,7 @@ object Analysis {
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
+    "e8_mad_outliers" -> (e8MadOutliers _),
     "e8_zipf" -> (e8Zipf _),
     "e8_collocations" -> (e8Collocations _),
     "e8_diversity" -> (e8Diversity _),
@@ -1033,6 +1083,35 @@ object Analysis {
          |  round((value - m) / sd, 4) AS z
          |FROM events e JOIN s USING (event_type)
          |WHERE abs((value - m) / sd) > $OutlierZ
+         |ORDER BY event_id""".stripMargin,
+    "e8_mad_outliers" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+         |    CAST(round(value * 10000) AS BIGINT) AS vm FROM events),
+         |h1 AS (SELECT event_type, vm, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |r1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY vm)
+         |    AS cum, sum(cnt) OVER (PARTITION BY event_type) AS n FROM h1),
+         |m1 AS (SELECT event_type, CAST(
+         |    max(CASE WHEN (n - 1) // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN vm END) +
+         |    max(CASE WHEN n // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN vm END) AS BIGINT) AS med2
+         |  FROM r1 GROUP BY event_type),
+         |d AS (SELECT e.event_id, e.event_type, e.value,
+         |    abs(e.vm * 2 - m1.med2) AS dev2
+         |  FROM e JOIN m1 USING (event_type)),
+         |h2 AS (SELECT event_type, dev2, count(*) AS cnt FROM d GROUP BY 1, 2),
+         |r2 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY dev2)
+         |    AS cum, sum(cnt) OVER (PARTITION BY event_type) AS n FROM h2),
+         |m2 AS (SELECT event_type, CAST(
+         |    max(CASE WHEN (n - 1) // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN dev2 END) +
+         |    max(CASE WHEN n // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN dev2 END) AS BIGINT) AS mad4
+         |  FROM r2 GROUP BY event_type)
+         |SELECT event_id, d.event_type, value,
+         |  round(dev2 / 20000.0, 4) AS dev
+         |FROM d JOIN m2 USING (event_type)
+         |WHERE dev2 * 20000 > mad4 * $MadK
          |ORDER BY event_id""".stripMargin,
     "e8_zipf" ->
       s"""WITH tc AS (SELECT token, count(*) AS c FROM (

@@ -355,6 +355,34 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 
+  /** E3 — langid model SCOREBOARD: per-language precision / recall / F1
+    * of the n-gram language identifier against the labeled corpus — the
+    * model-evaluation report that decides whether a classifier is good
+    * enough to gate a corpus (the e1_lsh_recall / e2_ann_recall
+    * scoreboard idiom applied to the text-analysis family). All three
+    * metrics ride exact integer parts-per-million arithmetic
+    * (tp·10⁶ div n, F1 = 2PR div (P+R) on the ppm values), so the report
+    * hash-matches cross-engine with zero float divisions. Plan at scale:
+    * the cost is the langid prediction pass it audits; everything after
+    * is aggregates over the |langs|² confusion matrix. */
+  def e3LangidScoreboard(s: SparkSession, d: String): DataFrame = {
+    val cm = e3LangConfusion(s, d)
+    val bt = cm.groupBy("lang").agg(sum("n").as("n_true"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("tp"))
+    val bp = cm.groupBy("pred_lang").agg(sum("n").as("n_pred"))
+    bt.join(bp, col("lang") === col("pred_lang"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("p_ppm",
+        expr("CASE WHEN n_pred > 0 THEN (tp * 1000000) div n_pred ELSE 0 END"))
+      .withColumn("r_ppm", expr("(tp * 1000000) div n_true"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        col("p_ppm").as("precision_ppm"), col("r_ppm").as("recall_ppm"),
+        expr("CASE WHEN p_ppm + r_ppm > 0 THEN (2 * p_ppm * r_ppm) div (p_ppm + r_ppm) ELSE 0 END")
+          .as("f1_ppm"))
+      .orderBy("lang")
+  }
+
   /** E3 — LM-based fluency score (the CCNet-style language-model quality
     * gate, log-free): each document is scored by the average corpus
     * frequency of its character trigrams under its OWN language's trigram
@@ -949,6 +977,7 @@ object TextOps {
     "e3_lm_score" -> (e3LmScore _),
     "e3_normalize" -> (e3Normalize _),
     "e3_lang_confusion" -> (e3LangConfusion _),
+    "e3_langid_scoreboard" -> (e3LangidScoreboard _),
     "e3_tfidf" -> (e3Tfidf _),
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
@@ -1327,6 +1356,28 @@ object TextOps {
          |SELECT d.lang, p.pred_lang, count(*) AS n
          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
          |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "e3_langid_scoreboard" ->
+      s"""WITH $langidCtes,
+         |cm AS (SELECT d.lang, p.pred_lang, count(*) AS n
+         |  FROM pred p JOIN documents d ON p.doc_id = d.doc_id GROUP BY 1, 2),
+         |bt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+         |      AS tp
+         |  FROM cm GROUP BY lang),
+         |bp AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred
+         |  FROM cm GROUP BY pred_lang),
+         |j AS (SELECT bt.lang, n_true, tp, coalesce(n_pred, 0) AS n_pred,
+         |    CASE WHEN coalesce(n_pred, 0) > 0
+         |      THEN tp * 1000000 // n_pred ELSE 0 END AS p_ppm,
+         |    tp * 1000000 // n_true AS r_ppm
+         |  FROM bt LEFT JOIN bp ON bt.lang = bp.pred_lang)
+         |SELECT lang, n_true, CAST(n_pred AS BIGINT) AS n_pred, tp,
+         |  CAST(p_ppm AS BIGINT) AS precision_ppm,
+         |  CAST(r_ppm AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN p_ppm + r_ppm > 0
+         |    THEN (2 * p_ppm * r_ppm) // (p_ppm + r_ppm) ELSE 0 END AS BIGINT)
+         |    AS f1_ppm
+         |FROM j ORDER BY lang""".stripMargin,
     "e3_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

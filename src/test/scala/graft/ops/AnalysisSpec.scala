@@ -288,4 +288,25 @@ class AnalysisSpec extends AnyFunSuite {
       .orderBy(col("tk").desc, col("source")).head()
     assert(r.getAs[String]("top_source") == direct.getAs[String]("source"))
   }
+
+  test("e8_mad_outliers: flagged set equals a driver-side median/MAD recompute") {
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n - 1) / 2) + s(n / 2)
+    }
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val vm = rows.map(t => math.round(t._3 * 10000))
+      val m2 = med2(vm.toSeq)
+      val dev2 = rows.map(t => (t._1, math.abs(math.round(t._3 * 10000) * 2 - m2)))
+      val mad4 = med2(dev2.map(_._2).toSeq)
+      dev2.filter { case (_, d2) => d2 * 20000L > mad4 * Analysis.MadK }.map(_._1)
+    }.toSet
+    val got = Analysis.e8MadOutliers(spark, TestSpark.sf0001)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

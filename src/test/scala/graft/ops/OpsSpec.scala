@@ -790,6 +790,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("langid scoreboard reconciles with the confusion matrix") {
+    val cm = TextOps.e3LangConfusion(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sb = TextOps.e3LangidScoreboard(spark, TestSpark.sf001).collect()
+    assert(sb.nonEmpty)
+    sb.foreach { r =>
+      val lang = r.getString(0)
+      val (nTrue, nPred, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTrue == cm.filter(_._1 == lang).map(_._3).sum)
+      assert(nPred == cm.filter(_._2 == lang).map(_._3).sum)
+      assert(tp == cm.filter(c => c._1 == lang && c._2 == lang).map(_._3).sum)
+      val (p, rec, f1) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(p <= 1000000L && rec <= 1000000L)
+      // harmonic mean sits between min and max of P/R (±1 for integer div)
+      if (p + rec > 0)
+        assert(f1 >= math.min(p, rec) - 1 && f1 <= math.max(p, rec) + 1)
+    }
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)
