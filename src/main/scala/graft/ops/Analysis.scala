@@ -115,19 +115,65 @@ object Analysis {
     * exchanges, map-side combined; windows run over the histogram, never
     * rows) and two broadcast stats joins — the event stream itself is
     * never shuffled, same discipline as e8_outliers. */
-  def e8MadOutliers(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("event_id"), col("event_type"),
-      col("value"), expr("CAST(round(value * 10000) AS BIGINT)").as("vm"))
+  /** The (event_type, med2, mad4) robust stats table — computed batch
+    * side (nightly, like e8_outliers' mean/σ) and shared by the batch
+    * pass and the streaming scorer (StreamOps.streamMadOutliers). */
+  def madStats(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("vm"))
     val med = median2(ev, "event_type", "vm")
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dev2", abs(col("vm") * 2 - col("med2")))
-    val mad = median2(dev, "event_type", "dev2")
-      .withColumnRenamed("med2", "mad4")
-    dev.join(broadcast(mad), "event_type")
+    median2(dev, "event_type", "dev2").withColumnRenamed("med2", "mad4")
+      .join(med, "event_type")
+  }
+
+  def e8MadOutliers(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("event_type"), col("value"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("vm"))
+      .join(broadcast(madStats(s, d)), "event_type")
+      .withColumn("dev2", abs(col("vm") * 2 - col("med2")))
       .filter(col("dev2") * lit(20000L) > col("mad4") * lit(MadK))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("dev2") / 20000.0, 4).as("dev"))
       .orderBy("event_id")
+
+  /** E9 — MODULARITY audit of the label-propagation communities: per
+    * community, the integer-exact numerator of its modularity
+    * contribution, q_num = 4m·e_c − d_c² (so Q = Σ q_num / 4m²) — the
+    * standard "are these communities real structure or noise" score,
+    * published here as the per-community table so weak communities
+    * (q_num ≤ 0: no denser than the configuration-model expectation) are
+    * individually visible, not averaged away. Everything is integer
+    * arithmetic — edge counts, degree sums, one broadcast 1-row edge
+    * total — so the table hash-matches cross-engine with zero float
+    * divisions (the reader divides by 4m² for the familiar [-0.5, 1]
+    * score). Plan at scale: all inputs are pair-table-sized (the shared
+    * LSH pair table, its degree aggregate, the community labels); the
+    * corpus never moves. */
+  def e9Modularity(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val comm = e9LabelProp(s, d).select(col("doc_id"), col("community"))
+    val edges = p.select(col("da").as("v")).unionByName(p.select(col("db").as("v")))
+    val deg = edges.groupBy("v").agg(count(lit(1)).as("dg"))
+    val dsum = comm.join(deg, col("doc_id") === col("v"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("d_sum"))
+    val intra = p
+      .join(comm.select(col("doc_id").as("da"), col("community").as("ca")), "da")
+      .join(comm.select(col("doc_id").as("db"), col("community").as("cb")), "db")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val m = broadcast(p.agg(count(lit(1)).as("m")))
+    dsum.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("d_sum"),
+        col("intra_edges"),
+        (lit(4L) * col("m") * col("intra_edges") - col("d_sum") * col("d_sum"))
+          .as("q_num"))
+      .orderBy("community")
   }
 
   /** Rank depth for the Zipf fit — interpolated into BOTH engines. */
@@ -801,6 +847,7 @@ object Analysis {
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_label_prop" -> (e9LabelProp _),
+    "e9_modularity" -> (e9Modularity _),
     "e9_degrees" -> (e9Degrees _),
     "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
@@ -813,6 +860,25 @@ object Analysis {
     "e8_diversity" -> (e8Diversity _),
     "e8_decay" -> (e8Decay _),
   )
+
+  /** Label-propagation CTE chain (after minhashCtes): undirected edges,
+    * identity labels, LpIters synchronous mode-adoption rounds ending in
+    * CTE `l$LpIters` (v, lab). MATERIALIZED so DuckDB doesn't inline the
+    * MinHash chain once per reference (the e9_pagerank treatment). */
+  private val lpCtes: String = {
+    val base =
+      """e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+        |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM e)""".stripMargin
+    val iters = (1 to LpIters).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT e.src, l.lab, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.dst = l.v GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT src AS v, lab FROM (
+         |  SELECT src, lab, row_number() OVER (PARTITION BY src
+         |    ORDER BY c DESC, lab) AS rn FROM m$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
 
   val oracles: Map[String, String] = Map(
     "e8_kanon" ->
@@ -948,24 +1014,32 @@ object Analysis {
          |  round(n_triangles / CAST(n_wedges AS DOUBLE), 4) AS closure
          |FROM t CROSS JOIN nw""".stripMargin
     },
-    "e9_label_prop" -> {
-      val base =
-        """e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
-          |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
-          |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM e)""".stripMargin
-      val iters = (1 to LpIters).map { k =>
-        s"""m$k AS MATERIALIZED (SELECT e.src, l.lab, count(*) AS c
-           |  FROM e JOIN l${k - 1} l ON e.dst = l.v GROUP BY 1, 2),
-           |l$k AS MATERIALIZED (SELECT src AS v, lab FROM (
-           |  SELECT src, lab, row_number() OVER (PARTITION BY src
-           |    ORDER BY c DESC, lab) AS rn FROM m$k) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    "e9_label_prop" ->
       s"""WITH ${Dedup.minhashCtes},
-         |$base,
-         |$iters
+         |$lpCtes
          |SELECT v AS doc_id, lab AS community
-         |FROM l$LpIters ORDER BY doc_id""".stripMargin
-    },
+         |FROM l$LpIters ORDER BY doc_id""".stripMargin,
+    "e9_modularity" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |$lpCtes,
+         |mm AS (SELECT count(*) AS m FROM mhp),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+         |    SELECT da AS v FROM mhp UNION ALL SELECT db FROM mhp)
+         |  GROUP BY v),
+         |ds AS (SELECT c.lab AS community, count(*) AS n_nodes,
+         |    CAST(sum(dg) AS BIGINT) AS d_sum
+         |  FROM l$LpIters c JOIN deg ON c.v = deg.v GROUP BY c.lab),
+         |intra AS (SELECT a.lab AS community,
+         |    CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM mhp JOIN l$LpIters a ON mhp.da = a.v
+         |  JOIN l$LpIters b ON mhp.db = b.v
+         |  WHERE a.lab = b.lab GROUP BY a.lab)
+         |SELECT ds.community, ds.n_nodes, ds.d_sum,
+         |  coalesce(intra.intra_edges, 0) AS intra_edges,
+         |  CAST(4 * mm.m * coalesce(intra.intra_edges, 0)
+         |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+         |FROM ds LEFT JOIN intra USING (community) CROSS JOIN mm
+         |ORDER BY community""".stripMargin,
     "e9_pagerank" -> {
       // Every CTE that is referenced more than once (transitively, the
       // whole MinHash chain through `e`) is AS MATERIALIZED: DuckDB

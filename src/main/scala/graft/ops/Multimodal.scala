@@ -243,6 +243,65 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Audio window length in samples and the silence threshold in TENTHS
+    * of mean sample value (930 = mean < 93.0; p10–p50 of the fixture's
+    * window means is 92.4–94.6, so both silent and voiced windows exist
+    * at every sf). Integer rule ws·10 < Tau·wl — no float boundary. */
+  val AudioWin = 64
+  val SilenceTauTenths = 930L
+
+  final case class WindowSum(doc_id: Long, win_id: Long, ws: Long, wl: Long)
+
+  /** E5 — audio SILENCE segmentation: the audio twin of e5_scene_cuts'
+    * video scene detection. The fake codec's code points are the sample
+    * stream; fixed AudioWin-sample windows reduce to an integer energy
+    * sum, a window is SILENT when its mean sample sits below the
+    * threshold (exact integer comparison ws·10 < Tau·wl), and the VOICED
+    * segments are the gaps-and-islands runs of consecutive non-silent
+    * windows — per asset: window/silence counts, segment count, and the
+    * longest voiced run, which is what a speech pipeline cuts clips on
+    * before transcription/captioning. A real build swaps the codec for
+    * PCM frames and the mean for RMS energy with the identical plan.
+    * Plan at scale: per-blob decode in mapPartitions (the codec
+    * batching), then one doc_id exchange serving BOTH island windows and
+    * the final per-asset aggregate — windows are asset-length-bounded,
+    * blobs never shuffle twice. */
+  def e5AudioSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wins = withBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val cps = new String(r.blob, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          cps.grouped(AudioWin).zipWithIndex.map { case (w, i) =>
+            WindowSum(r.doc_id, i.toLong, w.map(_.toLong).sum, w.length.toLong)
+          }
+        }
+      }.toDF()
+      .withColumn("silent",
+        (col("ws") * 10L < lit(SilenceTauTenths) * col("wl")).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("win_id")
+    val runs = wins.filter(col("silent") === 0L)
+      .withColumn("prev_id", lag(col("win_id"), 1).over(w))
+      .withColumn("nr",
+        when(col("prev_id").isNull || col("win_id") =!= col("prev_id") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("run",
+        sum(col("nr")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("doc_id", "run").agg(count(lit(1)).as("seg_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max(col("seg_len")).as("max_seg"))
+    wins.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum(col("silent")).as("n_silent"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_silent"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_seg"), lit(0L)).as("max_seg"))
+      .orderBy("doc_id")
+  }
+
   final case class BandFeature(doc_id: Long, band: Int, value: Double)
 
   /** E5 — feature-VECTOR extraction (the blob → embedding bridge a
@@ -402,6 +461,7 @@ object Multimodal {
     "e5_band_features" -> (e5BandFeatures _),
     "e5_image_neardup" -> (e5ImageNeardup _),
     "e5_scene_cuts" -> (e5SceneCuts _),
+    "e5_audio_segments" -> (e5AudioSegments _),
   )
 
   /** DuckDB replica of the neardup path: the e5_band_features per-band
@@ -446,6 +506,38 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "e5_audio_segments" ->
+      s"""WITH w AS (SELECT doc_id, text,
+         |  unnest(range(0, 1 + (length(text) - 1) // $AudioWin)) AS wid
+         |  FROM documents),
+         |sw AS (SELECT doc_id, wid,
+         |  CAST(list_reduce(list_transform(
+         |      range(1, least(length(text) - wid * $AudioWin, $AudioWin) + 1),
+         |      i -> CAST(unicode(substring(text,
+         |        CAST(wid * $AudioWin + i AS INT), 1)) AS BIGINT)),
+         |    (a, b) -> a + b) AS BIGINT) AS ws,
+         |  CAST(least(length(text) - wid * $AudioWin, $AudioWin) AS BIGINT)
+         |    AS wl FROM w),
+         |nz AS (SELECT doc_id, wid,
+         |    lag(wid) OVER (PARTITION BY doc_id ORDER BY wid) AS prev
+         |  FROM sw WHERE ws * 10 >= $SilenceTauTenths * wl),
+         |rr AS (SELECT doc_id, wid, sum(CASE WHEN prev IS NULL
+         |      OR wid <> prev + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY wid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM nz),
+         |segs AS (SELECT doc_id, run, count(*) AS seg_len FROM rr
+         |  GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, count(*) AS n_segments,
+         |    CAST(max(seg_len) AS BIGINT) AS max_seg FROM segs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_windows,
+         |    CAST(sum(CASE WHEN ws * 10 < $SilenceTauTenths * wl
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+         |  FROM sw GROUP BY doc_id)
+         |SELECT tot.doc_id, n_windows, n_silent,
+         |  coalesce(n_segments, 0) AS n_segments,
+         |  coalesce(max_seg, 0) AS max_seg
+         |FROM tot LEFT JOIN ra USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the blob IS the UTF-8 text bytes (ASCII fixture), so DuckDB's md5
     // over the text replicates Spark's md5 over the binary exactly
     "e5_blob_dedup" ->

@@ -378,6 +378,27 @@ object StreamOps {
       .writeStream.outputMode("append").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4k-robust — the e8_mad_outliers fence run on the ingest stream:
+    * the (med2, mad4) robust stats table is computed batch-side
+    * (Analysis.madStats, the nightly refresh) and broadcast into every
+    * micro-batch; the flag decision 20000·dev2 > MadK·mad4 is the same
+    * all-integer rule as batch, so streamed output is row-identical to
+    * e8_mad_outliers (asserted in StreamingSpec). Like the z-score
+    * scorer it carries ZERO streaming state — per-event cost is integer
+    * arithmetic plus a |types|-row hash probe. */
+  def streamMadOutliers(s: SparkSession, dir: String, schema: StructType,
+      stats: org.apache.spark.sql.DataFrame, sinkName: String): StreamingQuery =
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("vm", expr("CAST(round(value * 10000) AS BIGINT)"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("dev2", abs(col("vm") * 2 - col("med2")))
+      .filter(col("dev2") * lit(20000L) >
+        col("mad4") * lit(graft.ops.Analysis.MadK))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("dev2") / 20000.0, 4).as("dev"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+
   /** E4d — stateful dedup on event_id within the watermark. */
   def streamDedup(s: SparkSession, dir: String, schema: StructType,
       sinkName: String): StreamingQuery =

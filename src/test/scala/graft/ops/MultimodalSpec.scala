@@ -185,4 +185,23 @@ class MultimodalSpec extends AnyFunSuite {
       4L -> ((1L, 5L, 0L)),
       5L -> ((3L, 12L, 24L))))  // two 12-byte copies dropped
   }
+
+  test("audio segments: window accounting and run bounds reconcile") {
+    val rows = Multimodal.e5AudioSegments(spark, graft.TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    var anySilent = false; var anySeg = false
+    rows.foreach { r =>
+      val (nw, ns, nseg, maxSeg) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val voiced = nw - ns
+      assert(ns >= 0 && ns <= nw)
+      assert(nseg <= voiced, "more segments than voiced windows")
+      assert(maxSeg <= voiced && (nseg == 0) == (maxSeg == 0))
+      if (nseg > 0) assert(nseg + maxSeg - 1 <= voiced + nseg - 1)
+      anySilent ||= ns > 0; anySeg ||= nseg > 0
+    }
+    assert(anySilent, "threshold should mark some windows silent")
+    assert(anySeg, "threshold should leave some voiced segments")
+  }
 }

@@ -76,6 +76,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming MAD outliers equal the batch e8_mad_outliers") {
+    // robust twin of the E4k scenario: nightly batch-side median/MAD
+    // stats, per-event integer flag decision — bit-identical to batch
+    val stats = graft.ops.Analysis.madStats(spark, TestSpark.sf0001)
+    val q = StreamOps.streamMadOutliers(spark, stagedDir, schema, stats,
+      "e4k_mad_sink")
+    assert(q.awaitTermination(60000), "MAD stream did not finish in 60s")
+    val streamed = spark.table("e4k_mad_sink").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Analysis.e8MadOutliers(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming per-day HLL sketch equals the batch sketch (E4j)") {
     // one part file → one micro-batch → one final row per window; HLL
     // merge is register-wise max (order-independent), so the streamed
