@@ -383,6 +383,57 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Perceptron init weights over the integer feature vector
+    * x = (1, n_tokens, n_stopwords) — fixed so one step is oracle-able;
+    * interpolated into BOTH engines. */
+  val PercW: Seq[(String, Long)] = Seq(("bias", 0L), ("w_nt", 1L), ("w_nsw", -3L))
+
+  /** E3 — one distributed PERCEPTRON training step: fit a linear
+    * classifier to mimic the heuristic quality gate (the classifier-
+    * distillation pattern production pipelines use — train a cheap
+    * linear model on heuristic/teacher labels, then gate the corpus with
+    * the model; e3_quality_model is the INFERENCE half, this is the
+    * TRAINING half, the e2_kmeans_iter treatment applied to supervised
+    * learning). The update is the classic perceptron batch step: over
+    * misclassified documents only, Δw = Σ y·x — and because features,
+    * labels, and weights are all integers, the whole step is exact
+    * integer arithmetic with NO learning-rate float and no transcendental
+    * (the reason perceptron is chosen over logistic regression here:
+    * sigmoid's exp() would diverge across libm implementations). Emits
+    * one row per weight dimension: w0, the aggregated gradient, the
+    * updated w1, and the misclassified count (the convergence signal a
+    * deployment loops on). Plan at scale: label, margin, and prediction
+    * are scan-side integer expressions; the ENTIRE training step crosses
+    * ONE exchange carrying a single partial-aggregated row per partition
+    * — the textbook data-parallel gradient shape. */
+  def e3PerceptronStep(s: SparkSession, d: String): DataFrame = {
+    val f = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .withColumn("nsw", size(expr(stopwordFilterSql)).cast("long"))
+      .withColumn("y",
+        when(round(qualityScore(col("nt"), col("nsw")), 4) >= 0.5, 1L)
+          .otherwise(-1L))
+      .withColumn("margin",
+        lit(PercW(0)._2) + lit(PercW(1)._2) * col("nt") +
+          lit(PercW(2)._2) * col("nsw"))
+      .withColumn("pred", when(col("margin") > 0L, 1L).otherwise(-1L))
+    f.filter(col("pred") =!= col("y"))
+      .agg(count(lit(1)).as("n_mis"),
+        coalesce(sum(col("y")), lit(0L)).as("g_bias"),
+        coalesce(sum(col("y") * col("nt")), lit(0L)).as("g_nt"),
+        coalesce(sum(col("y") * col("nsw")), lit(0L)).as("g_nsw"))
+      .selectExpr(
+        s"""stack(3,
+           |  'bias',  CAST(${PercW(0)._2} AS BIGINT), g_bias,
+           |  'w_nt',  CAST(${PercW(1)._2} AS BIGINT), g_nt,
+           |  'w_nsw', CAST(${PercW(2)._2} AS BIGINT), g_nsw)
+           |  AS (dim, w0, grad)""".stripMargin,
+        "n_mis")
+      .withColumn("w1", col("w0") + col("grad"))
+      .select(col("dim"), col("w0"), col("grad"), col("w1"), col("n_mis"))
+      .orderBy("dim")
+  }
+
   /** E3 — LM-based fluency score (the CCNet-style language-model quality
     * gate, log-free): each document is scored by the average corpus
     * frequency of its character trigrams under its OWN language's trigram
@@ -978,6 +1029,7 @@ object TextOps {
     "e3_normalize" -> (e3Normalize _),
     "e3_lang_confusion" -> (e3LangConfusion _),
     "e3_langid_scoreboard" -> (e3LangidScoreboard _),
+    "e3_perceptron_step" -> (e3PerceptronStep _),
     "e3_tfidf" -> (e3Tfidf _),
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
@@ -1356,6 +1408,32 @@ object TextOps {
          |SELECT d.lang, p.pred_lang, count(*) AS n
          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
          |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "e3_perceptron_step" ->
+      s"""WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")}))) AS nsw
+         |  FROM documents),
+         |l AS (SELECT nt, nsw,
+         |    CASE WHEN round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |        * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) >= 0.5
+         |      THEN 1 ELSE -1 END AS y,
+         |    CASE WHEN ${PercW(0)._2} + ${PercW(1)._2} * nt
+         |        + (${PercW(2)._2}) * nsw > 0
+         |      THEN 1 ELSE -1 END AS pred
+         |  FROM q),
+         |m AS (SELECT * FROM l WHERE pred <> y),
+         |g AS (SELECT count(*) AS n_mis,
+         |    CAST(coalesce(sum(y), 0) AS BIGINT) AS g_bias,
+         |    CAST(coalesce(sum(y * nt), 0) AS BIGINT) AS g_nt,
+         |    CAST(coalesce(sum(y * nsw), 0) AS BIGINT) AS g_nsw FROM m)
+         |SELECT dim, w0, grad, w0 + grad AS w1, n_mis FROM (
+         |  SELECT 'bias' AS dim, CAST(${PercW(0)._2} AS BIGINT) AS w0,
+         |    g_bias AS grad, n_mis FROM g
+         |  UNION ALL SELECT 'w_nt', CAST(${PercW(1)._2} AS BIGINT),
+         |    g_nt, n_mis FROM g
+         |  UNION ALL SELECT 'w_nsw', CAST(${PercW(2)._2} AS BIGINT),
+         |    g_nsw, n_mis FROM g)
+         |ORDER BY dim""".stripMargin,
     "e3_langid_scoreboard" ->
       s"""WITH $langidCtes,
          |cm AS (SELECT d.lang, p.pred_lang, count(*) AS n

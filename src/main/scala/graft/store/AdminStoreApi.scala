@@ -153,6 +153,38 @@ trait AdminStoreApi {
     * (get_latest_batch_delta, sqlalchemy_batch_repository.py:58-74). */
   def batchDelta(name: String): Option[BatchDelta] =
     latestBatch(name).map(cur => BatchDelta(cur, previousBatch(name)))
+
+  /** Execution-TIME regression report: jobs whose latest completed run
+    * took more than `factor`× the median of its prior completed runs —
+    * the runtime analogue of `batchDelta`'s test-result regressions (the
+    * reference records execution_millis on every run precisely so an
+    * operator can ask this; this query closes that loop). Jobs with no
+    * history or no latest millis are skipped; the prior median is the
+    * lower median (exact, no interpolation). Runs per job are
+    * driver-scale (admin bookkeeping), so the collect mirrors the other
+    * repository reads. Returns (job_name, latest_millis, baseline_median,
+    * factor_x100) sorted by worst regression first. */
+  def slowJobs(factor: Double = 2.0): Seq[(String, Long, Long, Long)] = sync {
+    val done = jobs.toDF()
+      .filter(!col("running") && !col("skipped") &&
+        col("execution_error_occurred") === false &&
+        col("execution_millis").isNotNull)
+      .orderBy(col("ts").desc, col("id").desc)
+      .as[JobRow].collect()
+    done.groupBy(_.job_name.toLowerCase).toSeq.flatMap { case (_, runs) =>
+      val latest = runs.head
+      val prior = runs.tail.flatMap(_.execution_millis)
+      if (prior.isEmpty || latest.execution_millis.isEmpty) None
+      else {
+        val base = prior.sorted.apply((prior.length - 1) / 2)
+        val cur = latest.execution_millis.get
+        if (base >= 0 && cur > factor * base)
+          Some((latest.job_name, cur, base,
+            if (base == 0) Long.MaxValue else cur * 100L / base))
+        else None
+      }
+    }.sortBy(t => (-t._4, t._1))
+  }
 }
 
 object AdminStoreApi {

@@ -809,6 +809,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptron step reconciles with a driver-side recompute") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf001)
+      .select("text").collect().map(_.getString(0))
+    var (nMis, gB, gNt, gNsw) = (0L, 0L, 0L, 0L)
+    docs.foreach { text =>
+      val toks = text.split(" ", -1)
+      val nt = toks.length.toLong
+      val nsw = toks.count(TextOps.Stopwords.contains).toLong
+      val score = BigDecimal(math.min(1.0, nt / 100.0) * (1.0 - nsw.toDouble / nt))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val y = if (score >= 0.5) 1L else -1L
+      val margin = TextOps.PercW(0)._2 + TextOps.PercW(1)._2 * nt +
+        TextOps.PercW(2)._2 * nsw
+      val pred = if (margin > 0) 1L else -1L
+      if (pred != y) { nMis += 1; gB += y; gNt += y * nt; gNsw += y * nsw }
+    }
+    val got = TextOps.e3PerceptronStep(spark, TestSpark.sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got == Map("bias" -> ((gB, nMis)), "w_nt" -> ((gNt, nMis)),
+      "w_nsw" -> ((gNsw, nMis))))
+    assert(nMis > 0 && nMis < docs.length,
+      "step should misclassify some but not all docs")
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)

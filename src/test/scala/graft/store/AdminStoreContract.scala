@@ -148,4 +148,31 @@ abstract class AdminStoreContract extends AnyFunSuite {
     assert(b.jobResults.head.testResults.map(_.testName) == Seq("rowcount"))
     assert(b.brokenJobs == Set("job_one")) // broken via failed test
   }
+
+  test("slowJobs flags only latest-vs-prior-median runtime regressions") {
+    val st = newStore()
+    def run(id: String, name: String, millis: Long, ts: Instant,
+        failed: Boolean = false) =
+      JobRow(id.padTo(32, '0'), "b".padTo(32, '0'), name, Some(millis),
+        Some(failed), None, running = false, skipped = false, None, ts)
+    st.appendJobs(Seq(
+      // steady: history 100,110,105 → median 105; latest 120 < 2×105
+      run("a1", "steady", 100, t("2024-01-01T00:00:00Z")),
+      run("a2", "steady", 110, t("2024-01-02T00:00:00Z")),
+      run("a3", "steady", 105, t("2024-01-03T00:00:00Z")),
+      run("a4", "steady", 120, t("2024-01-04T00:00:00Z")),
+      // regressed: history 100,100 → median 100; latest 350 > 2×100
+      run("r1", "regressed", 100, t("2024-01-01T00:00:00Z")),
+      run("r2", "regressed", 100, t("2024-01-02T00:00:00Z")),
+      run("r3", "regressed", 350, t("2024-01-03T00:00:00Z")),
+      // failed latest runs don't count as the latest completed run
+      run("f1", "regressed", 999, t("2024-01-05T00:00:00Z"), failed = true),
+      // single run: no history, never flagged
+      run("s1", "fresh", 5000, t("2024-01-01T00:00:00Z"))))
+    val flagged = st.slowJobs(2.0)
+    assert(flagged.map(_._1) == Seq("regressed"))
+    val (_, cur, base, x100) = flagged.head
+    assert(cur == 350 && base == 100 && x100 == 350)
+    st.close()
+  }
 }
