@@ -406,18 +406,61 @@ object TextOps {
     * are scan-side integer expressions; the ENTIRE training step crosses
     * ONE exchange carrying a single partial-aggregated row per partition
     * — the textbook data-parallel gradient shape. */
-  def e3PerceptronStep(s: SparkSession, d: String): DataFrame = {
-    val f = documents(s, d)
+  /** Labeled + scored feature frame for a given weight vector
+    * (bias, w_nt, w_nsw) — shared by the declared one-step query and the
+    * pocket training loop. */
+  private def percFeats(s: SparkSession, d: String, w: Seq[Long]): DataFrame =
+    documents(s, d)
       .withColumn("nt", size(split(col("text"), " ")).cast("long"))
       .withColumn("nsw", size(expr(stopwordFilterSql)).cast("long"))
       .withColumn("y",
         when(round(qualityScore(col("nt"), col("nsw")), 4) >= 0.5, 1L)
           .otherwise(-1L))
       .withColumn("margin",
-        lit(PercW(0)._2) + lit(PercW(1)._2) * col("nt") +
-          lit(PercW(2)._2) * col("nsw"))
+        lit(w(0)) + lit(w(1)) * col("nt") + lit(w(2)) * col("nsw"))
       .withColumn("pred", when(col("margin") > 0L, 1L).otherwise(-1L))
-    f.filter(col("pred") =!= col("y"))
+
+  /** One batch step from arbitrary weights, driver-side: the integer
+    * gradient (Σ y·x over misclassified) and the misclassified count —
+    * ONE aggregate row crosses the wire per step. */
+  def perceptronStep(s: SparkSession, d: String, w: Seq[Long]): (Seq[Long], Long) = {
+    val r = percFeats(s, d, w).filter(col("pred") =!= col("y"))
+      .agg(count(lit(1)).as("n_mis"),
+        coalesce(sum(col("y")), lit(0L)).as("gb"),
+        coalesce(sum(col("y") * col("nt")), lit(0L)).as("gnt"),
+        coalesce(sum(col("y") * col("nsw")), lit(0L)).as("gnsw"))
+      .head()
+    (Seq(r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(0))
+  }
+
+  /** POCKET perceptron training loop — the deployment form of the
+    * declared one-step query (the pageRankConverged / kmeans-loop
+    * discipline): iterate full batch steps, keep the best weights seen
+    * (plain perceptron oscillates on non-separable data; the pocket
+    * variant is the standard fix), stop at zero misclassifications or
+    * maxIters. The driver reads ONE 4-long aggregate row per round —
+    * no corpus data ever moves to the driver. Returns (best weights,
+    * their misclassified count, rounds run). */
+  def perceptronTrained(s: SparkSession, d: String,
+      maxIters: Int = 20): (Seq[Long], Long, Int) = {
+    var w = PercW.map(_._2)
+    var bestW = w
+    var bestMis = Long.MaxValue
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val (g, mis) = perceptronStep(s, d, w)
+      if (mis < bestMis) { bestMis = mis; bestW = w }
+      if (mis == 0) done = true
+      else w = w.lazyZip(g).map(_ + _)
+      it += 1
+    }
+    (bestW, bestMis, it)
+  }
+
+  def e3PerceptronStep(s: SparkSession, d: String): DataFrame =
+    percFeats(s, d, PercW.map(_._2))
+      .filter(col("pred") =!= col("y"))
       .agg(count(lit(1)).as("n_mis"),
         coalesce(sum(col("y")), lit(0L)).as("g_bias"),
         coalesce(sum(col("y") * col("nt")), lit(0L)).as("g_nt"),
@@ -432,7 +475,6 @@ object TextOps {
       .withColumn("w1", col("w0") + col("grad"))
       .select(col("dim"), col("w0"), col("grad"), col("w1"), col("n_mis"))
       .orderBy("dim")
-  }
 
   /** E3 — LM-based fluency score (the CCNet-style language-model quality
     * gate, log-free): each document is scored by the average corpus

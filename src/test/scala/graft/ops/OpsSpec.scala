@@ -833,6 +833,18 @@ class OpsSpec extends AnyFunSuite {
       "step should misclassify some but not all docs")
   }
 
+  test("pocket perceptron loop never leaves a worse model than step one") {
+    val (_, firstMis) = TextOps.perceptronStep(spark, TestSpark.sf001,
+      TextOps.PercW.map(_._2))
+    val (bestW, bestMis, iters) = TextOps.perceptronTrained(spark,
+      TestSpark.sf001, maxIters = 5)
+    assert(iters >= 1 && iters <= 5)
+    assert(bestMis <= firstMis, "pocket must keep the best weights seen")
+    // the returned weights really do score at the reported error
+    val (_, recheck) = TextOps.perceptronStep(spark, TestSpark.sf001, bestW)
+    assert(recheck == bestMis)
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)
