@@ -109,7 +109,7 @@ object ScaleProbe {
       "q53_sessionize", "e2_ann_multiprobe", "e2_embed_outliers",
       "e1_incremental_neardup", "e7_dedup_weights",
       "e3_langid_scoreboard", "e8_mad_outliers", "e9_modularity",
-      "e5_audio_segments", "e3_perceptron_step")
+      "e5_audio_segments", "e3_perceptron_step", "e2_recall_at_k")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -120,6 +120,7 @@ object ScaleProbe {
         // shares e2_cosine_topk's quadratic-verifier profile
         // e1_containment shares the exact pairwise co-occurrence join
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk",
+          "e2_recall_at_k",
           "e2_ann_recall", "e1_lsh_recall", "e1_containment"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one

@@ -833,6 +833,22 @@ class OpsSpec extends AnyFunSuite {
       "step should misclassify some but not all docs")
   }
 
+  test("recall@3 bounds: dominated by pairs, dominates top-1 agreement") {
+    val r3 = Similarity.e2RecallAtK(spark, TestSpark.sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val top1 = Similarity.e2AnnRecall(spark, TestSpark.sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(r3.nonEmpty)
+    r3.foreach { case (label, (np, hits, rec)) =>
+      assert(hits <= np && rec >= 0.0 && rec <= 1.0)
+      // an exact top-1 returned by IVF at rank 1 is a shared top-3 pair,
+      // so recall@3 hits can never undercut the top-1 agreement count
+      assert(hits >= top1(label),
+        s"label $label: recall@3 hits $hits < top-1 hits ${top1(label)}")
+    }
+  }
+
   test("pocket perceptron loop never leaves a worse model than step one") {
     val (_, firstMis) = TextOps.perceptronStep(spark, TestSpark.sf001,
       TextOps.PercW.map(_._2))
