@@ -251,9 +251,11 @@ object Similarity {
     * per-cell RANK, not a global sim cutoff, so dense and sparse regions
     * are audited at the same rate and the rule needs no tuned constant.
     * Plan at scale: the same broadcast seed join as every IVF query (no
-    * pairwise work), then ONE |cells|-keyed exchange for the two windows;
-    * ceil is exact integer arithmetic ((n*5+99) div 100) so the flag set
-    * is bit-stable cross-engine. */
+    * pairwise work), one vec_id exchange for the assignment argmax, and
+    * ONE |cells|-keyed exchange SHARED by both cell windows (rank and
+    * count must not each add their own — plan-asserted as exactly two
+    * hash exchanges total); ceil is exact integer arithmetic
+    * ((n*5+99) div 100) so the flag set is bit-stable cross-engine. */
   def e2EmbedOutliers(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = ivfSeeds(s, d, e)
