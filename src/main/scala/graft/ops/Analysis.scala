@@ -1020,19 +1020,25 @@ object Analysis {
          |SELECT v AS doc_id, lab AS community
          |FROM l$LpIters ORDER BY doc_id""".stripMargin,
     "e9_modularity" ->
+      // mhp is referenced 4× (mm, deg twice via UNION ALL, intra) and
+      // l$LpIters 3× — both AS MATERIALIZED snapshots (mhp2/lab2) so
+      // DuckDB runs the MinHash chain and the propagation loop ONCE
+      // instead of inlining them per reference (the e9_pagerank rule).
       s"""WITH ${Dedup.minhashCtes},
          |$lpCtes,
-         |mm AS (SELECT count(*) AS m FROM mhp),
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |lab2 AS MATERIALIZED (SELECT v, lab FROM l$LpIters),
+         |mm AS (SELECT count(*) AS m FROM mhp2),
          |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
-         |    SELECT da AS v FROM mhp UNION ALL SELECT db FROM mhp)
+         |    SELECT da AS v FROM mhp2 UNION ALL SELECT db FROM mhp2)
          |  GROUP BY v),
          |ds AS (SELECT c.lab AS community, count(*) AS n_nodes,
          |    CAST(sum(dg) AS BIGINT) AS d_sum
-         |  FROM l$LpIters c JOIN deg ON c.v = deg.v GROUP BY c.lab),
+         |  FROM lab2 c JOIN deg ON c.v = deg.v GROUP BY c.lab),
          |intra AS (SELECT a.lab AS community,
          |    CAST(count(*) AS BIGINT) AS intra_edges
-         |  FROM mhp JOIN l$LpIters a ON mhp.da = a.v
-         |  JOIN l$LpIters b ON mhp.db = b.v
+         |  FROM mhp2 JOIN lab2 a ON mhp2.da = a.v
+         |  JOIN lab2 b ON mhp2.db = b.v
          |  WHERE a.lab = b.lab GROUP BY a.lab)
          |SELECT ds.community, ds.n_nodes, ds.d_sum,
          |  coalesce(intra.intra_edges, 0) AS intra_edges,

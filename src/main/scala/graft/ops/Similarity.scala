@@ -330,10 +330,16 @@ object Similarity {
     * is accumulation-order-dependent: Spark's partitioned partials and
     * DuckDB's scan sum in different orders, and a mean within ~1e-13 of a
     * 4-dp boundary splits the engines — the e2_kmeans_iter r6 hash miss.
+    * The trailing `+ 0.0` normalizes SIGNED ZERO: a tiny negative mean
+    * rounds to -0.0 in DuckDB while Spark's BigDecimal round emits +0.0
+    * — equal under every value compare but distinct under the driver's
+    * bitwise hash (the e2_kmeans_iter r7 red: one sign bit in 640 cells).
+    * IEEE: -0.0 + 0.0 = +0.0, all other values unchanged; the oracle
+    * CTEs carry the same `+ 0.0`.
     * Same treatment as e7_temperature_mix / e3_quality_model / q44. */
   private def microMean: Column =
     round(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))) /
-      (count(lit(1)) * lit(1000000.0)), 4)
+      (count(lit(1)) * lit(1000000.0)), 4) + lit(0.0)
 
   /** Per-label centroid vectors as array<double> with their L2 norm —
     * the broadcast-ready codebook built from e2Centroids' aggregate. */
@@ -783,18 +789,7 @@ object Similarity {
     * scan. A deployment loops this stage to convergence; each loop is
     * the same plan. */
   def e2KmeansIter(s: SparkSession, d: String): DataFrame = {
-    val cen = centroidArrays(s, d)
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
-    val assigned = e.join(broadcast(cen))
-      .withColumn("sim",
-        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
-          (col("enrm") * col("cnrm")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"),
-        first(col("ed")).as("ed"))
-      .select((-col("m.nl")).as("cluster"), col("ed"))
+    val assigned = assignToCodebook(s, d, centroidArrays(s, d))
     val oldLong = embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
@@ -809,6 +804,77 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("c_new"), col("n"),
         round(abs(col("c_new") - col("c_old")), 4).as("shift"))
       .orderBy("cluster", "dim")
+  }
+
+  /** The k-means E-step against an arbitrary codebook frame
+    * (clabel, cen: array<double>, cnrm) — extracted from e2KmeansIter so
+    * the declared one-iteration query and the kmeansTrained loop run the
+    * IDENTICAL plan: codebook rides BROADCAST into a scan-side cosine
+    * argmax; the only corpus-sized movement is one vec_id exchange, and
+    * the embedding rides through the argmax (first(ed)) so the E-step
+    * never joins back against a second corpus scan. */
+  private def assignToCodebook(s: SparkSession, d: String,
+      cen: DataFrame): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+    e.join(broadcast(cen))
+      .withColumn("sim",
+        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("enrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"),
+        first(col("ed")).as("ed"))
+      .select((-col("m.nl")).as("cluster"), col("ed"))
+  }
+
+  /** One k-means step from a driver-held codebook: E-step assign
+    * (broadcast), M-step micro-unit means (k·dims keys, map-side
+    * combined), then ONLY the k·dims-double codebook returns to the
+    * driver — the MLlib-style training shape where per-round driver
+    * traffic is the model, never the data. Returns the new codebook and
+    * the max per-coordinate |shift| (the convergence signal the declared
+    * e2_kmeans_iter emits per cell). Clusters that lose all members keep
+    * their old centroid (the standard empty-cluster rule). */
+  def kmeansStep(s: SparkSession, d: String,
+      cb: Seq[(Long, Seq[Double])]): (Seq[(Long, Seq[Double])], Double) = {
+    import s.implicits._
+    val cen = cb.toDF("clabel", "cen")
+      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+    val rows = assignToCodebook(s, d, cen)
+      .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(microMean.as("c_new"))
+      .collect()
+    val fresh = rows.groupBy(_.getLong(0)).map { case (cl, rs) =>
+      cl -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+    val next = cb.map { case (cl, old) => cl -> fresh.getOrElse(cl, old) }
+    val maxShift = next.zip(cb).iterator.flatMap { case ((_, nw), (_, od)) =>
+      nw.zip(od).map { case (a, b) => math.abs(a - b) }
+    }.foldLeft(0.0)(math.max)
+    (next, maxShift)
+  }
+
+  /** K-means training loop — the deployment form of the declared
+    * e2_kmeans_iter stage (the perceptronTrained / pageRankConverged
+    * discipline): seed from the per-label centroids, iterate kmeansStep,
+    * stop when the max per-coordinate centroid shift falls to `tol` or
+    * at maxIters. Each round is the same broadcast-assign plan; the
+    * driver holds and ships only the k×dims codebook. Returns the final
+    * codebook, the last max-shift, and rounds run. */
+  def kmeansTrained(s: SparkSession, d: String, tol: Double = 1e-4,
+      maxIters: Int = 20): (Seq[(Long, Seq[Double])], Double, Int) = {
+    var cb = centroidArrays(s, d).select(col("clabel"), col("cen")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toSeq)
+      .toSeq.sortBy(_._1)
+    var shift = Double.MaxValue
+    var it = 0
+    while (it < maxIters && shift > tol) {
+      val (next, sh) = kmeansStep(s, d, cb)
+      cb = next; shift = sh; it += 1
+    }
+    (cb, shift, it)
   }
 
   /** E2 — IVF index balance audit: the cell-population distribution of
@@ -1045,12 +1111,14 @@ object Similarity {
     * floor(x·1e6 + 0.5) per coordinate (bit-deterministic on identical
     * doubles), exact integer sum, one division, 4-dp round — a plain
     * avg(DOUBLE) sums in scan order and can diverge from Spark's
-    * partitioned partials at a 4-dp rounding boundary. */
+    * partitioned partials at a 4-dp rounding boundary. The `+ 0.0`
+    * mirrors microMean's signed-zero normalization: DuckDB's round()
+    * keeps the sign of a tiny negative mean (-0.0), Spark's doesn't. */
   private val centroidCte: String =
     """cend AS (
       |  SELECT label, i.range AS dim,
       |    round(sum(CAST(floor(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
-      |        * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0), 4) AS c,
+      |        * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0), 4) + 0.0 AS c,
       |    count(*) AS n
       |  FROM embeddings, range(0, 64) i
       |  GROUP BY label, i.range)""".stripMargin
@@ -1220,7 +1288,7 @@ object Similarity {
          |  SELECT a.cluster, i.range AS dim,
          |    round(sum(CAST(floor(CAST(e.embedding[CAST(i.range + 1 AS INT)]
          |        AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-         |      / (count(*) * 1000000.0), 4) AS c_new,
+         |      / (count(*) * 1000000.0), 4) + 0.0 AS c_new,
          |    count(*) AS n
          |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, range(0, 64) i
          |  GROUP BY a.cluster, i.range)

@@ -198,7 +198,10 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ns >= 0 && ns <= nw)
       assert(nseg <= voiced, "more segments than voiced windows")
       assert(maxSeg <= voiced && (nseg == 0) == (maxSeg == 0))
-      if (nseg > 0) assert(nseg + maxSeg - 1 <= voiced + nseg - 1)
+      // the longest run plus one window for each OTHER segment must fit
+      // in the voiced-window budget (every segment has >= 1 window)
+      if (nseg > 0) assert(maxSeg + (nseg - 1) <= voiced,
+        s"longest run $maxSeg + ${nseg - 1} other segments exceeds $voiced voiced windows")
       anySilent ||= ns > 0; anySeg ||= nseg > 0
     }
     assert(anySilent, "threshold should mark some windows silent")

@@ -861,6 +861,35 @@ class OpsSpec extends AnyFunSuite {
     assert(recheck == bestMis)
   }
 
+  test("kmeans loop: shift collapses from the seed and tol terminates it") {
+    // maxIters=0 → the untouched per-label seed codebook (k=10 labels ×
+    // 64 dims on the fixture)
+    val (seed, _, it0) = Similarity.kmeansTrained(spark, TestSpark.sf0001,
+      maxIters = 0)
+    assert(it0 == 0 && seed.size == 10 && seed.forall(_._2.size == 64))
+    // early steps shrink the max centroid shift monotonically (fixture
+    // trajectory 0.0703 → 0.0312 → 0.0258 → 0.0166; micro-unit means make
+    // it deterministic). Later iterations limit-cycle at the 4-dp
+    // quantum, so monotonicity is asserted for the head only.
+    var cb = seed
+    val shifts = (0 until 4).map { _ =>
+      val (next, sh) = Similarity.kmeansStep(spark, TestSpark.sf0001, cb)
+      cb = next; sh
+    }
+    assert(shifts.zip(shifts.tail).forall { case (a, b) => b < a },
+      s"early shifts must strictly decrease, got $shifts")
+    assert(shifts.last < shifts.head / 3)
+    // tol inside the early trajectory stops the loop well before maxIters
+    val (cbT, shT, itT) = Similarity.kmeansTrained(spark, TestSpark.sf0001,
+      tol = 0.05, maxIters = 10)
+    assert(itT >= 1 && itT < 10 && shT <= 0.05)
+    assert(cbT.size == 10 && cbT.forall(_._2.size == 64))
+    // unreachable tol → runs to maxIters exactly (termination guarantee)
+    val (_, _, itM) = Similarity.kmeansTrained(spark, TestSpark.sf0001,
+      tol = 0.0, maxIters = 3)
+    assert(itM == 3)
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)

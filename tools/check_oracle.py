@@ -9,6 +9,7 @@ compares row counts, dtypes, and values.
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -43,13 +44,25 @@ def main(out_dir, sf_dir):
             if str(a.dtype) != str(b.dtype):
                 bad = f"dtype[{c}] {a.dtype} vs {b.dtype}"; break
             if a.dtype.kind == "f":
-                ok = (a.fillna(-1e308) - b.fillna(-1e308)).abs().max() <= 1e-9
+                # BITWISE float compare, mirroring the driver's raw-bit hash.
+                # A 1e-9 (or even exact ==) value compare treats -0.0 == +0.0
+                # and let a signed-zero red survive rounds 6 AND 7 behind a
+                # locally-green gate. NULL -> NaN has one canonical bit
+                # pattern from both parquet readers, so NaN==NaN for free.
+                u = np.uint64 if a.dtype.itemsize == 8 else np.uint32
+                av, bv = a.to_numpy().view(u), b.to_numpy().view(u)
+                ok = np.array_equal(av, bv)
+                if not ok:
+                    i = int(np.nonzero(av != bv)[0][0])
+                    bad = (f"bits[{c}] row {i}: {a.iloc[i]!r} ({av[i]:#018x}) "
+                           f"vs {b.iloc[i]!r} ({bv[i]:#018x})")
+                    break
             else:
                 ok = a.fillna("\0").equals(b.fillna("\0")) if a.dtype == object else a.equals(b)
-            if not ok:
-                diff = (a != b) if a.dtype != object else (a.fillna("\0") != b.fillna("\0"))
-                i = diff.idxmax()
-                bad = f"value[{c}] row {i}: {a[i]!r} vs {b[i]!r}"; break
+                if not ok:
+                    diff = (a != b) if a.dtype != object else (a.fillna("\0") != b.fillna("\0"))
+                    i = diff.idxmax()
+                    bad = f"value[{c}] row {i}: {a[i]!r} vs {b[i]!r}"; break
         if bad:
             print(f"FAIL {name}: {bad}"); n_fail += 1
         else:
