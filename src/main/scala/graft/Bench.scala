@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional comma-separated filter: measure just these queries in an
+    // otherwise-identical harness (fresh JVM, same warmup discipline) —
+    // the isolation probe for regressions the full round-robin run can't
+    // attribute (shared-cache eviction vs a real plan change).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // JMH-style warmup: run every query once at the smallest scale factor.
     // Best-effort — it heats the JVM, classloading, and the plan shapes the
@@ -13,9 +18,11 @@ object Bench {
     val warmDir =
       if (new java.io.File(warmDir0).isDirectory) warmDir0
       else { System.err.println(s"[bench] warm dir $warmDir0 missing; warming on $sfDir"); sfDir }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
@@ -39,6 +46,7 @@ object Bench {
     // re-hit compiled classes instead of re-running Janino).
     val Reps = 3
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = Array.ofDim[Double](Reps, named.size)
     for (r <- 0 until Reps; i <- named.indices) {
       val t0 = System.nanoTime()

@@ -283,9 +283,11 @@ object Analysis {
     events(s, d)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value") *
+        // + 0.0: a decayed sum just under zero rounds to -0.0 in DuckDB,
+        // +0.0 here; the driver hashes bits (the e8_drift class)
+        (round(sum(col("value") *
           exp((tsMicros(col("ts")) - lit(DecayRefUs)).cast("double") /
-            lit(DecayTauUs.toDouble))), 2).as("decayed"))
+            lit(DecayTauUs.toDouble))), 2) + lit(0.0)).as("decayed"))
       .orderBy("event_type")
 
   /** Numeric column pairs for the correlation matrix — interpolated into
@@ -303,8 +305,10 @@ object Analysis {
     * the exchange carries one fixed-size row per partition at any table
     * size; the stack to long format touches 1 row. */
   def e8Corr(s: SparkSession, d: String): DataFrame = {
+    // + 0.0: a tiny negative correlation rounds to -0.0 in DuckDB but
+    // +0.0 here, and the driver hashes bits (the e8_drift class)
     val aggs = CorrPairs.zipWithIndex.map { case ((a, b), i) =>
-      round(corr(col(a), col(b)), 4).as(s"c$i") }
+      (round(corr(col(a), col(b)), 4) + lit(0.0)).as(s"c$i") }
     val stackArgs = CorrPairs.zipWithIndex.map { case ((a, b), i) =>
       s"'$a', '$b', c$i" }.mkString(", ")
     lineitem(s, d)
@@ -342,8 +346,13 @@ object Analysis {
     sided.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, nd_prev, nd_curr)")
+      // + 0.0 normalizes signed zero: a tiny NEGATIVE drift (nd_curr
+      // just under nd_prev) rounds to -0.0 in DuckDB but +0.0 here, and
+      // the driver hashes raw bits — caught by the round-8 bitwise gate
+      // at sf0.1 (the e2_kmeans_iter r7 class; IEEE: -0.0 + 0.0 = +0.0).
       .withColumn("delta_pct",
-        round(lit(100.0) * (col("nd_curr") - col("nd_prev")) / col("nd_prev"), 2))
+        round(lit(100.0) * (col("nd_curr") - col("nd_prev")) / col("nd_prev"), 2)
+          + lit(0.0))
       .orderBy("column_name")
   }
 
@@ -490,8 +499,11 @@ object Analysis {
     lagged.groupBy("event_type")
       .agg(asLong(count(lit(1))).as("n_days"), aggs: _*)
       .select(col("event_type") +: col("n_days") +:
+        // + 0.0: near-zero NEGATIVE autocorrelation rounds to -0.0 in
+        // DuckDB, +0.0 here; the driver hashes bits (e8_drift class)
         AcfLags.map(k =>
-          round(col(s"num$k") / col("den").cast("double"), 4).as(s"r$k")): _*)
+          round(col(s"num$k") / col("den").cast("double"), 4) + lit(0.0)
+            as s"r$k"): _*)
       .orderBy("event_type")
   }
 
@@ -963,7 +975,7 @@ object Analysis {
          |  FROM b)
          |SELECT event_type, count(*) AS n_days,
          |  ${AcfLags.map(k =>
-             s"round(sum(c * c$k) / CAST(sum(c * c) AS DOUBLE), 4) AS r$k")
+             s"round(sum(c * c$k) / CAST(sum(c * c) AS DOUBLE), 4) + 0.0 AS r$k")
              .mkString(",\n  ")}
          |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e8_cusum" ->
@@ -1080,7 +1092,7 @@ object Analysis {
     "e8_corr" -> {
       val blocks = CorrPairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-           |round(corr($a, $b), 4) AS pearson FROM lineitem""".stripMargin }
+           |round(corr($a, $b), 4) + 0.0 AS pearson FROM lineitem""".stripMargin }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
     "e8_ks_drift" -> {
@@ -1131,7 +1143,7 @@ object Analysis {
          |wide AS (
          |${blocks.mkString("\nUNION ALL\n")})
          |SELECT column_name, nd_prev, nd_curr,
-         |  round(100.0 * (nd_curr - nd_prev) / CAST(nd_prev AS DOUBLE), 2)
+         |  round(100.0 * (nd_curr - nd_prev) / CAST(nd_prev AS DOUBLE), 2) + 0.0
          |    AS delta_pct
          |FROM wide ORDER BY column_name""".stripMargin
     },
@@ -1238,7 +1250,7 @@ object Analysis {
       s"""SELECT event_type, count(*) AS n,
          |  round(sum(value * exp(
          |    CAST(epoch_us(ts) - $DecayRefUs AS DOUBLE) / $DecayTauUs)),
-         |    2) AS decayed
+         |    2) + 0.0 AS decayed
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

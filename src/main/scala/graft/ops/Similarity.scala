@@ -330,16 +330,27 @@ object Similarity {
     * is accumulation-order-dependent: Spark's partitioned partials and
     * DuckDB's scan sum in different orders, and a mean within ~1e-13 of a
     * 4-dp boundary splits the engines — the e2_kmeans_iter r6 hash miss.
-    * The trailing `+ 0.0` normalizes SIGNED ZERO: a tiny negative mean
-    * rounds to -0.0 in DuckDB while Spark's BigDecimal round emits +0.0
-    * — equal under every value compare but distinct under the driver's
-    * bitwise hash (the e2_kmeans_iter r7 red: one sign bit in 640 cells).
-    * IEEE: -0.0 + 0.0 = +0.0, all other values unchanged; the oracle
-    * CTEs carry the same `+ 0.0`.
+    *
+    * The rounding itself is INTEGER arithmetic, not round(double, 4):
+    * Spark's Round goes through BigDecimal.valueOf (the SHORTEST-DECIMAL
+    * rendering of the double) while DuckDB rounds the binary value, so a
+    * quotient whose decimal expansion sits exactly on a 4-dp midpoint
+    * (e.g. Σmicro/(100·n) an exact integer + 1/2, binary ~1e-16 below
+    * it) splits the engines — e2_kmeans3 hit exactly one such cell at
+    * sf0.001 (0.0082 vs 0.0081, identical memberships). Half-up in
+    * exact integer space: c4 = floor(s/(100n) + 1/2) computed as
+    * (2s + n·100·(2·OFF + 1)) div (200n) − OFF with OFF = 10^5 keeping
+    * the numerator positive (truncating div == floor; Spark `div` ≡
+    * DuckDB `//` there). The final c4/10000.0 divides two EXACTLY
+    * represented values — bit-identical in every IEEE engine, and
+    * c4 = 0 gives +0.0 (integers carry no signed zero, closing the r7
+    * -0.0 class by construction). Bounds: safe for |mean| ≤ 10 and
+    * n ≤ 4×10^11 rows per group (numerator < 2^63).
     * Same treatment as e7_temperature_mix / e3_quality_model / q44. */
-  private def microMean: Column =
-    round(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))) /
-      (count(lit(1)) * lit(1000000.0)), 4) + lit(0.0)
+  private def microMean: Column = expr(
+    """CAST((2 * CAST(sum(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)) AS BIGINT)
+      |  + count(1) * 20000100) div (200 * count(1)) - 100000 AS DOUBLE)
+      |  / 10000.0""".stripMargin)
 
   /** Per-label centroid vectors as array<double> with their L2 norm —
     * the broadcast-ready codebook built from e2Centroids' aggregate. */
@@ -856,6 +867,42 @@ object Similarity {
     (next, maxShift)
   }
 
+  /** The M-step as a broadcast-ready codebook: per-(cluster, dim)
+    * micro-unit means folded back into (clabel, cen, cnrm) arrays —
+    * the same shape centroidArrays builds from labels, derived from an
+    * assignment instead. Feeds the next assignToCodebook round. */
+  private def centroidArraysOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(microMean.as("c"))
+      .groupBy(col("cluster").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("cen"))
+      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+
+  /** E2 — THREE unrolled k-means iterations ending in the refined
+    * codebook: the declared, oracle-checked form of the kmeansTrained
+    * loop (the e9_pagerank unrolled-iteration treatment). Each round is
+    * the same plan as e2_kmeans_iter — codebook rides BROADCAST into a
+    * scan-side cosine argmax, M-step partial-aggregates to k·dims keys
+    * map-side — so the corpus crosses one vec_id exchange per round and
+    * the 4-dp micro-unit centroid means make every intermediate codebook
+    * BIT-IDENTICAL across engines (each iteration's input is the
+    * previous round's rounded output, so rounding can't compound into
+    * divergence). Four corpus scans total (seed means + three E-steps);
+    * a 100 TB deployment runs the kmeansTrained driver loop instead,
+    * where each round is one scan and only the k×dims codebook moves. */
+  def e2Kmeans3(s: SparkSession, d: String): DataFrame = {
+    val a1 = assignToCodebook(s, d, centroidArrays(s, d))
+    val a2 = assignToCodebook(s, d, centroidArraysOf(a1))
+    val a3 = assignToCodebook(s, d, centroidArraysOf(a2))
+    a3.select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(microMean.as("c3"), count(lit(1)).as("n"))
+      .orderBy("cluster", "dim")
+  }
+
   /** K-means training loop — the deployment form of the declared
     * e2_kmeans_iter stage (the perceptronTrained / pageRankConverged
     * discipline): seed from the per-label centroids, iterate kmeansStep,
@@ -988,6 +1035,7 @@ object Similarity {
     "e2_semdedup" -> (e2Semdedup _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
+    "e2_kmeans3" -> (e2Kmeans3 _),
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
     "e2_ann_lsh" -> (e2AnnLsh _),
@@ -1109,16 +1157,18 @@ object Similarity {
     * fixture's 64) for the centroid and assignment oracles. The mean is
     * the same order-independent micro-unit form as the Spark `microMean`:
     * floor(x·1e6 + 0.5) per coordinate (bit-deterministic on identical
-    * doubles), exact integer sum, one division, 4-dp round — a plain
-    * avg(DOUBLE) sums in scan order and can diverge from Spark's
-    * partitioned partials at a 4-dp rounding boundary. The `+ 0.0`
-    * mirrors microMean's signed-zero normalization: DuckDB's round()
-    * keeps the sign of a tiny negative mean (-0.0), Spark's doesn't. */
+    * doubles), exact integer sum, INTEGER half-up rounding, one exact
+    * /10000.0 — a plain round(avg(DOUBLE), 4) diverges from Spark both
+    * on accumulation order and on decimal-midpoint quotients (Spark
+    * rounds the shortest-decimal rendering, DuckDB the binary value).
+    * Formula and bounds documented at Spark's `microMean`. */
   private val centroidCte: String =
     """cend AS (
       |  SELECT label, i.range AS dim,
-      |    round(sum(CAST(floor(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
-      |        * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0), 4) + 0.0 AS c,
+      |    CAST((2 * CAST(sum(CAST(floor(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
+      |          * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |        + count(*) * 20000100) // (200 * count(*)) - 100000 AS DOUBLE)
+      |      / 10000.0 AS c,
       |    count(*) AS n
       |  FROM embeddings, range(0, 64) i
       |  GROUP BY label, i.range)""".stripMargin
@@ -1286,9 +1336,10 @@ object Similarity {
          |  FROM sims) WHERE rn = 1),
          |nc AS (
          |  SELECT a.cluster, i.range AS dim,
-         |    round(sum(CAST(floor(CAST(e.embedding[CAST(i.range + 1 AS INT)]
-         |        AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-         |      / (count(*) * 1000000.0), 4) + 0.0 AS c_new,
+         |    CAST((2 * CAST(sum(CAST(floor(CAST(e.embedding[CAST(i.range + 1 AS INT)]
+         |          AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |        + count(*) * 20000100) // (200 * count(*)) - 100000 AS DOUBLE)
+         |      / 10000.0 AS c_new,
          |    count(*) AS n
          |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, range(0, 64) i
          |  GROUP BY a.cluster, i.range)
@@ -1296,6 +1347,59 @@ object Similarity {
          |  round(abs(nc.c_new - cd.c), 4) AS shift
          |FROM nc JOIN cend cd ON cd.label = nc.cluster AND cd.dim = nc.dim
          |ORDER BY cluster, dim""".stripMargin,
+    // Three unrolled iterations of the same assign/mean blocks (the
+    // e9_pagerank unrolled-loop treatment). embn is the only
+    // multiply-referenced expensive CTE (one sims per iteration) →
+    // MATERIALIZED; every other CTE is referenced once, so DuckDB's
+    // inlining can't recompute anything. Each iteration's centroid
+    // input is the PREVIOUS iteration's 4-dp-rounded, signed-zero-
+    // normalized means — identical doubles in both engines, so rounding
+    // cannot compound into cross-engine drift.
+    "e2_kmeans3" -> {
+      def kmIter(i: Int, cenn: String): String =
+        s"""sims$i AS (SELECT e.vec_id, c.clabel,
+           |  list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(range(1, 65), ii ->
+           |      e.ed[CAST(ii AS INT)] * c.cen[CAST(ii AS INT)])),
+           |    (a, b) -> a + b) / (e.enrm * c.cnrm) AS sim
+           |  FROM embn e, $cenn c),
+           |asg$i AS (SELECT vec_id, clabel AS cluster FROM (
+           |  SELECT vec_id, clabel,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, clabel) AS rn
+           |  FROM sims$i) WHERE rn = 1),
+           |nc$i AS (
+           |  SELECT a.cluster, ir.range AS dim,
+           |    CAST((2 * CAST(sum(CAST(floor(CAST(e.embedding[CAST(ir.range + 1 AS INT)]
+           |          AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           |        + count(*) * 20000100) // (200 * count(*)) - 100000 AS DOUBLE)
+           |      / 10000.0 AS c,
+           |    count(*) AS n
+           |  FROM embeddings e JOIN asg$i a ON e.vec_id = a.vec_id, range(0, 64) ir
+           |  GROUP BY a.cluster, ir.range)""".stripMargin
+      def kmCen(i: Int, src: String): String =
+        s"""cen$i AS (SELECT $src AS clabel, list(c ORDER BY dim) AS cen
+           |  FROM nc${i - 1} GROUP BY 1),
+           |cenn$i AS (SELECT clabel, cen,
+           |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(cen, x -> x * x)), (a, b) -> a + b)) AS cnrm
+           |  FROM cen$i)""".stripMargin
+      s"""WITH $centroidCte,
+         |nc0 AS (SELECT label AS cluster, dim, c FROM cend),
+         |${kmCen(1, "cluster")},
+         |embn AS MATERIALIZED (SELECT vec_id, ed,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ed, x -> x * x)), (a, b) -> a + b)) AS enrm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |    FROM embeddings)),
+         |${kmIter(1, "cenn1")},
+         |${kmCen(2, "cluster")},
+         |${kmIter(2, "cenn2")},
+         |${kmCen(3, "cluster")},
+         |${kmIter(3, "cenn3")}
+         |SELECT cluster, CAST(dim AS INT) AS dim, c AS c3, n
+         |FROM nc3 ORDER BY cluster, dim""".stripMargin
+    },
     "e2_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,

@@ -212,6 +212,59 @@ class RelationalPlanSpec extends AnyFunSuite {
       s"bucket probe must stay an equi-join:\n$plan")
   }
 
+  test("every unpartitioned window in the declared set runs over a bounded domain") {
+    // `sbt test` logs `WindowExec: No Partition Defined` warnings; this
+    // audit pins exactly WHICH declared queries own one and proves each
+    // such window consumes a DOMAIN-BOUNDED input — an Aggregate whose
+    // keys are value/vocabulary/day/source domains, or an explicit
+    // top-k Limit — never a raw corpus-sized relation. A future query
+    // that globally sorts the corpus fails the allowlist AND the
+    // structural check.
+    import org.apache.spark.sql.catalyst.plans.logical
+    // query -> why its global window is bounded (documented, auditable)
+    val bounded = Map(
+      "q04_previous" -> "LIMIT 2 latest-orders slice",
+      "q52_date_spine" -> "day-domain spine aggregate",
+      "e2_ann_ivfpq" -> "sqrt(n)-LIMIT seed ranking",
+      "e2_pq_search" -> "PqKsub-LIMIT codebook seeds",
+      "e2_pq_rerank" -> "PqKsub-LIMIT codebook seeds",
+      "e3_bpe_pairs" -> "pair-vocabulary aggregate + top-k",
+      "e3_bpe_merge" -> "pair-vocabulary aggregate + top-k",
+      "e3_quality_calibration" -> "score-decile aggregate",
+      "e3_quality_tiers" -> "score-histogram aggregate",
+      "e3_vocab_growth" -> "bucket-domain aggregate",
+      "e7_epoch_plan" -> "|sources|-row aggregate",
+      "e7_mixture" -> "|sources|-row aggregate",
+      "e7_mixture_sample" -> "|sources|-row aggregate",
+      "e7_source_caps" -> "|sources|-row aggregate",
+      "e7_temperature_mix" -> "|sources|-row aggregate",
+      "e8_benford" -> "9-digit-domain aggregate",
+      "e8_concentration" -> "|sources|-row aggregate",
+      "e8_seasonality" -> "hour/day-domain aggregate",
+      "e8_zipf" -> "token-vocabulary aggregate + top-k")
+    val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
+        val wins = plan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty => w }
+        if (wins.isEmpty) None else Some(name -> wins)
+    }
+    assert(found.map(_._1).toSet == bounded.keySet,
+      s"unpartitioned-window queries changed: got ${found.map(_._1)}; " +
+        "new entries must be reviewed for bounded input and allowlisted")
+    found.foreach { case (name, wins) =>
+      wins.foreach { w =>
+        val ok = w.child.collectFirst {
+          case a: logical.Aggregate => a
+          case l: logical.GlobalLimit => l
+          case l: logical.LocalLimit => l
+        }.isDefined
+        assert(ok, s"$name: unpartitioned window over a raw (unbounded) " +
+          s"input — ${bounded(name)} expected:\n${w.child.treeString}")
+      }
+    }
+  }
+
   test("e2_embed_outliers: broadcast seed assign; both cell windows share one exchange") {
     val plan = finalPlan(Similarity.e2EmbedOutliers(spark, TestSpark.sf001))
     // the seed join is the broadcast cross the IVF family uses (argmax
