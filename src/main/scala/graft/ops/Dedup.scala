@@ -991,6 +991,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** E1 — shingle document-frequency profile: the df distribution of the
+    * PRE-cap shingle-hash table, bucketed by decimal digit count of df
+    * (≤ 19 rows at ANY corpus size; digits-of-an-integer is exact string
+    * arithmetic in both engines, unlike floor(log2) whose libm rounding
+    * could split a power-of-two boundary). Per bucket: shingle count,
+    * Σdf (the exploded table's row mass), Σdf² (the EXACT pairwise
+    * join's candidate-pair work — the quantity MaxShingleDf exists to
+    * bound), min/max df, and how many shingles the cap drops (n_hot).
+    * This is the tuning evidence for the cap: pair_work concentrated in
+    * the top bucket = a handful of stop-shingles carrying quadratic
+    * blowup, exactly what the anti-join removes. Plan: one corpus scan →
+    * codegen'd shingle hashing → an |distinct-shingles|-key count
+    * (map-side combined, 8-byte keys — strings never shuffle) → a
+    * ≤19-key aggregate. Output is ALL-INTEGER (no float cell can ever
+    * split the engines). Bounds: Σdf² per bucket < 2⁶³ for df < 3×10⁹.
+    * Ref: lime_etl delegates data-plane profiling to user SQL (its
+    * lime_etl/services/admin modules are control-plane only); this is
+    * the corpus-side analogue of its per-run result audits. */
+  def e1ShingleProfile(s: SparkSession, d: String): DataFrame =
+    shingleHashes(s, d)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy(length(col("df").cast("string")).cast("long").as("df_digits"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("total_df"),
+        sum(col("df") * col("df")).as("pair_work"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_hot"))
+      .orderBy("df_digits")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_cdc_chunks" -> (e1CdcChunks _),
     "e1_span_dedup" -> (e1SpanDedup _),
@@ -1001,6 +1031,7 @@ object Dedup {
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
     "e1_incremental_neardup" -> (e1IncrementalNeardup _),
+    "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_prefix_join" -> (e1PrefixJoin _),
@@ -1073,23 +1104,32 @@ object Dedup {
     * wordShingleHashesImpl = FNV-1a of the joined shingle string;
     * sigFromLongsImpl = min over signed(mix(h) ^ rotr(mix(h^XC), k));
     * bandHashesImpl = mix-fold over each band's 4 slots. */
+  /** DuckDB replica of the PRE-cap per-doc distinct shingle-hash table
+    * (`toks` → `shing` (doc_id, h)) — shared by the MinHash chain and
+    * the e1_shingle_profile df audit (which must see the hot shingles
+    * the cap drops, so it consumes `shing`, not `sh`). */
+  private[ops] val shingleHashCtes: String = {
+    import OracleSql._
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |shing AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(range(1, length(s)+1),
+       |          i -> CAST(unicode(substring(s, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |                 * 1099511628211) % $M) AS h
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+       |           tk[CAST(i AS INT) + 2])) AS s FROM toks))""".stripMargin
+  }
+
   private val minhashCtesBlock: String = {
     import OracleSql._
     val shingleCtes =
-      s"""toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |shing AS (
-         |  SELECT DISTINCT doc_id,
-         |    list_reduce(
-         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
-         |        list_transform(range(1, length(s)+1),
-         |          i -> CAST(unicode(substring(s, CAST(i AS INT), 1)) AS HUGEINT))),
-         |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-         |                 * 1099511628211) % $M) AS h
-         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
-         |           tk[CAST(i AS INT) + 2])) AS s FROM toks)),
+      s"""$shingleHashCtes,
          |hot AS (SELECT h FROM shing GROUP BY h HAVING count(*) > $MaxShingleDf),
          |sh AS (SELECT doc_id, h FROM shing WHERE h NOT IN (SELECT h FROM hot))""".stripMargin
     val h12 =
@@ -1143,6 +1183,18 @@ object Dedup {
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
+    "e1_shingle_profile" ->
+      s"""WITH $shingleHashCtes,
+         |dfs AS (SELECT h, count(*) AS df FROM shing GROUP BY h)
+         |SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS total_df,
+         |  CAST(sum(df * df) AS BIGINT) AS pair_work,
+         |  CAST(min(df) AS BIGINT) AS min_df,
+         |  CAST(max(df) AS BIGINT) AS max_df,
+         |  CAST(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot
+         |FROM dfs GROUP BY 1 ORDER BY 1""".stripMargin,
     // CDC: the boundary gate replicates wordShingleHashes (FNV-1a of the
     // joined window, HUGEINT mod 2^64) through the splitmix chain; chunk
     // identity is the chunk STRING here vs its fnv64 on the Spark side —

@@ -903,6 +903,50 @@ object Similarity {
       .orderBy("cluster", "dim")
   }
 
+  /** E2 — the spherical k-means OBJECTIVE under the seed codebook: per
+    * cluster, member count and the total cosine dissimilarity
+    * Σ(1 − cos(x, c)) in integer micro-units — the quantity the
+    * kmeansTrained loop descends (the shift signal says the codebook is
+    * still MOVING; the objective says whether it is IMPROVING, and a
+    * plateaued objective with nonzero shift is the 4-dp limit cycle the
+    * loop's tol ends). Exactness: per-vector (1 − sim) is a function of
+    * the same index-ordered fold both engines share bit-for-bit,
+    * quantized scan-side to micro-units, summed as exact longs; the
+    * output is ALL-INTEGER. Plan: same broadcast-codebook argmax as
+    * e2_kmeans_iter (one vec_id exchange), then a k-key aggregate. */
+  def e2KmeansObjective(s: SparkSession, d: String): DataFrame =
+    objectiveOf(s, d, centroidArrays(s, d))
+
+  private def objectiveOf(s: SparkSession, d: String,
+      cen: DataFrame): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+    e.join(broadcast(cen))
+      .withColumn("sim",
+        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("enrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"))
+      .select((-col("m.nl")).as("cluster"),
+        expr("CAST(floor((1.0D - m.sim) * 1000000.0D + 0.5D) AS BIGINT)")
+          .as("q6"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("q6")).as("obj_e6"))
+      .withColumn("mean_obj_e6", expr("obj_e6 div n"))
+      .orderBy("cluster")
+  }
+
+  /** Total objective for a driver-held codebook — the scalar the
+    * kmeansTrained loop should be (and, per spec, is) descending. */
+  def kmeansObjective(s: SparkSession, d: String,
+      cb: Seq[(Long, Seq[Double])]): Long = {
+    import s.implicits._
+    val cen = cb.toDF("clabel", "cen")
+      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+    objectiveOf(s, d, cen).agg(sum(col("obj_e6"))).head().getLong(0)
+  }
+
   /** K-means training loop — the deployment form of the declared
     * e2_kmeans_iter stage (the perceptronTrained / pageRankConverged
     * discipline): seed from the per-label centroids, iterate kmeansStep,
@@ -1036,6 +1080,7 @@ object Similarity {
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_kmeans3" -> (e2Kmeans3 _),
+    "e2_kmeans_objective" -> (e2KmeansObjective _),
     "e2_cosine_topk" -> (e2CosineTopk _),
     "e2_knn_classify" -> (e2KnnClassify _),
     "e2_ann_lsh" -> (e2AnnLsh _),
@@ -1347,6 +1392,39 @@ object Similarity {
          |  round(abs(nc.c_new - cd.c), 4) AS shift
          |FROM nc JOIN cend cd ON cd.label = nc.cluster AND cd.dim = nc.dim
          |ORDER BY cluster, dim""".stripMargin,
+    // Same assign chain as e2_kmeans_iter but keeping the winning sim:
+    // (1 - sim) quantized to micro-units scan-side, exact integer sums,
+    // integer mean (// ≡ Spark div on the nonnegative operands).
+    "e2_kmeans_objective" ->
+      s"""WITH $centroidCte,
+         |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
+         |  FROM cend GROUP BY label),
+         |cenn AS (SELECT clabel, cen,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(cen, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cen),
+         |embn AS (SELECT vec_id, ed,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ed, x -> x * x)), (a, b) -> a + b)) AS enrm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |    FROM embeddings)),
+         |sims AS (SELECT e.vec_id, c.clabel,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, 65), i ->
+         |      e.ed[CAST(i AS INT)] * c.cen[CAST(i AS INT)])),
+         |    (a, b) -> a + b) / (e.enrm * c.cnrm) AS sim
+         |  FROM embn e, cenn c),
+         |asg AS (SELECT vec_id, clabel AS cluster, sim FROM (
+         |  SELECT vec_id, clabel, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, clabel) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |q AS (SELECT cluster,
+         |  CAST(floor((1.0 - sim) * 1000000.0 + 0.5) AS BIGINT) AS q6
+         |  FROM asg)
+         |SELECT cluster, count(*) AS n, CAST(sum(q6) AS BIGINT) AS obj_e6,
+         |  CAST(sum(q6) AS BIGINT) // count(*) AS mean_obj_e6
+         |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
     // Three unrolled iterations of the same assign/mean blocks (the
     // e9_pagerank unrolled-loop treatment). embn is the only
     // multiply-referenced expensive CTE (one sims per iteration) →

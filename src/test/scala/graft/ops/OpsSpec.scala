@@ -890,6 +890,48 @@ class OpsSpec extends AnyFunSuite {
     assert(itM == 3)
   }
 
+  test("kmeans objective: declared query reconciles and the loop descends it") {
+    val rows = Similarity.e2KmeansObjective(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (n, obj, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && obj >= 0 && mean == obj / n)
+    }
+    val totalDeclared = rows.map(_.getLong(2)).sum
+    // the scalar helper over the SEED codebook equals the declared query
+    val (seed, _, _) = Similarity.kmeansTrained(spark, TestSpark.sf0001,
+      maxIters = 0)
+    val objSeed = Similarity.kmeansObjective(spark, TestSpark.sf0001, seed)
+    assert(objSeed == totalDeclared)
+    // training descends the objective: three loop rounds must strictly
+    // improve on the label-seeded codebook
+    val (trained, _, _) = Similarity.kmeansTrained(spark, TestSpark.sf0001,
+      tol = 0.0, maxIters = 3)
+    val objTrained = Similarity.kmeansObjective(spark, TestSpark.sf0001, trained)
+    assert(objTrained < objSeed,
+      s"loop must reduce the objective: $objTrained vs seed $objSeed")
+  }
+
+  test("shingle profile: bucket accounting reconciles with the raw df table") {
+    val rows = Dedup.e1ShingleProfile(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (digits, ns, tdf, pw, mn, mx, hot) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mn >= 1 && mn <= mx)
+      assert(mn.toString.length == digits && mx.toString.length == digits)
+      // Σdf and Σdf² bracket against the bucket extremes
+      assert(tdf >= ns * mn && tdf <= ns * mx)
+      assert(pw >= tdf, "df >= 1 makes every df^2 >= df")
+      assert(pw >= ns * mn * mn && pw <= ns * mx * mx)
+      assert(hot >= 0 && hot <= ns)
+    }
+    // no fixture shingle reaches the cap (SCALE note: max df 25 at sf0.1),
+    // so the declared pairwise results are cap-invariant — the property
+    // the cap's "results unchanged at fixture scales" claim rests on
+    assert(rows.map(_.getLong(6)).sum == 0)
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)
