@@ -138,6 +138,48 @@ object Analysis {
         round(col("dev2") / 20000.0, 4).as("dev"))
       .orderBy("event_id")
 
+  /** Staleness fence (days) for e8Freshness — interpolated into BOTH
+    * engines. A deployment sets it to its ingest SLA. */
+  val FreshStaleDays = 14L
+
+  /** E8 — data-freshness profile per event type: how old is each type's
+    * data relative to the pipeline reference instant (DecayRefUs — a
+    * deployment passes now()), as the age distribution a DQ dashboard
+    * alerts on: newest/oldest age, the DOUBLED median age (q25 idiom:
+    * integer-exact, no float percentile), and the share of events older
+    * than the staleness fence in integer basis points. A type whose
+    * min_age_days grows is a stalled ingest; a rising stale_bp with
+    * fresh min_age is a backfill gap — the two failure modes the
+    * freshness check in every DQ suite distinguishes. Completes the
+    * temporal-quality family: cusum (level shifts), autocorr (cycles),
+    * seasonality (daily shape), freshness (arrival lag). Exactness:
+    * ages are integer DAYS (micros div 86400e6 — Spark `div` ≡ DuckDB
+    * `//` on the nonnegative operands), the median is the integer
+    * doubled-median, stale_bp is an integer div — ALL-INTEGER output.
+    * Plan: one scan-side age projection, a day-domain histogram
+    * aggregate (map-side combined; the median window runs over the
+    * bounded day domain, never rows), one |types|-key aggregate. */
+  def e8Freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      (lit(DecayRefUs) - tsMicros(col("ts"))).as("age_us"))
+      .select(col("event_type"),
+        expr("age_us div 86400000000").as("age_days"))
+    val med = median2(ev, "event_type", "age_days")
+      .withColumnRenamed("med2", "med2_age_days")
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("age_days")).as("min_age_days"),
+        max(col("age_days")).as("max_age_days"),
+        sum(when(col("age_days") > FreshStaleDays, 1L).otherwise(0L))
+          .as("n_stale"))
+      .join(med, "event_type")
+      .withColumn("stale_bp", expr("n_stale * 10000 div n"))
+      .select(col("event_type"), col("n"), col("min_age_days"),
+        col("max_age_days"), col("med2_age_days"), col("n_stale"),
+        col("stale_bp"))
+      .orderBy("event_type")
+  }
+
   /** E9 — MODULARITY audit of the label-propagation communities: per
     * community, the integer-exact numerator of its modularity
     * contribution, q_num = 4m·e_c − d_c² (so Q = Σ q_num / 4m²) — the
@@ -855,6 +897,7 @@ object Analysis {
     "e8_corr" -> (e8Corr _),
     "e8_transitions" -> (e8Transitions _),
     "e8_cusum" -> (e8Cusum _),
+    "e8_freshness" -> (e8Freshness _),
     "e8_autocorr" -> (e8Autocorr _),
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
@@ -1176,6 +1219,33 @@ object Analysis {
          |FROM events e JOIN s USING (event_type)
          |WHERE abs((value - m) / sd) > $OutlierZ
          |ORDER BY event_id""".stripMargin,
+    // Integer day ages (// ≡ Spark div, nonnegative here), the doubled-
+    // median over the day-domain histogram (the e8_mad m1 idiom), and
+    // basis-point staleness — all-integer output.
+    "e8_freshness" ->
+      s"""WITH a AS (SELECT event_type,
+         |    ($DecayRefUs - epoch_us(ts)) // 86400000000 AS age_days
+         |  FROM events),
+         |h AS (SELECT event_type, age_days, count(*) AS cnt
+         |  FROM a GROUP BY 1, 2),
+         |r AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+         |    ORDER BY age_days) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+         |m AS (SELECT event_type, CAST(
+         |    max(CASE WHEN (n - 1) // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN age_days END) +
+         |    max(CASE WHEN n // 2 BETWEEN cum - cnt AND cum - 1
+         |      THEN age_days END) AS BIGINT) AS med2_age_days
+         |  FROM r GROUP BY event_type),
+         |g AS (SELECT event_type, count(*) AS n,
+         |    CAST(min(age_days) AS BIGINT) AS min_age_days,
+         |    CAST(max(age_days) AS BIGINT) AS max_age_days,
+         |    CAST(sum(CASE WHEN age_days > $FreshStaleDays THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stale
+         |  FROM a GROUP BY event_type)
+         |SELECT g.event_type, g.n, g.min_age_days, g.max_age_days,
+         |  m.med2_age_days, g.n_stale, g.n_stale * 10000 // g.n AS stale_bp
+         |FROM g JOIN m USING (event_type) ORDER BY event_type""".stripMargin,
     "e8_mad_outliers" ->
       s"""WITH e AS (SELECT event_id, event_type, value,
          |    CAST(round(value * 10000) AS BIGINT) AS vm FROM events),

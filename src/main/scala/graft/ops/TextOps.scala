@@ -629,6 +629,34 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** E3 — packing-efficiency audit over e3Pack's output: per source,
+    * pack count, chunk/token totals, fill extremes, how many packs run
+    * under/over the budget (greedy running-sum packing lets a straddling
+    * chunk overflow its pack by at most one chunk; trailing shard packs
+    * run under), and utilization in integer BASIS POINTS
+    * (tokens·10⁴ div (n_packs·budget)). This is the number a data-loader
+    * team reads before training: utilization is the fraction of every
+    * batch that is real tokens rather than padding. Composes the pack
+    * query directly (and the oracle wraps e3_pack's oracle SQL verbatim
+    * — the e7_dataset_card discipline — so audit and audited can't
+    * drift). Output is ALL-INTEGER. Plan: e3Pack's one (source, shard)
+    * exchange, then a |sources|-key aggregate over pack-sized rows. */
+  def e3PackStats(s: SparkSession, d: String): DataFrame =
+    e3Pack(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        min(col("pack_tokens")).as("min_fill"),
+        max(col("pack_tokens")).as("max_fill"),
+        sum(when(col("pack_tokens") < PackBudget, 1L).otherwise(0L))
+          .as("n_under"),
+        sum(when(col("pack_tokens") > PackBudget, 1L).otherwise(0L))
+          .as("n_over"))
+      .withColumn("util_bp",
+        expr(s"total_tokens * 10000 div (n_packs * $PackBudget)"))
+      .orderBy("source")
+
   /** Bucket width (documents per curve point) for e3VocabGrowth —
     * interpolated into BOTH engines. The knob that keeps the curve at
     * O(10³) points: a 100 TB run sets it so n_docs / width stays small,
@@ -1066,6 +1094,7 @@ object TextOps {
     "e3_redact" -> (e3Redact _),
     "e3_vocab_growth" -> (e3VocabGrowth _),
     "e3_pack" -> (e3Pack _),
+    "e3_pack_stats" -> (e3PackStats _),
     "e3_chunk" -> (e3Chunk _),
     "e3_lm_score" -> (e3LmScore _),
     "e3_normalize" -> (e3Normalize _),
@@ -1143,6 +1172,32 @@ object TextOps {
       |w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
       |p AS (SELECT unnest(list_transform(range(1, length(w)),
       |  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w2)""".stripMargin
+
+  /** The e3_pack oracle body, shared verbatim with the e3_pack_stats
+    * wrapper so the audit can never drift from the query it audits. */
+  private val packOracleSql: String =
+    s"""WITH mx_in AS (SELECT doc_id, source, text,
+       |  xor(CAST(doc_id AS HUGEINT), CAST('$PackShardSalt' AS HUGEINT)) AS h0
+       |  FROM documents),
+       |${OracleSql.mixCtes("mx", "h0", "h1", Seq("doc_id", "source", "text"))},
+       |t AS (SELECT doc_id, source,
+       |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $PackShards AS BIGINT) AS shard,
+       |  string_split(text, ' ') AS toks FROM mx),
+       |w AS (SELECT doc_id, source, shard, toks, unnest(range(0, 1 + greatest(0,
+       |  CAST(ceil((len(toks) - $ChunkTokens) / ${ChunkStride}.0) AS INT)))) AS i
+       |  FROM t),
+       |c AS (SELECT doc_id, source, shard, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
+       |    i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens FROM w),
+       |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+       |    ORDER BY doc_id, chunk_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
+       |SELECT source, shard,
+       |  CAST(shard * $PackIdStride + (cum - n_tokens) // $PackBudget AS BIGINT)
+       |    AS pack_id,
+       |  count(*) AS n_chunks,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM r GROUP BY source, shard, pack_id ORDER BY source, pack_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e3_bpe_vocab" -> {
@@ -1295,29 +1350,26 @@ object TextOps {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_vocab
          |FROM b ORDER BY bucket""".stripMargin,
-    "e3_pack" ->
-      s"""WITH mx_in AS (SELECT doc_id, source, text,
-         |  xor(CAST(doc_id AS HUGEINT), CAST('$PackShardSalt' AS HUGEINT)) AS h0
-         |  FROM documents),
-         |${OracleSql.mixCtes("mx", "h0", "h1", Seq("doc_id", "source", "text"))},
-         |t AS (SELECT doc_id, source,
-         |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $PackShards AS BIGINT) AS shard,
-         |  string_split(text, ' ') AS toks FROM mx),
-         |w AS (SELECT doc_id, source, shard, toks, unnest(range(0, 1 + greatest(0,
-         |  CAST(ceil((len(toks) - $ChunkTokens) / ${ChunkStride}.0) AS INT)))) AS i
-         |  FROM t),
-         |c AS (SELECT doc_id, source, shard, CAST(i AS BIGINT) AS chunk_id,
-         |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
-         |    i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens FROM w),
-         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
-         |    ORDER BY doc_id, chunk_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
-         |SELECT source, shard,
-         |  CAST(shard * $PackIdStride + (cum - n_tokens) // $PackBudget AS BIGINT)
-         |    AS pack_id,
-         |  count(*) AS n_chunks,
-         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-         |FROM r GROUP BY source, shard, pack_id ORDER BY source, pack_id""".stripMargin,
+    "e3_pack" -> packOracleSql,
+    // The audit wraps the pack query's OWN oracle verbatim as a
+    // subquery (the e7_dataset_card discipline), so the stats can never
+    // drift from the query they summarize. util_bp is integer basis
+    // points (tokens·10⁴ div capacity) — `//` ≡ Spark `div` on the
+    // nonnegative operands; output is ALL-INTEGER.
+    "e3_pack_stats" ->
+      s"""SELECT source, count(*) AS n_packs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(min(pack_tokens) AS BIGINT) AS min_fill,
+         |  CAST(max(pack_tokens) AS BIGINT) AS max_fill,
+         |  CAST(sum(CASE WHEN pack_tokens < $PackBudget THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_under,
+         |  CAST(sum(CASE WHEN pack_tokens > $PackBudget THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over,
+         |  CAST(sum(pack_tokens) AS BIGINT) * 10000
+         |    // (count(*) * $PackBudget) AS util_bp
+         |FROM ($packOracleSql)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "e3_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0,

@@ -309,4 +309,33 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("e8_freshness: profile equals a driver-side age recompute") {
+    val rows = Analysis.e8Freshness(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n - 1) / 2) + s(n / 2)
+    }
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val ages = byType(r.getString(0))
+        .map(t => (Analysis.DecayRefUs - t._2) / 86400000000L).toSeq
+      assert(r.getLong(1) == ages.length)
+      assert(r.getLong(2) == ages.min && r.getLong(3) == ages.max)
+      assert(r.getLong(4) == med2(ages))
+      val stale = ages.count(_ > Analysis.FreshStaleDays)
+      assert(r.getLong(5) == stale)
+      assert(r.getLong(6) == stale.toLong * 10000 / ages.length)
+      // fixture window: events are Jan-2024, ref is Feb-1 → ages 1..31
+      assert(ages.min >= 0 && ages.max <= 32)
+    }
+    // the fence actually splits the fixture (both sides populated)
+    assert(rows.exists(_.getLong(5) > 0) &&
+      rows.exists(r => r.getLong(5) < r.getLong(1)))
+  }
 }

@@ -932,6 +932,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).sum == 0)
   }
 
+  test("pack stats reconcile with the pack table they audit") {
+    val packs = TextOps.e3Pack(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val stats = TextOps.e3PackStats(spark, TestSpark.sf0001).collect()
+    assert(stats.nonEmpty)
+    val bysrc = packs.groupBy(_._1)
+    stats.foreach { r =>
+      val src = r.getString(0)
+      val ps = bysrc(src)
+      assert(r.getLong(1) == ps.length)
+      assert(r.getLong(2) == ps.map(_._2).sum)
+      assert(r.getLong(3) == ps.map(_._3).sum)
+      assert(r.getLong(4) == ps.map(_._3).min && r.getLong(5) == ps.map(_._3).max)
+      assert(r.getLong(6) == ps.count(_._3 < TextOps.PackBudget))
+      assert(r.getLong(7) == ps.count(_._3 > TextOps.PackBudget))
+      val utilBp = r.getLong(8)
+      assert(utilBp == ps.map(_._3).sum * 10000 /
+        (ps.length.toLong * TextOps.PackBudget))
+      // positive utilization, bounded above by full + one straddling
+      // chunk per pack. (The sf0.001 fixture reads ~38%: 32 shards ×
+      // few docs each leaves mostly trailing underfull packs — the
+      // fragmentation cost of shard parallelism, amortized away as
+      // shards fill at real scale.)
+      assert(utilBp > 0 && utilBp <= 20000, s"$src utilization $utilBp bp")
+    }
+    assert(stats.map(_.getString(0)).toSet == bysrc.keySet)
+  }
+
   test("incremental neardup: batch docs only, matches in corpus, verified j") {
     val out = Dedup.e1IncrementalNeardup(spark, TestSpark.sf001).collect()
     assert(out.nonEmpty)
