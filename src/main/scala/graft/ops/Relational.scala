@@ -1079,8 +1079,36 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** Q54 [EXT] — trailing-7-day revenue per customer via a true RANGE
+    * window frame over the integer order-day key: each order row sees
+    * the sum/count of its customer's orders in the preceding 7 calendar
+    * DAYS, correct across date GAPS and same-day ties (peers share the
+    * frame) — semantics a ROWS frame cannot express on a sparse series
+    * and the q21b day-spine trick only recovers globally (densifying
+    * PER CUSTOMER would explode customers × days rows at scale). The
+    * rolling-spend / velocity-check shape fraud and billing pipelines
+    * run. Exactness: the day key is integer days-since-epoch (both
+    * engines truncate the naive timestamp to a date identically),
+    * revenue in integer cents — ALL-INTEGER output. Plan: ONE
+    * o_custkey exchange; both windows share the (custkey, day) sort;
+    * per-customer frame work is bounded by order density, independent
+    * of table size. */
+  def q54RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rev7_cents", sum(col("cents")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   /** All declared queries keyed by the SparkEntry / oracle name. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_range_frame" -> (q54RangeFrame _),
     "q53_sessionize" -> (q53Sessionize _),
     "q51_lateral" -> (q51Lateral _),
     "q52_date_spine" -> (q52DateSpine _),
@@ -1146,6 +1174,22 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    // integer day key + RANGE frame: DuckDB's numeric RANGE matches
+    // Spark's rangeBetween(-6, currentRow) including same-day peers
+    "q54_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_cents,
+        |  CAST(count(*) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+        |FROM orders ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q53_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |    epoch_us(ts) AS us FROM events),

@@ -335,7 +335,40 @@ object Sampling {
       .orderBy("pos_ppm", "source", "doc_id")
   }
 
+  /** Purpose salt for the k-fold assignment — independent of every other
+    * sampling salt so fold ∘ sample ∘ split stay uncorrelated. */
+  val KfoldSalt = 0x6f1d8c3b25a4e970L
+
+  /** Fold count for e6Kfold — interpolated into BOTH engines. 100 is
+    * divisible by it, so the slot-mod assignment is exactly uniform over
+    * the hash slots. */
+  val Kfolds = 5
+
+  /** E6 — deterministic K-FOLD cross-validation assignment summary: every
+    * document lands in fold splitmix64(doc_id ^ salt) mod K — a pure
+    * function of the id, so fold f's train set (the complement) is
+    * reproducible on any engine, any run, any scale, with no sampling
+    * state (the e6_train_val_test discipline extended to the K-round
+    * evaluation protocol; an independent salt keeps folds uncorrelated
+    * with the sample/split gates). Emits the per-fold audit row a CV
+    * harness checks before training: doc/token mass plus an id checksum
+    * (order-independent integer sum) that a backfill must reproduce
+    * exactly — ALL-INTEGER. Partition-law properties (disjoint, total,
+    * balanced) are spec-asserted. Plan: scan-side hash gate, one K-key
+    * map-side-combined aggregate; the corpus never shuffles. */
+  def e6Kfold(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        (slot(col("doc_id"), KfoldSalt) % lit(Kfolds.toLong)).as("fold"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("fold")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_kfold" -> (e6Kfold _),
     "e6_interleave" -> (e6Interleave _),
     "e6_dsir" -> (e6Dsir _),
     "e6_cluster_split" -> (e6ClusterSplit _),
@@ -364,6 +397,16 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "e6_kfold" ->
+      s"""WITH ${slotCtes(KfoldSalt)},
+         |f AS (SELECT s.doc_id, CAST(s.slot % $Kfolds AS BIGINT) AS fold,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+         |  FROM slots s JOIN documents d USING (doc_id))
+         |SELECT fold, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
     "e6_time_split" ->
       s"""WITH e AS (SELECT ts, user_id, event_type, epoch_us(ts) AS us
          |  FROM events),

@@ -932,6 +932,40 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).sum == 0)
   }
 
+  test("q54 range frame: per-row trailing-7-day sums match a driver recompute") {
+    val rows = Relational.q54RangeFrame(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_._2)
+    rows.foreach { case (_, cust, day, _, rev7, n7) =>
+      val in = byCust(cust).filter(t => t._3 >= day - 6 && t._3 <= day)
+      assert(rev7 == in.map(_._4).sum, s"cust $cust day $day")
+      assert(n7 == in.length)
+    }
+    // the fixture exercises the RANGE-vs-ROWS distinction: some frame
+    // holds >1 order (peers/nearby days) and some exactly 1 (a gap)
+    assert(rows.exists(_._6 > 1) && rows.exists(_._6 == 1))
+  }
+
+  test("e6_kfold: folds partition the corpus and stay balanced") {
+    val folds = Sampling.e6Kfold(spark, TestSpark.sf0001).collect()
+    assert(folds.map(_.getLong(0)).toSeq == (0L until Sampling.Kfolds.toLong))
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // totality: doc/token/id mass is fully accounted for (with the
+    // per-fold id checksum, disjointness would show up as a mismatch)
+    assert(folds.map(_.getLong(1)).sum == docs.length)
+    assert(folds.map(_.getLong(2)).sum == docs.map(_._2).sum)
+    assert(folds.map(_.getLong(3)).sum == docs.map(_._1).sum)
+    // balance: each fold within 2x of the uniform share on the fixture
+    val share = docs.length.toDouble / Sampling.Kfolds
+    folds.foreach { f =>
+      assert(f.getLong(1) > share / 2 && f.getLong(1) < share * 2)
+    }
+  }
+
   test("pack stats reconcile with the pack table they audit") {
     val packs = TextOps.e3Pack(spark, TestSpark.sf0001).collect()
       .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))

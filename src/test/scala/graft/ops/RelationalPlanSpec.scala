@@ -212,6 +212,15 @@ class RelationalPlanSpec extends AnyFunSuite {
       s"bucket probe must stay an equi-join:\n$plan")
   }
 
+  test("q54: both RANGE windows ride ONE o_custkey exchange") {
+    val plan = finalPlan(Relational.q54RangeFrame(spark, TestSpark.sf001))
+    // sum and count share the same (custkey)/(day) window spec, so the
+    // orders table crosses exactly one hash exchange; only the display
+    // orderBy adds a range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange (o_custkey), got $hashEx:\n$plan")
+  }
+
   test("every unpartitioned window in the declared set runs over a bounded domain") {
     // `sbt test` logs `WindowExec: No Partition Defined` warnings; this
     // audit pins exactly WHICH declared queries own one and proves each
