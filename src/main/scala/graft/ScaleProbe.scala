@@ -112,7 +112,8 @@ object ScaleProbe {
       "e5_audio_segments", "e3_perceptron_step", "e2_recall_at_k",
       // round 8
       "e2_kmeans3", "e2_kmeans_objective", "e1_shingle_profile",
-      "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold")
+      "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold",
+      "e9_kcore")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

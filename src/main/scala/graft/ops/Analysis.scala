@@ -729,6 +729,77 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** Peel rounds for e9_kcore — fixed so the oracle can unroll them
+    * (the LpIters / PrIters treatment); kcoreConverged is the
+    * run-to-fixpoint deployment form. */
+  val KcorePeels = 3
+
+  /** Core threshold for e9_kcore — interpolated into BOTH engines. */
+  val KcoreK = 2
+
+  /** E9 — K-CORE peeling of the near-dup graph (k = 2, three synchronous
+    * peel rounds): repeatedly remove nodes with degree < k and the edges
+    * they carry. What survives is the densely-duplicated CORE — content
+    * families held together by many pairwise matches — while chains and
+    * pendants (borderline single-link matches, exactly what a too-loose
+    * LSH threshold admits) peel away; the core/periphery split is the
+    * standard triage for "weld these clusters confidently vs review
+    * these links". Emits survivors with their residual degree. Each
+    * round is two semi-join-shaped prunes + a degree aggregate, all
+    * PAIR-TABLE-sized (the corpus never moves); fixed rounds make the
+    * DuckDB oracle an unrolled CTE chain, and the fixpoint form below
+    * shows the loop discipline. */
+  def e9Kcore(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    var edges = p.select(col("da"), col("db"))
+    for (_ <- 1 to KcorePeels) {
+      val deg = edges.select(col("da").as("v"))
+        .unionByName(edges.select(col("db").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= KcoreK).select("v")
+      edges = edges
+        .join(keep.select(col("v").as("da")), "da")
+        .join(keep.select(col("v").as("db")), "db")
+        .select("da", "db")
+    }
+    edges.select(col("da").as("doc_id"))
+      .unionByName(edges.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  /** K-core to FIXPOINT — the deployment form (pageRankConverged /
+    * kmeansTrained discipline): peel until a round removes no node; the
+    * driver reads ONE edge-count scalar per round (localCheckpoint
+    * truncates the per-round lineage). Returns (survivor doc_ids with
+    * final degree, rounds run). At the fixpoint every survivor has
+    * degree ≥ k — the true k-core, which fixed-round peeling only
+    * approximates from above. */
+  def kcoreConverged(s: SparkSession, d: String, k: Long = KcoreK,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val p = Dedup.minhashPairTable(s, d)
+    var edges = p.select(col("da"), col("db")).localCheckpoint()
+    var n = edges.count()
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val deg = edges.select(col("da").as("v"))
+        .unionByName(edges.select(col("db").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("v")
+      val next = edges
+        .join(keep.select(col("v").as("da")), "da")
+        .join(keep.select(col("v").as("db")), "db")
+        .select("da", "db").localCheckpoint()
+      val m = next.count()
+      if (m == n) done = true else { edges = next; n = m; it += 1 }
+    }
+    val core = edges.select(col("da").as("doc_id"))
+      .unionByName(edges.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    (core, it)
+  }
+
   /** E9 — global triangle count of the near-dup graph plus the number of
     * connected vertex pairs ("wedges" through the canonical ordering),
     * yielding the global clustering signal: near-dup TRIANGLES are
@@ -904,6 +975,7 @@ object Analysis {
     "e9_label_prop" -> (e9LabelProp _),
     "e9_modularity" -> (e9Modularity _),
     "e9_degrees" -> (e9Degrees _),
+    "e9_kcore" -> (e9Kcore _),
     "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
@@ -1056,6 +1128,27 @@ object Analysis {
          |deg AS (SELECT id, count(*) AS degree FROM ids GROUP BY 1)
          |SELECT degree, count(*) AS n_docs FROM deg
          |GROUP BY degree ORDER BY degree""".stripMargin
+    },
+    "e9_kcore" -> {
+      // three unrolled peel rounds (the e9_pagerank treatment); every
+      // e$i is referenced by the next round's degree count (twice via
+      // UNION ALL) and both IN-filters → MATERIALIZED
+      val rounds = (1 to KcorePeels).map { i =>
+        s"""d$i AS (SELECT v, count(*) AS dg FROM (
+           |    SELECT da AS v FROM e${i - 1} UNION ALL SELECT db FROM e${i - 1})
+           |  GROUP BY v),
+           |k$i AS (SELECT v FROM d$i WHERE dg >= $KcoreK),
+           |e$i AS MATERIALIZED (SELECT da, db FROM e${i - 1}
+           |  WHERE da IN (SELECT v FROM k$i) AND db IN (SELECT v FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |e0 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |$rounds
+         |SELECT v AS doc_id, count(*) AS degree FROM (
+         |  SELECT da AS v FROM e$KcorePeels
+         |  UNION ALL SELECT db FROM e$KcorePeels)
+         |GROUP BY v ORDER BY doc_id""".stripMargin
     },
     "e9_triangles" -> {
       s"""WITH ${Dedup.minhashCtes},

@@ -310,6 +310,33 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("e9_kcore: peeling matches a driver recompute; fixpoint satisfies the core law") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side 3-round peel
+    var es = pairs
+    for (_ <- 1 to Analysis.KcorePeels) {
+      val dg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .map { case (v, o) => v -> o.length.toLong }
+      val keep = dg.filter(_._2 >= Analysis.KcoreK).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expect = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+      .map { case (v, o) => v -> o.length.toLong }
+    val got = Analysis.e9Kcore(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // fixpoint: terminates, every survivor holds degree >= k (the k-core
+    // law fixed-round peeling only approximates), and the true core is a
+    // subset of the 3-round survivors
+    val (coreDf, iters) = Analysis.kcoreConverged(spark, TestSpark.sf001)
+    val core = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iters < 50)
+    assert(core.values.forall(_ >= Analysis.KcoreK))
+    assert(core.keySet.subsetOf(got.keySet))
+  }
+
   test("e8_freshness: profile equals a driver-side age recompute") {
     val rows = Analysis.e8Freshness(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
