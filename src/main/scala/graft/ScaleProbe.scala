@@ -113,7 +113,7 @@ object ScaleProbe {
       // round 8
       "e2_kmeans3", "e2_kmeans_objective", "e1_shingle_profile",
       "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold",
-      "e9_kcore")
+      "e9_kcore", "e2_ann_pareto")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -125,7 +125,9 @@ object ScaleProbe {
         // e1_containment shares the exact pairwise co-occurrence join
         full.filterNot(Set("e1_ngram_jaccard", "e2_cosine_topk",
           "e2_recall_at_k",
-          "e2_ann_recall", "e1_lsh_recall", "e1_containment"))
+          "e2_ann_recall", "e1_lsh_recall", "e1_containment",
+          // scores methods against the exact baseline by definition
+          "e2_ann_pareto"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

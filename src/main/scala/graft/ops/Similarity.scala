@@ -471,6 +471,40 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** E2 — the ANN recall/cost PARETO frontier: one row per indexing
+    * method — IVF at nProbe 1 and 2, single-bucket LSH, and 13-probe
+    * multi-probe LSH — scoring each against the exact label-blocked
+    * top-1 (answered queries, exact-agreement hits, hit rate in integer
+    * basis points). This is the table an ANN deployment reads to pick
+    * its operating point: probes is the marginal COST axis (candidate
+    * work scales linearly with it), hit_bp the accuracy axis, and the
+    * frontier shows what each extra probe buys. Composes the four
+    * declared method chains and the exact baseline VERBATIM (oracle
+    * wraps each method's own oracle SQL — the dataset-card discipline),
+    * so the scoreboard can never drift from the methods it scores. Runs
+    * the quadratic exact verifier BY DEFINITION → shares the ≥100×
+    * ScaleProbe exclusion with e2_ann_recall; the methods it audits are
+    * the scale paths. ALL-INTEGER output. */
+  def e2AnnPareto(s: SparkSession, d: String): DataFrame = {
+    val exact = e2CosineTopk(s, d).filter(col("rn") === 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"))
+    def blk(name: String, probes: Long, df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("neighbor_id"))
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("neighbor_id") === col("exact_nb"), 1L).otherwise(0L))
+            .as("top1_hits"))
+        .select(lit(name).as("method"), lit(probes).as("probes"),
+          col("n"), col("top1_hits"),
+          when(col("n") === 0L, 0L)
+            .otherwise(expr("top1_hits * 10000 div n")).as("hit_bp"))
+    blk("ivf_p1", 1, e2AnnIvf(s, d))
+      .unionByName(blk("ivf_p2", 2, e2AnnIvf2(s, d)))
+      .unionByName(blk("lsh_p1", 1, e2AnnLsh(s, d)))
+      .unionByName(blk("lsh_p13", 13, e2AnnMultiprobe(s, d)))
+      .orderBy("method")
+  }
+
   /** E2 — recall@3: the set-overlap generalization of e2_ann_recall's
     * top-1 agreement. Per label, what fraction of the exact top-3
     * neighbor PAIRS (label-blocked ground truth, e2_cosine_topk) the IVF
@@ -1097,6 +1131,7 @@ object Similarity {
     "e2_ivf_ingest" -> (e2IvfIngest _),
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
+    "e2_ann_pareto" -> (e2AnnPareto _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -1699,16 +1734,43 @@ object Similarity {
          |  SELECT vec_id, label, clabel, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
          |  FROM sims) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-    "e2_cosine_topk" ->
-      """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
-        |FROM (SELECT a.vec_id, b.vec_id AS other_id,
-        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) AS sim,
-        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
-        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    "e2_cosine_topk" -> cosineTopkOracle,
+    // Each method's oracle SQL is reused VERBATIM as a subquery (the
+    // e3_pack_stats / dataset-card discipline), joined to the exact
+    // top-1 ground truth — the frontier can't drift from the methods
+    // it scores. hit_bp guarded for a method answering zero queries
+    // (DuckDB // 0 errors where Spark div yields null).
+    "e2_ann_pareto" -> {
+      def blk(name: String, probes: Int, sql: String) =
+        s"""SELECT '$name' AS method, CAST($probes AS BIGINT) AS probes,
+           |  count(*) AS n,
+           |  CAST(sum(CASE WHEN a.neighbor_id = x.other_id
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
+           |  CASE WHEN count(*) = 0 THEN 0 ELSE
+           |    CAST(sum(CASE WHEN a.neighbor_id = x.other_id
+           |      THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) END
+           |    AS hit_bp
+           |FROM ($sql) a JOIN (SELECT vec_id, other_id
+           |  FROM ($cosineTopkOracle) WHERE rn = 1) x USING (vec_id)"""
+          .stripMargin
+      Seq(blk("ivf_p1", 1, annIvfOracle(1)),
+        blk("ivf_p2", 2, annIvfOracle(2)),
+        blk("lsh_p1", 1, annLshOracle),
+        blk("lsh_p13", 13, annMultiprobeOracle))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY method")
+    },
   )
+
+  // lazy: referenced by the `oracles` map literal above its declaration
+  private lazy val cosineTopkOracle: String =
+    """SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id, round(sim, 4) AS sim
+      |FROM (SELECT a.vec_id, b.vec_id AS other_id,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) AS sim,
+      |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+      |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 }

@@ -932,6 +932,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).sum == 0)
   }
 
+  test("ann pareto: dial monotonicity and agreement with the recall audit") {
+    val rows = Similarity.e2AnnPareto(spark, TestSpark.sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set("ivf_p1", "ivf_p2", "lsh_p1", "lsh_p13"))
+    // more probes → candidate superset → can't answer fewer queries or
+    // lose exact-agreement hits on either index family
+    assert(rows("ivf_p2")._1 >= rows("ivf_p1")._1)
+    assert(rows("ivf_p2")._2 >= rows("ivf_p1")._2)
+    assert(rows("lsh_p13")._1 >= rows("lsh_p1")._1)
+    assert(rows("lsh_p13")._2 >= rows("lsh_p1")._2)
+    rows.values.foreach { case (n, h, bp) =>
+      assert(h <= n && bp == (if (n == 0) 0L else h * 10000 / n))
+    }
+    // the ivf_p1 row must reconcile with e2_ann_recall's per-label hits
+    val recallHits = Similarity.e2AnnRecall(spark, TestSpark.sf001)
+      .collect().map(_.getLong(2)).sum
+    assert(rows("ivf_p1")._2 == recallHits)
+  }
+
   test("q54 range frame: per-row trailing-7-day sums match a driver recompute") {
     val rows = Relational.q54RangeFrame(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
