@@ -344,6 +344,49 @@ object StreamOps {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** E4n — stream-stream LEFT OUTER interval join: every click emits,
+    * paired with a view inside its 5-minute window when one exists and
+    * with NULL otherwise — the "did this action convert?" feed. The
+    * semantics Structured Streaming gives this are the point: a matched
+    * pair emits as soon as both rows meet, but an UNMATCHED click can
+    * only emit once the watermark proves no matching view can still
+    * arrive (c_ts + interval falls behind the watermark and the state
+    * row evicts) — so null results are DELAYED by watermark progress,
+    * not emitted eagerly, and a batch run of the same join is the
+    * ground truth the stream must converge to (StreamingSpec stages an
+    * epilogue to push the watermark past all real data and asserts
+    * exactly that). Operational subtlety the spec pins empirically: the
+    * query holds TWO watermark operators and the GLOBAL watermark is
+    * their MIN (default multipleWatermarkPolicy), so outer-null flushing
+    * needs BOTH input streams to keep moving — a stalled click feed
+    * pins the watermark and holds every unmatched click in state even
+    * while views pour in (a real on-call page: "left join stopped
+    * emitting nulls" = one upstream went quiet; the fixes are a
+    * heartbeat event on the quiet feed or the `max` policy with its
+    * late-drop tradeoff). Parquet sink + checkpoint so the flush can
+    * span restarts (the E4i discipline); state is bounded by the
+    * watermark horizon like the inner E4e join. */
+  def streamClickViewLeftJoin(s: SparkSession, dir: String,
+      schema: StructType, outDir: String, checkpoint: String): StreamingQuery = {
+    val ev = s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    clicks.join(views,
+        expr("""user_id = v_user AND
+                v_ts > c_ts AND v_ts <= c_ts + INTERVAL 5 MINUTES"""),
+        "leftOuter")
+      .select(col("event_id"), col("v_event"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** E4h — stream-static enrichment join: each micro-batch of the event
     * stream is joined to a STATIC dimension (no watermark, no join state —
     * the static side is simply re-scanned/broadcast per micro-batch, and

@@ -279,6 +279,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("left-outer interval join: nulls flush on watermark, total = batch (E4n)") {
+    val base = TestSpark.tmpDir("sslj")
+    val dir = s"$base/events"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    // ONE file: the staged corpus is unordered across write partitions,
+    // and if AvailableNow splits it into several micro-batches the
+    // watermark advances between them and drops whatever older-ts rows
+    // land in a later file as LATE (one click at sf0.01 — a real
+    // ingest-side hazard, sidestepped here because run 1 must be a
+    // clean full load)
+    graft.Tables.events(spark, TestSpark.sf001)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // run 1: all real events — matched pairs emit; unmatched clicks are
+    // HELD in state (the watermark can't yet rule out a late view)
+    val q1 = StreamOps.streamClickViewLeftJoin(spark, dir,
+      spark.read.parquet(dir).schema, out, ckpt)
+    assert(q1.awaitTermination(120000), "left-join stream run 1 timed out")
+    // run 2: far-future epilogue events on BOTH sides push the watermark
+    // past every real click's window -> the held clicks evict and emit
+    // with NULL. Both sides matter: the query carries TWO watermark
+    // operators and the global watermark is their MIN (default
+    // multipleWatermarkPolicy=min), so a view-only epilogue leaves the
+    // clicks-side watermark — and therefore the global one — pinned at
+    // the old value and the held state NEVER flushes (observed: the
+    // held click survived two further runs until the click side also
+    // advanced). The epilogue users have no counterparties, so the
+    // epilogue click itself stays held forever and emits nothing.
+    import spark.implicits._
+    val maxTs = graft.Tables.events(spark, TestSpark.sf001)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val far = maxTs.getTime + 40L * 86400000L
+    Seq((999999998L, 999999999L, "view", new java.sql.Timestamp(far)),
+        (999999997L, 999999996L, "click", new java.sql.Timestamp(far)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("append").parquet(dir)
+    val q2 = StreamOps.streamClickViewLeftJoin(spark, dir,
+      spark.read.parquet(dir).schema, out, ckpt)
+    assert(q2.awaitTermination(120000), "left-join stream run 2 timed out")
+    val got = spark.read.parquet(out)
+    // ground truth: the batch left-outer join over the REAL events (the
+    // epilogue is a view on a user with no clicks — it adds no left row
+    // and matches none)
+    val ev = graft.Tables.events(spark, TestSpark.sf001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts").as("v_ts"))
+    val want = clicks.join(views,
+      col("user_id") === col("v_user") && col("v_ts") > col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"), "left")
+    assert(got.count() == want.count())
+    val gotNulls = got.filter(col("v_event").isNull).count()
+    val wantNulls = want.filter(col("v_event").isNull).count()
+    // the fixture exercises BOTH outcomes, and the delayed-null flush
+    // reconciles exactly with the batch ground truth
+    assert(gotNulls == wantNulls && gotNulls > 0)
+    assert(got.count() > gotNulls, "some clicks must match a view")
+    // every matched pair agrees with the batch join (set equality)
+    val gp = got.filter(col("v_event").isNotNull)
+      .select("event_id", "v_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wp = want.filter(col("v_event").isNotNull)
+      .select("event_id", "v_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gp == wp)
+  }
+
   test("funnel counts a tied-timestamp purchase via its earlier qualified click (E4f)") {
     import spark.implicits._
     val dir = graft.TestSpark.tmpDir("funnel")
