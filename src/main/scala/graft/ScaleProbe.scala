@@ -113,7 +113,7 @@ object ScaleProbe {
       // round 8
       "e2_kmeans3", "e2_kmeans_objective", "e1_shingle_profile",
       "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold",
-      "e9_kcore", "e2_ann_pareto")
+      "e9_kcore", "e2_ann_pareto", "e2_dim_ablation")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -127,7 +127,9 @@ object ScaleProbe {
           "e2_recall_at_k",
           "e2_ann_recall", "e1_lsh_recall", "e1_containment",
           // scores methods against the exact baseline by definition
-          "e2_ann_pareto"))
+          "e2_ann_pareto",
+          // exact pairwise baseline per prefix width by definition
+          "e2_dim_ablation"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

@@ -471,6 +471,49 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Prefix lengths for the dimension-ablation audit — interpolated into
+    * BOTH engines. 64 is the full width (sanity row: agreement 100%). */
+  val AblationDims = Seq(8, 16, 32, 64)
+
+  /** E2 — DIMENSION-TRUNCATION ablation (the Matryoshka-embedding
+    * decision table): per prefix width d, how often the top-1 neighbor
+    * computed from only the first d coordinates agrees with the full-
+    * width top-1 — the number that decides how hard embeddings can be
+    * truncated for index size/speed before retrieval quality moves
+    * (truncation is the zero-cost companion to PQ/SQ8 compression: no
+    * codebook, just shorter vectors). Within label blocks like
+    * e2_cosine_topk; prefix cosine is the same index-ordered fold over
+    * `slice(embedding, 1, d)` both engines share bit-for-bit. Runs the
+    * exact pairwise baseline per width BY DEFINITION → shares the ≥100×
+    * ScaleProbe exclusion; the d=64 row is the built-in sanity check
+    * (agreement ≡ 100%). ALL-INTEGER output. */
+  def e2DimAblation(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    def top1(dims: Int): DataFrame = {
+      val pe = e.withColumn("pe", slice(col("embedding"), 1, dims))
+        .withColumn("pn", graft.functions.Vectors.l2Norm(col("pe")))
+      val w = Window.partitionBy(col("a.vec_id"))
+        .orderBy(col("sim").desc, col("b.vec_id"))
+      pe.as("a").join(pe.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim",
+          graft.functions.Vectors.dot(col("a.pe"), col("b.pe")) /
+            (col("a.pn") * col("b.pn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+    }
+    val full = top1(64).withColumnRenamed("nb", "full_nb")
+    AblationDims.map { dims =>
+      top1(dims).join(full, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nb") === col("full_nb"), 1L).otherwise(0L))
+            .as("top1_agree"))
+        .select(lit(dims.toLong).as("dims"), col("n"), col("top1_agree"),
+          when(col("n") === 0L, 0L)
+            .otherwise(expr("top1_agree * 10000 div n")).as("agree_bp"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
   /** E2 — the ANN recall/cost PARETO frontier: one row per indexing
     * method — IVF at nProbe 1 and 2, single-bucket LSH, and 13-probe
     * multi-probe LSH — scoring each against the exact label-blocked
@@ -1132,6 +1175,7 @@ object Similarity {
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
     "e2_ann_pareto" -> (e2AnnPareto _),
+    "e2_dim_ablation" -> (e2DimAblation _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -1735,6 +1779,31 @@ object Similarity {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
          |  FROM sims) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e2_cosine_topk" -> cosineTopkOracle,
+    // prefix cosine via list_slice — same index-ordered accumulation
+    // as the full-width chain, just over fewer terms
+    "e2_dim_ablation" -> {
+      def top1(d: Int) =
+        s"""SELECT vec_id, nb FROM (
+           |  SELECT a.vec_id, b.vec_id AS nb, row_number() OVER (
+           |    PARTITION BY a.vec_id ORDER BY
+           |    list_cosine_similarity(
+           |      CAST(list_slice(a.embedding, 1, $d) AS DOUBLE[]),
+           |      CAST(list_slice(b.embedding, 1, $d) AS DOUBLE[])) DESC,
+           |    b.vec_id) AS rn
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+           |WHERE rn = 1""".stripMargin
+      AblationDims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims, count(*) AS n,
+           |  CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS top1_agree,
+           |  CASE WHEN count(*) = 0 THEN 0 ELSE
+           |    CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 10000 // count(*) END AS agree_bp
+           |FROM (${top1(d)}) p JOIN (${top1(64)}) f USING (vec_id)"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY dims")
+    },
     // Each method's oracle SQL is reused VERBATIM as a subquery (the
     // e3_pack_stats / dataset-card discipline), joined to the exact
     // top-1 ground truth — the frontier can't drift from the methods

@@ -952,6 +952,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rows("ivf_p1")._2 == recallHits)
   }
 
+  test("dim ablation: full width is exact and agreement grows with dims") {
+    val rows = Similarity.e2DimAblation(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Similarity.AblationDims.map(_.toLong))
+    // every width scores the same query set
+    assert(rows.map(_._2).distinct.length == 1)
+    // the full-width row is the sanity check: agreement is exactly 100%
+    val full = rows.find(_._1 == 64L).get
+    assert(full._3 == full._2 && full._4 == 10000L)
+    // agreement is monotone in prefix width on the fixture (more
+    // coordinates can only sharpen the ranking toward the full one here)
+    val bps = rows.sortBy(_._1).map(_._4)
+    assert(bps.zip(bps.tail).forall { case (a, b) => b >= a },
+      s"agreement must not fall as dims grow: $bps")
+  }
+
   test("q54 range frame: per-row trailing-7-day sums match a driver recompute") {
     val rows = Relational.q54RangeFrame(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
