@@ -113,7 +113,8 @@ object ScaleProbe {
       // round 8
       "e2_kmeans3", "e2_kmeans_objective", "e1_shingle_profile",
       "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold",
-      "e9_kcore", "e2_ann_pareto", "e2_dim_ablation")
+      "e9_kcore", "e2_ann_pareto", "e2_dim_ablation",
+      "e6_split_leakage", "e1_lsh_curve")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -129,7 +130,9 @@ object ScaleProbe {
           // scores methods against the exact baseline by definition
           "e2_ann_pareto",
           // exact pairwise baseline per prefix width by definition
-          "e2_dim_ablation"))
+          "e2_dim_ablation",
+          // bands the exact verifier's pairs by definition
+          "e1_lsh_curve"))
       else full
     // "only=a,b,c" as any arg: probe just those queries (iterating on one
     // plan at a fixed N without re-paying the whole sweep).

@@ -784,6 +784,34 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
+  /** E1 — the LSH recall S-CURVE made empirical: exact near-dup pairs
+    * banded by their Jaccard similarity, each band scored by how many of
+    * its pairs the banded-MinHash index also found (recall in integer
+    * basis points). This is the tuning evidence behind any (bands, rows)
+    * choice: banding theory says P(candidate) = 1−(1−j^r)^b — an S-curve
+    * steep around the working threshold — and this table is that curve
+    * measured on the corpus (high-j bands ≈ 10000 bp, the 0.2–0.3 tail
+    * partially sampled — exactly the trade the threshold buys). The
+    * pareto-scoreboard discipline applied to the dedup side
+    * (e2_ann_pareto's twin). Consumes the exact verifier BY DEFINITION →
+    * shares its ≥100× ScaleProbe exclusion; the LSH chain it audits is
+    * the scale path. ALL-INTEGER output. */
+  def e1LshCurve(s: SparkSession, d: String): DataFrame = {
+    val ex = e1NgramJaccard(s, d).select(col("da"), col("db"), col("jaccard"))
+    val mh = minhashPairTable(s, d)
+      .select(col("da"), col("db"), lit(1L).as("hit"))
+    val band = when(col("jaccard") < 0.3, "j_020_030")
+      .when(col("jaccard") < 0.5, "j_030_050")
+      .when(col("jaccard") < 0.7, "j_050_070")
+      .otherwise("j_070_100")
+    ex.join(mh, Seq("da", "db"), "left")
+      .select(band.as("band"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_found"))
+      .withColumn("recall_bp", expr("n_found * 10000 div n_exact"))
+      .orderBy("band")
+  }
+
   /** E1 — duplicate-family size distribution: how many clusters have k
     * members (singletons included) — the headline table of a dedup
     * report: mass in large families = mirrored/template content and
@@ -1026,6 +1054,7 @@ object Dedup {
     "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
+    "e1_lsh_curve" -> (e1LshCurve _),
     "e1_cluster_stats" -> (e1ClusterStats _),
     "e1_keeper_quality" -> (e1KeeperQuality _),
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
@@ -1338,6 +1367,27 @@ object Dedup {
          |SELECT n_exact, n_lsh, n_common,
          |  round(CAST(n_common AS DOUBLE) / n_exact, 4) AS recall
          |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin,
+    // same ex/mh composition as e1_lsh_recall, with the exact pair's
+    // 4-dp jaccard carried into CASE bands (identical doubles compared
+    // against identical literals on both engines)
+    "e1_lsh_curve" ->
+      s"""WITH $minhashCtes,
+         |ex AS MATERIALIZED (SELECT da, db,
+         |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2),
+         |mh AS MATERIALIZED (SELECT da, db FROM mhp),
+         |j AS (SELECT CASE WHEN jaccard < 0.3 THEN 'j_020_030'
+         |    WHEN jaccard < 0.5 THEN 'j_030_050'
+         |    WHEN jaccard < 0.7 THEN 'j_050_070'
+         |    ELSE 'j_070_100' END AS band,
+         |  CASE WHEN m.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ex e LEFT JOIN mh m ON e.da = m.da AND e.db = m.db)
+         |SELECT band, count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(sum(hit) AS BIGINT) * 10000 // count(*) AS recall_bp
+         |FROM j GROUP BY band ORDER BY band""".stripMargin,
     "e1_fuzzy_pairs" ->
       s"""WITH d0 AS (SELECT doc_id, lang, n_chars // $FuzzyLenBucket AS lb,
          |  substring(text, 1, 2) AS pfx2,

@@ -367,7 +367,35 @@ object Sampling {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("fold")
 
+  /** E6 — SPLIT-LEAKAGE audit: near-duplicate pairs classified by which
+    * train/val/test splits their endpoints land in — the "is my eval set
+    * contaminated by training near-duplicates" check every benchmark
+    * pipeline runs before trusting a score (hash-random splits
+    * deliberately ignore content, so a duplicated document routinely
+    * puts one copy in train and one in val — this table COUNTS those;
+    * the remedy is e6_cluster_split, which splits by dedup-cluster key
+    * so near-dup families travel together, and this audit is exactly
+    * the evidence for deploying it). One row per unordered split pair
+    * (train↔val and train↔test rows are the leakage; within-split rows
+    * are benign duplication), ALL-INTEGER. Plan: the shared memoized
+    * LSH pair table joined twice to the scan-side split gate —
+    * pair-table-sized work, the corpus never shuffles. */
+  def e6SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = documents(s, d).select(col("doc_id"),
+      when(slot(col("doc_id"), SplitSalt) < 90, "train")
+        .when(slot(col("doc_id"), SplitSalt) < 95, "val")
+        .otherwise("test").as("split"))
+    Dedup.minhashPairTable(s, d).select(col("da"), col("db"))
+      .join(sp.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(sp.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_split_leakage" -> (e6SplitLeakage _),
     "e6_kfold" -> (e6Kfold _),
     "e6_interleave" -> (e6Interleave _),
     "e6_dsir" -> (e6Dsir _),
@@ -397,6 +425,30 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // split chain under an lsx prefix: Sampling.slotCtes' CTE names
+    // (slots, mx0..) collide with the MinHash chain's, so the split
+    // gate gets its own prefixed mix (the e8_drift treatment)
+    "e6_split_leakage" -> {
+      import OracleSql._
+      s"""WITH ${Dedup.minhashCtes},
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |lsx_in AS (SELECT doc_id,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$SplitSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("lsx", "h0", "h1", Seq("doc_id"))},
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN (h1 % CAST(power(2, 63) AS HUGEINT)) % 100 < 90
+         |         THEN 'train'
+         |       WHEN (h1 % CAST(power(2, 63) AS HUGEINT)) % 100 < 95
+         |         THEN 'val'
+         |       ELSE 'test' END AS split FROM lsx)
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  count(*) AS n_pairs
+         |FROM mhp2 JOIN spl a ON mhp2.da = a.doc_id
+         |JOIN spl b ON mhp2.db = b.doc_id
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
     "e6_kfold" ->
       s"""WITH ${slotCtes(KfoldSalt)},
          |f AS (SELECT s.doc_id, CAST(s.slot % $Kfolds AS BIGINT) AS fold,

@@ -984,6 +984,87 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._6 > 1) && rows.exists(_._6 == 1))
   }
 
+  test("lsh curve: fixture is the full-recall band; constructed overlaps band out") {
+    // corpus fixture: every exact pair is a near-identical duplicate →
+    // exactly one band, fully recalled (recall 1.0 is already pinned by
+    // e1_lsh_recall; the curve shows WHERE that recall lives)
+    val fx = Dedup.e1LshCurve(spark, TestSpark.sf0001).collect()
+    assert(fx.length == 1 && fx(0).getString(0) == "j_070_100")
+    assert(fx(0).getLong(2) == fx(0).getLong(1) && fx(0).getLong(3) == 10000L)
+    // constructed corpus with graded overlaps populates the lower bands:
+    // docs are sliding word-ranges over one vocabulary, so shingle
+    // jaccard is controlled by the window offset
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("lshcurve")
+    val words = (1 to 60).map(i => s"w$i")
+    def doc(lo: Int, hi: Int) = words.slice(lo - 1, hi).mkString(" ")
+    Seq(
+      (1L, doc(1, 30)), (2L, doc(11, 40)),   // 18/38 shingles ≈ 0.47
+      (3L, doc(1, 30)), (4L, doc(17, 46)),   // 12/44 ≈ 0.27
+      (5L, doc(31, 60)), (6L, doc(31, 60)))  // identical → 1.0
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = Dedup.e1NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the designed pairs land in the designed bands (plus whatever
+    // incidental overlaps the sliding windows add)
+    assert(ex((1L, 2L)) >= 0.3 && ex((1L, 2L)) < 0.5)
+    assert(ex((3L, 4L)) >= 0.2 && ex((3L, 4L)) < 0.3)
+    assert(ex((5L, 6L)) == 1.0)
+    val curve = Dedup.e1LshCurve(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // per-band exact counts reconcile with the exact pair table
+    def bandOf(j: Double) =
+      if (j < 0.3) "j_020_030" else if (j < 0.5) "j_030_050"
+      else if (j < 0.7) "j_050_070" else "j_070_100"
+    val expect = ex.values.groupBy(bandOf).view.mapValues(_.size.toLong).toMap
+    assert(curve.view.mapValues(_._1).toMap == expect)
+    assert(curve.keySet.size >= 3, s"graded corpus must band out: ${curve.keySet}")
+    curve.values.foreach { case (n, f, bp) =>
+      assert(f <= n && bp == f * 10000 / n)
+    }
+    // the identical pair is always recalled (banding hits j=1 certainly)
+    assert(curve("j_070_100")._3 == 10000L)
+  }
+
+  test("split leakage: reconciles with the pair table; cluster split leaks zero") {
+    val rows = Sampling.e6SplitLeakage(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairs = Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // totality: every near-dup pair is classified exactly once
+    assert(rows.values.sum == pairs.length && pairs.nonEmpty)
+    // driver recompute of the hash-split classification
+    def split(id: Long): String = {
+      var z = id ^ Sampling.SplitSalt; z += 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val slot = ((z ^ (z >>> 31)) & Long.MaxValue) % 100
+      if (slot < 90) "train" else if (slot < 95) "val" else "test"
+    }
+    val expect = pairs.groupBy { case (a, b) =>
+      val (x, y) = (split(a), split(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows == expect)
+    // the hash split DOES leak on the fixture — the audit's reason to exist
+    val leaked = rows.filterKeys(k => k._1 != k._2).values.sum
+    assert(leaked > 0, "fixture should show cross-split near-dup pairs")
+    // cluster-keyed assignment (e6_cluster_split's rule: split by the
+    // connected-component label) leaks ZERO by construction
+    val comp = Dedup.connectedComponents(
+        graft.Tables.documents(spark, TestSpark.sf001).select(col("doc_id")),
+        Dedup.minhashPairTable(spark, TestSpark.sf001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterLeaks = pairs.count { case (a, b) =>
+      split(comp(a)) != split(comp(b))
+    }
+    assert(clusterLeaks == 0,
+      s"cluster-keyed split must never separate a near-dup pair: $clusterLeaks")
+  }
+
   test("e6_kfold: folds partition the corpus and stay balanced") {
     val folds = Sampling.e6Kfold(spark, TestSpark.sf0001).collect()
     assert(folds.map(_.getLong(0)).toSeq == (0L until Sampling.Kfolds.toLong))
