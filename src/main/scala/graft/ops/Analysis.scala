@@ -160,10 +160,16 @@ object Analysis {
     * aggregate (map-side combined; the median window runs over the
     * bounded day domain, never rows), one |types|-key aggregate. */
   def e8Freshness(s: SparkSession, d: String): DataFrame = {
+    // Ages are clamped at 0 BEFORE the day division: an event newer than
+    // the reference instant would make age_us negative, where Spark's
+    // `div` truncates toward zero but DuckDB's `//` floors — a silent
+    // one-day cross-engine split. greatest(age_us, 0) on BOTH engines
+    // turns the documented nonnegativity precondition into an enforced
+    // one (future-dated events simply read as age 0 = maximally fresh).
     val ev = events(s, d).select(col("event_type"),
       (lit(DecayRefUs) - tsMicros(col("ts"))).as("age_us"))
       .select(col("event_type"),
-        expr("age_us div 86400000000").as("age_days"))
+        expr("greatest(age_us, 0) div 86400000000").as("age_days"))
     val med = median2(ev, "event_type", "age_days")
       .withColumnRenamed("med2", "med2_age_days")
     ev.groupBy("event_type")
@@ -792,6 +798,13 @@ object Analysis {
         .join(keep.select(col("v").as("db")), "db")
         .select("da", "db").localCheckpoint()
       val m = next.count()
+      // Count equality IS set equality here: peeling is monotone (every
+      // round's survivor set is a subset of the previous round's edges,
+      // since rows are only ever filtered out), so next ⊆ edges and
+      // |next| == |edges| ⟹ next == edges. `it` counts only rounds that
+      // REMOVED something — the final fixpoint-detection round is
+      // deliberately not counted, so `rounds` reads as "peels applied",
+      // matching how KcorePeels parameterizes the fixed-round variant.
       if (m == n) done = true else { edges = next; n = m; it += 1 }
     }
     val core = edges.select(col("da").as("doc_id"))
@@ -1317,7 +1330,7 @@ object Analysis {
     // basis-point staleness — all-integer output.
     "e8_freshness" ->
       s"""WITH a AS (SELECT event_type,
-         |    ($DecayRefUs - epoch_us(ts)) // 86400000000 AS age_days
+         |    greatest($DecayRefUs - epoch_us(ts), 0) // 86400000000 AS age_days
          |  FROM events),
          |h AS (SELECT event_type, age_days, count(*) AS cnt
          |  FROM a GROUP BY 1, 2),

@@ -812,6 +812,29 @@ object Relational {
     * BEFORE the cast, a DECIMAL max) — deliberately no avg, whose
     * DOUBLE return type in the oracle engine would re-round on a
     * different boundary. */
+  /** Q45 [EXT] — first/last/nth_value navigation over a FULL window frame
+    * (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING): per order, its
+    * customer's chronologically first, last, and second order key — the
+    * "attach lifecycle anchors to every fact row" idiom (first-touch /
+    * latest-state columns on a fact table). Fills the q45 numbering gap
+    * (q44 window distributions, q46 unpivot). Deterministic: the frame
+    * orders by (o_orderdate, o_orderkey), so ties can't reorder; all
+    * outputs are BIGINT keys (nth_value is NULL for single-order
+    * customers — same default null handling both engines). Plan: ONE
+    * hash-partitioned sort-window over o_custkey — a single exchange at
+    * any scale, scan pruned to the three columns the frame needs. */
+  def q45FirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        expr("nth_value(o_orderkey, 2)").over(w).as("second_key"))
+      .orderBy("o_orderkey")
+  }
   def q46Unpivot(s: SparkSession, d: String): DataFrame = {
     val wide = orders(s, d)
       .groupBy("o_orderpriority")
@@ -1117,6 +1140,7 @@ object Relational {
     "q47_scd2" -> (q47Scd2 _),
     "q48_merge_upsert" -> (q48MergeUpsert _),
     "q46_unpivot" -> (q46Unpivot _),
+    "q45_first_last" -> (q45FirstLast _),
     "q44_window_dist" -> (q44WindowDist _),
     "q43_approx_quantile" -> (q43ApproxQuantile _),
     "q01_scan_project" -> (q01ScanProject _),
@@ -1328,6 +1352,16 @@ object Relational {
         |SELECT o_orderpriority, metric, value FROM wide
         |UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))
         |ORDER BY o_orderpriority, metric""".stripMargin,
+    "q45_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |first_value(o_orderkey) OVER w AS first_key,
+        |last_value(o_orderkey) OVER w AS last_key,
+        |nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q44_window_dist" ->
       // micro-units via floor(x*1e6 + 0.5): round() tie semantics differ
       // cross-engine exactly where rank/n lands on a .5 boundary

@@ -1793,16 +1793,23 @@ object Similarity {
            |  FROM embeddings a JOIN embeddings b
            |    ON a.label = b.label AND a.vec_id <> b.vec_id)
            |WHERE rn = 1""".stripMargin
+      // The full-width baseline is hoisted into ONE MATERIALIZED CTE
+      // shared by all four branches (the repo's multiply-referenced-CTE
+      // rule): inlined per branch, DuckDB would re-run the quadratic
+      // top1(64) join five times — once as f in each UNION ALL branch
+      // and once as p for the d=64 sanity row.
       AblationDims.map { d =>
+        val p = if (d == 64) "fullnb" else s"(${top1(d)})"
         s"""SELECT CAST($d AS BIGINT) AS dims, count(*) AS n,
            |  CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
            |    AS top1_agree,
            |  CASE WHEN count(*) = 0 THEN 0 ELSE
            |    CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
            |      * 10000 // count(*) END AS agree_bp
-           |FROM (${top1(d)}) p JOIN (${top1(64)}) f USING (vec_id)"""
+           |FROM $p p JOIN fullnb f USING (vec_id)"""
           .stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY dims")
+      }.mkString(s"WITH fullnb AS MATERIALIZED (${top1(64)})\n",
+        "\nUNION ALL\n", "\nORDER BY dims")
     },
     // Each method's oracle SQL is reused VERBATIM as a subquery (the
     // e3_pack_stats / dataset-card discipline), joined to the exact

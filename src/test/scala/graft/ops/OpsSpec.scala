@@ -1787,4 +1787,21 @@ class OpsSpec extends AnyFunSuite {
       assert(rs.map(r => math.abs(r.getAs[Long]("v"))).sum <= tokCount(id))
     }
   }
+
+  test("microMean precondition: embedding coordinates stay within the documented |x| <= 10 bound") {
+    // Similarity.microMean's integer half-up formula is exact only while
+    // the numerator 2s + n·100·(2·OFF+1) stays positive (truncating div ==
+    // floor), i.e. mean > -10.00005; the symmetric documented bound is
+    // |mean| <= 10, and per-coordinate means are bounded by the coordinate
+    // range. Out-of-range data would diverge cross-engine SILENTLY, so the
+    // precondition is pinned here against every fixture scale the oracle
+    // gate runs (the same discipline as the other exactness preconditions).
+    Seq(TestSpark.sf0001, TestSpark.sf001, "/root/testdata/sf0.1").foreach { dir =>
+      val mx = graft.Tables.embeddings(spark, dir)
+        .select(max(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")))
+        .head.getDouble(0)
+      assert(mx <= 10.0, s"$dir: max |coordinate| $mx exceeds microMean's exactness bound")
+    }
+  }
 }
