@@ -34,28 +34,39 @@ object Bench {
     // one bad draw while staying cheap; reported totals are sums of
     // per-query medians, so cross-round comparisons are judgeable.
     //
-    // Reps are INTERLEAVED round-robin (rep r of every query before rep
-    // r+1 of any) rather than 3-consecutive per query: a long bench
-    // session ages monotonically (JIT state, GC pressure, codegen-cache
-    // churn), and consecutive reps hand alphabetically-late queries three
-    // aged draws while early queries get three fresh ones — BENCH_r06
-    // read q04a_json_null at 7.26 s when a fresh JVM measures 0.56 s.
-    // Interleaving gives every query one early, one middle, and one late
-    // draw, so the median reflects the same mid-session JVM for all of
-    // them (the codegen cache itself is sized in Sessions.local so reps
-    // re-hit compiled classes instead of re-running Janino).
+    // Protocol (round 9): QUERY-MAJOR with a per-query UNMEASURED warm rep
+    // at the measured scale — warm, then 3 consecutive measured reps, take
+    // the median. Two earlier protocols each failed one way:
+    //   - 3-consecutive with NO warm rep hands the first rep the
+    //     first-plan codegen + memo build (BENCH_r06 read q04a_json_null
+    //     at 7.26 s where a warm JVM measures 0.56 s);
+    //   - round-robin INTERLEAVE (rep r of every query before rep r+1 of
+    //     any) fixed that but broke at 205 queries: the shared
+    //     localCheckpoint memos (the dedup pair table and friends) are
+    //     evicted by 200+ intervening queries' storage churn, so every
+    //     rep of a memo-dependent query re-pays the MinHash chain —
+    //     BENCH_r08's per-query mean rose 29% over r07 with ZERO plan
+    //     changes, and isolation probes measured the "regressed" queries
+    //     BELOW their previous numbers (e3_lm_score 0.99 s isolated vs
+    //     2.35 s full-run).
+    // The warm rep absorbs BOTH artifacts: it rebuilds any evicted memo
+    // and compiles the measured-scale plan, so the 3 measured reps see
+    // the same warm state the isolation probe (SPARK_GRAFT_ONLY, fresh
+    // JVM) sees — full-run and isolated medians agree by construction,
+    // making cross-round deltas attributable to plan changes again.
+    // Session aging (JIT/GC drift) is second-order once each query's
+    // reps are adjacent: all three draws see the SAME session age.
     val Reps = 3
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val times = Array.ofDim[Double](Reps, named.size)
-    for (r <- 0 until Reps; i <- named.indices) {
-      val t0 = System.nanoTime()
-      try { named(i)._2(spark, sfDir).count() } catch { case _: Throwable => () }
-      times(r)(i) = (System.nanoTime() - t0) / 1e9
-    }
-    val results = named.indices.map { i =>
-      val ts = (0 until Reps).map(times(_)(i)).sorted
-      named(i)._1 -> ts(Reps / 2)
+    val results = named.map { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm
+      val ts = (0 until Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(Reps / 2)
     }
     // One JSON line, summary fields LAST and per-query entries sorted by
     // ASCENDING time: the artifact viewer tails the output, so if the line
@@ -68,7 +79,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major)","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
