@@ -39,6 +39,16 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Local-gate accelerator (ops.Dedup.preludeSetup Scaladoc): ordered
+    // temp-table definitions + exact-text rewrites that let
+    // check_oracle.py run the MinHash chain once per scale instead of
+    // once per consuming oracle. The driver ignores this file.
+    val setup = ops.Dedup.preludeSetup
+      .map { case (n, sql) => s"[${q(n)}, ${q(sql)}]" }.mkString("[", ",", "]")
+    val rw = ops.Dedup.preludeRewrites
+      .map { case (f, t) => s"[${q(f)}, ${q(t)}]" }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/oracle_prelude.json"),
+      s"""{"setup": $setup, "rewrites": $rw}""")
     spark.stop()
   }
 }
