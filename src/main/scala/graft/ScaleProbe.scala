@@ -114,7 +114,12 @@ object ScaleProbe {
       "e2_kmeans3", "e2_kmeans_objective", "e1_shingle_profile",
       "e3_pack_stats", "e8_freshness", "q54_range_frame", "e6_kfold",
       "e9_kcore", "e2_ann_pareto", "e2_dim_ablation",
-      "e6_split_leakage", "e1_lsh_curve")
+      "e6_split_leakage", "e1_lsh_curve",
+      // round 9: the SAMPLED recall audits run at EVERY scale — their
+      // exact pass is sample × corpus (fixed-size query set), which is
+      // the whole point: the audit family's ≥100× exclusion is lifted.
+      "e2_ann_recall_sampled", "e1_lsh_recall_sampled",
+      "q45_first_last")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -784,6 +784,58 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
+  /** Salt + size for the sampled dedup audit's deterministic query set —
+    * interpolated into both engines (fixed SIZE, not a fraction: see
+    * Similarity.AnnQuerySalt for why that is what makes the exact pass
+    * linear in the corpus). */
+  val LshQuerySalt = 0x4de1c6a9f2705b38L
+  val LshQueryK = 50
+
+  private def sampledDocIds(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(LshQuerySalt))).as("m"))
+      .orderBy("m", "doc_id").limit(LshQueryK).select("doc_id")
+
+  /** E1 — the SAMPLED LSH recall audit: e1_lsh_recall's scoreboard with
+    * the exact ground truth computed only for a deterministic fixed-size
+    * doc sample — the deployable form that lifts the audit family's
+    * ≥100× ScaleProbe exclusion. e1_lsh_recall's exact side is the full
+    * pairwise Σdf² co-occurrence join; here the exact pass joins the 50
+    * sampled docs' shingles against the corpus shingle table ONCE
+    * (sample × corpus, bounded by the same df cap), so exact work grows
+    * linearly with the corpus. Pairs are ORIENTED (qid = sampled doc,
+    * other = any doc) on both the exact and LSH sides, so recall is a
+    * like-for-like ratio; the LSH side is the shared materialized pair
+    * table symmetrized and restricted to sampled endpoints. recall is
+    * zero-guarded (a sample with no near-dups reads 0.0, not NaN). */
+  def e1LshRecallSampled(s: SparkSession, d: String): DataFrame = {
+    val sh = rareShingleHashes(s, d)
+    val qs = broadcast(sampledDocIds(s, d))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ex = sh.join(qs, Seq("doc_id"), "left_semi").as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("other"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("qid"), col("n").as("nq")), "qid")
+      .join(sz.select(col("doc_id").as("other"), col("n").as("no")), "other")
+      .filter(col("i").cast("double") / (col("nq") + col("no") - col("i")) >= 0.2)
+      .select("qid", "other")
+    val mh0 = minhashPairTable(s, d)
+    val mh = mh0.select(col("da").as("qid"), col("db").as("other"))
+      .unionByName(mh0.select(col("db").as("qid"), col("da").as("other")))
+      .join(qs.select(col("doc_id").as("qid")), Seq("qid"), "left_semi")
+    val common = mh.join(ex, Seq("qid", "other"), "left_semi")
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(mh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") === 0L, lit(0.0))
+          .otherwise(round(col("n_common").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
   /** E1 — the LSH recall S-CURVE made empirical: exact near-dup pairs
     * banded by their Jaccard similarity, each band scored by how many of
     * its pairs the banded-MinHash index also found (recall in integer
@@ -1054,6 +1106,7 @@ object Dedup {
     "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
+    "e1_lsh_recall_sampled" -> (e1LshRecallSampled _),
     "e1_lsh_curve" -> (e1LshCurve _),
     "e1_cluster_stats" -> (e1ClusterStats _),
     "e1_keeper_quality" -> (e1KeeperQuality _),
@@ -1415,6 +1468,44 @@ object Dedup {
          |SELECT n_exact, n_lsh, n_common,
          |  round(CAST(n_common AS DOUBLE) / n_exact, 4) AS recall
          |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin,
+    // e1_lsh_recall restricted to the deterministic fixed-size doc
+    // sample: exact pairs oriented (qid = sampled doc, other = any),
+    // recomputed as sample-side shingles joined against the full capped
+    // shingle table (the linear exact pass the Spark side runs); the LSH
+    // side symmetrizes mhp and keeps sampled qids. qd/qsel replicates
+    // mix64(doc_id ^ salt) ORDER BY (m, doc_id) LIMIT K.
+    "e1_lsh_recall_sampled" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(LshQuerySalt)
+      s"""WITH $minhashCtes,
+         |qd_in AS (SELECT doc_id,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM documents),
+         |${mixCtes("qd", "q0", "qm", Seq("doc_id"))},
+         |qsel AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY ${toSigned("qm")}, doc_id) AS qrn FROM qd)
+         |  WHERE qrn <= $LshQueryK),
+         |qint AS (SELECT a.doc_id AS qid, b.doc_id AS other, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM qsel)
+         |  GROUP BY 1, 2),
+         |exs AS MATERIALIZED (SELECT qid, other FROM qint
+         |  JOIN sz x ON qid = x.doc_id JOIN sz y ON other = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2),
+         |mhs AS MATERIALIZED (SELECT qid, other FROM (
+         |  SELECT da AS qid, db AS other FROM mhp
+         |  UNION ALL SELECT db, da FROM mhp)
+         |  WHERE qid IN (SELECT doc_id FROM qsel)),
+         |ne AS (SELECT count(*) AS n_exact FROM exs),
+         |nl AS (SELECT count(*) AS n_lsh FROM mhs),
+         |cm AS (SELECT count(*) AS n_common FROM mhs m
+         |  JOIN exs e ON m.qid = e.qid AND m.other = e.other)
+         |SELECT n_exact, n_lsh, n_common,
+         |  CASE WHEN n_exact = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE round(CAST(n_common AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin
+    },
     // same ex/mh composition as e1_lsh_recall, with the exact pair's
     // 4-dp jaccard carried into CASE bands (identical doubles compared
     // against identical literals on both engines)

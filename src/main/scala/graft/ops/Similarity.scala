@@ -471,6 +471,67 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Salt + size for the SAMPLED recall audit's deterministic query set —
+    * interpolated into both engines. Fixed SIZE (not a fixed fraction) is
+    * what makes the sampled audit deployable: the exact ground-truth pass
+    * costs |sample| × block, linear in the corpus, where a percentage
+    * sample would keep it quadratic (pct·n × block). */
+  val AnnQuerySalt = 0x6b8f24a1d3c7095eL
+  val AnnQueryK = 64
+
+  /** The AnnQueryK vec_ids that sort first by (mix64(vec_id ^ salt),
+    * vec_id) — a deterministic, oracle-replicable fixed-size query set
+    * (the e6 sampler discipline applied to evaluation). Plan: a global
+    * TakeOrdered over (id, hash) pairs only — no corpus columns move. */
+  private def sampledQueryIds(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id").bitwiseXOR(lit(AnnQuerySalt))).as("m"))
+      .orderBy("m", "vec_id").limit(AnnQueryK).select("vec_id")
+
+  /** E2 — the SAMPLED ANN recall audit: e2_ann_recall's scoreboard with
+    * the exact ground truth computed only for a deterministic fixed-size
+    * query sample — the form a production ANN deployment actually runs,
+    * and the one that removes the audit family's ≥100× ScaleProbe
+    * exclusion. e2_ann_recall's exact side is the full quadratic
+    * verifier (every vector vs its whole label block); here the exact
+    * pass is sample × block — the broadcast-able 64-query set joins the
+    * corpus once, so exact work grows LINEARLY with the corpus and the
+    * audit ships at any scale (SCALE.md carries its 100× row where the
+    * unsampled audits say "excluded"). Semantics per query are identical
+    * to e2_ann_recall (same windows, same 4-dp rounded sims, same LEFT
+    * join tolerance for a vector with no in-cell peer); the IVF side is
+    * the declared e2_ann_ivf chain restricted to the sampled queries, so
+    * the audit scores exactly what the index serves. */
+  def e2AnnRecallSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = withNorm(embeddings(s, d))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    val exact = e.join(qs, Seq("vec_id"), "left_semi").as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("exact_nb"),
+        round(col("sim"), 4).as("exact_sim"))
+    val ivf = e2AnnIvf(s, d).join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("neighbor_id").as("ivf_nb"),
+        col("sim").as("ivf_sim"))
+    exact.join(ivf, Seq("vec_id"), "left")
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ivf_nb") === col("exact_nb"), 1L).otherwise(0L))
+          .as("top1_hits"),
+        sum(when(col("ivf_sim") >= col("exact_sim"), 1L).otherwise(0L))
+          .as("sim_parity"))
+      .select(col("label"), col("n"), col("top1_hits"),
+        round(col("top1_hits") / col("n"), 4).as("top1_recall"),
+        col("sim_parity"))
+      .orderBy("label")
+  }
+
   /** Prefix lengths for the dimension-ablation audit — interpolated into
     * BOTH engines. 64 is the full width (sanity row: agreement 100%). */
   val AblationDims = Seq(8, 16, 32, 64)
@@ -1174,6 +1235,7 @@ object Similarity {
     "e2_ivf_ingest" -> (e2IvfIngest _),
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
+    "e2_ann_recall_sampled" -> (e2AnnRecallSampled _),
     "e2_ann_pareto" -> (e2AnnPareto _),
     "e2_dim_ablation" -> (e2DimAblation _),
   )
@@ -1670,6 +1732,56 @@ object Similarity {
          |FROM ex e LEFT JOIN ivf i USING (vec_id)
          |JOIN embeddings l ON l.vec_id = e.vec_id
          |GROUP BY l.label ORDER BY label""".stripMargin,
+    // e2_ann_recall restricted to the deterministic fixed-size query
+    // sample: same windows/rounding/LEFT-join semantics, with both the
+    // exact and IVF sides filtered to qsel (filtering a row_number
+    // partition before or after the window is equivalent — partitions
+    // are per-query). The qd/qsel chain replicates mix64(vec_id ^ salt)
+    // ORDER BY (m, vec_id) LIMIT K.
+    "e2_ann_recall_sampled" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(AnnQuerySalt)
+      s"""WITH ${ivfCtes(1)},
+         |qd_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM embeddings),
+         |${mixCtes("qd", "q0", "qm", Seq("vec_id"))},
+         |qsel AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY ${toSigned("qm")}, vec_id) AS qrn FROM qd)
+         |  WHERE qrn <= $AnnQueryK),
+         |ivf AS (SELECT vec_id, neighbor_id AS ivf_nb,
+         |    round(sim, 4) AS ivf_sim FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn = 1),
+         |ex AS (SELECT vec_id, other_id AS exact_nb,
+         |    round(sim, 4) AS exact_sim FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM emb a JOIN embeddings la ON a.vec_id = la.vec_id
+         |  JOIN embeddings lb ON la.label = lb.label AND lb.vec_id <> a.vec_id
+         |  JOIN emb b ON b.vec_id = lb.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn = 1)
+         |SELECT CAST(l.label AS INT) AS label, count(*) AS n,
+         |  CAST(sum(CASE WHEN i.ivf_nb = e.exact_nb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS top1_hits,
+         |  round(sum(CASE WHEN i.ivf_nb = e.exact_nb THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS top1_recall,
+         |  CAST(sum(CASE WHEN i.ivf_sim >= e.exact_sim THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS sim_parity
+         |FROM ex e LEFT JOIN ivf i USING (vec_id)
+         |JOIN embeddings l ON l.vec_id = e.vec_id
+         |GROUP BY l.label ORDER BY label""".stripMargin
+    },
     "e2_recall_at_k" ->
       s"""WITH ${ivfCtes(1)},
          |ex AS (SELECT vec_id, other_id FROM (
