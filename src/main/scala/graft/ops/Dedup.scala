@@ -396,7 +396,15 @@ object Dedup {
     * reusable core of e1DedupClusters (see its Scaladoc for the scale
     * analysis); also the keeper-selection step of the curation pipeline
     * example. */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(vertices, pairs)._1
+
+  /** connectedComponents plus the number of propagation rounds run —
+    * the observable the star variant's spec compares against (min-label
+    * needs O(diameter) rounds; large-star/small-star needs O(log n)). */
+  def connectedComponentsWithRounds(
+      vertices: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
@@ -431,17 +439,105 @@ object Dedup {
           min(when(col("self"), col("cluster"))).as("old"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") < col("old")).count()
+      rounds += 1
       labels = next.select("doc_id", "cluster")
     }
     // Singletons (and any vertex absent from the edge list) keep their own
     // id; endpoint vertices not in `vertices` are still emitted, matching
     // the previous vertices ∪ endpoints semantics.
-    vertices.select(col("doc_id"))
+    (vertices.select(col("doc_id"))
       .unionByName(labels.select(col("doc_id")))
       .distinct()
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster")),
+      rounds)
   }
+
+  /** Connected components via the LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round replacement for min-label propagation,
+    * whose round count is the component DIAMETER: a chain of borderline
+    * LSH matches at 100 TB can have diameter in the hundreds, and each
+    * round is a full shuffle barrier, so diameter is the wrong variable
+    * to be linear in. Same answer (min id per component, proven
+    * label-equivalent to connectedComponents in DedupStarSpec, and
+    * oracle-checked against the SAME recursive-CTE SQL as
+    * e1_dedup_clusters), same pair-table-sized shuffles per round —
+    * strictly fewer rounds on deep graphs (the constructed 64-chain:
+    * 63 min-label rounds vs 5 star rounds).
+    *
+    * Round shape (both phases avoid collect_list-style neighbor
+    * buffering — a hub node's neighborhood never materializes in one
+    * row, so degree skew costs nothing beyond the groupBy's partial
+    * aggregation):
+    *   large-star: symmetrize; m(u) = min(u, min Γ(u)) via groupBy-min;
+    *     emit (v, m(u)) for every neighbor v > u (join back on u).
+    *   small-star: orient (big, small); m(u) = min Γ(u); emit (v, m(u))
+    *     for every in-neighbor v plus (u, m(u)).
+    * Both phases emit edges already oriented (big, small) and
+    * self-loop-free; each round ends in distinct() + localCheckpoint
+    * (dedup keeps the edge multiset from compounding; the checkpoint
+    * truncates the per-round lineage exactly like the min-label loop).
+    * Convergence = the oriented edge SET is unchanged: next ⊆ reachable
+    * pairs isn't monotone here (edges are REWRITTEN, not only removed),
+    * so set equality is checked as |next| == |prev| AND next∖prev = ∅ —
+    * two scalar reads per round, both over pair-table-sized frames. At
+    * the fixpoint the graph is a union of stars centered on component
+    * minima (the paper's Theorem 1), so labels read directly off the
+    * final edges: (u, v) with u > v means cluster(u) = v. */
+  def connectedComponentsStar(
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 60): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("a"),
+        least(col("da"), col("db")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var n = edges.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done && rounds < maxIters) {
+      // large-star
+      val sym = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      val lmin = sym.groupBy("a")
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(lmin, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+      // small-star (large's output is already oriented big→small)
+      val smin = large.groupBy("a").agg(min(col("b")).as("m"))
+      val next = large.join(smin, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(smin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val m = next.count()
+      val delta =
+        if (m == n) next.join(edges, Seq("a", "b"), "left_anti").count() else 1L
+      rounds += 1
+      edges = next
+      n = m
+      done = delta == 0L
+    }
+    (vertices.select(col("doc_id"))
+      .unionByName(edges.select(col("a").as("doc_id")))
+      .unionByName(edges.select(col("b").as("doc_id")))
+      .distinct()
+      .join(edges.select(col("a").as("doc_id"), col("b").as("lab")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster")),
+      rounds)
+  }
+
+  /** E1 — e1_dedup_clusters computed by the star alternation: the SAME
+    * cluster table (same oracle SQL), produced in O(log n) rounds — the
+    * form the cluster-resolution stage ships at 100 TB, where min-label's
+    * diameter-bound round count is the risk. */
+  def e1DedupClustersStar(s: SparkSession, d: String): DataFrame =
+    connectedComponentsStar(
+      documents(s, d).select(col("doc_id")), minhashPairTable(s, d))._1
+      .orderBy("doc_id")
 
   /** E1 — train/test contamination check (decontamination): for every doc
     * in the 'test' split (the SplitSalt-keyed hash split — Sampling), the
@@ -1121,6 +1217,7 @@ object Dedup {
     "e1_simhash" -> (e1Simhash _),
     "e1_simhash_pairs" -> (e1SimhashPairs _),
     "e1_dedup_clusters" -> (e1DedupClusters _),
+    "e1_dedup_clusters_star" -> (e1DedupClustersStar _),
     "e1_contamination" -> (e1Contamination _),
     "e1_containment" -> (e1Containment _),
     "e1_segment_dedup" -> (e1SegmentDedup _),
@@ -1311,6 +1408,17 @@ object Dedup {
 
   private val minhashPairsOracle: String =
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
+
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtesBlock,
+       |edges AS (SELECT da AS a, db AS b FROM mhp
+       |  UNION SELECT db, da FROM mhp),
+       |reach(v, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b)
+       |SELECT v AS doc_id, min(lab) AS cluster FROM reach
+       |GROUP BY v ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e1_shingle_profile" ->
@@ -1591,16 +1699,11 @@ object Dedup {
          |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
          |WHERE i * $PrefixT_Den >= (x.n + y.n - i) * $PrefixT_Num
          |ORDER BY da, db""".stripMargin,
-    "e1_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtesBlock,
-         |edges AS (SELECT da AS a, db AS b FROM mhp
-         |  UNION SELECT db, da FROM mhp),
-         |reach(v, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b)
-         |SELECT v AS doc_id, min(lab) AS cluster FROM reach
-         |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "e1_dedup_clusters" -> dedupClustersOracle,
+    // the star alternation must produce the SAME cluster table — one
+    // oracle string for both, so the equivalence claim is enforced by
+    // the gate itself, not by keeping two SQL texts in sync
+    "e1_dedup_clusters_star" -> dedupClustersOracle,
     "e1_cluster_stats" ->
       s"""WITH RECURSIVE $minhashCtesBlock,
          |edges AS (SELECT da AS a, db AS b FROM mhp
