@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput soak: the E4i checkpointed fingerprint-dedup
+  * ingest (streamFingerprintDedupToFiles — parquet source, parquet sink,
+  * checkpointed offsets + watermark + dedup state) driven at bench volume,
+  * so the streaming surface has a perf row like the batch surface
+  * (StreamingSpec pins its SEMANTICS — exactly-once restart, watermark
+  * purge — on micro-fixtures; this measures the pipe).
+  *
+  * Corpus: sf0.1 documents replicated N× (default 20 → 100k docs) with
+  * doc_id offsets but UNCHANGED text, so every replica beyond the first is
+  * an exact duplicate the dedup state must recognize — the state store
+  * does real work (distinct-fingerprint-sized state, ~95% of arrivals
+  * dropped as dups), not pass-through. ingest_ts spreads arrivals over
+  * 600 s, inside the 10-minute watermark horizon, so no row is dropped as
+  * late while the watermark still advances batch to batch (state purge
+  * exercised). AvailableNow drains the 16-file source as a sequence of
+  * micro-batches. Prints ONE JSON line for SCALE.md's STREAM row.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamSoak [replicas]". */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val root = "/tmp/graft_stream_soak"
+    val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until n).map(i => base.withColumn("doc_id",
+        col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_.unionByName(_))
+      .withColumn("ingest_ts",
+        expr("timestamp_micros(1706745600000000 + doc_id % 600 * 1000000)"))
+      .repartition(16).write.parquet(src)
+    val inputRows = spark.read.parquet(src).count()
+    val schema = spark.read.parquet(src).schema
+
+    val t0 = System.nanoTime()
+    val q = streaming.StreamOps
+      .streamFingerprintDedupToFiles(spark, src, schema, out, ckpt)
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val emitted = spark.read.parquet(out).count()
+    println(f"""{"soak":"e4i_fingerprint_dedup_ingest","input_rows":$inputRows,"emitted":$emitted,"sec":$secs%.1f,"rows_per_sec":${(inputRows / secs).toLong},"sf":"$sf","replicas":$n}""")
+    spark.stop()
+  }
+}
