@@ -119,7 +119,9 @@ object ScaleProbe {
       // exact pass is sample × corpus (fixed-size query set), which is
       // the whole point: the audit family's ≥100× exclusion is lifted.
       "e2_ann_recall_sampled", "e1_lsh_recall_sampled",
-      "q45_first_last", "e1_dedup_clusters_star")
+      "q45_first_last", "e1_dedup_clusters_star",
+      "e2_recall_at_k_sampled", "e2_ann_pareto_sampled",
+      "e2_dim_ablation_sampled", "e1_lsh_curve_sampled")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -905,11 +905,16 @@ object Dedup {
     * like-for-like ratio; the LSH side is the shared materialized pair
     * table symmetrized and restricted to sampled endpoints. recall is
     * zero-guarded (a sample with no near-dups reads 0.0, not NaN). */
-  def e1LshRecallSampled(s: SparkSession, d: String): DataFrame = {
+  /** Sampled exact near-dup ground truth: ORIENTED (qid, other, jaccard)
+    * pairs where qid is one of the LshQueryK sampled docs and other is
+    * any corpus doc sharing a capped shingle — the shared exact side of
+    * the sampled dedup audits (sample × corpus, linear; same 4-dp
+    * jaccard form as the mhp chain). */
+  private def sampledExactNeardupPairs(s: SparkSession, d: String): DataFrame = {
     val sh = rareShingleHashes(s, d)
     val qs = broadcast(sampledDocIds(s, d))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ex = sh.join(qs, Seq("doc_id"), "left_semi").as("a")
+    sh.join(qs, Seq("doc_id"), "left_semi").as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("other"))
@@ -917,11 +922,24 @@ object Dedup {
       .join(sz.select(col("doc_id").as("qid"), col("n").as("nq")), "qid")
       .join(sz.select(col("doc_id").as("other"), col("n").as("no")), "other")
       .filter(col("i").cast("double") / (col("nq") + col("no") - col("i")) >= 0.2)
-      .select("qid", "other")
+      .select(col("qid"), col("other"),
+        round(col("i").cast("double") / (col("nq") + col("no") - col("i")), 4)
+          .as("jaccard"))
+  }
+
+  /** The LSH pair table symmetrized and restricted to sampled qids —
+    * the audited side of the sampled dedup audits. */
+  private def sampledLshPairs(s: SparkSession, d: String): DataFrame = {
     val mh0 = minhashPairTable(s, d)
-    val mh = mh0.select(col("da").as("qid"), col("db").as("other"))
+    mh0.select(col("da").as("qid"), col("db").as("other"))
       .unionByName(mh0.select(col("db").as("qid"), col("da").as("other")))
-      .join(qs.select(col("doc_id").as("qid")), Seq("qid"), "left_semi")
+      .join(broadcast(sampledDocIds(s, d)).select(col("doc_id").as("qid")),
+        Seq("qid"), "left_semi")
+  }
+
+  def e1LshRecallSampled(s: SparkSession, d: String): DataFrame = {
+    val ex = sampledExactNeardupPairs(s, d).select("qid", "other")
+    val mh = sampledLshPairs(s, d)
     val common = mh.join(ex, Seq("qid", "other"), "left_semi")
     ex.agg(count(lit(1)).as("n_exact"))
       .crossJoin(mh.agg(count(lit(1)).as("n_lsh")))
@@ -930,6 +948,29 @@ object Dedup {
         when(col("n_exact") === 0L, lit(0.0))
           .otherwise(round(col("n_common").cast("double") / col("n_exact"), 4))
           .as("recall"))
+  }
+
+  /** E1 — the banding S-curve on the sampled doc set: e1_lsh_curve
+    * re-based on sampledExactNeardupPairs, lifting the last dedup-audit
+    * ≥100× exclusion — exact pairs touching a sampled doc, banded by
+    * their 4-dp jaccard, each band scored by how many pairs the banded
+    * MinHash index also surfaced (oriented both sides, like the sampled
+    * recall). Same integer output shape as e1_lsh_curve; bands with no
+    * sampled exact pair are absent on both engines. */
+  def e1LshCurveSampled(s: SparkSession, d: String): DataFrame = {
+    val ex = sampledExactNeardupPairs(s, d)
+    val mh = sampledLshPairs(s, d).select(col("qid"), col("other"),
+      lit(1L).as("hit"))
+    val band = when(col("jaccard") < 0.3, "j_020_030")
+      .when(col("jaccard") < 0.5, "j_030_050")
+      .when(col("jaccard") < 0.7, "j_050_070")
+      .otherwise("j_070_100")
+    ex.join(mh, Seq("qid", "other"), "left")
+      .select(band.as("band"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_found"))
+      .withColumn("recall_bp", expr("n_found * 10000 div n_exact"))
+      .orderBy("band")
   }
 
   /** E1 — the LSH recall S-CURVE made empirical: exact near-dup pairs
@@ -1203,6 +1244,7 @@ object Dedup {
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
     "e1_lsh_recall" -> (e1LshRecall _),
     "e1_lsh_recall_sampled" -> (e1LshRecallSampled _),
+    "e1_lsh_curve_sampled" -> (e1LshCurveSampled _),
     "e1_lsh_curve" -> (e1LshCurve _),
     "e1_cluster_stats" -> (e1ClusterStats _),
     "e1_keeper_quality" -> (e1KeeperQuality _),
@@ -1409,6 +1451,40 @@ object Dedup {
   private val minhashPairsOracle: String =
     s"WITH $minhashCtesBlock\nSELECT da, db, jaccard FROM mhp ORDER BY da, db"
 
+  /** DuckDB replica of sampledDocIds (mix64(doc_id ^ LshQuerySalt)
+    * ORDER BY (m, doc_id) LIMIT K), ending in CTE `qsel` (doc_id) —
+    * shared by the sampled dedup-audit oracles. */
+  private lazy val docSelCtes: String = {
+    import OracleSql._
+    val saltU = java.lang.Long.toUnsignedString(LshQuerySalt)
+    s"""qd_in AS (SELECT doc_id,
+       |  xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+       |  FROM documents),
+       |${mixCtes("qd", "q0", "qm", Seq("doc_id"))},
+       |qsel AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (
+       |    ORDER BY ${toSigned("qm")}, doc_id) AS qrn FROM qd)
+       |  WHERE qrn <= $LshQueryK)""".stripMargin
+  }
+
+  /** The sampled exact ground truth (`exs`: qid, other, jaccard) and the
+    * sampled symmetrized LSH side (`mhs`: qid, other) — oracle twins of
+    * sampledExactNeardupPairs / sampledLshPairs. Requires minhashCtes
+    * (for sh/sz/mhp) and docSelCtes (for qsel) in the same WITH. */
+  private lazy val sampledExCtes: String =
+    """qint AS (SELECT a.doc_id AS qid, b.doc_id AS other, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM qsel)
+      |  GROUP BY 1, 2),
+      |exs AS MATERIALIZED (SELECT qid, other,
+      |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard FROM qint
+      |  JOIN sz x ON qid = x.doc_id JOIN sz y ON other = y.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2),
+      |mhs AS MATERIALIZED (SELECT qid, other FROM (
+      |  SELECT da AS qid, db AS other FROM mhp
+      |  UNION ALL SELECT db, da FROM mhp)
+      |  WHERE qid IN (SELECT doc_id FROM qsel))""".stripMargin
+
   private val dedupClustersOracle: String =
     s"""WITH RECURSIVE $minhashCtesBlock,
        |edges AS (SELECT da AS a, db AS b FROM mhp
@@ -1582,29 +1658,10 @@ object Dedup {
     // shingle table (the linear exact pass the Spark side runs); the LSH
     // side symmetrizes mhp and keeps sampled qids. qd/qsel replicates
     // mix64(doc_id ^ salt) ORDER BY (m, doc_id) LIMIT K.
-    "e1_lsh_recall_sampled" -> {
-      import OracleSql._
-      val saltU = java.lang.Long.toUnsignedString(LshQuerySalt)
+    "e1_lsh_recall_sampled" ->
       s"""WITH $minhashCtes,
-         |qd_in AS (SELECT doc_id,
-         |  xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
-         |  FROM documents),
-         |${mixCtes("qd", "q0", "qm", Seq("doc_id"))},
-         |qsel AS (SELECT doc_id FROM (
-         |  SELECT doc_id, row_number() OVER (
-         |    ORDER BY ${toSigned("qm")}, doc_id) AS qrn FROM qd)
-         |  WHERE qrn <= $LshQueryK),
-         |qint AS (SELECT a.doc_id AS qid, b.doc_id AS other, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id IN (SELECT doc_id FROM qsel)
-         |  GROUP BY 1, 2),
-         |exs AS MATERIALIZED (SELECT qid, other FROM qint
-         |  JOIN sz x ON qid = x.doc_id JOIN sz y ON other = y.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.2),
-         |mhs AS MATERIALIZED (SELECT qid, other FROM (
-         |  SELECT da AS qid, db AS other FROM mhp
-         |  UNION ALL SELECT db, da FROM mhp)
-         |  WHERE qid IN (SELECT doc_id FROM qsel)),
+         |$docSelCtes,
+         |$sampledExCtes,
          |ne AS (SELECT count(*) AS n_exact FROM exs),
          |nl AS (SELECT count(*) AS n_lsh FROM mhs),
          |cm AS (SELECT count(*) AS n_common FROM mhs m
@@ -1612,8 +1669,23 @@ object Dedup {
          |SELECT n_exact, n_lsh, n_common,
          |  CASE WHEN n_exact = 0 THEN CAST(0.0 AS DOUBLE)
          |    ELSE round(CAST(n_common AS DOUBLE) / n_exact, 4) END AS recall
-         |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin
-    },
+         |FROM ne CROSS JOIN nl CROSS JOIN cm""".stripMargin,
+    // e1_lsh_curve on the sampled exact pairs (same band literals; hit
+    // via LEFT JOIN against the sampled LSH side)
+    "e1_lsh_curve_sampled" ->
+      s"""WITH $minhashCtes,
+         |$docSelCtes,
+         |$sampledExCtes,
+         |j AS (SELECT CASE WHEN jaccard < 0.3 THEN 'j_020_030'
+         |    WHEN jaccard < 0.5 THEN 'j_030_050'
+         |    WHEN jaccard < 0.7 THEN 'j_050_070'
+         |    ELSE 'j_070_100' END AS band,
+         |  CASE WHEN m.qid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exs e LEFT JOIN mhs m ON e.qid = m.qid AND e.other = m.other)
+         |SELECT band, count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(sum(hit) AS BIGINT) * 10000 // count(*) AS recall_bp
+         |FROM j GROUP BY band ORDER BY band""".stripMargin,
     // same ex/mh composition as e1_lsh_recall, with the exact pair's
     // 4-dp jaccard carried into CASE bands (identical doubles compared
     // against identical literals on both engines)

@@ -287,11 +287,25 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
 
-  private def ivfSearch(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+  private def ivfSearch(s: SparkSession, d: String, nProbe: Int): DataFrame =
+    ivfSearchFor(s, d, nProbe, None)
+
+  /** ivfSearch with the PROBE side optionally restricted to a query-id
+    * set: the index (build side) is always the full corpus, but only the
+    * given queries are answered — the deployment shape for evaluation
+    * (an audit never computes full-corpus answers to score a 64-query
+    * sample). Per-query independence (the top-1 window partitions by
+    * a.vec_id) makes restrict-before-search ≡ restrict-after-search;
+    * the oracle gate enforces it. */
+  private def ivfSearchFor(s: SparkSession, d: String, nProbe: Int,
+      queries: Option[DataFrame]): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = ivfSeeds(s, d, e)
     val build = ivfAssigned(e, seeds, 1)
-    val probe = if (nProbe == 1) build else ivfAssigned(e, seeds, nProbe)
+    val qe = queries.fold(e)(q => e.join(q, Seq("vec_id"), "left_semi"))
+    val probe =
+      if (nProbe == 1 && queries.isEmpty) build
+      else ivfAssigned(qe, seeds, nProbe)
     val w = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("sim").desc, col("b.vec_id"))
     probe.as("a")
@@ -489,6 +503,26 @@ object Similarity {
         .mix64(col("vec_id").bitwiseXOR(lit(AnnQuerySalt))).as("m"))
       .orderBy("m", "vec_id").limit(AnnQueryK).select("vec_id")
 
+  /** Exact label-blocked top-k ground truth for the sampled query set —
+    * the shared exact side of every *_sampled audit. Work is
+    * sample × label-block (linear in the corpus); the sampled side is
+    * broadcast so the block join never shuffles the corpus. Columns:
+    * (vec_id, rn, other_id, sim) with sim rounded 4-dp like
+    * e2_cosine_topk. */
+  private def sampledExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = withNorm(embeddings(s, d))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a.vec_id").as("vec_id"), col("rn"),
+        col("b.vec_id").as("other_id"), round(col("sim"), 4).as("sim"))
+  }
+
   /** E2 — the SAMPLED ANN recall audit: e2_ann_recall's scoreboard with
     * the exact ground truth computed only for a deterministic fixed-size
     * query sample — the form a production ANN deployment actually runs,
@@ -505,17 +539,14 @@ object Similarity {
     * the audit scores exactly what the index serves. */
   def e2AnnRecallSampled(s: SparkSession, d: String): DataFrame = {
     val qs = broadcast(sampledQueryIds(s, d))
-    val e = withNorm(embeddings(s, d))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
-    val exact = e.join(qs, Seq("vec_id"), "left_semi").as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("sim", cosine)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("exact_nb"),
-        round(col("sim"), 4).as("exact_sim"))
-    val ivf = e2AnnIvf(s, d).join(qs, Seq("vec_id"), "left_semi")
+    val exact = sampledExactTopK(s, d, 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"),
+        col("sim").as("exact_sim"))
+    // PROBE-side restriction: the index is built over the full corpus,
+    // but only the 64 sampled queries are answered (ivfSearchFor) — the
+    // deployment shape, and the difference between the audit costing
+    // sample×cell and costing a full-corpus search at 100×.
+    val ivf = ivfSearchFor(s, d, 1, Some(qs))
       .select(col("vec_id"), col("neighbor_id").as("ivf_nb"),
         col("sim").as("ivf_sim"))
     exact.join(ivf, Seq("vec_id"), "left")
@@ -530,6 +561,67 @@ object Similarity {
         round(col("top1_hits") / col("n"), 4).as("top1_recall"),
         col("sim_parity"))
       .orderBy("label")
+  }
+
+  /** E2 — recall@3 on the sampled query set: e2_recall_at_k re-based on
+    * the fixed-size sample (the remaining member of the recall family
+    * lifted off the ≥100× exclusion). Exact side = sampledExactTopK(3)
+    * (sample × block, linear); IVF side = the same in-cell top-3 the
+    * unsampled audit scores, PROBE-restricted to the sampled queries
+    * before the window (per-query partitions make restrict-before ≡
+    * restrict-after; the gate enforces it). Per-label recall@3 over
+    * whatever exact pairs the sampled queries own. */
+  def e2RecallAtKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val exact = sampledExactTopK(s, d, 3).select(col("vec_id"), col("other_id"))
+    val e = withNorm(embeddings(s, d))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("sim").desc, col("b.vec_id"))
+    val ivf3 = build.join(qs, Seq("vec_id"), "left_semi").as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
+    val hits = exact.join(ivf3, Seq("vec_id", "other_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("h"))
+    exact.groupBy("vec_id").agg(count(lit(1)).as("np"))
+      .join(hits, Seq("vec_id"), "left")
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(sum(col("np")).as("n_pairs"),
+        coalesce(sum(col("h")), lit(0L)).as("hits"))
+      .withColumn("recall3", round(col("hits") / col("n_pairs"), 4))
+      .orderBy("label")
+  }
+
+  /** E2 — the ANN recall/cost frontier on the sampled query set:
+    * e2_ann_pareto with the exact baseline swapped for the sampled one —
+    * the restriction rides the INNER join against the exact side, so the
+    * four method chains are still composed VERBATIM (the scoreboard
+    * cannot drift from what it scores) while the quadratic baseline is
+    * gone. This lifts the frontier audit itself off the ≥100×
+    * exclusion; the method chains were always the scale paths. */
+  def e2AnnParetoSampled(s: SparkSession, d: String): DataFrame = {
+    val exact = sampledExactTopK(s, d, 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"))
+    def blk(name: String, probes: Long, df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("neighbor_id"))
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("neighbor_id") === col("exact_nb"), 1L).otherwise(0L))
+            .as("top1_hits"))
+        .select(lit(name).as("method"), lit(probes).as("probes"),
+          col("n"), col("top1_hits"),
+          when(col("n") === 0L, 0L)
+            .otherwise(expr("top1_hits * 10000 div n")).as("hit_bp"))
+    blk("ivf_p1", 1, e2AnnIvf(s, d))
+      .unionByName(blk("ivf_p2", 2, e2AnnIvf2(s, d)))
+      .unionByName(blk("lsh_p1", 1, e2AnnLsh(s, d)))
+      .unionByName(blk("lsh_p13", 13, e2AnnMultiprobe(s, d)))
+      .orderBy("method")
   }
 
   /** Prefix lengths for the dimension-ablation audit — interpolated into
@@ -556,6 +648,43 @@ object Similarity {
       val w = Window.partitionBy(col("a.vec_id"))
         .orderBy(col("sim").desc, col("b.vec_id"))
       pe.as("a").join(pe.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim",
+          graft.functions.Vectors.dot(col("a.pe"), col("b.pe")) /
+            (col("a.pn") * col("b.pn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+    }
+    val full = top1(64).withColumnRenamed("nb", "full_nb")
+    AblationDims.map { dims =>
+      top1(dims).join(full, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nb") === col("full_nb"), 1L).otherwise(0L))
+            .as("top1_agree"))
+        .select(lit(dims.toLong).as("dims"), col("n"), col("top1_agree"),
+          when(col("n") === 0L, 0L)
+            .otherwise(expr("top1_agree * 10000 div n")).as("agree_bp"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
+  /** E2 — the Matryoshka truncation table on the sampled query set:
+    * e2_dim_ablation re-based on the fixed-size sample, lifting its
+    * ≥100× exclusion — per prefix width, the sampled queries' truncated
+    * top-1 is compared against their full-width top-1, each computed as
+    * sample × label-block (the broadcast sampled side joins the corpus
+    * once per width; 4 widths = 4 linear passes, never a quadratic one).
+    * Same integer output shape as the unsampled table; the d=64 sanity
+    * row still pins agreement ≡ 100%. */
+  def e2DimAblationSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    def top1(dims: Int): DataFrame = {
+      val pe = e.withColumn("pe", slice(col("embedding"), 1, dims))
+        .withColumn("pn", graft.functions.Vectors.l2Norm(col("pe")))
+      val w = Window.partitionBy(col("a.vec_id"))
+        .orderBy(col("sim").desc, col("b.vec_id"))
+      broadcast(pe.join(qs, Seq("vec_id"), "left_semi")).as("a")
+        .join(pe.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("sim",
           graft.functions.Vectors.dot(col("a.pe"), col("b.pe")) /
@@ -1236,6 +1365,9 @@ object Similarity {
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
     "e2_ann_recall_sampled" -> (e2AnnRecallSampled _),
+    "e2_recall_at_k_sampled" -> (e2RecallAtKSampled _),
+    "e2_ann_pareto_sampled" -> (e2AnnParetoSampled _),
+    "e2_dim_ablation_sampled" -> (e2DimAblationSampled _),
     "e2_ann_pareto" -> (e2AnnPareto _),
     "e2_dim_ablation" -> (e2DimAblation _),
   )
@@ -1739,17 +1871,8 @@ object Similarity {
     // are per-query). The qd/qsel chain replicates mix64(vec_id ^ salt)
     // ORDER BY (m, vec_id) LIMIT K.
     "e2_ann_recall_sampled" -> {
-      import OracleSql._
-      val saltU = java.lang.Long.toUnsignedString(AnnQuerySalt)
       s"""WITH ${ivfCtes(1)},
-         |qd_in AS (SELECT vec_id,
-         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
-         |  FROM embeddings),
-         |${mixCtes("qd", "q0", "qm", Seq("vec_id"))},
-         |qsel AS (SELECT vec_id FROM (
-         |  SELECT vec_id, row_number() OVER (
-         |    ORDER BY ${toSigned("qm")}, vec_id) AS qrn FROM qd)
-         |  WHERE qrn <= $AnnQueryK),
+         |$qselCtes,
          |ivf AS (SELECT vec_id, neighbor_id AS ivf_nb,
          |    round(sim, 4) AS ivf_sim FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -1781,6 +1904,64 @@ object Similarity {
          |FROM ex e LEFT JOIN ivf i USING (vec_id)
          |JOIN embeddings l ON l.vec_id = e.vec_id
          |GROUP BY l.label ORDER BY label""".stripMargin
+    },
+    // e2_recall_at_k with both sides restricted to qsel before their
+    // windows (per-query partitions: restrict-before ≡ restrict-after)
+    "e2_recall_at_k_sampled" ->
+      s"""WITH ${ivfCtes(1)},
+         |$qselCtes,
+         |$sampledExactCte,
+         |ex AS (SELECT vec_id, other_id FROM exs WHERE rn <= 3),
+         |ivf3 AS (SELECT vec_id, other_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn <= 3),
+         |h AS (SELECT ex.vec_id, count(*) AS hh FROM ex
+         |  JOIN ivf3 ON ex.vec_id = ivf3.vec_id
+         |    AND ex.other_id = ivf3.other_id
+         |  GROUP BY ex.vec_id),
+         |np AS (SELECT vec_id, count(*) AS np FROM ex GROUP BY vec_id)
+         |SELECT CAST(l.label AS INT) AS label,
+         |  CAST(sum(np.np) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(h.hh), 0) AS BIGINT) AS hits,
+         |  round(coalesce(sum(h.hh), 0) / CAST(sum(np.np) AS DOUBLE), 4)
+         |    AS recall3
+         |FROM np LEFT JOIN h USING (vec_id)
+         |JOIN embeddings l ON l.vec_id = np.vec_id
+         |GROUP BY l.label ORDER BY label""".stripMargin,
+    // e2_dim_ablation with the query side restricted to qsel: each
+    // width's top-1 block filters a.vec_id before its window; the
+    // MATERIALIZED full-width baseline is shared by all branches
+    "e2_dim_ablation_sampled" -> {
+      def top1(d: Int) =
+        s"""SELECT vec_id, nb FROM (
+           |  SELECT a.vec_id, b.vec_id AS nb, row_number() OVER (
+           |    PARTITION BY a.vec_id ORDER BY
+           |    list_cosine_similarity(
+           |      CAST(list_slice(a.embedding, 1, $d) AS DOUBLE[]),
+           |      CAST(list_slice(b.embedding, 1, $d) AS DOUBLE[])) DESC,
+           |    b.vec_id) AS rn
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+           |WHERE rn = 1""".stripMargin
+      AblationDims.map { d =>
+        val p = if (d == 64) "fullnb" else s"(${top1(d)})"
+        s"""SELECT CAST($d AS BIGINT) AS dims, count(*) AS n,
+           |  CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS top1_agree,
+           |  CASE WHEN count(*) = 0 THEN 0 ELSE
+           |    CAST(sum(CASE WHEN p.nb = f.nb THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 10000 // count(*) END AS agree_bp
+           |FROM $p p JOIN fullnb f USING (vec_id)"""
+          .stripMargin
+      }.mkString(
+        s"WITH $qselCtes,\nfullnb AS MATERIALIZED (${top1(64)})\n",
+        "\nUNION ALL\n", "\nORDER BY dims")
     },
     "e2_recall_at_k" ->
       s"""WITH ${ivfCtes(1)},
@@ -1947,7 +2128,63 @@ object Similarity {
         blk("lsh_p13", 13, annMultiprobeOracle))
         .mkString("", "\nUNION ALL\n", "\nORDER BY method")
     },
+    // e2_ann_pareto with the exact baseline swapped for the sampled one:
+    // the method SQL is still composed verbatim; the INNER join against
+    // the sampled exact side is what restricts the scoreboard
+    "e2_ann_pareto_sampled" -> {
+      def blk(name: String, probes: Int, sql: String) =
+        s"""SELECT '$name' AS method, CAST($probes AS BIGINT) AS probes,
+           |  count(*) AS n,
+           |  CAST(sum(CASE WHEN a.neighbor_id = x.other_id
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
+           |  CASE WHEN count(*) = 0 THEN 0 ELSE
+           |    CAST(sum(CASE WHEN a.neighbor_id = x.other_id
+           |      THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) END
+           |    AS hit_bp
+           |FROM ($sql) a JOIN (SELECT vec_id, other_id FROM exs
+           |  WHERE rn = 1) x USING (vec_id)"""
+          .stripMargin
+      Seq(blk("ivf_p1", 1, annIvfOracle(1)),
+        blk("ivf_p2", 2, annIvfOracle(2)),
+        blk("lsh_p1", 1, annLshOracle),
+        blk("lsh_p13", 13, annMultiprobeOracle))
+        .mkString(s"WITH $qselCtes,\n$sampledExactCte\n",
+          "\nUNION ALL\n", "\nORDER BY method")
+    },
   )
+
+  /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)
+    * ORDER BY (m, vec_id) LIMIT AnnQueryK, as CTEs ending in `qsel`
+    * (vec_id) — the shared query-sample chain of every *_sampled
+    * audit oracle. lazy: referenced by the map literal above. */
+  private lazy val qselCtes: String = {
+    import OracleSql._
+    val saltU = java.lang.Long.toUnsignedString(AnnQuerySalt)
+    s"""qd_in AS (SELECT vec_id,
+       |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+       |  FROM embeddings),
+       |${mixCtes("qd", "q0", "qm", Seq("vec_id"))},
+       |qsel AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${toSigned("qm")}, vec_id) AS qrn FROM qd)
+       |  WHERE qrn <= $AnnQueryK)""".stripMargin
+  }
+
+  /** The sampled exact top-k ground-truth block (ends in CTE `exs`:
+    * vec_id, other_id, rn, sim4) — the oracle twin of
+    * sampledExactTopK. Requires $qselCtes in the same WITH. */
+  private lazy val sampledExactCte: String =
+    """exs AS MATERIALIZED (SELECT vec_id, other_id, rn,
+      |    round(sim, 4) AS sim4 FROM (
+      |  SELECT a.vec_id, b.vec_id AS other_id,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)))""".stripMargin
 
   // lazy: referenced by the `oracles` map literal above its declaration
   private lazy val cosineTopkOracle: String =
