@@ -1001,6 +1001,42 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** N for the benchmark-decontamination pass: the published LLM
+    * decontamination recipe checks TEST-set N-GRAM overlap at n = 13
+    * (the GPT-3 appendix / PaLM-style choice: long enough that a shared
+    * n-gram is evidence of copied text, not phrase reuse) —
+    * interpolated into BOTH engines. */
+  val ContamN = 13
+
+  /** E1 — 13-GRAM decontamination (the published-recipe companion to
+    * e1_contamination's 3-shingle screen): for every doc in the 'test'
+    * split, how many 'train' docs share at least one word-13-gram and
+    * how many of its own 13-grams are contaminated. The 3-shingle pass
+    * is the high-recall tripwire (any phrase overlap); this is the
+    * high-precision pass pipelines actually gate on before publishing
+    * an eval — a shared 13-gram essentially proves copied text. Plan is
+    * the same ONE equi-join on the 64-bit n-gram hash (codegen'd
+    * native expression scan-side; strings never shuffle), split
+    * membership a scan-side hash gate on both sides, df-capped like
+    * every shingle join so one boilerplate 13-gram cannot quadratic the
+    * join at 100 TB. */
+  def e1Contamination13(s: SparkSession, d: String): DataFrame = {
+    val sh0 = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(org.apache.spark.sql.graftext.ngramExpressions
+        .wordShingleHashes(col("text"), ContamN))).as("h"))
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    val slot = Sampling.slot(col("doc_id"), Sampling.SplitSalt)
+    val train = sh.filter(slot < 90)
+    val test = sh.filter(slot >= 95)
+    test.as("te").join(train.as("tr"), col("te.h") === col("tr.h"))
+      .groupBy(col("te.doc_id").as("doc_id"))
+      .agg(countDistinct(col("tr.doc_id")).as("n_train_docs"),
+        countDistinct(col("te.h")).as("n_shared_13grams"))
+      .orderBy("doc_id")
+  }
+
   /** E1 — duplicate-family size distribution: how many clusters have k
     * members (singletons included) — the headline table of a dedup
     * report: mass in large families = mirrored/template content and
@@ -1261,6 +1297,7 @@ object Dedup {
     "e1_dedup_clusters" -> (e1DedupClusters _),
     "e1_dedup_clusters_star" -> (e1DedupClustersStar _),
     "e1_contamination" -> (e1Contamination _),
+    "e1_contamination13" -> (e1Contamination13 _),
     "e1_containment" -> (e1Containment _),
     "e1_segment_dedup" -> (e1SegmentDedup _),
     "e1_source_overlap" -> (e1SourceOverlap _),
@@ -1830,6 +1867,34 @@ object Dedup {
          |  count(DISTINCT te.s) AS n_shared_shingles
          |FROM te JOIN tr ON te.s = tr.s
          |GROUP BY te.doc_id ORDER BY doc_id""".stripMargin,
+    // 13-gram concat unrolled mechanically; 13-grams per doc =
+    // len - 12 -> range(1, len(tk) - 11); same df cap and split gates
+    // as the 3-shingle screen, same string-vs-hash distinct-count
+    // equivalence (FNV-64 collision-free at fixture scale)
+    "e1_contamination13" -> {
+      val concat = (0 until ContamN).map(j =>
+        if (j == 0) "tk[CAST(i AS INT)]" else s"tk[CAST(i AS INT) + $j]")
+        .mkString(" || ' ' || ")
+      s"""WITH t13 AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $ContamN),
+         |s13 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, len(tk) - ${ContamN - 2}), i -> $concat))) AS s FROM t13),
+         |hot13 AS (SELECT s FROM s13 GROUP BY s
+         |  HAVING count(*) > $MaxShingleDf),
+         |sh13 AS (SELECT doc_id, s FROM s13
+         |  WHERE s NOT IN (SELECT s FROM hot13)),
+         |${Sampling.slotCtes(Sampling.SplitSalt)},
+         |tr AS (SELECT sh13.doc_id, s FROM sh13 JOIN slots USING (doc_id)
+         |  WHERE slot < 90),
+         |te AS (SELECT sh13.doc_id, s FROM sh13 JOIN slots USING (doc_id)
+         |  WHERE slot >= 95)
+         |SELECT te.doc_id AS doc_id,
+         |  count(DISTINCT tr.doc_id) AS n_train_docs,
+         |  count(DISTINCT te.s) AS n_shared_13grams
+         |FROM te JOIN tr ON te.s = tr.s
+         |GROUP BY te.doc_id ORDER BY doc_id""".stripMargin
+    },
     "e1_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |segs AS (SELECT doc_id, unnest(list_distinct($segListSql)) AS seg FROM t),

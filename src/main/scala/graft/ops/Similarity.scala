@@ -1300,6 +1300,30 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — SEMANTIC-duplicate cluster resolution: connected components
+    * over the cell-bucketed cosine-near-dup pairs (the SemDedup paper's
+    * cluster-then-keep-one step, the embedding-side analogue of
+    * e1_dedup_clusters). Pairs come from the SAME IVF-cell bucketing
+    * e2_semdedup prunes with — per-cell pairwise only, never corpus² —
+    * and the component pass is the large-star/small-star alternation
+    * (Dedup.connectedComponentsStar: O(log n) rounds, pair-table-sized
+    * shuffles), so both stages are the declared 100 TB shapes. Labels
+    * are min-vec_id per component; singletons keep their own id. */
+  def e2SemdedupClusters(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+    val pairs = build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") >= SemDedupTau)
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+    Dedup.connectedComponentsStar(
+      embeddings(s, d).select(col("vec_id").as("doc_id")), pairs)._1
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** E2 — int8 SCALAR quantization (SQ8) audit: the other standard vector
     * compression next to PQ (FAISS's SQ8 / Milvus IVF_SQ8): each
     * coordinate maps to one byte via a per-dimension affine
@@ -1344,6 +1368,7 @@ object Similarity {
     "e2_ann_filtered" -> (e2AnnFiltered _),
     "e2_hard_negatives" -> (e2HardNegatives _),
     "e2_semdedup" -> (e2Semdedup _),
+    "e2_semdedup_clusters" -> (e2SemdedupClusters _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_kmeans3" -> (e2Kmeans3 _),
@@ -1615,6 +1640,23 @@ object Similarity {
          |  SELECT vec_id, cell, keeper_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
          |  FROM cand) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // components over the SAME cell-bucketed pair predicate e2_semdedup
+    // prunes with; min-label via recursive reachability (the
+    // e1_dedup_clusters oracle form — the star pass must agree with it)
+    "e2_semdedup_clusters" ->
+      s"""WITH RECURSIVE ${ivfCtes(1)},
+         |prs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >= $SemDedupTau),
+         |edges AS (SELECT va AS x, vb AS y FROM prs
+         |  UNION SELECT vb, va FROM prs),
+         |reach(v, lab) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.x, r.lab FROM edges e JOIN reach r ON r.v = e.y)
+         |SELECT v AS vec_id, min(lab) AS cluster FROM reach
+         |GROUP BY v ORDER BY vec_id""".stripMargin,
     "e2_ivf_stats" ->
       s"""WITH ${ivfCtes(1)},
          |pops AS (SELECT cell, count(*) AS pop FROM build GROUP BY cell)
