@@ -496,6 +496,38 @@ object StreamOps {
       .option("path", outDir).option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4o — streaming DECONTAMINATION gate: the e1_contamination13
+    * discipline applied AT INGEST. Every arriving document's word-13-gram
+    * hashes are computed scan-side (the same codegen'd native expression
+    * the batch pass uses); a document sharing ANY 13-gram with the eval
+    * benchmark set is dropped before it can enter the training corpus —
+    * decontaminating at the ingest boundary instead of auditing after
+    * the fact. The eval set's n-gram hashes ride in as a BROADCAST
+    * LITERAL ARRAY (eval benchmarks are tiny by definition — MBs against
+    * a 100 TB corpus; at larger eval volumes the same shape is a Bloom
+    * filter), so the gate is a STATELESS scan-side filter: zero state
+    * store, zero shuffle, restart-safe for free because there is nothing
+    * to recover — the strongest possible streaming-operator shape.
+    * Emits the admitted documents with their gram count. */
+  def streamDecontamGate(s: SparkSession, dir: String, schema: StructType,
+      evalDocs: DataFrame, sinkName: String): StreamingQuery = {
+    import graft.ops.Dedup.ContamN
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), ContamN))).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val evalLit = lit(evalGrams)
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("hs", array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), ContamN)))
+      .filter(!arrays_overlap(col("hs"), evalLit))
+      .select(col("doc_id"), col("source"), size(col("hs")).as("n_grams"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** E4m — foreachBatch MERGE sink: the streaming form of
     * q48_merge_upsert. Structured Streaming's file sink is append-only;
     * keyed upserts need `foreachBatch`, which hands each micro-batch to

@@ -480,6 +480,44 @@ class StreamingSpec extends AnyFunSuite {
       "streamed fingerprint set equals the batch distinct set")
   }
 
+  test("streaming decontamination gate drops 13-gram-contaminated docs at ingest (E4o)") {
+    val dir = TestSpark.tmpDir("decontam") + "/documents"
+    // 14-token eval doc -> two 13-grams; doc 2 copies the eval text
+    // verbatim inside a longer document (classic benchmark leakage),
+    // doc 1 and doc 3 are clean (doc 3 shares a 12-gram PREFIX of the
+    // eval text but never a full 13-gram - must pass the gate)
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november"
+    val prefix12 = evalText.split(" ").take(12).mkString(" ")
+    import spark.implicits._
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again today"),
+      (2L, "leaked content follows " + evalText + " and some trailing tokens"),
+      (3L, prefix12 + " something completely different now")
+    ).map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(dir)
+    val q = StreamOps.streamDecontamGate(spark, dir,
+      spark.read.parquet(dir).schema, evalDocs, "decontam_sink")
+    assert(q.awaitTermination(60000), "decontam stream did not finish in 60s")
+    val admitted = spark.table("decontam_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L),
+      s"gate admitted $admitted — doc 2 (verbatim eval copy) must drop, " +
+        "doc 3 (12-gram prefix only) must pass")
+    // batch reconciliation: the gate's drop set equals the docs the batch
+    // 13-gram join would flag against the same eval side
+    val evalGrams = evalDocs.select(explode(array_distinct(
+      org.apache.spark.sql.graftext.ngramExpressions
+        .wordShingleHashes(col("text"), graft.ops.Dedup.ContamN))).as("h"))
+    val flagged = docs.select(col("doc_id"), explode(array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), graft.ops.Dedup.ContamN))).as("h"))
+      .join(evalGrams, "h").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L))
+  }
+
   test("checkpointed fingerprint dedup restarts exactly-once with recovered state") {
     import spark.implicits._
     val base = TestSpark.tmpDir("ckptdedup")
