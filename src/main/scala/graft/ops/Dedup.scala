@@ -858,6 +858,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** E1 — INCREMENTAL cluster maintenance: assign the arriving batch
+    * (slot ≥ 90, the e1_incremental split) its near-dup cluster labels
+    * WITHOUT re-clustering the corpus — the steady-state form of
+    * e1_dedup_clusters at 100 TB, where the corpus cluster table is a
+    * stored artifact and each load must only resolve what the batch
+    * touches. Mechanism: CONTRACTION. Corpus-side pairs yield the stored
+    * label table (here derived once from the corpus slice; in production
+    * it is read); every pair touching a batch doc is then mapped through
+    * that table (corpus endpoint → its cluster label, batch endpoint →
+    * itself) and the star CC pass runs over the CONTRACTED graph — whose
+    * size is (batch pairs + touched clusters), not the corpus. Because a
+    * cluster label IS its component's min id and contraction preserves
+    * reachability, the contracted component min equals the full-graph
+    * label EXACTLY — including the hard case where one batch doc merges
+    * two existing corpus clusters. The oracle is therefore the full
+    * recursive recompute restricted to batch rows: the gate itself
+    * proves incremental ≡ recompute. */
+  def e1IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      Sampling.slot(c, IncrSalt) >= 90
+    val mh = minhashPairTable(s, d)
+      .withColumn("ba", isBatch(col("da")))
+      .withColumn("bb", isBatch(col("db")))
+    val corpusIds = documents(s, d).select(col("doc_id"))
+      .filter(!isBatch(col("doc_id")))
+    val corpusLabels = connectedComponentsStar(corpusIds,
+      mh.filter(!col("ba") && !col("bb")).select("da", "db"))._1
+    // both endpoints mapped through the label table in one pass: corpus
+    // endpoint → its stored cluster label, batch endpoint → itself
+    val mapped = mh.filter(col("ba") || col("bb"))
+      .join(corpusLabels.select(col("doc_id").as("da"),
+        col("cluster").as("la")), Seq("da"), "left")
+      .join(corpusLabels.select(col("doc_id").as("db"),
+        col("cluster").as("lb")), Seq("db"), "left")
+      .select(
+        when(col("ba"), col("da")).otherwise(coalesce(col("la"), col("da")))
+          .as("da"),
+        when(col("bb"), col("db")).otherwise(coalesce(col("lb"), col("db")))
+          .as("db"))
+    val batchIds = documents(s, d).select(col("doc_id"))
+      .filter(isBatch(col("doc_id")))
+    connectedComponentsStar(batchIds, mapped)._1
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
   /** E1 — the dedup accuracy scoreboard (the e2_ann_recall analogue):
     * LSH pair recall against the exact shingle-Jaccard ground truth.
     * Precision is 1.0 by construction (every band candidate is verified
@@ -1287,6 +1333,7 @@ object Dedup {
     "e1_fuzzy_pairs" -> (e1FuzzyPairs _),
     "e1_incremental" -> (e1Incremental _),
     "e1_incremental_neardup" -> (e1IncrementalNeardup _),
+    "e1_incremental_clusters" -> (e1IncrementalClusters _),
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
@@ -1771,6 +1818,31 @@ object Dedup {
     "e1_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
+    // the gate IS the incremental≡recompute proof: the oracle re-clusters
+    // the FULL graph recursively and keeps batch rows; the Spark side
+    // only runs CC over the contracted (batch pairs + touched labels)
+    // graph — equal output or the hash fails
+    "e1_incremental_clusters" -> {
+      import OracleSql._
+      s"""WITH RECURSIVE $minhashCtesBlock,
+         |is0 AS (SELECT doc_id,
+         |  (xor(CAST(doc_id AS HUGEINT), CAST('$IncrSalt' AS HUGEINT)) + $A)
+         |    % $M AS z0 FROM documents),
+         |is1 AS (SELECT doc_id, ${mulmod("xor(z0, z0 >> 30)", C1)} AS z1 FROM is0),
+         |is2 AS (SELECT doc_id, ${mulmod("xor(z1, z1 >> 27)", C2)} AS z2 FROM is1),
+         |isl AS (SELECT doc_id,
+         |  (xor(z2, z2 >> 31) % CAST(power(2, 63) AS HUGEINT)) % 100 AS slot
+         |  FROM is2),
+         |edges AS (SELECT da AS a, db AS b FROM mhp
+         |  UNION SELECT db, da FROM mhp),
+         |reach(v, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.v = e.b),
+         |cl AS (SELECT v AS doc_id, min(lab) AS cluster FROM reach GROUP BY v)
+         |SELECT cl.doc_id, cl.cluster FROM cl JOIN isl USING (doc_id)
+         |WHERE isl.slot >= 90 ORDER BY doc_id""".stripMargin
+    },
     "e1_incremental_neardup" -> {
       import OracleSql._
       // slotCtes can't be reused verbatim: its `slots` CTE name collides

@@ -71,6 +71,40 @@ class DedupStarSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster maintenance equals full recompute on batch rows (incl. cluster merges)") {
+    import org.apache.spark.sql.functions._
+    // the oracle proves this per scale; here the same invariant is pinned
+    // as a law so a refactor of the contraction logic fails fast in CI
+    val incr = labelsOf(Dedup.e1IncrementalClusters(spark, TestSpark.sf0001))
+    val full = Dedup.e1DedupClusters(spark, TestSpark.sf0001)
+      .join(graft.Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id"))
+        .filter(Sampling.slot(col("doc_id"), Dedup.IncrSalt) >= 90),
+        Seq("doc_id"), "left_semi")
+    assert(incr == labelsOf(full))
+    assert(incr.nonEmpty)
+  }
+
+  test("contraction survives a batch doc merging two pre-existing clusters") {
+    // constructed graph: corpus clusters {0,1} and {2,3} (labels 0 and 2);
+    // batch doc 100 pairs with 1 AND 3 — the merge case. Contract the
+    // cross edges through the corpus labels and run star CC: doc 100 must
+    // read label 0 (the merged component's min), exactly what a full
+    // recompute over all five nodes yields.
+    val corpusPairs = pairsDf(Seq((0L, 1L), (2L, 3L)))
+    val corpusVerts = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val (labels, _) = Dedup.connectedComponentsStar(corpusVerts, corpusPairs)
+    val lab = labelsOf(labels)
+    val contractedEdges = pairsDf(Seq((100L, lab(1L)), (100L, lab(3L))))
+    val (merged, _) = Dedup.connectedComponentsStar(
+      Seq(100L).toDF("doc_id"), contractedEdges)
+    assert(labelsOf(merged)(100L) == 0L)
+    val (fullRecompute, _) = Dedup.connectedComponentsStar(
+      (Seq(100L) ++ Seq(0L, 1L, 2L, 3L)).toDF("doc_id"),
+      pairsDf(Seq((0L, 1L), (2L, 3L), (100L, 1L), (100L, 3L))))
+    assert(labelsOf(fullRecompute)(100L) == 0L)
+  }
+
   test("star handles an empty pair table: every vertex is its own cluster, zero rounds") {
     val (lab, rounds) = Dedup.connectedComponentsStar(
       vertsDf(5), pairsDf(Seq.empty))
