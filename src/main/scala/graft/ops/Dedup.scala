@@ -1083,6 +1083,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sketch size for the KMV (k-minimum-values) union estimator —
+    * interpolated into BOTH engines. σ ≈ 1/√k ≈ 6%, so the err_ok
+    * contract's 15% bound is ~2.4σ. */
+  val KmvK = 256
+
+  /** E1 — MERGEABLE union-cardinality sketches (KMV) per source pair:
+    * "how many distinct shingles would sources A and B have merged" —
+    * the corpus-planning question (dedup yield, storage, mixture sizing)
+    * answered WITHOUT scanning A∪B, from per-source sketches alone.
+    * KMV: keep each source's K smallest (unsigned) shingle hashes; the
+    * union sketch of two sources is the K smallest of the two sketches'
+    * union (pure array math — this mergeability is why distributed
+    * engines ship KMV/theta sketches as partial aggregates), and
+    * n̂ = (K−1)·2⁶⁴ / h_K. Like the q42/q43 sketches the oracle is the
+    * portable ACCURACY CONTRACT (each engine's own estimate within 15%
+    * of its own exact union, computed from bit-identical hash sets), not
+    * value equality on the estimate. Output is the exact union + err_ok
+    * per pair. Plan at scale: per-source sketches are one rank-K window
+    * over (source, 8-byte hash) rows; the pairwise stage touches ONLY
+    * |sources|·K sketch rows — the corpus is scanned once. The exact
+    * side (for the contract) is the same df-capped h-equi-join as every
+    * shingle intersection. */
+  def e1KmvUnion(s: SparkSession, d: String): DataFrame = {
+    val K = KmvK
+    val two64 = math.pow(2, 64)
+    val ssrc = rareShingleHashes(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      // unsigned order key (sign-bit flip) + unsigned double value
+      .withColumn("hu", col("h").bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("ud", when(col("h") < 0, col("h").cast("double") + two64)
+        .otherwise(col("h").cast("double")))
+    val sz = ssrc.groupBy("source").agg(count(lit(1)).as("n"))
+    val ix = ssrc.as("a")
+      .join(ssrc.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    val px = sz.as("x").join(sz.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"),
+        (col("x.n") + col("y.n")).as("nn"))
+      .join(ix, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        (col("nn") - coalesce(col("i"), lit(0L))).as("n_exact"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hu")
+    val sk = ssrc.withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
+      .select(col("source"), col("hu"), col("ud"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy("hu")
+    val est = broadcast(px)
+      .join(sk, col("source") === col("sa") || col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("n_exact"), col("hu"), col("ud"))
+      .distinct()
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= K)
+      .groupBy("sa", "sb", "n_exact")
+      .agg(count(lit(1)).as("m"),
+        max(when(col("rn") === K, col("ud"))).as("udk"))
+    est.select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_exact"),
+        when(col("m") < K, col("m") === col("n_exact"))
+          .otherwise(abs(lit((K - 1).toDouble) * two64 / col("udk")
+            / col("n_exact") - 1.0) <= 0.15).as("err_ok"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** E1 — duplicate-family size distribution: how many clusters have k
     * members (singletons included) — the headline table of a dedup
     * report: mass in large families = mirrored/template content and
@@ -1334,6 +1400,7 @@ object Dedup {
     "e1_incremental" -> (e1Incremental _),
     "e1_incremental_neardup" -> (e1IncrementalNeardup _),
     "e1_incremental_clusters" -> (e1IncrementalClusters _),
+    "e1_kmv_union" -> (e1KmvUnion _),
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
@@ -1818,6 +1885,40 @@ object Dedup {
     "e1_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT da, db, jaccard FROM jp ORDER BY da, db""".stripMargin,
+    // KMV union contract: the chain's h is already unsigned HUGEINT, so
+    // rank order and the double conversion are direct; est compared to
+    // THIS engine's exact union (the q42 portable-contract pattern) —
+    // booleans agree cross-engine because both hash sets are identical
+    "e1_kmv_union" ->
+      s"""WITH $shingleHashCtes,
+         |hot AS (SELECT h FROM shing GROUP BY h HAVING count(*) > $MaxShingleDf),
+         |sh AS (SELECT doc_id, h FROM shing WHERE h NOT IN (SELECT h FROM hot)),
+         |ssrc AS (SELECT DISTINCT d.source, s.h
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, count(*) AS n FROM ssrc GROUP BY source),
+         |ix AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
+         |  FROM ssrc a JOIN ssrc b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |px AS (SELECT x.source AS sa, y.source AS sb,
+         |    x.n + y.n - coalesce(ix.i, 0) AS n_exact
+         |  FROM sz x JOIN sz y ON x.source < y.source
+         |  LEFT JOIN ix ON ix.sa = x.source AND ix.sb = y.source),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (
+         |    PARTITION BY source ORDER BY h) AS rn FROM ssrc)
+         |  WHERE rn <= $KmvK),
+         |mrg AS (SELECT DISTINCT p.sa, p.sb, p.n_exact, k.h
+         |  FROM px p JOIN sk k ON k.source = p.sa OR k.source = p.sb),
+         |est AS (SELECT sa, sb, n_exact, count(*) AS m,
+         |    max(CASE WHEN rn = $KmvK THEN CAST(h AS DOUBLE) END) AS udk
+         |  FROM (SELECT sa, sb, n_exact, h, row_number() OVER (
+         |      PARTITION BY sa, sb ORDER BY h) AS rn FROM mrg)
+         |  WHERE rn <= $KmvK GROUP BY 1, 2, 3)
+         |SELECT sa AS source_a, sb AS source_b, n_exact,
+         |  CASE WHEN m < $KmvK THEN m = n_exact
+         |    ELSE abs(CAST(${KmvK - 1} AS DOUBLE) * power(2, 64) / udk
+         |      / n_exact - 1.0) <= 0.15 END AS err_ok
+         |FROM est ORDER BY source_a, source_b""".stripMargin,
     // the gate IS the incremental≡recompute proof: the oracle re-clusters
     // the FULL graph recursively and keeps batch rows; the Spark side
     // only runs CC over the contracted (batch pairs + touched labels)
