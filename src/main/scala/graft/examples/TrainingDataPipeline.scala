@@ -52,8 +52,13 @@ object TrainingDataPipeline {
         // instead of recomputing it.
         val pairs = Dedup.materializedPairTable(s, sfDir, s"$outDir/pairs")
           .filter(col("jaccard") >= 0.8).select("da", "db")
+        // components via the large-star/small-star pass: O(log n) rounds
+        // instead of min-label's O(diameter) — the deployment form for a
+        // graph whose chains can be deep (DedupStarSpec proves label
+        // equivalence, and e1_dedup_clusters_star shares the min-label
+        // oracle, so this swap cannot change the survivor set)
         val losers = Dedup
-          .connectedComponents(docs.select(col("doc_id")), pairs)
+          .connectedComponentsStar(docs.select(col("doc_id")), pairs)._1
           .filter(col("cluster") =!= col("doc_id")).select("doc_id")
         docs
           .join(exactKeep, docs("doc_id") === exactKeep("keeper"), "left_semi")
