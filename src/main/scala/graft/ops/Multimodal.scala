@@ -196,6 +196,50 @@ object Multimodal {
           expr("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)")).as("frame_fp"))
       .orderBy("doc_id", "frame_id")
 
+  /** Video near-dup knobs — interpolated into BOTH engines. Frame
+    * fingerprints repeat far less than word shingles, so the df cap is
+    * tighter than MaxShingleDf; the Jaccard threshold is higher than the
+    * text one (0.5 vs 0.2) because sampled-frame overlap below half is
+    * clip reuse, not a duplicate video. */
+  val FrameDfCap = 64
+  val VideoTau = 0.5
+
+  /** E5 — VIDEO near-duplicate detection: sampled-frame-fingerprint
+    * Jaccard between assets — the e1_ngram_jaccard discipline applied at
+    * the video level, which is how video dedup actually ships (sample
+    * frames, fingerprint each, match assets on fingerprint-set overlap;
+    * a real pipeline swaps the fake codec's rolling hash for a
+    * perceptual frame hash, and the plan is IDENTICAL). Reuses
+    * e5_frame_sample's every-2nd-frame fingerprints verbatim; frames
+    * shared by more than FrameDfCap assets are dropped (intros/black
+    * frames — the hot-shingle cap transplanted), then one fingerprint
+    * equi-join + per-pair intersection count gives Jaccard over the
+    * distinct-fingerprint sets. At 100 TB: blobs never move (frame fps
+    * are scan-side per blob), the join carries 8-byte fingerprints, and
+    * the df cap bounds the pair fan-out exactly as in text dedup. */
+  def e5VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val f = e5FrameSample(s, d)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+    val hot = f.groupBy("frame_fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > FrameDfCap).select("frame_fp")
+    val ff = f.join(broadcast(hot), Seq("frame_fp"), "left_anti")
+    val sz = ff.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    ff.as("a")
+      .join(ff.as("b"),
+        col("a.frame_fp") === col("b.frame_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+        >= VideoTau)
+      .select(col("da"), col("db"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   /** Scene-cut threshold on the mean-"brightness" delta between
     * consecutive frames (probed on the fixtures: median delta 0.95,
     * p90 3.4 — 1.5 splits transitions ~1:2). */
@@ -458,6 +502,7 @@ object Multimodal {
     "e5_blob_dedup" -> (e5BlobDedup _),
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
+    "e5_video_neardup" -> (e5VideoNeardup _),
     "e5_band_features" -> (e5BandFeatures _),
     "e5_image_neardup" -> (e5ImageNeardup _),
     "e5_scene_cuts" -> (e5SceneCuts _),
@@ -607,5 +652,29 @@ object Multimodal {
         |      CAST(i AS INT), 1)) AS BIGINT))),
         |  (a, b) -> (a * 131 + b) % 1000000007) AS frame_fp
         |FROM f WHERE frame_id % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin,
+    // same frame-fp chain as e5_frame_sample, distinct per asset, df cap,
+    // then the standard jaccard idiom over fingerprint sets
+    "e5_video_neardup" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  unnest(range(0, 1 + (length(text) - 1) // 256)) AS frame_id
+         |  FROM documents),
+         |fp0 AS (SELECT DISTINCT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      range(1, length(substring(text, CAST(frame_id * 256 + 1 AS INT), 256)) + 1),
+         |      i -> CAST(unicode(substring(substring(text, CAST(frame_id * 256 + 1 AS INT), 256),
+         |        CAST(i AS INT), 1)) AS BIGINT))),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+         |  FROM f WHERE frame_id % 2 = 0),
+         |hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) > $FrameDfCap),
+         |ff AS (SELECT doc_id, fp FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= $VideoTau
+         |ORDER BY da, db""".stripMargin,
   )
 }
