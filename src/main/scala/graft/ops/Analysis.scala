@@ -451,6 +451,70 @@ object Analysis {
       .orderBy("event_type")
   }
 
+  /** Purpose salts for the EMBEDDING drift monitor: EmbDriftSalt splits
+    * the vector stream into ref/cur halves; EmbDirSalt derives the fixed
+    * probe direction. Both interpolated/inlined into BOTH engines. */
+  val EmbDriftSalt = 0x58b3e9d2c7a6f041L
+  val EmbDirSalt = 0x1c6f8d4a3e92b750L
+
+  /** The fixed probe direction: 64 DYADIC weights in [-100/128, 100/128],
+    * splitmix64-derived in Scala once and interpolated into both engines
+    * as literals. Dyadic (denominator 128) keeps every weight exactly
+    * representable as float AND as its shortest-decimal rendering, so the
+    * Spark float literal and the DuckDB double literal promote to the
+    * SAME double — the projection fold is then bit-identical. */
+  private[ops] lazy val embDriftDir: Array[Float] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 64).map(j =>
+      ((((mix(j.toLong ^ EmbDirSalt) & Long.MaxValue) % 201L) - 100L)
+        / 128.0).toFloat).toArray
+  }
+
+  /** E8 — EMBEDDING-space drift: the two-sample KS monitor (e8_ks_drift)
+    * applied to the embedding stream — per label, D between the ref/cur
+    * halves' distributions of the projection onto a FIXED random
+    * direction. Value drift (e8_drift/ks_drift) misses a model or
+    * pipeline change that shifts vectors while leaving scalar columns
+    * intact; a random 1-D projection is the standard cheap witness (a
+    * mean/covariance shift almost surely moves some projection, and one
+    * fixed direction is a deterministic, replayable choice). Exactness:
+    * the projection is the native index-ordered dot against dyadic
+    * literal weights (bit-identical cross-engine), binned by floor(p·100)
+    * — deterministic on identical doubles — and the KS numerator is the
+    * INTEGER cross-product max |ri·nc − ci·nr|, so the output is
+    * all-integer. Plan at scale: projection + split gate + bin are
+    * scan-side; ONE (label, bin) aggregate (bounded domain: bins span
+    * the projection range, not the corpus); the cumulative windows run
+    * over that bounded histogram, never rows. */
+  def e8EmbedDrift(s: SparkSession, d: String): DataFrame = {
+    val w = typedLit(embDriftDir)
+    val pr = embeddings(s, d).select(
+      col("label").cast("int").as("label"),
+      when(Sampling.slot(col("vec_id"), EmbDriftSalt) < 50, 1L).otherwise(0L)
+        .as("isref"),
+      floor(graft.functions.Vectors.dot(col("embedding"), w) * 100).as("bin"))
+    val h = pr.groupBy("label", "bin")
+      .agg(sum(col("isref")).as("ra"), sum(lit(1L) - col("isref")).as("ca"))
+    val wc = Window.partitionBy("label").orderBy("bin")
+    val wl = Window.partitionBy("label")
+    h.withColumn("ri", sum(col("ra")).over(wc))
+      .withColumn("ci", sum(col("ca")).over(wc))
+      .withColumn("nr", sum(col("ra")).over(wl))
+      .withColumn("nc", sum(col("ca")).over(wl))
+      .select(col("label"), col("nr"), col("nc"),
+        abs(col("ri") * col("nc") - col("ci") * col("nr")).as("num"))
+      .groupBy("label")
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        max(col("num")).as("ks_num"))
+      .withColumn("ks_bp", expr("ks_num * 10000 div (n_ref * n_cur)"))
+      .orderBy("label")
+  }
+
   /** E8 — per-user event-type transition matrix: P(next event type |
     * current), the first-order Markov behavior model behind session
     * analytics and bot detection (a user whose transition row collapses
@@ -992,6 +1056,7 @@ object Analysis {
     "e9_triangles" -> (e9Triangles _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
+    "e8_embed_drift" -> (e8EmbedDrift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
     "e8_mad_outliers" -> (e8MadOutliers _),
@@ -1243,6 +1308,41 @@ object Analysis {
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
            |round(corr($a, $b), 4) + 0.0 AS pearson FROM lineitem""".stripMargin }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+    // vd_in/vd replicate Sampling.slot on vec_id (qm-chain); wv carries
+    // the dyadic weight literals; the fold is the proven index-ordered
+    // list_reduce; everything after the bin is integer
+    "e8_embed_drift" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(EmbDriftSalt)
+      val wLits = embDriftDir.map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""WITH wv AS (SELECT $wLits::DOUBLE[] AS w),
+         |vd_in AS (SELECT vec_id, CAST(label AS INT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS e,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM embeddings),
+         |${mixCtes("vd", "q0", "qm", Seq("vec_id", "label", "e"))},
+         |pr AS (SELECT label,
+         |  CASE WHEN (qm % CAST(power(2, 63) AS HUGEINT)) % 100 < 50
+         |    THEN 1 ELSE 0 END AS isref,
+         |  CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, 65),
+         |      i -> e[CAST(i AS INT)] * w[CAST(i AS INT)])),
+         |    (a, b) -> a + b) * 100) AS BIGINT) AS bin
+         |  FROM vd, wv),
+         |h AS (SELECT label, bin, sum(isref) AS ra, sum(1 - isref) AS ca
+         |  FROM pr GROUP BY 1, 2),
+         |c AS (SELECT label, bin, ra, ca,
+         |  sum(ra) OVER (PARTITION BY label ORDER BY bin) AS ri,
+         |  sum(ca) OVER (PARTITION BY label ORDER BY bin) AS ci,
+         |  sum(ra) OVER (PARTITION BY label) AS nr,
+         |  sum(ca) OVER (PARTITION BY label) AS nc FROM h)
+         |SELECT label, CAST(max(nr) AS BIGINT) AS n_ref,
+         |  CAST(max(nc) AS BIGINT) AS n_cur,
+         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) AS ks_num,
+         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) * 10000
+         |    // (CAST(max(nr) AS BIGINT) * CAST(max(nc) AS BIGINT)) AS ks_bp
+         |FROM c GROUP BY label ORDER BY label""".stripMargin
     },
     "e8_ks_drift" -> {
       import OracleSql._
