@@ -1149,6 +1149,45 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** E1 — the GLOBAL dedup-yield forecast from merged sketches: one row
+    * comparing Σ per-source distinct shingles against the corpus-wide
+    * distinct count — `savings_bp` is the cross-source redundancy a merge
+    * would collapse, the first number a corpus-merge plan quotes. The
+    * n-way union estimate comes from merging ALL per-source KMV sketches
+    * (k-smallest of the sketch union ≡ k-smallest of the global set —
+    * the mergeability law Round9OpsSpec pins), so at scale the planner
+    * reads |sources|·K sketch rows, not the corpus; the exact global
+    * distinct is computed here only to close the err_ok contract. */
+  def e1KmvGlobal(s: SparkSession, d: String): DataFrame = {
+    val K = KmvK
+    val two64 = math.pow(2, 64)
+    val ssrc = rareShingleHashes(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      .withColumn("hu", col("h").bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("ud", when(col("h") < 0, col("h").cast("double") + two64)
+        .otherwise(col("h").cast("double")))
+    val tot = ssrc.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("sum_per_source"))
+    val ex = ssrc.agg(countDistinct(col("h")).as("n_exact"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hu")
+    val sk = ssrc.withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
+    // |sources|·K rows: the unpartitioned rank below is bounded by the
+    // sketch union, never the corpus
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("hu")
+    val gsk = sk.select(col("hu"), col("ud")).distinct()
+      .withColumn("grn", row_number().over(wg)).filter(col("grn") <= K)
+      .agg(count(lit(1)).as("m"), max(when(col("grn") === K, col("ud"))).as("udk"))
+    tot.crossJoin(ex).crossJoin(gsk)
+      .select(col("n_sources"), col("sum_per_source"), col("n_exact"),
+        expr("(sum_per_source - n_exact) * 10000 div sum_per_source")
+          .as("savings_bp"),
+        when(col("m") < K, col("m") === col("n_exact"))
+          .otherwise(abs(lit((K - 1).toDouble) * two64 / col("udk")
+            / col("n_exact") - 1.0) <= 0.15).as("err_ok"))
+  }
+
   /** E1 — duplicate-family size distribution: how many clusters have k
     * members (singletons included) — the headline table of a dedup
     * report: mass in large families = mirrored/template content and
@@ -1401,6 +1440,7 @@ object Dedup {
     "e1_incremental_neardup" -> (e1IncrementalNeardup _),
     "e1_incremental_clusters" -> (e1IncrementalClusters _),
     "e1_kmv_union" -> (e1KmvUnion _),
+    "e1_kmv_global" -> (e1KmvGlobal _),
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
@@ -1919,6 +1959,31 @@ object Dedup {
          |    ELSE abs(CAST(${KmvK - 1} AS DOUBLE) * power(2, 64) / udk
          |      / n_exact - 1.0) <= 0.15 END AS err_ok
          |FROM est ORDER BY source_a, source_b""".stripMargin,
+    "e1_kmv_global" ->
+      s"""WITH $shingleHashCtes,
+         |hot AS (SELECT h FROM shing GROUP BY h HAVING count(*) > $MaxShingleDf),
+         |sh AS (SELECT doc_id, h FROM shing WHERE h NOT IN (SELECT h FROM hot)),
+         |ssrc AS (SELECT DISTINCT d.source, s.h
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |tot AS (SELECT count(*) AS n_sources,
+         |    CAST(sum(n) AS BIGINT) AS sum_per_source
+         |  FROM (SELECT source, count(*) AS n FROM ssrc GROUP BY source)),
+         |ex AS (SELECT count(DISTINCT h) AS n_exact FROM ssrc),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (
+         |    PARTITION BY source ORDER BY h) AS rn FROM ssrc)
+         |  WHERE rn <= $KmvK),
+         |gsk AS (SELECT count(*) AS m,
+         |    max(CASE WHEN grn = $KmvK THEN CAST(h AS DOUBLE) END) AS udk
+         |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS grn
+         |    FROM (SELECT DISTINCT h FROM sk))
+         |  WHERE grn <= $KmvK)
+         |SELECT n_sources, sum_per_source, n_exact,
+         |  (sum_per_source - n_exact) * 10000 // sum_per_source AS savings_bp,
+         |  CASE WHEN m < $KmvK THEN m = n_exact
+         |    ELSE abs(CAST(${KmvK - 1} AS DOUBLE) * power(2, 64) / udk
+         |      / n_exact - 1.0) <= 0.15 END AS err_ok
+         |FROM tot CROSS JOIN ex CROSS JOIN gsk""".stripMargin,
     // the gate IS the incremental≡recompute proof: the oracle re-clusters
     // the FULL graph recursively and keeps batch rows; the Spark side
     // only runs CC over the contracted (batch pairs + touched labels)
