@@ -221,6 +221,41 @@ class RelationalPlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange (o_custkey), got $hashEx:\n$plan")
   }
 
+  test("q45: all three full-frame navigation functions ride ONE o_custkey exchange") {
+    val plan = finalPlan(Relational.q45FirstLast(spark, TestSpark.sf001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange (o_custkey), got $hashEx:\n$plan")
+    // one Window node computes first/last/nth together — a second node
+    // would mean the frames stopped sharing the sort
+    val winNodes = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(winNodes == 1, s"expected 1 Window node, got $winNodes:\n$plan")
+  }
+
+  test("sampled audits: the fixed-size query sample rides a broadcast, never a shuffle") {
+    withoutAutoBroadcast {
+      // the sampled exact side is hint-broadcast (sample × block join) —
+      // with auto-broadcast off, any BroadcastHashJoin present is OURS
+      val plan = finalPlan(Similarity.e2AnnRecallSampled(spark, TestSpark.sf0001))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"sampled exact side should broadcast the 64-query sample:\n${plan.take(2000)}")
+      // and the sample itself is a TakeOrdered (global top-K by mixed id),
+      // not a full sort
+      assert(plan.contains("TakeOrderedAndProject"),
+        "fixed-size sample should be TakeOrdered, not Sort+Limit over a full sort")
+    }
+  }
+
+  test("e1_kmv_global: the n-way merge stage ranks sketch rows, not the corpus") {
+    val plan = finalPlan(Dedup.e1KmvGlobal(spark, TestSpark.sf0001))
+    // the global rank window is unpartitioned BY DESIGN — its input must
+    // be the per-source sketch union (bounded |sources|·K), which appears
+    // in the plan as the rn <= K filter feeding it
+    assert(plan.contains("rn#") || plan.contains("grn"),
+      s"expected the sketch-rank chain in the plan:\n${plan.take(1500)}")
+    val winNodes = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(winNodes >= 2, "per-source rank window + global sketch rank window")
+  }
+
   test("every unpartitioned window in the declared set runs over a bounded domain") {
     // `sbt test` logs `WindowExec: No Partition Defined` warnings; this
     // audit pins exactly WHICH declared queries own one and proves each
@@ -250,7 +285,11 @@ class RelationalPlanSpec extends AnyFunSuite {
       "e8_benford" -> "9-digit-domain aggregate",
       "e8_concentration" -> "|sources|-row aggregate",
       "e8_seasonality" -> "hour/day-domain aggregate",
-      "e8_zipf" -> "token-vocabulary aggregate + top-k")
+      "e8_zipf" -> "token-vocabulary aggregate + top-k",
+      // reviewed round 9: the global sketch-merge rank consumes the
+      // rn <= KmvK per-source sketches — |sources|·K rows at any corpus
+      // size (the mergeability stage, Round9OpsSpec)
+      "e1_kmv_global" -> "|sources|·KmvK sketch-union rank")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
