@@ -697,6 +697,36 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** E1/E7 — per-source NOVELTY: what fraction of each source's rare-
+    * shingle vocabulary appears in NO other source — the "what does this
+    * source actually add" number a corpus planner reads next to the
+    * overlap matrix (e1_source_overlap says who copies whom; this says
+    * who contributes content nobody else has). Consumes the SAME
+    * memoized rare-shingle table as every dedup stage. Plan: the corpus
+    * reduces scan-side to (doc_id, h) longs; one distinct to (source, h)
+    * — the per-source vocabulary, bounded by the shingle table, with the
+    * hot-shingle cap already applied upstream; one |h|-key count of
+    * sources per shingle; one broadcast-sized per-source fold. Nothing
+    * document-sized ever shuffles, and at 100× replication the distinct
+    * (source, h) table is UNCHANGED (replicas repeat their source's
+    * vocabulary), so everything after the scan is flat. */
+  def e1SourceNovelty(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val srcH = rareShingleHashes(s, d).join(src, "doc_id")
+      .select("source", "h").distinct()
+    val nSrc = srcH.groupBy("h").agg(count(lit(1)).as("n_sources"))
+    val nDocs = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    srcH.join(nSrc, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique") / col("n_shingles"), 4).as("novelty"))
+      .orderBy("source")
+  }
+
   /** E1 — MinHash sketch-accuracy audit: for every verified near-dup pair,
     * the ESTIMATED Jaccard (fraction of the 64 signature slots agreeing —
     * the unbiased MinHash estimator) next to the exact shingle Jaccard,
@@ -1442,6 +1472,7 @@ object Dedup {
     "e1_kmv_union" -> (e1KmvUnion _),
     "e1_kmv_global" -> (e1KmvGlobal _),
     "e1_shingle_profile" -> (e1ShingleProfile _),
+    "e1_source_novelty" -> (e1SourceNovelty _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_prefix_join" -> (e1PrefixJoin _),
@@ -1688,6 +1719,26 @@ object Dedup {
        |GROUP BY v ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-source novelty over the same rare-shingle chain (the prelude
+    // rewrite serves `shing` from its temp table; hot/sh recompute from
+    // it, both cheap)
+    "e1_source_novelty" ->
+      s"""WITH $shingleHashCtes,
+         |$hotCte,
+         |$shCte,
+         |sd AS (SELECT DISTINCT d.source, s.h
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |ns AS (SELECT h, count(*) AS n_sources FROM sd GROUP BY h),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents
+         |  GROUP BY source)
+         |SELECT sd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN ns.n_sources = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unique,
+         |  round(sum(CASE WHEN ns.n_sources = 1 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS novelty
+         |FROM sd JOIN ns USING (h) JOIN nd USING (source)
+         |GROUP BY sd.source, nd.n_docs ORDER BY source""".stripMargin,
     "e1_shingle_profile" ->
       s"""WITH $shingleHashCtes,
          |dfs AS (SELECT h, count(*) AS df FROM shing GROUP BY h)

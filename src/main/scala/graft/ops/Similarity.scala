@@ -624,6 +624,41 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** E2 — sampled exact MIPS (maximum-inner-product search) top-3: the
+    * retrieval mode recommendation / two-tower models serve, where the
+    * score is the RAW dot product and a long vector can beat a nearby
+    * short one (cosine's normalization is exactly what MIPS must NOT
+    * do). Answered for the deterministic AnnQueryK query sample against
+    * the WHOLE corpus — no label blocking, because a catalog retrieval
+    * scores everything — so the work is sample × corpus, linear. Plan:
+    * the 64 sampled queries broadcast into a nested-loop join against
+    * the corpus scan; the corpus never shuffles and no pairwise corpus²
+    * stage exists anywhere (plan-asserted in Round9bOpsSpec). At 100 TB
+    * the serving path is the classic norm-augmentation reduction
+    * (Bachrach et al., RecSys'14): append sqrt(M² − ‖x‖²) to each corpus
+    * vector and 0 to queries — inner-product order becomes cosine order
+    * of the augmented vectors (the query's augmented norm is constant),
+    * so MIPS rides the existing IVF/LSH cosine index machinery verbatim;
+    * the rank-equivalence lemma is pinned numerically on the fixture in
+    * Round9bOpsSpec. Oracle: DuckDB list_inner_product over DOUBLE[] —
+    * the same index-ordered double accumulation as the native
+    * dotProduct expression (the e2_cosine_topk bitwise precedent). */
+  def e2Mips(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("ip").desc, col("b.vec_id"))
+    broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("ip",
+        graft.functions.Vectors.dot(col("a.embedding"), col("b.embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a.vec_id").as("vec_id"), asLong(col("rn")).as("rn"),
+        col("b.vec_id").as("other_id"), round(col("ip"), 4).as("ip"))
+      .orderBy("vec_id", "rn")
+  }
+
   /** Prefix lengths for the dimension-ablation audit — interpolated into
     * BOTH engines. 64 is the full width (sanity row: agreement 100%). */
   val AblationDims = Seq(8, 16, 32, 64)
@@ -1395,6 +1430,7 @@ object Similarity {
     "e2_dim_ablation_sampled" -> (e2DimAblationSampled _),
     "e2_ann_pareto" -> (e2AnnPareto _),
     "e2_dim_ablation" -> (e2DimAblation _),
+    "e2_mips" -> (e2Mips _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -1947,6 +1983,22 @@ object Similarity {
          |JOIN embeddings l ON l.vec_id = e.vec_id
          |GROUP BY l.label ORDER BY label""".stripMargin
     },
+    // sampled exact MIPS: raw inner products (no normalization) of the
+    // qsel queries against the whole corpus; list_inner_product is the
+    // same index-ordered double fold as the native dotProduct
+    "e2_mips" ->
+      s"""WITH $qselCtes
+         |SELECT vec_id, CAST(rn AS BIGINT) AS rn, other_id,
+         |  round(ip, 4) AS ip
+         |FROM (SELECT a.vec_id, b.vec_id AS other_id,
+         |  list_inner_product(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])) AS ip,
+         |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |    list_inner_product(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     // e2_recall_at_k with both sides restricted to qsel before their
     // windows (per-query partitions: restrict-before ≡ restrict-after)
     "e2_recall_at_k_sampled" ->
