@@ -403,7 +403,60 @@ object Curation {
       .orderBy("weight")
   }
 
+  /** Release-boundary salt — independent of every sampling/split/shuffle
+    * salt, so "which release a doc landed in" is uncorrelated with any
+    * other gate (mirrored into the oracle). */
+  val ReleaseSalt = 0x59e2b7c4d1a38f6bL
+
+  /** E7 — RELEASE DIFF card: the per-source delta table a data-release
+    * review reads between corpus v1 (the previous snapshot: a
+    * deterministic 90% doc gate standing in for "what shipped last
+    * time") and v2 (the full corpus). Alongside raw growth
+    * (docs/tokens added) it separates ADDITIONS from NOVELTY: an added
+    * doc whose content fingerprint already existed in v1 is STALE (a
+    * re-crawl / mirror of shipped content — inflates counts, adds no
+    * information), so `added_stale` and `novel_tokens` are the numbers
+    * that decide whether a source's refresh earned its ingest cost.
+    * All-integer deltas (order-independent sums); the one ratio is a
+    * division of two integers, IEEE-identical cross-engine. Plan: the
+    * release gate and fingerprint are scan-side; the v1 fingerprint set
+    * joins the added side on 16-byte hashes (documents never shuffle);
+    * two |sources|-key aggregates meet in a tiny full-outer join. At
+    * 100× everything after the scan is fingerprint/source-bounded. */
+  def e7DatasetDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        Dedup.contentFingerprint(col("text")).as("fp"),
+        (Sampling.slot(col("doc_id"), ReleaseSalt) < 90).as("in_v1"))
+    val v1 = docs.filter(col("in_v1"))
+    val v1agg = v1.groupBy("source")
+      .agg(count(lit(1)).as("docs_v1"), sum("nt").as("tokens_v1"))
+    val v1fp = v1.select("fp").distinct().withColumn("seen", lit(1L))
+    val addagg = docs.filter(!col("in_v1"))
+      .join(v1fp, Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_added"),
+        sum("nt").as("tokens_added"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("added_stale"),
+        sum(when(col("seen").isNull, col("nt")).otherwise(0L))
+          .as("novel_tokens"))
+    v1agg.join(addagg, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("docs_v1"), lit(0L)).as("docs_v1"),
+        coalesce(col("tokens_v1"), lit(0L)).as("tokens_v1"),
+        coalesce(col("docs_added"), lit(0L)).as("docs_added"),
+        coalesce(col("tokens_added"), lit(0L)).as("tokens_added"),
+        coalesce(col("added_stale"), lit(0L)).as("added_stale"),
+        coalesce(col("novel_tokens"), lit(0L)).as("novel_tokens"))
+      .withColumn("growth_pct",
+        when(col("docs_v1") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("docs_added") / col("docs_v1"), 4)))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_dataset_diff" -> (e7DatasetDiff _),
     "e7_dedup_weights" -> (e7DedupWeights _),
     "e7_epoch_plan" -> (e7EpochPlan _),
     "e7_source_caps" -> (e7SourceCaps _),
@@ -417,6 +470,39 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // release diff: Sampling's slot chain gates v1 membership; the
+    // fingerprint match is the e1_exact_dedup md5 replica
+    "e7_dataset_diff" ->
+      s"""WITH ${Sampling.slotCtes(ReleaseSalt)},
+         |dd AS (SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         |  md5(lower(trim(d.text))) AS fp,
+         |  (sl.slot < 90) AS in_v1
+         |  FROM documents d JOIN slots sl ON d.doc_id = sl.doc_id),
+         |v1 AS (SELECT * FROM dd WHERE in_v1),
+         |v1a AS (SELECT source, count(*) AS docs_v1,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_v1 FROM v1 GROUP BY source),
+         |v1f AS (SELECT DISTINCT fp FROM v1),
+         |ad AS (SELECT dd.source, dd.nt,
+         |  CASE WHEN v1f.fp IS NOT NULL THEN 1 ELSE 0 END AS seen
+         |  FROM dd LEFT JOIN v1f ON dd.fp = v1f.fp WHERE NOT in_v1),
+         |ada AS (SELECT source, count(*) AS docs_added,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_added,
+         |  CAST(sum(seen) AS BIGINT) AS added_stale,
+         |  CAST(sum(CASE WHEN seen = 0 THEN nt ELSE 0 END) AS BIGINT)
+         |    AS novel_tokens FROM ad GROUP BY source)
+         |SELECT coalesce(v1a.source, ada.source) AS source,
+         |  coalesce(docs_v1, 0) AS docs_v1,
+         |  coalesce(tokens_v1, 0) AS tokens_v1,
+         |  coalesce(docs_added, 0) AS docs_added,
+         |  coalesce(tokens_added, 0) AS tokens_added,
+         |  coalesce(added_stale, 0) AS added_stale,
+         |  coalesce(novel_tokens, 0) AS novel_tokens,
+         |  CASE WHEN coalesce(docs_v1, 0) = 0 THEN NULL
+         |    ELSE round(coalesce(docs_added, 0) / CAST(docs_v1 AS DOUBLE), 4)
+         |    END AS growth_pct
+         |FROM v1a FULL OUTER JOIN ada ON v1a.source = ada.source
+         |ORDER BY source""".stripMargin,
     "e7_dedup_weights" ->
       s"""WITH RECURSIVE ${Dedup.minhashCtes},
          |edges AS (SELECT da AS a, db AS b FROM mhp

@@ -204,6 +204,57 @@ object Sampling {
     * with the cluster, per-shard sort is n/K rows, and the hash spreads
     * documents uniformly regardless of corpus skew — a global sort-by-
     * random-key expressed as K independent local sorts. */
+  /** Curriculum salt — independent of the shuffle/sample/split salts so
+    * the curriculum order is uncorrelated with every other gate. */
+  val CurriculumSalt = 0x48d1c7a92e5b6f33L
+
+  /** E6 — CURRICULUM schedule: the full training reading order for
+    * easy-to-hard curriculum training — documents staged into quality
+    * DECILES (tier 1 = lowest-score tenth ... 10 = highest; the
+    * e3_quality_tiers integer-ceil histogram arithmetic, so equal scores
+    * never split across a phase boundary) and deterministically shuffled
+    * WITHIN each tier (the e6_global_shuffle discipline: prio =
+    * splitmix64(doc_id ^ salt), shard = prio mod K, seq = rank within
+    * (tier, shard)), with a running token total per (tier, shard) so the
+    * loader can cut token-budgeted phase boundaries without a second
+    * pass. Plan: score and prio are scan-side; the tier map is the tiny
+    * score histogram (≤10⁴ rows — bounded by the 4-dp score domain)
+    * broadcast back onto the scan, so the corpus crosses exactly ONE
+    * (tier, shard) exchange and both windows (rank + running sum) ride
+    * it; per-shard work is n/(10·K) rows, and K is the cluster-width
+    * knob exactly as in e6_global_shuffle. */
+  def e6Curriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(TextOps.stopwordFilterSql)))
+      .select(col("doc_id"), asLong(col("nt")).as("n_tokens"),
+        round(TextOps.qualityScore(col("nt"), col("nsw")), 4).as("score"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // single-partition windows, but over the bounded score histogram
+    val tierMap = q.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .select(col("score"), expr("(cum * 10 + tot - 1) div tot").as("tier"))
+    val w = Window.partitionBy("tier", "shard")
+      .orderBy(col("prio"), col("doc_id"))
+    q.join(broadcast(tierMap), "score")
+      .withColumn("prio", org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("doc_id").bitwiseXOR(lit(CurriculumSalt))))
+      .withColumn("shard",
+        pmod(col("prio").bitwiseAND(lit(Long.MaxValue)), lit(ShuffleShards)))
+      .withColumn("seq", row_number().over(w))
+      // unique (prio, doc_id) ordering → default RANGE frame ≡ ROWS in
+      // both engines, and both windows share the one exchange
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("tier"), col("shard"), asLong(col("seq")).as("seq"),
+        col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("tier", "shard", "seq")
+  }
+
   def e6GlobalShuffle(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col("prio"), col("doc_id"))
@@ -408,6 +459,7 @@ object Sampling {
     "e6_weighted_sample" -> (e6WeightedSample _),
     "e6_quota_sample" -> (e6QuotaSample _),
     "e6_global_shuffle" -> (e6GlobalShuffle _),
+    "e6_curriculum" -> (e6Curriculum _),
   )
 
   /** CTE chain computing mix64(doc_id ^ salt) & Long.MaxValue mod 100 as
@@ -585,6 +637,38 @@ object Sampling {
          |  CAST((1000000 * (2 * r - 1)) // (2 * n.n) AS BIGINT) AS pos_ppm
          |FROM rk JOIN n ON rk.source = n.source
          |ORDER BY pos_ppm, source, doc_id""".stripMargin
+    },
+    // curriculum schedule: the e3_quality_tiers tier arithmetic joined
+    // back per doc + the global-shuffle prio/shard mix under a cx prefix
+    "e6_curriculum" -> {
+      import OracleSql._
+      s"""WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents),
+         |s AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score FROM q),
+         |h AS (SELECT score, count(*) AS c FROM s GROUP BY score),
+         |t AS (SELECT score, sum(c) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(c) OVER () AS tot FROM h),
+         |tm AS (SELECT score,
+         |  CAST((cum * 10 + tot - 1) // tot AS BIGINT) AS tier FROM t),
+         |cx_in AS (SELECT doc_id,
+         |  xor(CAST(doc_id AS HUGEINT), CAST('$CurriculumSalt' AS HUGEINT)) AS h0
+         |  FROM documents),
+         |${mixCtes("cx", "h0", "h1", Seq("doc_id"))},
+         |pr AS (SELECT doc_id, ${toSigned("h1")} AS prio,
+         |  CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % $ShuffleShards AS BIGINT)
+         |    AS shard FROM cx)
+         |SELECT tm.tier, pr.shard,
+         |  CAST(row_number() OVER (PARTITION BY tm.tier, pr.shard
+         |    ORDER BY pr.prio, s.doc_id) AS BIGINT) AS seq,
+         |  s.doc_id, s.n_tokens,
+         |  CAST(sum(s.n_tokens) OVER (PARTITION BY tm.tier, pr.shard
+         |    ORDER BY pr.prio, s.doc_id) AS BIGINT) AS cum_tokens
+         |FROM s JOIN tm USING (score) JOIN pr USING (doc_id)
+         |ORDER BY tier, shard, seq""".stripMargin
     },
     "e6_global_shuffle" -> {
       import OracleSql._

@@ -49,6 +49,76 @@ class Round9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e6_curriculum: schedule is self-consistent and never splits a score across tiers") {
+    val res = Sampling.e6Curriculum(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per (tier, shard): seq is dense 1..n and cum_tokens is the running
+    // sum of n_tokens in seq order
+    res.groupBy(t => (t._1, t._2)).foreach { case ((tier, shard), rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to rows.length).toSeq,
+        s"seq not dense in ($tier, $shard)")
+      var cum = 0L
+      for (r <- sorted) {
+        cum += r._5
+        assert(r._6 == cum, s"cum_tokens broken at ($tier, $shard, ${r._3})")
+      }
+    }
+    // tiers are the quality deciles: doc counts per tier within one
+    // histogram bucket of n/10 (equal scores stay together)
+    val n = res.length
+    val perTier = res.groupBy(_._1).view.mapValues(_.length)
+    assert(perTier.keys.max <= 10 && perTier.keys.min >= 1)
+    // and every doc appears exactly once
+    assert(res.map(_._4).distinct.length == n)
+  }
+
+  test("e6_curriculum: tier map broadcasts; both corpus windows ride ONE (tier, shard) exchange") {
+    val plan = finalPlan(Sampling.e6Curriculum(spark, TestSpark.sf001))
+    // exchange 1: the score histogram groupBy; exchange 2: the
+    // (tier, shard) window partitioning — rank and running sum share it
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "tier map should broadcast back onto the scan")
+  }
+
+  test("e7_dataset_diff: reconciles with the corpus and flags a re-crawled copy as stale") {
+    // fixture reconciliation: v1 + added partitions the corpus
+    val fx = Curation.e7DatasetDiff(spark, TestSpark.sf0001).collect()
+    val total = fx.map(r => r.getLong(1) + r.getLong(3)).sum
+    assert(total == graft.Tables.documents(spark, TestSpark.sf0001).count())
+    fx.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(3), "added_stale <= docs_added")
+      assert(r.getLong(6) <= r.getLong(4), "novel_tokens <= tokens_added")
+    }
+    // constructed corpus: an added doc that copies a v1 doc's text must
+    // count as stale, and its tokens must not count as novel
+    import spark.implicits._
+    val slots = (1L to 100L).toDF("doc_id")
+      .withColumn("sl", Sampling.slot(
+        org.apache.spark.sql.functions.col("doc_id"), Curation.ReleaseSalt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v1Id = slots.collectFirst { case (id, sl) if sl < 90 => id }.get
+    val addedId = slots.collectFirst { case (id, sl) if sl >= 90 => id }.get
+    val dir = TestSpark.tmpDir("dsdiff")
+    val base = "alpha beta gamma delta epsilon"
+    (1L to 100L).map { id =>
+      val text = if (id == addedId) base
+        else if (id == v1Id) base
+        else s"doc $id words ${"x " * (id % 7).toInt}".trim
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Curation.e7DatasetDiff(spark, dir).collect()
+      .find(_.getString(0) == "srcA").get
+    assert(row.getLong(5) >= 1L, "the copied added doc should be stale")
+    val staleTokens = base.split(" ").length.toLong
+    assert(row.getLong(6) <= row.getLong(4) - staleTokens,
+      "novel_tokens must exclude the stale doc's tokens")
+  }
+
   test("e2_mips: the 64-query sample rides a broadcast nested-loop; pairs are rank-pruned before the exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
