@@ -150,6 +150,71 @@ object Stateful {
     }
   }
 
+  final case class ShingleIn(source: String, h: Long)
+  final case class KmvSnapshot(source: String, ver: Long, m: Long,
+      kth: Long, est: Double)
+
+  /** E4p — streaming KMV cardinality sketch at ingest: per source, keep
+    * the KmvK smallest (unsigned) shingle hashes as documents ARRIVE —
+    * the streaming form of the batch e1_kmv_union/e1_kmv_global sketch
+    * builders. The mergeability law those batch planners rest on
+    * (k-smallest of a union ≡ k-smallest of the merged top-k sets,
+    * Round9OpsSpec) is exactly what makes the STREAMING maintenance
+    * correct: folding each micro-batch into the retained top-K converges
+    * to the batch sketch regardless of arrival order or batching —
+    * asserted sketch-for-sketch against the batch computation in
+    * StreamingSpec. State per source is K longs (fixed), so resident
+    * state is |sources|·K at ANY corpus size — the sketch discipline is
+    * what lets a 100 TB ingest keep a live "distinct content per source"
+    * scoreboard without a distinct aggregation's unbounded state. Emits
+    * a versioned snapshot per update; est uses the same (K−1)·2⁶⁴/h_K
+    * estimator as the batch planners (m < K means the set is exact). */
+  final case class KmvState(ver: Long, hs: Array[Long])
+
+  def updateKmv(k: Int)(source: String, rows: Iterator[ShingleIn],
+      state: GroupState[KmvState]): Iterator[KmvSnapshot] = {
+    val unsignedOrd: Ordering[Long] = Ordering.by((h: Long) => h ^ Long.MinValue)
+    val tk = scala.collection.mutable.TreeSet.empty[Long](unsignedOrd)
+    val prev = state.getOption.getOrElse(KmvState(0L, Array.empty[Long]))
+    prev.hs.foreach(tk += _)
+    rows.foreach { r =>
+      tk += r.h
+      if (tk.size > k) tk -= tk.last
+    }
+    val arr = tk.toArray
+    state.update(KmvState(prev.ver + 1, arr))
+    val m = arr.length
+    val kth = if (m == 0) 0L else arr.last
+    // unsigned long -> double, the batch planners' `ud` formulation
+    val ud =
+      if (kth < 0) kth.toDouble + math.pow(2, 64) else kth.toDouble
+    val est =
+      if (m < k) m.toDouble
+      else (k - 1).toDouble * math.pow(2, 64) / ud
+    Iterator.single(KmvSnapshot(source, prev.ver + 1, m.toLong, kth, est))
+  }
+
+  /** File-source document stream (one file per micro-batch) → scan-side
+    * shingle hashing (the same native expression as the batch chain) →
+    * per-source KMV state → memory sink in update mode; the latest row
+    * per source is the live sketch. */
+  def streamKmv(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String, k: Int): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[ShingleIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("source"), explode(array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), 3))).as("h"))
+      .as[ShingleIn]
+    rows
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateKmv(k))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source stream (one file per micro-batch, so winners are
     * maintained incrementally across arrivals) → per-source quota state →
     * memory sink in update mode. */

@@ -146,6 +146,52 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(want -- got).take(5)}")
   }
 
+  test("streaming KMV sketch converges to the batch sketch per source (E4p)") {
+    // the mergeability law (Round9OpsSpec) says folding micro-batches
+    // into the retained top-K converges to the batch sketch regardless
+    // of arrival order — prove it sketch-for-sketch over 4 micro-batches
+    val docsDir = TestSpark.tmpDir("kmvst") + "/documents.parquet"
+    graft.Tables.documents(spark, TestSpark.sf0001).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val K = graft.ops.Dedup.KmvK
+    val q = Stateful.streamKmv(spark, docsDir,
+      spark.read.parquet(docsDir).schema, "kmv_sink", K)
+    assert(q.awaitTermination(120000), "kmv stream did not finish in 120s")
+    val ups = spark.table("kmv_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(ups.nonEmpty)
+    val lastVer = ups.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(lastVer.values.max > 1, "corpus arrived in a single micro-batch")
+    val got = ups.collect {
+      case (s0, v, m, kth, est) if lastVer(s0) == v => s0 -> ((m, kth, est))
+    }.toMap
+    // batch twin computed independently over the same corpus
+    val pairs = spark.read.parquet(docsDir)
+      .select(col("source"), explode(array_distinct(
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), 3))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = pairs.groupBy(_._1).map { case (s0, rows) =>
+      val top = rows.map(_._2).distinct.sortBy(h => h ^ Long.MinValue).take(K)
+      val m = top.length.toLong
+      val kth = top.last
+      val ud = if (kth < 0) kth.toDouble + math.pow(2, 64) else kth.toDouble
+      val est =
+        if (m < K) m.toDouble else (K - 1).toDouble * math.pow(2, 64) / ud
+      s0 -> ((m, kth, est))
+    }
+    assert(got == want,
+      s"stream sketch diverges: ${got.toSet.diff(want.toSet).take(3)}")
+    // saturated sketches estimate within the KMV 3σ bound
+    pairs.groupBy(_._1).foreach { case (s0, rows) =>
+      val exact = rows.map(_._2).distinct.length.toDouble
+      if (got(s0)._1 == K)
+        assert(math.abs(got(s0)._3 / exact - 1.0) < 3.0 / math.sqrt(K.toDouble),
+          s"estimator off for $s0: ${got(s0)._3} vs $exact")
+    }
+  }
+
   test("flatMapGroupsWithState accumulates per-user state (custom state op)") {
     val q = Stateful.streamUserState(spark, stagedDir, schema, "state_sink")
     assert(q.awaitTermination(60000), "user-state stream did not finish in 60s")
