@@ -659,6 +659,79 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** MMR candidate-pool size and selection count — interpolated into
+    * both engines. λ is written as CAST(0.7 AS DOUBLE) on the oracle
+    * side so both engines score from the identical binary double. */
+  val MmrPool = 8
+  val MmrK = 3
+
+  /** E2 — MMR-DIVERSIFIED retrieval (maximal marginal relevance,
+    * Carbonell & Goldstein '98): for each sampled query, greedily pick
+    * MmrK of its top-MmrPool exact candidates maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s) — the re-ranking that
+    * turns "3 nearest neighbors" (often 3 near-copies of each other)
+    * into "3 nearest DISTINCT exemplars". In a training-data pipeline
+    * this is the few-shot/retrieval-augmentation selector: e2_semdedup
+    * removes redundancy from the CORPUS, MMR removes it from each
+    * RESULT LIST. Plan: the candidate stage is the shared sampled exact
+    * top-k (sample × label block, linear); everything after operates on
+    * |sample|·pool rows (512 here) — the greedy recursion is unrolled
+    * into MmrK dataframe stages (pick → anti-join → penalty join), each
+    * a join/window over the tiny candidate table, so no driver loop and
+    * no corpus work after the candidate scan. Candidate-to-candidate
+    * sims reuse the same index-ordered dot/norm fold as every cosine
+    * (bit-equal to list_cosine_similarity). EXACTNESS: λ·rel − (1−λ)·ps
+    * over 4-dp-rounded inputs lands EXACTLY on the 5th-decimal halfway
+    * grid, where the engines' double rounding diverges (caught by the
+    * bitwise gate at sf0.01) — so scoring runs in integer 1e-5 units
+    * (7·rel_i − 3·ps_i over exact ten-thousandth BIGINTs, the microMean
+    * discipline): comparisons, ties, and the emitted `mmr_e5` are all
+    * integer-exact in both engines. Pick 1's objective has no penalty
+    * term; its score is rel in the same units (10·rel_i). */
+  def e2Mmr(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cand = sampledExactTopK(s, d, MmrPool)
+      .select(col("vec_id").as("q"), col("other_id").as("c"),
+        round(col("sim") * 10000).cast("long").as("rel_i"))
+    val withE = cand.select("q", "c")
+      .join(e.select(col("vec_id").as("c"), col("embedding"), col("nrm")), "c")
+    val ps = withE.select(col("q"), col("c").as("ca"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(withE.select(col("q"), col("c").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "q")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("q"), col("ca"), col("cb"),
+        round(round(graft.functions.Vectors.dot(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 4) * 10000).cast("long").as("ps_i"))
+    def pick(scored: DataFrame, m: String): DataFrame = {
+      val ww = Window.partitionBy("q").orderBy(col(m).desc, col("c"))
+      scored.withColumn("rn", row_number().over(ww)).filter(col("rn") === 1)
+        .select(col("q"), col("c"), col(m).as("mmr_e5"))
+    }
+    val s1 = pick(cand.withColumn("m1", lit(10L) * col("rel_i")), "m1")
+    val rem1 = cand.join(s1.select("q", "c"), Seq("q", "c"), "left_anti")
+    val m2 = rem1.join(s1.select(col("q"), col("c").as("sx")), "q")
+      .join(ps.select(col("q"), col("ca").as("c"), col("cb").as("sx"),
+        col("ps_i")), Seq("q", "c", "sx"))
+      .withColumn("m2", lit(7L) * col("rel_i") - lit(3L) * col("ps_i"))
+    val s2 = pick(m2, "m2")
+    val rem2 = rem1.join(s2.select("q", "c"), Seq("q", "c"), "left_anti")
+    val sel = s1.select(col("q"), col("c").as("sx"))
+      .unionByName(s2.select(col("q"), col("c").as("sx")))
+    val m3 = rem2.join(sel, "q")
+      .join(ps.select(col("q"), col("ca").as("c"), col("cb").as("sx"),
+        col("ps_i")), Seq("q", "c", "sx"))
+      .groupBy("q", "c", "rel_i").agg(max(col("ps_i")).as("pen"))
+      .withColumn("m3", lit(7L) * col("rel_i") - lit(3L) * col("pen"))
+    val s3 = pick(m3, "m3")
+    s1.withColumn("pick", lit(1L))
+      .unionByName(s2.withColumn("pick", lit(2L)))
+      .unionByName(s3.withColumn("pick", lit(3L)))
+      .select(col("q").as("vec_id"), col("pick"), col("c").as("other_id"),
+        col("mmr_e5"))
+      .orderBy("vec_id", "pick")
+  }
+
   /** Prefix lengths for the dimension-ablation audit — interpolated into
     * BOTH engines. 64 is the full width (sanity row: agreement 100%). */
   val AblationDims = Seq(8, 16, 32, 64)
@@ -1431,6 +1504,7 @@ object Similarity {
     "e2_ann_pareto" -> (e2AnnPareto _),
     "e2_dim_ablation" -> (e2DimAblation _),
     "e2_mips" -> (e2Mips _),
+    "e2_mmr" -> (e2Mmr _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -1999,6 +2073,55 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
          |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    // MMR greedy selection unrolled into MmrK CTE stages over the
+    // sampled exact candidate pool; all scoring in integer 1e-5 units
+    // (7·rel_i − 3·ps_i) — λ·rel − (1−λ)·ps over 4-dp inputs lands on
+    // the halfway grid where double rounding diverges cross-engine
+    "e2_mmr" ->
+      s"""WITH $qselCtes,
+         |$sampledExactCte,
+         |cand AS (SELECT vec_id AS q, other_id AS c,
+         |  CAST(round(sim4 * 10000) AS BIGINT) AS rel_i
+         |  FROM exs WHERE rn <= $MmrPool),
+         |ce AS (SELECT cand.q, cand.c, e.embedding
+         |  FROM cand JOIN embeddings e ON cand.c = e.vec_id),
+         |ps AS MATERIALIZED (SELECT a.q, a.c AS ca, b.c AS cb,
+         |  CAST(round(round(list_cosine_similarity(
+         |    CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 4) * 10000) AS BIGINT) AS ps_i
+         |  FROM ce a JOIN ce b ON a.q = b.q AND a.c <> b.c),
+         |s1 AS (SELECT q, c, 10 * rel_i AS mmr_e5 FROM (
+         |  SELECT q, c, rel_i, row_number() OVER (PARTITION BY q
+         |    ORDER BY rel_i DESC, c) AS rn FROM cand) WHERE rn = 1),
+         |r1 AS (SELECT cand.q, cand.c, cand.rel_i FROM cand
+         |  LEFT JOIN s1 ON cand.q = s1.q AND cand.c = s1.c
+         |  WHERE s1.c IS NULL),
+         |m2 AS (SELECT r1.q, r1.c,
+         |  7 * r1.rel_i - 3 * ps.ps_i AS m
+         |  FROM r1 JOIN s1 ON r1.q = s1.q
+         |  JOIN ps ON ps.q = r1.q AND ps.ca = r1.c AND ps.cb = s1.c),
+         |s2 AS (SELECT q, c, m AS mmr_e5 FROM (
+         |  SELECT q, c, m, row_number() OVER (PARTITION BY q
+         |    ORDER BY m DESC, c) AS rn FROM m2) WHERE rn = 1),
+         |r2 AS (SELECT r1.q, r1.c, r1.rel_i FROM r1
+         |  LEFT JOIN s2 ON r1.q = s2.q AND r1.c = s2.c
+         |  WHERE s2.c IS NULL),
+         |sel AS (SELECT q, c FROM s1 UNION ALL SELECT q, c FROM s2),
+         |m3 AS (SELECT r2.q, r2.c,
+         |  7 * r2.rel_i - 3 * max(ps.ps_i) AS m
+         |  FROM r2 JOIN sel ON sel.q = r2.q
+         |  JOIN ps ON ps.q = r2.q AND ps.ca = r2.c AND ps.cb = sel.c
+         |  GROUP BY r2.q, r2.c, r2.rel_i),
+         |s3 AS (SELECT q, c, m AS mmr_e5 FROM (
+         |  SELECT q, c, m, row_number() OVER (PARTITION BY q
+         |    ORDER BY m DESC, c) AS rn FROM m3) WHERE rn = 1)
+         |SELECT vec_id, pick, other_id, CAST(mmr_e5 AS BIGINT) AS mmr_e5
+         |FROM (
+         |  SELECT q AS vec_id, CAST(1 AS BIGINT) AS pick, c AS other_id,
+         |    mmr_e5 FROM s1
+         |  UNION ALL SELECT q, CAST(2 AS BIGINT), c, mmr_e5 FROM s2
+         |  UNION ALL SELECT q, CAST(3 AS BIGINT), c, mmr_e5 FROM s3)
+         |ORDER BY vec_id, pick""".stripMargin,
     // e2_recall_at_k with both sides restricted to qsel before their
     // windows (per-query partitions: restrict-before ≡ restrict-after)
     "e2_recall_at_k_sampled" ->

@@ -49,6 +49,56 @@ class Round9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e2_mmr: independent greedy replica agrees, and diversification moves at least one pick") {
+    val rows = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val emb = rows.map(t => t._1 -> t._2).toMap
+    val lab = rows.map(t => t._1 -> t._3).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    // Spark round(_, 4) is BigDecimal HALF_UP — replicate, then exact
+    // ten-thousandth ints (the operator's scoring domain)
+    def relI(a: Long, b: Long): Long = math.round(
+      BigDecimal(cos(a, b)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 10000)
+    val res = Similarity.e2Mmr(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    var moved = 0
+    for ((q, picks) <- res) {
+      val cands = rows.map(_._1)
+        .filter(o => o != q && lab(o) == lab(q))
+        .map(o => (o, relI(q, o)))
+        .sortBy { case (o, r) => (-r, o) }.take(Similarity.MmrPool)
+      val byRel = cands.map(_._1).take(3).toSeq
+      val s1 = cands.maxBy { case (o, r) => (r, -o) }
+      var sel = List(s1._1)
+      var scores = List(10L * s1._2)
+      for (_ <- 2 to Similarity.MmrK if cands.length >= sel.length + 1) {
+        val rem = cands.filterNot(c => sel.contains(c._1))
+        val best = rem.map { case (o, r) =>
+          val pen = sel.map(sx => relI(o, sx)).max
+          (o, 7L * r - 3L * pen)
+        }.minBy { case (o, m) => (-m, o) }
+        sel = sel :+ best._1
+        scores = scores :+ best._2
+      }
+      val got = picks.sortBy(_._2).map(p => (p._3, p._4)).toSeq
+      assert(got == sel.zip(scores), s"greedy replica diverges for $q")
+      if (sel != byRel) moved += 1
+    }
+    assert(moved > 0,
+      "diversification never changed a pick list — MMR is vacuous on this fixture")
+  }
+
   test("e6_curriculum: schedule is self-consistent and never splits a score across tiers") {
     val res = Sampling.e6Curriculum(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
