@@ -1364,6 +1364,63 @@ object Similarity {
         round(max(col("pop")).cast("double") / avg(col("pop")), 4).as("skew"))
   }
 
+  /** E2 — IVF index REBALANCE: the maintenance pass an IVF deployment
+    * runs when ingest skews the cell population (e2_ivf_ingest holds
+    * seeds frozen — exactly the regime where hot cells emerge, and
+    * e2_ivf_stats is the monitor that detects them). A cell is HOT iff
+    * its population exceeds 2× the mean (compared in exact integer
+    * cross-multiplied form: n·|cells| > 2·total); each hot cell is SPLIT
+    * between two deterministic sub-seeds — its two members ranked first
+    * by (splitmix64(vec_id), vec_id), the same ordering discipline that
+    * chose the original ivfSeeds — and only the hot cells' members are
+    * re-assigned (argmax cosine to the two sub-seeds). Emits the
+    * rebalance report: one row per FINAL cell (sub_cell = cell for
+    * untouched cells) with before/after populations — what an index
+    * operator reviews before swapping the index generation in. Plan: the
+    * same broadcast-seed assign as every IVF pass; sizes are a
+    * |cells|-key aggregate; sub-seed election is one window over hot
+    * members only; re-assignment joins hot members to the broadcast
+    * (≤2·|hot|)-row sub-seed table — nothing pairwise, vectors never
+    * shuffle, report bounded by |cells|. */
+  def e2IvfRebalance(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
+    val build = ivfAssigned(e, seeds, 1)
+    val sizes = build.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val tot = sizes.agg(count(lit(1)).as("n_cells"),
+      sum(col("n_before")).as("n_total"))
+    val flagged = sizes.crossJoin(broadcast(tot))
+      .withColumn("hot",
+        col("n_before") * col("n_cells") > lit(2L) * col("n_total"))
+      .select("cell", "n_before", "hot")
+    val hotMembers = build
+      .join(flagged.filter(col("hot")).select("cell"), "cell")
+    val wSub = Window.partitionBy("cell")
+      .orderBy(org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("vec_id")), col("vec_id"))
+    val subSeeds = hotMembers
+      .withColumn("srn", row_number().over(wSub)).filter(col("srn") <= 2)
+      .select(col("cell"), col("vec_id").as("sub_cell"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("s_sim").desc, col("sub_cell"))
+    val reassigned = hotMembers.join(broadcast(subSeeds), "cell")
+      .withColumn("s_sim",
+        graft.functions.Vectors.dot(col("embedding"), col("s_emb")) /
+          (col("nrm") * col("s_nrm")))
+      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      .groupBy(col("cell"), col("sub_cell"))
+      .agg(count(lit(1)).as("n_after"))
+    val untouched = flagged.filter(!col("hot"))
+      .select(col("cell"), col("cell").as("sub_cell"),
+        col("n_before").as("n_after"))
+    flagged.select("cell", "n_before")
+      .join(untouched.select("cell", "sub_cell", "n_after")
+        .unionByName(reassigned), "cell")
+      .select(col("cell"), col("n_before"), col("sub_cell"), col("n_after"))
+      .orderBy("cell", "sub_cell")
+  }
+
   /** Cosine threshold above which two vectors in the same cell are
     * semantic duplicates — interpolated into BOTH engines. Matches the
     * e2_embedding_neardup threshold so the two passes are comparable. */
@@ -1505,6 +1562,7 @@ object Similarity {
     "e2_dim_ablation" -> (e2DimAblation _),
     "e2_mips" -> (e2Mips _),
     "e2_mmr" -> (e2Mmr _),
+    "e2_ivf_rebalance" -> (e2IvfRebalance _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -2122,6 +2180,36 @@ object Similarity {
          |  UNION ALL SELECT q, CAST(2 AS BIGINT), c, mmr_e5 FROM s2
          |  UNION ALL SELECT q, CAST(3 AS BIGINT), c, mmr_e5 FROM s3)
          |ORDER BY vec_id, pick""".stripMargin,
+    // ivf rebalance: hot-cell detection in cross-multiplied integer
+    // form, sub-seed election by the same (mix64, vec_id) order as the
+    // original seeds (mx comes from ivfCtes), in-cell re-assignment
+    "e2_ivf_rebalance" ->
+      s"""WITH ${ivfCtes(1)},
+         |sizes AS (SELECT cell, count(*) AS n_before FROM build GROUP BY cell),
+         |tot AS (SELECT count(*) AS n_cells, sum(n_before) AS n_total
+         |  FROM sizes),
+         |flagged AS (SELECT cell, n_before,
+         |  (n_before * n_cells > 2 * n_total) AS hot FROM sizes, tot),
+         |hm AS (SELECT b.vec_id, b.e, b.cell FROM build b
+         |  JOIN flagged f ON b.cell = f.cell AND f.hot),
+         |sub AS (SELECT cell, vec_id AS sub_cell, e AS se FROM (
+         |  SELECT hm.cell, hm.vec_id, hm.e, row_number() OVER (
+         |    PARTITION BY hm.cell ORDER BY mx.m, hm.vec_id) AS srn
+         |  FROM hm JOIN mx ON hm.vec_id = mx.vec_id) WHERE srn <= 2),
+         |re AS (SELECT cell, sub_cell, count(*) AS n_after FROM (
+         |  SELECT hm.cell, s.sub_cell, row_number() OVER (
+         |    PARTITION BY hm.vec_id
+         |    ORDER BY list_cosine_similarity(hm.e, s.se) DESC, s.sub_cell)
+         |    AS arn
+         |  FROM hm JOIN sub s ON hm.cell = s.cell) WHERE arn = 1
+         |  GROUP BY cell, sub_cell),
+         |fin AS (SELECT cell, cell AS sub_cell, n_before AS n_after
+         |  FROM flagged WHERE NOT hot
+         |  UNION ALL SELECT cell, sub_cell, n_after FROM re)
+         |SELECT f.cell, CAST(f.n_before AS BIGINT) AS n_before,
+         |  fin.sub_cell, CAST(fin.n_after AS BIGINT) AS n_after
+         |FROM flagged f JOIN fin ON f.cell = fin.cell
+         |ORDER BY f.cell, fin.sub_cell""".stripMargin,
     // e2_recall_at_k with both sides restricted to qsel before their
     // windows (per-query partitions: restrict-before ≡ restrict-after)
     "e2_recall_at_k_sampled" ->

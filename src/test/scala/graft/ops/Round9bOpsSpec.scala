@@ -99,6 +99,53 @@ class Round9bOpsSpec extends AnyFunSuite {
       "diversification never changed a pick list — MMR is vacuous on this fixture")
   }
 
+  test("e2_ivf_rebalance: a constructed hot cell splits between its two mix64-first members; population is conserved") {
+    // the fixture's splitmix-seeded cells are balanced (no hot cells at
+    // any sf — the report is all-identity rows there), so the split path
+    // needs a skewed corpus: 160 of 200 vectors point the same way and
+    // collapse into one cell
+    import spark.implicits._
+    val dim = 8
+    def v(main: Int, eps: Double, at: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(main) = 1.0f
+      a(at % dim) = a(at % dim) + eps.toFloat
+      a
+    }
+    val rows = (1L to 200L).map { id =>
+      val e =
+        if (id <= 160L) v(0, 0.001 * (id % 40 + 1), (id % 7).toInt + 1)
+        else v((id % 7).toInt + 1, 0.0, 0)
+      (id, e.toSeq, (id % 10).toInt)
+    }
+    val dir = TestSpark.tmpDir("ivfreb")
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = Similarity.e2IvfRebalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // population conserved overall and per cell
+    assert(res.map(_._4).sum == 200L)
+    res.groupBy(_._1).foreach { case (cell, rs) =>
+      assert(rs.map(_._4).sum == rs.head._2,
+        s"population not conserved in cell $cell")
+    }
+    // the hot cell (>2x mean) split into exactly two sub-cells
+    val split = res.filter(r => r._1 != r._3)
+    assert(split.nonEmpty, "no cell split — the constructed skew failed")
+    val hotCells = split.map(_._1).distinct
+    hotCells.foreach { c =>
+      val subs = res.filter(_._1 == c)
+      assert(subs.length == 2, s"hot cell $c has ${subs.length} sub-cells")
+      assert(subs.map(_._4).sum == subs.head._2)
+    }
+    // identity rows for every non-hot cell
+    res.filterNot(r => hotCells.contains(r._1)).foreach { r =>
+      assert(r._1 == r._3 && r._2 == r._4)
+    }
+  }
+
   test("e6_curriculum: schedule is self-consistent and never splits a score across tiers") {
     val res = Sampling.e6Curriculum(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
