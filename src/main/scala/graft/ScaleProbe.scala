@@ -124,9 +124,14 @@ object ScaleProbe {
       "e2_dim_ablation_sampled", "e1_lsh_curve_sampled",
       "e1_contamination13", "e2_semdedup_clusters",
       "e1_incremental_clusters", "e1_kmv_union", "e5_video_neardup", "e8_embed_drift", "e1_kmv_global",
-      // round 9 continuation: all four are linear by construction
-      // (sample × corpus, vocabulary-bounded, or scan + tiny joins)
-      "e2_mips", "e1_source_novelty", "e6_curriculum", "e7_dataset_diff")
+      // round 9 continuation: e2_mips/e1_source_novelty/e6_curriculum/
+      // e7_dataset_diff/e2_mmr are linear by construction (sample ×
+      // corpus, vocabulary-bounded, or scan + tiny joins);
+      // e2_ivf_rebalance and e8_source_divergence follow the declared
+      // superlinear-but-bounded models (n·√n IVF assign; vocab-keyed
+      // join) — measured, not assumed
+      "e2_mips", "e1_source_novelty", "e6_curriculum", "e7_dataset_diff",
+      "e2_mmr", "e2_ivf_rebalance", "e8_source_divergence")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1037,7 +1037,50 @@ object Analysis {
           round(col("swnt") / col("n_eff").cast("double"), 4)).as("mean_tokens"))
       .orderBy("r")
 
+  /** E8 — per-source DISTRIBUTION divergence from the corpus: total
+    * variation distance between each source's unigram distribution and
+    * the corpus-wide one — the domain-shift number a mixture planner
+    * reads next to e7_source_stats (same doc counts, different
+    * vocabulary usage = a source that will skew the model). TVD instead
+    * of KL/JS deliberately: divergences need log(), whose cross-engine
+    * bit behavior is unpinned (libm vs JVM StrictMath) — the repo's
+    * e3_lm_score precedent — while TVD over integer counts is EXACT:
+    * ½·Σ_t |c_s(t)/N_s − c(t)/N| = (Σ_present |c_s·N − c·N_s| +
+    * N_s·(N − Σ_present c)) / (2·N_s·N), every term integer (the absent-
+    * token mass folds into one closed form, so per-source work is the
+    * SOURCE's vocabulary — never |vocab|×|sources|), with ONE final
+    * integer→double division, IEEE-identical cross-engine. Bound: needs
+    * N_s·N < 2⁶² (Σ terms ≤ 2·N_s·N); at trillion-token corpora the
+    * same identity runs over DECIMAL(38,0)/HUGEINT sums. Plan: two
+    * tokenize scans feed the (source,token) and token count aggregates;
+    * N_s and N REUSE those aggregates' exchanges (ReusedExchange, plan-
+    * asserted) rather than re-scanning, N_s/N ride broadcasts back, and
+    * the st⋈ct join is vocabulary-keyed with NO forced broadcast — at
+    * 100 TB vocabularies it degrades to a shuffled hash join on the
+    * token key, never a corpus shuffle (tokens cross as partial counts,
+    * map-side combined). */
+  def e8SourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val ns = st.groupBy("source")
+      .agg(sum(col("cs")).as("n_s"), count(lit(1)).as("vocab"))
+    val nt = ct.agg(sum(col("c")).as("n"))
+    st.join(ct, "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy(col("source"), col("n_s"), col("vocab"), col("n"))
+      .agg(sum(abs(col("cs") * col("n") - col("c") * col("n_s"))).as("psum"),
+        sum(col("c")).as("pc"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        round((col("psum") + col("n_s") * (col("n") - col("pc"))) /
+          (lit(2.0) * col("n_s") * col("n")), 4).as("tvd"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_source_divergence" -> (e8SourceDivergence _),
     "e8_kanon" -> (e8Kanon _),
     "e8_bootstrap" -> (e8Bootstrap _),
     "e8_concentration" -> (e8Concentration _),
@@ -1086,6 +1129,25 @@ object Analysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // sparse-TVD identity in exact integer arithmetic; one final
+    // integer->double division (see e8SourceDivergence Scaladoc)
+    "e8_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |st AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY source, t),
+        |ct AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s,
+        |  count(*) AS vocab FROM st GROUP BY source),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        |pr AS (SELECT st.source, ns.n_s, ns.vocab, nt.n,
+        |  CAST(sum(abs(st.cs * nt.n - ct.c * ns.n_s)) AS BIGINT) AS psum,
+        |  CAST(sum(ct.c) AS BIGINT) AS pc
+        |  FROM st JOIN ct USING (t) JOIN ns USING (source), nt
+        |  GROUP BY st.source, ns.n_s, ns.vocab, nt.n)
+        |SELECT source, n_s AS n_tokens, vocab,
+        |  round((psum + n_s * (n - pc)) /
+        |    (CAST(2 AS DOUBLE) * n_s * n), 4) AS tvd
+        |FROM pr ORDER BY source""".stripMargin,
     "e8_kanon" ->
       s"""WITH q AS (SELECT lang, source, n_chars // 200 AS len_bucket,
          |    count(*) AS g

@@ -365,4 +365,55 @@ class AnalysisSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(5) > 0) &&
       rows.exists(r => r.getLong(5) < r.getLong(1)))
   }
+
+  test("e8_source_divergence: equals a BigInt replica of the sparse-TVD identity; bounds hold") {
+    val rows = Analysis.e8SourceDivergence(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent replica: full-union TVD per source in exact integer
+    // arithmetic (the operator computes the algebraically-folded sparse
+    // form; the replica sums |cs*N - c*Ns| over the WHOLE corpus vocab,
+    // absent tokens contributing c*Ns each — same value iff the fold is
+    // right). Tokenizer matches split(text, ' '): -1 limit keeps empties.
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    for ((src, text) <- docs; t <- text.split(" ", -1))
+      counts((src, t)) = counts.getOrElse((src, t), 0L) + 1L
+    val corpus = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nTotal = corpus.values.sum
+    val bySource = counts.groupBy(_._1._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = bySource(src).map { case ((_, t), c) => t -> c }.toMap
+      val nS = mine.values.sum
+      assert(r.getLong(1) == nS, s"n_tokens mismatch for $src")
+      assert(r.getLong(2) == mine.size, s"vocab mismatch for $src")
+      val num = corpus.iterator.map { case (t, c) =>
+        (BigInt(mine.getOrElse(t, 0L)) * nTotal - BigInt(c) * nS).abs
+      }.sum
+      val tvd = BigDecimal(num) / (BigDecimal(2) * nS * nTotal)
+      val want = tvd.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"tvd mismatch for $src: got ${r.getDouble(3)}, want $want")
+      assert(want >= 0.0 && want <= 1.0)
+    }
+  }
+
+  test("e8_source_divergence: N_s/N reuse the count aggregates' exchanges — two scans, no corpus shuffle") {
+    val df = Analysis.e8SourceDivergence(spark, TestSpark.sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // st and ct each scan once; ns/nt must NOT re-scan (they fold the
+    // aggregates' own exchanges — at 100 TB a third/fourth tokenize scan
+    // doubles the dominant cost)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"expected exactly 2 scans (ns/nt must ReusedExchange):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"N_s/N should reuse the count aggregates' exchanges:\n$plan")
+    // every hash exchange carries token/source count keys, never raw text:
+    // the corpus crosses the wire only as (source, t) partial counts
+    val badEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(l => l.contains("t#") || l.contains("source#")).toSeq
+    assert(badEx.isEmpty, s"unexpected exchange keys:\n${badEx.mkString("\n")}")
+  }
 }
