@@ -903,6 +903,50 @@ object Analysis {
           .as("closure"))
   }
 
+  /** Fixed output size for the link-prediction candidate list. */
+  val LinkPredK = 50
+
+  /** E9 — LINK PREDICTION over the near-dup graph by common-neighbor
+    * Jaccard (Liben-Nowell & Kleinberg 2003, the standard baseline): for
+    * every NON-adjacent doc pair two hops apart, the overlap of their
+    * neighbor sets. In a dedup pipeline this is the RECALL-REPAIR list:
+    * two docs that independently matched the same third documents but
+    * not each other are exactly the borderline pairs LSH banding loses
+    * (similarity under the band threshold) — an operator reviews the
+    * top of this table to decide whether to add bands or lower the
+    * threshold, and e1_lsh_curve prices that dial. Jaccard =
+    * cn/(deg_a + deg_b − cn) is exact (adjacent pairs are anti-joined
+    * out, so the union never double-counts the endpoints); one integer
+    * ratio → IEEE-identical. Plan: everything is PAIR-TABLE-sized —
+    * wedge generation is the e9_triangles self-join (Σdeg² bounded by
+    * the upstream df/hot-block caps), candidates anti-join the edge
+    * list, degrees ride two broadcasts, and the fixed-K output is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort. */
+  def e9LinkPred(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val e = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cand = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .groupBy(col("e1.src").as("doc_a"), col("e2.dst").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(p, col("doc_a") === col("da") && col("doc_b") === col("db"),
+        "left_anti")
+    cand
+      .join(broadcast(deg.as("d1")), col("doc_a") === col("d1.id"))
+      .join(broadcast(deg.as("d2")), col("doc_b") === col("d2.id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("d1.deg").as("deg_a"), col("d2.deg").as("deg_b"),
+        round(col("common") /
+          (col("d1.deg") + col("d2.deg") - col("common")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("common").desc, col("doc_a"),
+        col("doc_b"))
+      .limit(LinkPredK)
+  }
+
   /** E8 — hour-of-week seasonality profile: the 7×24 activity heatmap
     * (events and distinct users per weekday-hour cell, plus each cell's
     * share of all traffic) — the baseline behind bot detection (humans
@@ -1059,6 +1103,55 @@ object Analysis {
     * 100 TB vocabularies it degrades to a shuffled hash join on the
     * token key, never a corpus shuffle (tokens cross as partial counts,
     * map-side combined). */
+  /** E8 — per-label embedding CENTROID SHIFT between releases: did the
+    * embedding pipeline move between what shipped (v1: the same
+    * deterministic 90% gate as e7_dataset_diff, on vec_id with the same
+    * ReleaseSalt) and the arriving batch (v2: the other 10%)? A model /
+    * preprocessing change shows up as every label's centroid moving; a
+    * content shift moves only the affected labels — read next to
+    * e8_embed_drift (distribution-shape KS on one projection), this is
+    * the MEAN-vector component of the same monitor. Exactness: the
+    * per-dim mean difference |m1/n1 − m2/n2| is cross-multiplied to the
+    * integer |m1·n2 − m2·n1| over micro-quantized coordinates
+    * (floor(x·1e6 + 0.5), the microMean discipline), summed exactly, with
+    * ONE final integer→double division per label — no per-dim float
+    * accumulation to diverge cross-engine. L1 and L∞ both emitted (L1 =
+    * total drift mass, L∞ = worst single coordinate — a spiked L∞ with
+    * flat L1 is one broken feature, not a retrain). Bound: |m1·n2| ≤
+    * n1·n2·10^7 must stay < 2^63 — fine to ~10^5 vectors per label-side
+    * at |x| ≤ 10; beyond that the identical identity runs over
+    * DECIMAL(38,0)/HUGEINT. Labels missing a side are dropped (a v2-only
+    * label has no baseline to drift FROM — it is e7_dataset_diff's
+    * novelty row instead). Plan: gate + micro-quantize are scan-side on
+    * the posexplode, the (label, dim) aggregate partial-combines
+    * map-side (k·64 keys cross the wire), then a k-key fold — one
+    * exchange of fixed-size rows at any corpus size. */
+  def e8CentroidShift(s: SparkSession, d: String): DataFrame = {
+    val pr = embeddings(s, d)
+      .select(col("label").cast("int").as("label"),
+        when(Sampling.slot(col("vec_id"), Curation.ReleaseSalt) < 90, 1L)
+          .otherwise(0L).as("inv1"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("mic",
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    pr.groupBy("label", "dim")
+      .agg(sum(when(col("inv1") === 1L, col("mic")).otherwise(0L)).as("m1"),
+        sum(col("inv1")).as("c1"),
+        sum(when(col("inv1") === 0L, col("mic")).otherwise(0L)).as("m2"),
+        sum(lit(1L) - col("inv1")).as("c2"))
+      .groupBy("label")
+      .agg(max(col("c1")).as("n_v1"), max(col("c2")).as("n_v2"),
+        sum(abs(col("m1") * col("c2") - col("m2") * col("c1"))).as("num"),
+        max(abs(col("m1") * col("c2") - col("m2") * col("c1"))).as("mx"))
+      .filter(col("n_v1") > 0 && col("n_v2") > 0)
+      .select(col("label"), col("n_v1"), col("n_v2"),
+        round(col("num").cast("double") /
+          (col("n_v1") * col("n_v2")).cast("double"), 4).as("l1_shift_micro"),
+        round(col("mx").cast("double") /
+          (col("n_v1") * col("n_v2")).cast("double"), 4).as("linf_shift_micro"))
+      .orderBy("label")
+  }
+
   def e8SourceDivergence(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
@@ -1080,6 +1173,7 @@ object Analysis {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_centroid_shift" -> (e8CentroidShift _),
     "e8_source_divergence" -> (e8SourceDivergence _),
     "e8_kanon" -> (e8Kanon _),
     "e8_bootstrap" -> (e8Bootstrap _),
@@ -1097,6 +1191,7 @@ object Analysis {
     "e9_degrees" -> (e9Degrees _),
     "e9_kcore" -> (e9Kcore _),
     "e9_triangles" -> (e9Triangles _),
+    "e9_link_pred" -> (e9LinkPred _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
@@ -1129,6 +1224,43 @@ object Analysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // cross-multiplied integer centroid-shift identity over micro-
+    // quantized coordinates; one final integer->double division per
+    // label (see e8CentroidShift Scaladoc); same ReleaseSalt gate as
+    // e7_dataset_diff
+    "e8_centroid_shift" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(graft.ops.Curation.ReleaseSalt)
+      s"""WITH cs_in AS (SELECT CAST(label AS INT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS e,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM embeddings),
+         |${mixCtes("cs", "q0", "qm", Seq("label", "e"))},
+         |gate AS (SELECT label, e,
+         |  CASE WHEN (qm % CAST(power(2, 63) AS HUGEINT)) % 100 < 90
+         |    THEN 1 ELSE 0 END AS inv1 FROM cs),
+         |px AS (SELECT label, inv1, i.range AS dim,
+         |  CAST(floor(e[CAST(i.range + 1 AS INT)] * 1000000.0 + 0.5)
+         |    AS BIGINT) AS mic
+         |  FROM gate, range(0, 64) i),
+         |ag AS (SELECT label, dim,
+         |  sum(CASE WHEN inv1 = 1 THEN mic ELSE 0 END) AS m1,
+         |  sum(inv1) AS c1,
+         |  sum(CASE WHEN inv1 = 0 THEN mic ELSE 0 END) AS m2,
+         |  sum(1 - inv1) AS c2
+         |  FROM px GROUP BY 1, 2)
+         |SELECT label, CAST(max(c1) AS BIGINT) AS n_v1,
+         |  CAST(max(c2) AS BIGINT) AS n_v2,
+         |  round(CAST(sum(abs(m1 * c2 - m2 * c1)) AS DOUBLE) /
+         |    CAST(CAST(max(c1) AS BIGINT) * CAST(max(c2) AS BIGINT)
+         |      AS DOUBLE), 4) AS l1_shift_micro,
+         |  round(CAST(max(abs(m1 * c2 - m2 * c1)) AS DOUBLE) /
+         |    CAST(CAST(max(c1) AS BIGINT) * CAST(max(c2) AS BIGINT)
+         |      AS DOUBLE), 4) AS linf_shift_micro
+         |FROM ag GROUP BY label
+         |HAVING max(c1) > 0 AND max(c2) > 0
+         |ORDER BY label""".stripMargin
+    },
     // sparse-TVD identity in exact integer arithmetic; one final
     // integer->double division (see e8SourceDivergence Scaladoc)
     "e8_source_divergence" ->
@@ -1307,6 +1439,26 @@ object Analysis {
          |$lpCtes
          |SELECT v AS doc_id, lab AS community
          |FROM l$LpIters ORDER BY doc_id""".stripMargin,
+    // common-neighbor Jaccard over the pair graph; adjacency anti-joined
+    // out so the union identity deg_a + deg_b - common is exact
+    "e9_link_pred" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp2
+         |  UNION ALL SELECT db, da FROM mhp2),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |cn AS (SELECT e1.src AS doc_a, e2.dst AS doc_b, count(*) AS common
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT cn.* FROM cn
+         |  LEFT JOIN mhp2 m ON cn.doc_a = m.da AND cn.doc_b = m.db
+         |  WHERE m.da IS NULL)
+         |SELECT doc_a, doc_b, common, d1.deg AS deg_a, d2.deg AS deg_b,
+         |  round(common / CAST(d1.deg + d2.deg - common AS DOUBLE), 4)
+         |    AS jaccard
+         |FROM cand JOIN deg d1 ON doc_a = d1.id JOIN deg d2 ON doc_b = d2.id
+         |ORDER BY jaccard DESC, common DESC, doc_a, doc_b
+         |LIMIT $LinkPredK""".stripMargin,
     "e9_modularity" ->
       // mhp is referenced 4× (mm, deg twice via UNION ALL, intra) and
       // l$LpIters 3× — both AS MATERIALIZED snapshots (mhp2/lab2) so

@@ -1408,6 +1408,11 @@ object Similarity {
       .withColumn("s_sim",
         graft.functions.Vectors.dot(col("embedding"), col("s_emb")) /
           (col("nrm") * col("s_nrm")))
+      // narrow BEFORE the per-vector argmax exchange: the rank window
+      // repartitions by vec_id, and without this projection every
+      // exchanged row still carries the member embedding plus the
+      // sub-seed array (~30× the bytes of the 4 scored columns)
+      .select(col("cell"), col("vec_id"), col("sub_cell"), col("s_sim"))
       .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       .groupBy(col("cell"), col("sub_cell"))
       .agg(count(lit(1)).as("n_after"))
@@ -1419,6 +1424,64 @@ object Similarity {
         .unionByName(reassigned), "cell")
       .select(col("cell"), col("n_before"), col("sub_cell"), col("n_after"))
       .orderBy("cell", "sub_cell")
+  }
+
+  /** E2 — IVF index MERGE: the other half of index maintenance
+    * (e2_ivf_rebalance splits hot cells; this folds COLD ones away). A
+    * cell whose population has drained below HALF the mean — deletes,
+    * re-assignment after a split, or a seed that landed in a sparse
+    * region — wastes a probe: every query that lands there scans almost
+    * nothing, so its members belong with their nearest healthy cell.
+    * Rule: a cell is COLD iff 2·pop·|cells| < total (exact
+    * cross-multiplied integers, the rebalance discipline); each cold
+    * cell is merged into the nearest NON-cold cell by seed-seed cosine
+    * (ties → lower cell id; a non-cold cell always exists because some
+    * cell sits at ≥ the mean). Emits one row per ORIGINAL cell:
+    * population before, cold flag, destination (itself when kept), and
+    * the destination's post-merge population — the review table before
+    * swapping index generations, like the rebalance report. Plan: the
+    * same broadcast-seed assign as every IVF pass for sizes; cold
+    * detection is a |cells|-key aggregate; the nearest-seed search is
+    * cold-seeds × warm-seeds — BOTH bounded by √n, so the pairwise step
+    * is ≤ n work on √n-sized inputs with the warm side broadcast; the
+    * post-merge populations are a second |cells|-key fold. The corpus
+    * vectors never move: only seed rows (√n) are compared pairwise. */
+  def e2IvfMerge(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val seeds = ivfSeeds(s, d, e)
+    val sizes = ivfAssigned(e, seeds, 1)
+      .groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val tot = sizes.agg(count(lit(1)).as("n_cells"),
+      sum(col("n_before")).as("n_total"))
+    val flagged = sizes.crossJoin(broadcast(tot))
+      .withColumn("cold",
+        lit(2L) * col("n_before") * col("n_cells") < col("n_total"))
+      .select("cell", "n_before", "cold")
+    val sf = seeds.join(broadcast(flagged.select("cell", "cold")), "cell")
+    val coldSeeds = sf.filter(col("cold"))
+      .select(col("cell"), col("c_emb"), col("c_nrm"))
+    val warmSeeds = sf.filter(!col("cold"))
+      .select(col("cell").as("t_cell"), col("c_emb").as("t_emb"),
+        col("c_nrm").as("t_nrm"))
+    val wNear = Window.partitionBy("cell")
+      .orderBy(col("s_sim").desc, col("t_cell"))
+    val mapped = coldSeeds.crossJoin(broadcast(warmSeeds))
+      .withColumn("s_sim",
+        graft.functions.Vectors.dot(col("c_emb"), col("t_emb")) /
+          (col("c_nrm") * col("t_nrm")))
+      // narrow before the per-cold-cell argmax exchange (the scored
+      // pairs otherwise carry both seed embeddings through the shuffle)
+      .select(col("cell"), col("t_cell"), col("s_sim"))
+      .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+      .select(col("cell"), col("t_cell").as("target"))
+    val routed = flagged.join(mapped, Seq("cell"), "left")
+      .withColumn("target", coalesce(col("target"), col("cell")))
+    val after = routed.groupBy("target").agg(sum(col("n_before")).as("n_after"))
+    routed.join(broadcast(after), "target")
+      .select(col("cell"), col("n_before"),
+        when(col("cold"), 1L).otherwise(0L).as("cold"),
+        col("target").as("merged_into"), col("n_after"))
+      .orderBy("cell")
   }
 
   /** Cosine threshold above which two vectors in the same cell are
@@ -1563,6 +1626,7 @@ object Similarity {
     "e2_mips" -> (e2Mips _),
     "e2_mmr" -> (e2Mmr _),
     "e2_ivf_rebalance" -> (e2IvfRebalance _),
+    "e2_ivf_merge" -> (e2IvfMerge _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -2210,6 +2274,35 @@ object Similarity {
          |  fin.sub_cell, CAST(fin.n_after AS BIGINT) AS n_after
          |FROM flagged f JOIN fin ON f.cell = fin.cell
          |ORDER BY f.cell, fin.sub_cell""".stripMargin,
+    // ivf merge: cold-cell detection in cross-multiplied integer form,
+    // nearest warm seed by seed-seed cosine (seeds come from ivfCtes),
+    // post-merge populations as a second |cells|-key fold
+    "e2_ivf_merge" ->
+      s"""WITH ${ivfCtes(1)},
+         |sizes AS (SELECT cell, count(*) AS n_before FROM build GROUP BY cell),
+         |tot AS (SELECT count(*) AS n_cells, sum(n_before) AS n_total
+         |  FROM sizes),
+         |flagged AS (SELECT cell, n_before,
+         |  (2 * n_before * n_cells < n_total) AS cold FROM sizes, tot),
+         |cs AS (SELECT s.cell, s.ce FROM seeds s
+         |  JOIN flagged f ON s.cell = f.cell AND f.cold),
+         |ws AS (SELECT s.cell AS t_cell, s.ce AS te FROM seeds s
+         |  JOIN flagged f ON s.cell = f.cell AND NOT f.cold),
+         |mapped AS (SELECT cell, t_cell AS target FROM (
+         |  SELECT cs.cell, ws.t_cell, row_number() OVER (PARTITION BY cs.cell
+         |    ORDER BY list_cosine_similarity(cs.ce, ws.te) DESC, ws.t_cell)
+         |    AS rn
+         |  FROM cs, ws) WHERE rn = 1),
+         |routed AS (SELECT f.cell, f.n_before, f.cold,
+         |  coalesce(m.target, f.cell) AS target
+         |  FROM flagged f LEFT JOIN mapped m ON f.cell = m.cell),
+         |aft AS (SELECT target, sum(n_before) AS n_after
+         |  FROM routed GROUP BY target)
+         |SELECT r.cell, CAST(r.n_before AS BIGINT) AS n_before,
+         |  CAST(CASE WHEN r.cold THEN 1 ELSE 0 END AS BIGINT) AS cold,
+         |  r.target AS merged_into, CAST(a.n_after AS BIGINT) AS n_after
+         |FROM routed r JOIN aft a ON r.target = a.target
+         |ORDER BY r.cell""".stripMargin,
     // e2_recall_at_k with both sides restricted to qsel before their
     // windows (per-query partitions: restrict-before ≡ restrict-after)
     "e2_recall_at_k_sampled" ->

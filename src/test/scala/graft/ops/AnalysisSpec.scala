@@ -366,6 +366,94 @@ class AnalysisSpec extends AnyFunSuite {
       rows.exists(r => r.getLong(5) < r.getLong(1)))
   }
 
+  test("e8_centroid_shift: equals a BigInt replica; a constructed one-coordinate shift spikes L-inf on that dim alone") {
+    // replica on the natural fixture
+    val rows = Analysis.e8CentroidShift(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val slots = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Sampling.slot(col("vec_id"), Curation.ReleaseSalt).as("sl"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(3) < 90,
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)))
+    val byLabel = slots.groupBy(_._1)
+    rows.foreach { r =>
+      val grp = byLabel(r.getInt(0))
+      val v1 = grp.filter(_._2).map(_._3)
+      val v2 = grp.filterNot(_._2).map(_._3)
+      assert(r.getLong(1) == v1.length && r.getLong(2) == v2.length)
+      val dims = grp.head._3.length
+      val terms = (0 until dims).map { i =>
+        (BigInt(v1.map(_(i)).sum) * v2.length -
+          BigInt(v2.map(_(i)).sum) * v1.length).abs
+      }
+      def q(x: BigInt): Double =
+        (BigDecimal(x) / (BigDecimal(v1.length) * v2.length))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == q(terms.sum), s"l1 mismatch for ${r.getInt(0)}")
+      assert(r.getDouble(4) == q(terms.max), s"linf mismatch for ${r.getInt(0)}")
+    }
+    // constructed drift: v2 cohort shifted +0.5 on coordinate 0 only →
+    // linf ≈ l1 ≈ 500000 micro (the single moved coordinate dominates)
+    import spark.implicits._
+    val dim = 8
+    val fx = (1L to 400L).map { id =>
+      val base = Array.tabulate(dim)(i => ((id + i) % 5).toFloat / 10f)
+      (id, base.toSeq, 1)
+    }
+    val dir = TestSpark.tmpDir("censhift")
+    fx.toDF("vec_id", "embedding", "label")
+      .withColumn("sl", Sampling.slot(col("vec_id"), Curation.ReleaseSalt))
+      .selectExpr("vec_id",
+        // the v2 cohort (slot >= 90) gets +0.5 on coordinate 0
+        """CAST(CASE WHEN sl >= 90
+          |  THEN concat(array(embedding[0] + 0.5F), slice(embedding, 2, 7))
+          |  ELSE embedding END AS ARRAY<FLOAT>) AS embedding""".stripMargin,
+        "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val drift = Analysis.e8CentroidShift(spark, dir).collect()
+    assert(drift.length == 1)
+    val (l1, linf) = (drift.head.getDouble(3), drift.head.getDouble(4))
+    // base coordinates are id-periodic so residual per-dim drift is tiny;
+    // the injected 0.5 shift (500000 micro) must dominate both norms
+    assert(linf > 400000.0, s"linf $linf misses the injected shift")
+    assert(l1 - linf < 100000.0, s"l1 $l1 vs linf $linf: off-dim leakage")
+  }
+
+  test("e9_link_pred: surfaces the banding-missed borderline pair; cliques predict nothing") {
+    // fixture: the dedup graph is replica CLIQUES, so every 2-hop pair
+    // is already an edge and the prediction list is EMPTY — link_pred
+    // firing on a healthy corpus would be noise, so emptiness is itself
+    // the pinned behavior
+    assert(Analysis.e9LinkPred(spark, TestSpark.sf0001).collect().isEmpty)
+    // constructed corpus (the lsh-curve sliding-window discipline):
+    // B = w1..60 overlaps both A = w1..40 (j≈0.65, banded IN) and
+    // C = w21..60 (j≈0.65, banded IN), while A and C share only w21..40
+    // (j≈0.31, banding MISSES it) — the exact recall-loss shape the
+    // operator exists to surface. Docs 7/8 are an unrelated exact-dup
+    // clique that must predict nothing.
+    import spark.implicits._
+    val words = (1 to 80).map(i => s"w$i")
+    def doc(lo: Int, hi: Int) = words.slice(lo - 1, hi).mkString(" ")
+    val dir = graft.TestSpark.tmpDir("linkpred")
+    Seq((1L, doc(1, 40)), (2L, doc(1, 60)), (3L, doc(21, 60)),
+      (7L, doc(61, 80)), (8L, doc(61, 80)))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: the pair table has exactly the designed wedge
+    val pairs = Dedup.minhashPairTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (7L, 8L)),
+      s"constructed banding shape drifted: $pairs")
+    val pred = Analysis.e9LinkPred(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // exactly the missed pair, with the exact neighbor-set Jaccard:
+    // N(1) = {2}, N(3) = {2} → common 1, union 1
+    assert(pred.toSeq == Seq((1L, 3L, 1L, 1L, 1L, 1.0)), pred.mkString(","))
+  }
+
   test("e8_source_divergence: equals a BigInt replica of the sparse-TVD identity; bounds hold") {
     val rows = Analysis.e8SourceDivergence(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

@@ -289,7 +289,12 @@ class RelationalPlanSpec extends AnyFunSuite {
       // reviewed round 9: the global sketch-merge rank consumes the
       // rn <= KmvK per-source sketches — |sources|·K rows at any corpus
       // size (the mergeability stage, Round9OpsSpec)
-      "e1_kmv_global" -> "|sources|·KmvK sketch-union rank")
+      "e1_kmv_global" -> "|sources|·KmvK sketch-union rank",
+      // reviewed round 9 continuation: the tier map's cumulative/total
+      // windows consume the groupBy(score) histogram — bounded by the
+      // quality-score domain (Sampling.e6Curriculum:238), and the map
+      // rides a broadcast back onto the corpus (Round9bOpsSpec)
+      "e6_curriculum" -> "score-histogram aggregate")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan

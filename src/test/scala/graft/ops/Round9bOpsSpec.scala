@@ -146,6 +146,56 @@ class Round9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e2_ivf_merge: constructed cold cells fold into their nearest warm cell; population is conserved") {
+    // the natural fixture is balanced (no cell below half the mean, so
+    // the report is all-identity rows — checked below); the merge path
+    // needs the same skewed corpus the rebalance spec constructs: 160 of
+    // 200 vectors collapse into one cell, leaving the rest cold
+    import spark.implicits._
+    val dim = 8
+    def v(main: Int, eps: Double, at: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(main) = 1.0f
+      a(at % dim) = a(at % dim) + eps.toFloat
+      a
+    }
+    val rows = (1L to 200L).map { id =>
+      val e =
+        if (id <= 160L) v(0, 0.001 * (id % 40 + 1), (id % 7).toInt + 1)
+        else v((id % 7).toInt + 1, 0.0, 0)
+      (id, e.toSeq, (id % 10).toInt)
+    }
+    val dir = TestSpark.tmpDir("ivfmerge")
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = Similarity.e2IvfMerge(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(res.map(_._2).sum == 200L, "n_before must partition the corpus")
+    val cold = res.filter(_._3 == 1L)
+    assert(cold.nonEmpty, "no cold cell — the constructed skew failed")
+    val warmCells = res.filter(_._3 == 0L).map(_._1).toSet
+    cold.foreach { r =>
+      assert(r._4 != r._1, s"cold cell ${r._1} kept itself")
+      assert(warmCells.contains(r._4),
+        s"cold cell ${r._1} merged into non-warm ${r._4}")
+    }
+    res.filter(_._3 == 0L).foreach(r => assert(r._4 == r._1))
+    // conservation: every row's n_after equals the total n_before routed
+    // to its destination
+    res.groupBy(_._4).foreach { case (target, grp) =>
+      val total = res.filter(_._4 == target).map(_._2).sum
+      grp.foreach(r => assert(r._5 == total,
+        s"n_after broken for target $target"))
+    }
+    // and the balanced natural fixture stays all-identity (merge is a
+    // no-op on a healthy index)
+    val nat = Similarity.e2IvfMerge(spark, TestSpark.sf0001).collect()
+    assert(nat.forall(r => r.getLong(2) == 0L && r.getLong(0) == r.getLong(3)))
+  }
+
   test("e6_curriculum: schedule is self-consistent and never splits a score across tiers") {
     val res = Sampling.e6Curriculum(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
