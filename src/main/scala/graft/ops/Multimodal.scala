@@ -459,6 +459,11 @@ object Multimodal {
       .withColumn("c_sim",
         expr("aggregate(zip_with(vec, cvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
           (col("nrm") * col("cnrm")))
+      // narrow before the assign exchange: drop the broadcast seed
+      // vectors from the scored rows (the pre-window projection rule —
+      // Catalyst does not prune columns carried through a Window)
+      .select(col("doc_id"), col("vec"), col("nrm"), col("cell"),
+        col("c_sim"))
       .withColumn("c_rn", row_number().over(assignW))
       .filter(col("c_rn") === 1)
       .select(col("doc_id"), col("vec"), col("nrm"), col("cell"))

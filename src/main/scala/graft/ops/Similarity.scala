@@ -29,16 +29,19 @@ object Similarity {
     * sharded ANN index: at 100 TB the "label" is the IVF cell / LSH bucket). */
   def e2CosineTopk(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("a.vec_id").as("vec_id"), asLong(col("rn")).as("rn"),
-        col("b.vec_id").as("other_id"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), asLong(col("rn")).as("rn"),
+        col("other_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id", "rn")
   }
 
@@ -53,16 +56,18 @@ object Similarity {
       .withColumn("bucket",
         org.apache.spark.sql.graftext.hyperplaneExpression
           .hyperplaneSig(col("embedding"), 12))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
     sig.as("a")
       .join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -92,16 +97,18 @@ object Similarity {
         case -1 => col("bucket")
         case f  => col("bucket").bitwiseXOR(lit(1L << f))
       }: _*)))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
     probes.as("a")
       .join(sig.as("b"),
         col("a.pbucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -174,16 +181,18 @@ object Similarity {
     val seeds = ivfSeeds(s, d, e)
     val probe = ivfAssigned(e, seeds, 2)
     val build = ivfAssigned(e.filter(col("label") === FilterLabel), seeds, 1)
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
     probe.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -209,27 +218,39 @@ object Similarity {
         .withColumn("c_sim",
           graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
             (col("nrm") * col("c_nrm")))
+        // narrow before the assign exchange (the pre-window projection
+        // rule: drop the broadcast seed arrays from the scored rows)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+          col("cell"), col("c_sim"))
         .withColumn("c_rn", row_number().over(assignW))
         .filter(col("c_rn") <= nProbe)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
           col("cell"))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("negative_id"))
     assigned(2).as("a")
       .join(assigned(1).as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.label") =!= col("b.label"))
       .withColumn("sim", cosine)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      // narrow before the rank exchange (the pre-window projection rule)
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
         col("b.vec_id").as("negative_id"),
-        col("b.label").as("negative_label"), round(col("sim"), 4).as("sim"))
+        col("b.label").as("negative_label"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("negative_id"),
+        col("negative_label"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
   /** Vectors with their top-`nProbe` cells by cosine (ties to the lower
-    * cell id), via one broadcast of the √n seed set. */
+    * cell id), via one broadcast of the √n seed set. The candidate rows
+    * are narrowed BEFORE the per-vector argmax window: Catalyst does not
+    * prune columns carried through a Window, so without the projection
+    * the assign exchange hauls the √n-seed embedding alongside every
+    * scored pair (the family-wide pre-window narrowing rule, measured
+    * 2× on the maintenance queries at 100×). */
   private def ivfAssigned(e: DataFrame, seeds: DataFrame, nProbe: Int): DataFrame = {
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("cell"))
@@ -237,6 +258,8 @@ object Similarity {
       .withColumn("c_sim",
         graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
           (col("nrm") * col("c_nrm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("c_sim"))
       .withColumn("c_rn", row_number().over(assignW))
       .filter(col("c_rn") <= nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
@@ -265,6 +288,10 @@ object Similarity {
       .withColumn("c_sim",
         graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
           (col("nrm") * col("c_nrm")))
+      // narrow before the assign exchange: downstream needs only the
+      // scored triple, so neither the vector nor the seed array rides
+      // the window (the pre-window projection rule)
+      .select(col("vec_id"), col("cell"), col("c_sim"))
       .withColumn("c_rn", row_number().over(assignW))
       .filter(col("c_rn") === 1)
       .select(col("vec_id"), col("cell"), col("c_sim"))
@@ -306,16 +333,18 @@ object Similarity {
     val probe =
       if (nProbe == 1 && queries.isEmpty) build
       else ivfAssigned(qe, seeds, nProbe)
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
     probe.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -426,15 +455,18 @@ object Similarity {
         col("nrm").as("c_nrm"))
     val build = ivfAssigned(e, seeds, 1)
     val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nb"))
     val top5 = build.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+        col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+      .select(col("vec_id"), col("nb"))
     top5
       .join(lbl.select(col("vec_id").as("nb"), col("label").as("nb_label")), "nb")
       .groupBy("vec_id", "nb_label").agg(count(lit(1)).as("votes"))
@@ -512,15 +544,18 @@ object Similarity {
   private def sampledExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val qs = broadcast(sampledQueryIds(s, d))
     val e = withNorm(embeddings(s, d))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
     broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("a.vec_id").as("vec_id"), col("rn"),
-        col("b.vec_id").as("other_id"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("rn"), col("other_id"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** E2 — the SAMPLED ANN recall audit: e2_ann_recall's scoreboard with
@@ -576,15 +611,18 @@ object Similarity {
     val exact = sampledExactTopK(s, d, 3).select(col("vec_id"), col("other_id"))
     val e = withNorm(embeddings(s, d))
     val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
     val ivf3 = build.join(qs, Seq("vec_id"), "left_semi").as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
+      .select(col("vec_id"), col("other_id"))
     val hits = exact.join(ivf3, Seq("vec_id", "other_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("h"))
     exact.groupBy("vec_id").agg(count(lit(1)).as("np"))
@@ -646,16 +684,19 @@ object Similarity {
   def e2Mips(s: SparkSession, d: String): DataFrame = {
     val qs = broadcast(sampledQueryIds(s, d))
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("ip").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ip").desc, col("other_id"))
     broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
       .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("ip",
         graft.functions.Vectors.dot(col("a.embedding"), col("b.embedding")))
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("ip"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("a.vec_id").as("vec_id"), asLong(col("rn")).as("rn"),
-        col("b.vec_id").as("other_id"), round(col("ip"), 4).as("ip"))
+      .select(col("vec_id"), asLong(col("rn")).as("rn"),
+        col("other_id"), round(col("ip"), 4).as("ip"))
       .orderBy("vec_id", "rn")
   }
 
@@ -753,15 +794,18 @@ object Similarity {
     def top1(dims: Int): DataFrame = {
       val pe = e.withColumn("pe", slice(col("embedding"), 1, dims))
         .withColumn("pn", graft.functions.Vectors.l2Norm(col("pe")))
-      val w = Window.partitionBy(col("a.vec_id"))
-        .orderBy(col("sim").desc, col("b.vec_id"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("nb"))
       pe.as("a").join(pe.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("sim",
           graft.functions.Vectors.dot(col("a.pe"), col("b.pe")) /
             (col("a.pn") * col("b.pn")))
+        // narrow before the rank exchange (the pre-window projection rule)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+          col("sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+        .select(col("vec_id"), col("nb"))
     }
     val full = top1(64).withColumnRenamed("nb", "full_nb")
     AblationDims.map { dims =>
@@ -789,16 +833,19 @@ object Similarity {
     def top1(dims: Int): DataFrame = {
       val pe = e.withColumn("pe", slice(col("embedding"), 1, dims))
         .withColumn("pn", graft.functions.Vectors.l2Norm(col("pe")))
-      val w = Window.partitionBy(col("a.vec_id"))
-        .orderBy(col("sim").desc, col("b.vec_id"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("nb"))
       broadcast(pe.join(qs, Seq("vec_id"), "left_semi")).as("a")
         .join(pe.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("sim",
           graft.functions.Vectors.dot(col("a.pe"), col("b.pe")) /
             (col("a.pn") * col("b.pn")))
+        // narrow before the rank exchange (the pre-window projection rule)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+          col("sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"))
+        .select(col("vec_id"), col("nb"))
     }
     val full = top1(64).withColumnRenamed("nb", "full_nb")
     AblationDims.map { dims =>
@@ -863,15 +910,18 @@ object Similarity {
       .select(col("vec_id"), col("other_id"))
     val e = withNorm(embeddings(s, d))
     val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("sim").desc, col("b.vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
     val ivf3 = build.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"))
+      .select(col("vec_id"), col("other_id"))
     val hits = exact.join(ivf3, Seq("vec_id", "other_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("h"))
     exact.groupBy("vec_id").agg(count(lit(1)).as("np"))
@@ -1043,6 +1093,10 @@ object Similarity {
     codesArr(s, d).join(broadcast(adcTables(s, d)))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adist", adcDistExpr)
+      // narrow before the rank exchange: the scored rows otherwise carry
+      // the PQ code array AND the broadcast ADC lookup tables (the
+      // pre-window projection rule)
+      .select(col("qid"), col("vec_id"), col("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topC)
       .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
@@ -1120,6 +1174,9 @@ object Similarity {
       .join(broadcast(probe.join(adcTables(s, d), "qid")), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adist", adcDistExpr)
+      // narrow before the rank exchange (the pre-window projection rule:
+      // drop code arrays + broadcast ADC tables from the scored rows)
+      .select(col("qid"), col("vec_id"), col("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PqTopK)
       .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
@@ -1153,6 +1210,8 @@ object Similarity {
       .withColumn("sim",
         graft.functions.Vectors.dot(col("a_emb"), col("b_emb")) /
           (col("a_nrm") * col("b_nrm")))
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("qid"), col("vec_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PqTopK)
       .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
@@ -1515,16 +1574,20 @@ object Similarity {
   def e2Semdedup(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
-    val w = Window.partitionBy(col("a.vec_id")).orderBy(col("b.vec_id"))
+    val w = Window.partitionBy("vec_id").orderBy("keeper_id")
     build.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
       .withColumn("sim", cosine)
       .filter(col("sim") >= SemDedupTau)
+      // narrow before the keeper-rank exchange (the pre-window
+      // projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("b.vec_id").as("keeper_id"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        col("b.vec_id").as("keeper_id"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("cell"), col("keeper_id"),
+        round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
 
