@@ -263,6 +263,10 @@ object Sampling {
         .mix64(col("doc_id").bitwiseXOR(lit(ShuffleSalt))))
       .withColumn("shard",
         pmod(col("prio").bitwiseAND(lit(Long.MaxValue)), lit(ShuffleShards)))
+      // narrow before the shard exchange: the shuffled ORDER is ids-only
+      // (a consumer joins text back by doc_id at read time), so the text
+      // column must not ride the window (the pre-window projection rule)
+      .select(col("doc_id"), col("source"), col("prio"), col("shard"))
       .withColumn("pos", row_number().over(w))
       .select(col("shard"), asLong(col("pos")).as("pos"), col("doc_id"),
         col("source"))
