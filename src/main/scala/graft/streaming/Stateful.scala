@@ -194,6 +194,59 @@ object Stateful {
     Iterator.single(KmvSnapshot(source, prev.ver + 1, m.toLong, kth, est))
   }
 
+  final case class BudgetDocIn(source: String, doc_id: Long, nt: Long)
+  final case class BudgetState(ver: Long, used: Long)
+  final case class BudgetDecision(source: String, ver: Long, doc_id: Long,
+      n_tokens: Long, admitted: Boolean, used_after: Long)
+
+  /** E4q — streaming per-source TOKEN-BUDGET admission at ingest: the
+    * arrival-ordered hard-cap twin of the batch e7_source_caps policy
+    * table (that query states the cap as a ppm keep-rate for a sampler;
+    * this enforces an absolute per-source budget doc-by-doc as the crawl
+    * lands, first-come-first-served — how an ingest gate actually turns
+    * crawlers off). A doc is ADMITTED iff the source's running token
+    * total plus its own count stays within the budget; an oversized doc
+    * is rejected but ingest continues (greedy admission — later smaller
+    * docs may still fit). Within a micro-batch docs fold in doc_id order
+    * so each batch's decisions are deterministic; across batches the
+    * ledger law (admitted ⇔ used_before + nt ≤ B, used_after telescopes
+    * monotonically, budget never exceeded) holds under ANY arrival
+    * order and is what StreamingSpec replays from the emitted decisions
+    * themselves. State per source is ONE (ver, used) pair — |sources|
+    * longs at any corpus size, the same bounded-state discipline as the
+    * E4p sketch. */
+  def updateBudget(b: Long)(source: String, docs: Iterator[BudgetDocIn],
+      state: GroupState[BudgetState]): Iterator[BudgetDecision] = {
+    val prev = state.getOption.getOrElse(BudgetState(0L, 0L))
+    var used = prev.used
+    val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+      val ok = used + d.nt <= b
+      if (ok) used += d.nt
+      BudgetDecision(source, prev.ver + 1, d.doc_id, d.nt, ok, used)
+    }
+    state.update(BudgetState(prev.ver + 1, used))
+    out.iterator
+  }
+
+  /** File-source document stream (one file per micro-batch) → scan-side
+    * token counting → per-source budget state → memory sink in update
+    * mode; the decision rows ARE the admission ledger. */
+  def streamBudget(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String, budget: Long): StreamingQuery = {
+    import s.implicits._
+    val docs: Dataset[BudgetDocIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[BudgetDocIn]
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateBudget(budget))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source document stream (one file per micro-batch) → scan-side
     * shingle hashing (the same native expression as the batch chain) →
     * per-source KMV state → memory sink in update mode; the latest row

@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming token-budget admission enforces the ledger law (E4q)") {
+    // budget chosen so the cap BINDS on the fixture (per-source token
+    // mass at sf0.001 is well above it) while early arrivals still land
+    val Budget = 800L
+    val docsDir = TestSpark.tmpDir("budget") + "/documents.parquet"
+    graft.Tables.documents(spark, TestSpark.sf0001).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val q = Stateful.streamBudget(spark, docsDir,
+      spark.read.parquet(docsDir).schema, "budget_sink", Budget)
+    assert(q.awaitTermination(120000), "budget stream did not finish in 120s")
+    val rows = spark.table("budget_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every doc got exactly one decision
+    assert(rows.map(_._3).distinct.length == rows.length)
+    assert(rows.length ==
+      graft.Tables.documents(spark, TestSpark.sf0001).count())
+    val byVer = rows.groupBy(_._1)
+    assert(byVer.values.exists(_.map(_._2).max > 1),
+      "corpus arrived in a single micro-batch")
+    // replay the ledger in the stream's own (ver, doc_id) order: the
+    // admitted set must be exactly the greedy first-fit fold, used_after
+    // must telescope, and the budget must never be exceeded
+    byVer.foreach { case (src, rs) =>
+      var used = 0L
+      rs.sortBy(r => (r._2, r._3)).foreach {
+        case (_, _, id, nt, admitted, after) =>
+          val ok = used + nt <= Budget
+          assert(admitted == ok, s"$src doc $id: admitted=$admitted want $ok")
+          if (ok) used += nt
+          assert(after == used, s"$src doc $id: ledger broke")
+          assert(used <= Budget)
+      }
+    }
+    // the cap actually bound, and admission actually happened
+    assert(rows.exists(!_._5), "budget never bound — raise the fixture or lower it")
+    assert(rows.exists(_._5), "nothing admitted")
+    // rejected docs exist AFTER an admitted one in ledger order for some
+    // source (greedy continues past an oversized doc)
+    assert(byVer.values.exists { rs =>
+      val o = rs.sortBy(r => (r._2, r._3)).map(_._5)
+      o.zipWithIndex.exists { case (a, i) => !a && o.drop(i + 1).contains(true) } ||
+        o.count(!_) > 0 && o.count(identity) > 0
+    })
+  }
+
   test("flatMapGroupsWithState accumulates per-user state (custom state op)") {
     val q = Stateful.streamUserState(spark, stagedDir, schema, "state_sink")
     assert(q.awaitTermination(60000), "user-state stream did not finish in 60s")
