@@ -64,7 +64,7 @@ object Dedup {
     * between points). */
   def clearMemos(): Unit = { shingleCache.clear(); pairCache.clear() }
 
-  private def rareShingleHashes(s: SparkSession, d: String): DataFrame =
+  private[ops] def rareShingleHashes(s: SparkSession, d: String): DataFrame =
     // Memoized per (session, corpus): FIVE declared queries (jaccard,
     // minhash, clusters, contamination, and the pipeline example) derive
     // from this table, and without the cache each one re-shingles the

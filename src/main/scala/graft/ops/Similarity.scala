@@ -773,6 +773,57 @@ object Similarity {
       .orderBy("vec_id", "pick")
   }
 
+  /** Per-retriever list depth and the RRF rank constant (Cormack et al.
+    * 2009's k=60) — interpolated into both engines. */
+  val HybridK = 8
+  val RrfK0 = 60L
+
+  /** E2 — HYBRID retrieval via Reciprocal Rank Fusion (Cormack, Clarke
+    * & Buettcher, SIGIR'09): fuse a DENSE list (the sampled exact cosine
+    * top-K, the same label-blocked ground truth every *_sampled audit
+    * shares) with a LEXICAL list (candidates ranked by shared df-capped
+    * shingle count off the corpus shingle table — the dedup family's own
+    * lexical index) — the production RAG serving pattern, where BM25-ish
+    * keyword recall and embedding recall fail on DIFFERENT queries and
+    * the fusion beats both. RRF needs only the RANKS: score =
+    * Σ_lists 10⁶ div (k0 + rank) in EXACT integers (the e2_mmr
+    * ten-thousandth-integer discipline — no float fusion to diverge
+    * cross-engine), ties by lower candidate id. The fixture's vec_id ≡
+    * doc_id alignment is the id bridge a real system keeps between its
+    * vector store and its document store. Output: top-3 fused per
+    * sampled query. Plan: the dense side is the shared sample × label
+    * block pass; the lexical side joins the 64 sampled docs' shingles
+    * against the memoized shingle table (sample × corpus on 16-byte
+    * hashes, linear) with its overlap rank narrowed pre-window; the
+    * fusion aggregate is list-depth-bounded (≤ 2·K rows per query). */
+  def e2HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val dense = sampledExactTopK(s, d, HybridK)
+      .select(col("vec_id").as("qid"), col("other_id").as("cand"),
+        col("rn").cast("long").as("r"))
+    val sh = Dedup.rareShingleHashes(s, d)
+    val qsh = sh.join(broadcast(qs.select(col("vec_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("qid"), col("h"))
+    val wl = Window.partitionBy("qid").orderBy(col("ov").desc, col("cand"))
+    val lex = qsh
+      .join(sh.select(col("doc_id").as("cand"), col("h")), "h")
+      .filter(col("cand") =!= col("qid"))
+      .groupBy("qid", "cand").agg(count(lit(1)).as("ov"))
+      .withColumn("r", row_number().over(wl))
+      .filter(col("r") <= HybridK)
+      .select(col("qid"), col("cand"), col("r").cast("long").as("r"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf_e6").desc, col("cand"))
+    dense.unionByName(lex)
+      .groupBy("qid", "cand")
+      .agg(sum(expr(s"1000000 div ($RrfK0 + r)")).as("rrf_e6"))
+      .withColumn("p", row_number().over(wf))
+      .filter(col("p") <= 3)
+      .select(col("qid").as("vec_id"), col("p").cast("long").as("pick"),
+        col("cand").as("cand_id"), col("rrf_e6"))
+      .orderBy("vec_id", "pick")
+  }
+
   /** Prefix lengths for the dimension-ablation audit — interpolated into
     * BOTH engines. 64 is the full width (sanity row: agreement 100%). */
   val AblationDims = Seq(8, 16, 32, 64)
@@ -1690,6 +1741,7 @@ object Similarity {
     "e2_mmr" -> (e2Mmr _),
     "e2_ivf_rebalance" -> (e2IvfRebalance _),
     "e2_ivf_merge" -> (e2IvfMerge _),
+    "e2_hybrid_rrf" -> (e2HybridRrf _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -2337,6 +2389,33 @@ object Similarity {
          |  fin.sub_cell, CAST(fin.n_after AS BIGINT) AS n_after
          |FROM flagged f JOIN fin ON f.cell = fin.cell
          |ORDER BY f.cell, fin.sub_cell""".stripMargin,
+    // hybrid RRF: dense list = the shared sampled exact top-K (exs),
+    // lexical list = shared-shingle overlap rank off the chain's sh
+    // table; fusion in exact integers (1e6 // (k0 + rank))
+    "e2_hybrid_rrf" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |$qselCtes,
+         |$sampledExactCte,
+         |dn AS (SELECT vec_id AS qid, other_id AS cand,
+         |  CAST(rn AS BIGINT) AS r FROM exs WHERE rn <= $HybridK),
+         |qsh AS (SELECT q.vec_id AS qid, s.h FROM qsel q
+         |  JOIN sh s ON s.doc_id = q.vec_id),
+         |ov AS (SELECT qsh.qid, s2.doc_id AS cand, count(*) AS ov
+         |  FROM qsh JOIN sh s2 ON qsh.h = s2.h AND s2.doc_id <> qsh.qid
+         |  GROUP BY 1, 2),
+         |lx AS (SELECT qid, cand, CAST(r AS BIGINT) AS r FROM (
+         |  SELECT qid, cand, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ov DESC, cand) AS r FROM ov) WHERE r <= $HybridK),
+         |un AS (SELECT * FROM dn UNION ALL SELECT * FROM lx),
+         |sc AS (SELECT qid, cand,
+         |  CAST(sum(1000000 // ($RrfK0 + r)) AS BIGINT) AS rrf_e6
+         |  FROM un GROUP BY 1, 2)
+         |SELECT qid AS vec_id, CAST(p AS BIGINT) AS pick, cand AS cand_id,
+         |  rrf_e6
+         |FROM (SELECT qid, cand, rrf_e6, row_number() OVER (
+         |  PARTITION BY qid ORDER BY rrf_e6 DESC, cand) AS p FROM sc)
+         |WHERE p <= 3
+         |ORDER BY vec_id, pick""".stripMargin,
     // ivf merge: cold-cell detection in cross-multiplied integer form,
     // nearest warm seed by seed-seed cosine (seeds come from ivfCtes),
     // post-merge populations as a second |cells|-key fold

@@ -196,6 +196,56 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(nat.forall(r => r.getLong(2) == 0L && r.getLong(0) == r.getLong(3)))
   }
 
+  test("e2_hybrid_rrf: independent RRF replica agrees, and the lexical list moves at least one pick") {
+    val rows = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val emb = rows.map(t => t._1 -> t._2).toMap
+    val lab = rows.map(t => t._1 -> t._3).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    // the df-capped shingle table is the operator's own lexical index;
+    // ranks recomputed independently from its rows (by NAME — the memo's
+    // column order is (h, doc_id), the anti-join key first)
+    val sh = Dedup.rareShingleHashes(spark, TestSpark.sf0001)
+      .select("doc_id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shByDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val res = Similarity.e2HybridRrf(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(res.nonEmpty && res.size <= Similarity.AnnQueryK)
+    var moved = 0
+    for ((q, picks) <- res) {
+      val dense = rows.map(_._1)
+        .filter(o => o != q && lab(o) == lab(q))
+        .map(o => (o, cos(q, o)))
+        .sortBy { case (o, s0) => (-s0, o) }.take(Similarity.HybridK)
+        .map(_._1).zipWithIndex.map { case (o, i) => (o, i + 1L) }
+      val qsh = shByDoc.getOrElse(q, Set.empty)
+      val lex = shByDoc.toSeq
+        .collect { case (o, hs) if o != q && (hs & qsh).nonEmpty =>
+          (o, (hs & qsh).size.toLong) }
+        .sortBy { case (o, ov) => (-ov, o) }.take(Similarity.HybridK)
+        .map(_._1).zipWithIndex.map { case (o, i) => (o, i + 1L) }
+      val score = (dense ++ lex).groupBy(_._1).view.mapValues(
+        _.map { case (_, r) => 1000000L / (Similarity.RrfK0 + r) }.sum).toMap
+      val want = score.toSeq.sortBy { case (o, s0) => (-s0, o) }.take(3)
+        .zipWithIndex.map { case ((o, s0), i) => (q, i + 1L, o, s0) }
+      assert(picks.sortBy(_._2).toSeq == want, s"RRF replica diverges for $q")
+      if (want.map(_._3) != dense.take(3).map(_._1)) moved += 1
+    }
+    assert(moved > 0,
+      "fusion never changed a dense pick — the lexical list is vacuous on this fixture")
+  }
+
   test("e6_curriculum: schedule is self-consistent and never splits a score across tiers") {
     val res = Sampling.e6Curriculum(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
