@@ -36,7 +36,28 @@ object ScaleProbe {
     // already on disk (iterating on one query's plan at a fixed N).
     val reuse = args.contains("reuse") &&
       new java.io.File(s"$out/documents.parquet").isDirectory
-    if (!reuse) {
+    if (!reuse && n >= 1000) {
+      // two-level synthesis for the 1000× flagship run: 10 offset copies
+      // of the on-disk 100× corpus (strides ×100 so id ranges stay
+      // disjoint) — a single 1000-branch union would blow up plan
+      // analysis, and re-reading the materialized 100× parquet is the
+      // same rows the one-level path would produce
+      val base = s"/tmp/graft_scale_${n / 10}x"
+      require(new java.io.File(s"$base/documents.parquet").isDirectory,
+        s"1000x synthesis needs the ${n / 10}x corpus at $base first")
+      def rep10(t: String, idCols: Map[String, Long]): Unit =
+        write(t, replicate(spark.read.parquet(s"$base/$t.parquet"), 10,
+          idCols.view.mapValues(_ * (n / 10)).toMap))
+      rep10("documents", Map("doc_id" -> 10000000L))
+      rep10("embeddings", Map("vec_id" -> 10000000L))
+      rep10("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      rep10("customer", Map("c_custkey" -> 10000000L))
+      rep10("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
+      rep10("lineitem", Map("l_orderkey" -> 100000000L))
+      Seq("region", "nation").foreach { t =>
+        write(t, spark.read.parquet(s"$base/$t.parquet"))
+      }
+    } else if (!reuse) {
 
     // documents / embeddings / events: offset the entity ids; events keeps
     // user_id AND event_id structure so per-user history length is constant
