@@ -137,6 +137,80 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Pretrain budget multiple and the anneal fraction (pretrain/10) —
+    * interpolated into both engines. */
+  val PretrainX = 2L
+  val AnnealDiv = 10L
+
+  /** E7 — the two-phase ANNEAL PLAN: the pretrain→anneal data schedule
+    * current practice ends training with (a large diversity-weighted
+    * phase, then a short final phase over only the highest-quality
+    * slice). Phase A draws PretrainX× the corpus tokens by the α=0.5
+    * temperature weights (e7_temperature_mix's smoothing — here in
+    * bit-deterministic integer micro-weights w6 = floor(sqrt(tokens)·1e6
+    * + 0.5), the microMean floor discipline, so no decimal-sum machinery
+    * is needed); phase B draws a 1/AnnealDiv-sized budget from ONLY the
+    * top quality decile, allocated per source in proportion to its
+    * high-quality token mass (e3_quality_tiers' integer-decile rule
+    * supplies the threshold: equal scores never split a tier, so
+    * eligibility is score ≥ min(tier-10 score)). All divisions are
+    * integer DIV — the schedule is bit-stable across engines and
+    * backfills. Bound: (PretrainX·total)·w6 must stay < 2⁶³ — fine to
+    * ~10⁹ corpus tokens; beyond that the identical identity runs over
+    * DECIMAL/HUGEINT. Emits per source: raw tokens, high-quality tokens,
+    * both draws, and the anneal share in basis points — the two-phase
+    * recipe card a training run consumes. Plan: ONE corpus scan reduces
+    * to a (source, 4-dp score) table (≤|sources|·10⁴ keys,
+    * partial-combined); the decile histogram, threshold, and per-source
+    * folds all run on that table; totals ride whole-table windows over
+    * the |sources|-row result. */
+  def e7AnnealPlan(s: SparkSession, d: String): DataFrame = {
+    val ss = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", size(expr(TextOps.stopwordFilterSql)))
+      .select(col("source"),
+        round(TextOps.qualityScore(col("nt"), col("nsw")), 4).as("score"),
+        col("nt").cast("long").as("nt"))
+      .groupBy("source", "score")
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("tk"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // single-partition windows, but over the bounded score histogram
+    val thr = ss.groupBy("score").agg(sum(col("c")).as("hc"))
+      .withColumn("cum", sum(col("hc")).over(wCum))
+      .withColumn("tot", sum(col("hc")).over(wTot))
+      .filter(expr("(cum * 10 + tot - 1) div tot") === 10L)
+      .agg(min(col("score")).as("thr"))
+    val bySrc = ss.groupBy("source").agg(sum(col("tk")).as("tokens"))
+    val hq = ss.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .groupBy("source").agg(sum(col("tk")).as("hq_tokens"))
+    bySrc.join(hq, Seq("source"), "left")
+      .withColumn("hq_tokens", coalesce(col("hq_tokens"), lit(0L)))
+      .withColumn("w6",
+        floor(sqrt(col("tokens").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      // totals via whole-table windows over the |sources|-row table
+      .withColumn("total_tokens",
+        sum(col("tokens")).over(Window.partitionBy()))
+      .withColumn("total_w6", sum(col("w6")).over(Window.partitionBy()))
+      .withColumn("total_hq", sum(col("hq_tokens")).over(Window.partitionBy()))
+      .withColumn("draw_pretrain",
+        expr(s"($PretrainX * total_tokens) * w6 div total_w6"))
+      .withColumn("draw_anneal", least(col("hq_tokens"),
+        expr(s"($PretrainX * total_tokens div $AnnealDiv) * hq_tokens" +
+          " div total_hq")))
+      .select(col("source"), col("tokens"), col("hq_tokens"),
+        col("draw_pretrain"), col("draw_anneal"),
+        when(col("draw_pretrain") + col("draw_anneal") === 0L, 0L)
+          .otherwise(expr(
+            "10000 * draw_anneal div (draw_pretrain + draw_anneal)"))
+          .as("anneal_share_bp"))
+      .orderBy("source")
+  }
+
   /** E7 — the curation FUNNEL: how many documents (and tokens) survive
     * each successive gate of the e7_curated pipeline — raw → exact-dedup
     * keepers → near-dup cluster keepers → repetition filter → quality
@@ -456,6 +530,7 @@ object Curation {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_anneal_plan" -> (e7AnnealPlan _),
     "e7_dataset_diff" -> (e7DatasetDiff _),
     "e7_dedup_weights" -> (e7DedupWeights _),
     "e7_epoch_plan" -> (e7EpochPlan _),
@@ -470,6 +545,47 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // two-phase schedule in exact integer DIV arithmetic; w6 is the
+    // microMean floor discipline over IEEE sqrt (see e7AnnealPlan)
+    "e7_anneal_plan" ->
+      s"""WITH q AS (SELECT source, len(string_split(text, ' ')) AS nt,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> t IN ('the','a','of','and','to'))) AS nsw FROM documents),
+         |ss AS (SELECT source,
+         |  round(least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |    * (1.0 - CAST(nsw AS DOUBLE) / nt), 4) AS score,
+         |  count(*) AS c, CAST(sum(nt) AS BIGINT) AS tk
+         |  FROM q GROUP BY 1, 2),
+         |h AS (SELECT score, sum(c) AS hc FROM ss GROUP BY score),
+         |t AS (SELECT score, sum(hc) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(hc) OVER () AS tot FROM h),
+         |thr AS (SELECT min(score) AS thr FROM t
+         |  WHERE (cum * 10 + tot - 1) // tot = 10),
+         |bysrc AS (SELECT source, CAST(sum(tk) AS BIGINT) AS tokens
+         |  FROM ss GROUP BY source),
+         |hq AS (SELECT source, CAST(sum(tk) AS BIGINT) AS hq_tokens
+         |  FROM ss, thr WHERE score >= thr GROUP BY source),
+         |b AS (SELECT bysrc.source, tokens,
+         |  coalesce(hq.hq_tokens, 0) AS hq_tokens,
+         |  CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS w6
+         |  FROM bysrc LEFT JOIN hq ON bysrc.source = hq.source),
+         |tot2 AS (SELECT source, tokens, hq_tokens, w6,
+         |  sum(tokens) OVER () AS total_tokens,
+         |  sum(w6) OVER () AS total_w6,
+         |  sum(hq_tokens) OVER () AS total_hq FROM b),
+         |dr AS (SELECT source, tokens, hq_tokens,
+         |  CAST(($PretrainX * total_tokens) * w6 // total_w6 AS BIGINT)
+         |    AS draw_pretrain,
+         |  CAST(least(hq_tokens, ($PretrainX * total_tokens // $AnnealDiv)
+         |    * hq_tokens // total_hq) AS BIGINT) AS draw_anneal
+         |  FROM tot2)
+         |SELECT source, tokens, hq_tokens, draw_pretrain, draw_anneal,
+         |  CAST(CASE WHEN draw_pretrain + draw_anneal = 0 THEN 0
+         |    ELSE 10000 * draw_anneal // (draw_pretrain + draw_anneal)
+         |    END AS BIGINT) AS anneal_share_bp
+         |FROM dr ORDER BY source""".stripMargin,
     // release diff: Sampling's slot chain gates v1 membership; the
     // fingerprint match is the e1_exact_dedup md5 replica
     "e7_dataset_diff" ->

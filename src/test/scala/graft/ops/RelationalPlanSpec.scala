@@ -294,7 +294,11 @@ class RelationalPlanSpec extends AnyFunSuite {
       // windows consume the groupBy(score) histogram — bounded by the
       // quality-score domain (Sampling.e6Curriculum:238), and the map
       // rides a broadcast back onto the corpus (Round9bOpsSpec)
-      "e6_curriculum" -> "score-histogram aggregate")
+      "e6_curriculum" -> "score-histogram aggregate",
+      // reviewed round 9 continuation: decile threshold windows run on
+      // the score histogram; the budget-total windows on the
+      // |sources|-row fold (Curation.e7AnnealPlan)
+      "e7_anneal_plan" -> "score-histogram + |sources|-row aggregates")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan

@@ -316,6 +316,56 @@ class Round9bOpsSpec extends AnyFunSuite {
       "novel_tokens must exclude the stale doc's tokens")
   }
 
+  test("e7_anneal_plan: budget laws hold and hq_tokens equals a driver decile recompute") {
+    val rows = Curation.e7AnnealPlan(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // phase-A floors: each source under its exact share, total within
+    // |sources| floor-losses of the budget
+    val budgetA = Curation.PretrainX * total
+    assert(rows.map(_._4).sum <= budgetA &&
+      rows.map(_._4).sum > budgetA - rows.length)
+    // phase-B: never exceeds the source's high-quality mass, and the
+    // total respects the anneal budget
+    rows.foreach(r => assert(r._5 <= r._3))
+    assert(rows.map(_._5).sum <= budgetA / Curation.AnnealDiv)
+    // share_bp consistency
+    rows.foreach { r =>
+      val want = if (r._4 + r._5 == 0L) 0L else 10000L * r._5 / (r._4 + r._5)
+      assert(r._6 == want)
+    }
+    // hq_tokens equals an independent decile recompute (equal scores
+    // share a tier; eligibility = score >= min tier-10 score)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val nt = toks.length
+        val nsw = toks.count(Set("the", "a", "of", "and", "to"))
+        val score = BigDecimal(
+          math.min(1.0, nt.toDouble / 100.0) * (1.0 - nsw.toDouble / nt))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getString(0), nt.toLong, score)
+      }
+    val hist = docs.groupBy(_._3).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val tot = hist.map(_._2).sum
+    var cum = 0L
+    val thr = hist.collectFirst {
+      case (sc, c) if { cum += c; (cum * 10 + tot - 1) / tot == 10 } => sc
+    }.get
+    val hqWant = docs.filter(_._3 >= thr).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { r =>
+      assert(r._3 == hqWant.getOrElse(r._1, 0L), s"hq mismatch for ${r._1}")
+    }
+    // the anneal slice is a strict subset of the corpus (the decile
+    // threshold actually cuts)
+    assert(rows.map(_._3).sum < total)
+  }
+
   test("e2_mips: the 64-query sample rides a broadcast nested-loop; pairs are rank-pruned before the exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
