@@ -154,7 +154,11 @@ object ScaleProbe {
       "e2_mips", "e1_source_novelty", "e6_curriculum", "e7_dataset_diff",
       "e2_mmr", "e2_ivf_rebalance", "e8_source_divergence", "e2_ivf_merge",
       "e8_centroid_shift", "e9_link_pred", "e2_hybrid_rrf",
-      "e7_anneal_plan")
+      "e7_anneal_plan",
+      // round 9 continuation 2: the graph passes are pair-table-bounded
+      // (the e9 family discipline); fertility is one corpus-linear token
+      // explode over the memoized trainer state — all linear-safe
+      "e9_hits", "e9_bfs", "e3_fertility")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -947,6 +947,107 @@ object Analysis {
       .limit(LinkPredK)
   }
 
+  /** HITS iterations for e9_hits — fixed so the oracle can unroll them
+    * (the PrIters / LpIters treatment). */
+  val HitsIters = 2
+
+  /** One HITS half-step: sum `score` over edges along `fromCol → toCol`,
+    * then L∞-normalize. Max-normalization (not the textbook L2/L1) is
+    * deliberate: max over doubles is ORDER-INDEPENDENT, so the only
+    * cross-engine float hazard left is the per-vertex contribution sum
+    * (≤ degree summands — the e9_pagerank precedent), not a corpus-wide
+    * reduction whose association order differs between engines. */
+  private def hitsHalf(ed: DataFrame, v: DataFrame, score: DataFrame,
+      fromCol: String, toCol: String): DataFrame = {
+    val contrib = ed
+      .join(score.select(col("id").as("jid"), col("x")),
+        col(fromCol) === col("jid"))
+      .groupBy(col(toCol).as("vid")).agg(sum(col("x")).as("sx"))
+    val raw = v.join(contrib, col("id") === col("vid"), "left")
+      .select(col("id"), coalesce(col("sx"), lit(0.0)).as("x"))
+    raw.crossJoin(broadcast(raw.agg(max(col("x")).as("mx"))))
+      .select(col("id"), (col("x") / col("mx")).as("x"))
+  }
+
+  /** E9 — HITS hubs/authorities (Kleinberg 1999) over the CANONICALLY
+    * DIRECTED near-dup graph: each verified pair (da < db) becomes the
+    * edge da → db — "the earlier document points at its later
+    * near-duplicate". Under that orientation the two scores split the
+    * duplication structure the undirected analytics cannot: a high HUB is
+    * an early document whose content many later documents echo (the
+    * template/source of a family — the principled keeper candidate, read
+    * next to e9_pagerank's centrality), while a high AUTHORITY is a late
+    * document stitched from many earlier ones (aggregator/mirror pages —
+    * prime drop candidates). Fixed HitsIters mutual-reinforcement rounds
+    * (a ← Σ h over in-edges, h ← Σ a over out-edges, each L∞-normalized);
+    * a deployment loops rounds under the pageRankConverged
+    * one-scalar-per-round stopping rule. Plan: vertices are edge
+    * endpoints only, every join/aggregate is PAIR-TABLE-sized, the 1-row
+    * max rides a broadcast — the corpus never moves (the e9 family
+    * discipline). */
+  def e9Hits(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val ed = p.select(col("da").as("src"), col("db").as("dst"))
+      .localCheckpoint(true)
+    val v = ed.select(col("src").as("id"))
+      .unionByName(ed.select(col("dst").as("id"))).distinct()
+    var hub = v.select(col("id"), lit(1.0).as("x"))
+    var auth = v.select(col("id"), lit(1.0).as("x"))
+    for (_ <- 1 to HitsIters) {
+      auth = hitsHalf(ed, v, hub, "src", "dst")
+      hub = hitsHalf(ed, v, auth, "dst", "src")
+    }
+    hub.select(col("id"), col("x").as("hx"))
+      .join(auth.select(col("id"), col("x").as("ax")), "id")
+      .select(col("id").as("doc_id"), round(col("hx"), 6).as("hub"),
+        round(col("ax"), 6).as("authority"))
+      .orderBy("doc_id")
+  }
+
+  /** BFS parameters for e9_bfs — fixed rounds/seeds so the oracle can
+    * unroll the frontier expansion (the KcorePeels treatment). */
+  val BfsRounds = 3
+  val BfsSeeds = 3
+
+  /** E9 — multi-source BFS REACH PROFILE of the near-dup graph: seed the
+    * frontier at the BfsSeeds highest-degree documents (the hubs of the
+    * biggest duplication families; ties broken by doc_id so both engines
+    * pick the same seeds) and expand BfsRounds synchronous rounds,
+    * emitting the histogram of hop distances (−1 = endpoint never
+    * reached). This is the "blast radius" audit behind keeper selection:
+    * a corpus whose mass sits ≤ 2 hops from its top hubs is a few mirror
+    * families (dedup will collapse it dramatically); mass at −1 means
+    * duplication is scattered in many small independent clusters. Each
+    * round is one frontier ⋈ edges expansion, a DISTINCT, and a LEFT ANTI
+    * against the visited set — ALL pair-table-sized (the corpus never
+    * moves), and the visited set grows by union without re-shuffling
+    * prior rounds. A deployment loops rounds with the kcoreConverged
+    * one-scalar-per-round stopping rule (stop when the frontier empties). */
+  def e9Bfs(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val e = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    val seeds = deg.orderBy(col("dg").desc, col("src")).limit(BfsSeeds)
+      .select(col("src").as("v"))
+    var dist = seeds.withColumn("dist", lit(0))
+    for (k <- 1 to BfsRounds) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+        .select(col("v").as("fv"))
+      val next = e.join(frontier, col("src") === col("fv"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(k))
+      dist = dist.unionByName(next)
+    }
+    e.select(col("src").as("v")).distinct()
+      .join(dist, Seq("v"), "left")
+      .select(coalesce(col("dist"), lit(-1)).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n_docs"))
+      .orderBy("dist")
+  }
+
   /** E8 — hour-of-week seasonality profile: the 7×24 activity heatmap
     * (events and distinct users per weekday-hour cell, plus each cell's
     * share of all traffic) — the baseline behind bot detection (humans
@@ -1192,6 +1293,8 @@ object Analysis {
     "e9_kcore" -> (e9Kcore _),
     "e9_triangles" -> (e9Triangles _),
     "e9_link_pred" -> (e9LinkPred _),
+    "e9_hits" -> (e9Hits _),
+    "e9_bfs" -> (e9Bfs _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
@@ -1516,6 +1619,66 @@ object Analysis {
          |$iters
          |SELECT id AS doc_id, round(r, 6) AS rank
          |FROM r$PrIters ORDER BY doc_id""".stripMargin
+    },
+    "e9_hits" -> {
+      // Every multiply-referenced CTE is AS MATERIALIZED (the e9_pagerank
+      // rule: DuckDB inlines otherwise and re-runs the MinHash chain per
+      // reference). Normalization divides by a scalar-subquery max —
+      // order-independent, so the only float summation is the per-vertex
+      // contribution sum both engines bound by the vertex degree.
+      val base =
+        s"""ed AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp),
+           |v AS MATERIALIZED (SELECT DISTINCT id FROM (
+           |  SELECT da AS id FROM mhp UNION ALL SELECT db FROM mhp) u),
+           |h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v),
+           |a0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v)""".stripMargin
+      val iters = (1 to HitsIters).map { k =>
+        s"""anr$k AS MATERIALIZED (SELECT v.id, coalesce(s.sx, 0.0) AS x
+           |  FROM v LEFT JOIN (SELECT ed.dst AS id, sum(h${k - 1}.x) AS sx
+           |    FROM ed JOIN h${k - 1} ON ed.src = h${k - 1}.id
+           |    GROUP BY ed.dst) s USING (id)),
+           |a$k AS MATERIALIZED (SELECT id,
+           |  x / (SELECT max(x) FROM anr$k) AS x FROM anr$k),
+           |hnr$k AS MATERIALIZED (SELECT v.id, coalesce(s.sx, 0.0) AS x
+           |  FROM v LEFT JOIN (SELECT ed.src AS id, sum(a$k.x) AS sx
+           |    FROM ed JOIN a$k ON ed.dst = a$k.id
+           |    GROUP BY ed.src) s USING (id)),
+           |h$k AS MATERIALIZED (SELECT id,
+           |  x / (SELECT max(x) FROM hnr$k) AS x FROM hnr$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters
+         |SELECT h$HitsIters.id AS doc_id, round(h$HitsIters.x, 6) AS hub,
+         |  round(a$HitsIters.x, 6) AS authority
+         |FROM h$HitsIters JOIN a$HitsIters USING (id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "e9_bfs" -> {
+      // Unrolled synchronous frontier expansion; anti-joins are LEFT JOIN
+      // ... IS NULL (DuckDB's plan for NOT EXISTS on a materialized CTE).
+      val base =
+        s"""e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+           |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+           |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+           |seeds AS MATERIALIZED (SELECT src AS v FROM deg
+           |  ORDER BY dg DESC, src LIMIT $BfsSeeds),
+           |d0 AS MATERIALIZED (SELECT v, 0 AS dist FROM seeds)""".stripMargin
+      val iters = (1 to BfsRounds).map { k =>
+        s"""f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS v
+           |  FROM e JOIN d${k - 1} f ON e.src = f.v AND f.dist = ${k - 1}
+           |  LEFT JOIN d${k - 1} p ON e.dst = p.v WHERE p.v IS NULL),
+           |d$k AS MATERIALIZED (SELECT v, dist FROM d${k - 1}
+           |  UNION ALL SELECT v, $k AS dist FROM f$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters,
+         |verts AS (SELECT DISTINCT src AS v FROM e)
+         |SELECT CAST(coalesce(d$BfsRounds.dist, -1) AS INT) AS dist,
+         |  count(*) AS n_docs
+         |FROM verts LEFT JOIN d$BfsRounds ON verts.v = d$BfsRounds.v
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "e8_corr" -> {
       val blocks = CorrPairs.map { case (a, b) =>

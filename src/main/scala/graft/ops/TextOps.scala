@@ -920,6 +920,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** E3 — per-language TOKENIZER FERTILITY: BPE tokens per word and
+    * chars per BPE token, rolled up by language — THE standard
+    * multilingual tokenizer audit (a language whose fertility is 2× the
+    * corpus mean pays 2× the compute per unit of text and hits the
+    * context window at half the content; the number that drives
+    * vocab-size and per-language budget decisions, cf. the fertility
+    * tables in the XLM-R / BLOOM tokenizer analyses). Consumes the SAME
+    * trained merge table and per-word symbol table as e3_bpe_apply
+    * (train and audit can never disagree on a word), so the marginal
+    * cost is one token explode + a |langs|-key aggregate. Integer
+    * milli-units with a single div each (the cpt_m3 discipline). Plan at
+    * 100 TB: the vocabulary-sized per-word table rides a broadcast; the
+    * (lang)-key aggregate partial-combines map-side — the only exchange
+    * carries |langs| rows; training cost is already corpus-independent
+    * (the memoized word table). */
+  def e3Fertility(s: SparkSession, d: String): DataFrame = {
+    val (_, words) = bpeTrained(s, d)
+    val perWord = words.select(col("w"),
+      asLong(size(split(col("syms"), ","))).as("nb"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"), "left")
+      .withColumn("nb", coalesce(col("nb"),
+        when(length(col("w")) >= 1, 1L).otherwise(0L)))
+      .groupBy("lang")
+      .agg(asLong(countDistinct(col("doc_id"))).as("n_docs"),
+        asLong(count(lit(1))).as("n_words"),
+        asLong(sum(col("nb"))).as("n_bpe_tokens"),
+        asLong(sum(length(col("w")))).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        when(col("n_words") > 0,
+          expr("1000 * n_bpe_tokens div n_words")).otherwise(0L)
+          .as("fertility_m3"),
+        when(col("n_bpe_tokens") > 0,
+          expr("1000 * n_chars div n_bpe_tokens")).otherwise(0L)
+          .as("cpt_m3"))
+      .orderBy("lang")
+  }
+
   /** Dimensionality of the feature-hashed document vectors. */
   val HashDim = 16
 
@@ -1084,6 +1125,7 @@ object TextOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_bpe_vocab" -> (e3BpeVocab _),
     "e3_bpe_apply" -> (e3BpeApply _),
+    "e3_fertility" -> (e3Fertility _),
     "e3_quality_calibration" -> (e3QualityCalibration _),
     "e3_postings" -> (e3Postings _),
     "e3_phrase_search" -> (e3PhraseSearch _),
@@ -1225,6 +1267,32 @@ object TextOps {
          |    THEN (1000 * n_chars) // n_bpe_tokens ELSE 0 END AS BIGINT)
          |    AS cpt_m3
          |FROM per ORDER BY doc_id""".stripMargin,
+    // same trained symbol table as e3_bpe_apply (pw is identical), rolled
+    // up per language; integer milli-unit ratios with one div each
+    "e3_fertility" ->
+      s"""WITH $bpeTrainCtes,
+         |pw AS (SELECT w,
+         |    CAST(len(string_split(syms, ',')) AS BIGINT) AS nb
+         |  FROM ws$BpeRounds),
+         |tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |j AS (SELECT t.lang, t.doc_id, t.w, coalesce(pw.nb,
+         |    CASE WHEN length(t.w) >= 1 THEN 1 ELSE 0 END) AS nb
+         |  FROM tok t LEFT JOIN pw USING (w)),
+         |per AS (SELECT lang,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(length(w)) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+         |  CAST(CASE WHEN n_words > 0
+         |    THEN (1000 * n_bpe_tokens) // n_words ELSE 0 END AS BIGINT)
+         |    AS fertility_m3,
+         |  CAST(CASE WHEN n_bpe_tokens > 0
+         |    THEN (1000 * n_chars) // n_bpe_tokens ELSE 0 END AS BIGINT)
+         |    AS cpt_m3
+         |FROM per ORDER BY lang""".stripMargin,
     "e3_quality_calibration" ->
       """WITH q AS (SELECT len(string_split(text, ' ')) AS nt,
         |  CAST(round(round(least(1.0,

@@ -337,6 +337,64 @@ class AnalysisSpec extends AnyFunSuite {
     assert(core.keySet.subsetOf(got.keySet))
   }
 
+  test("e9_hits: scores match a driver recompute; L-inf normalization law holds") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    var hub = verts.map(_ -> 1.0).toMap
+    var auth = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to Analysis.HitsIters) {
+      val araw = verts.map(v =>
+        v -> pairs.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val amax = araw.values.max
+      auth = araw.map { case (v, x) => v -> x / amax }
+      val hraw = verts.map(v =>
+        v -> pairs.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+      val hmax = hraw.values.max
+      hub = hraw.map { case (v, x) => v -> x / hmax }
+    }
+    val got = Analysis.e9Hits(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == verts.toSet)
+    got.foreach { case (v, (h, a)) =>
+      assert(math.abs(h - hub(v)) < 1e-5, s"hub mismatch at $v")
+      assert(math.abs(a - auth(v)) < 1e-5, s"authority mismatch at $v")
+    }
+    // L-inf normalization: the top hub and top authority sit exactly at 1
+    assert(got.values.map(_._1).max == 1.0)
+    assert(got.values.map(_._2).max == 1.0)
+    // the orientation splits the scores: hubs and authorities are not the
+    // same ranking (da→db direction carries information)
+    assert(got.values.exists { case (h, a) => math.abs(h - a) > 1e-3 })
+  }
+
+  test("e9_bfs: layer histogram equals a driver BFS; layers partition the endpoint set") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs.flatMap(e => Seq(e, (e._2, e._1)))
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.length }
+    val seeds = deg.toSeq.sortBy { case (v, dg) => (-dg, v) }
+      .take(Analysis.BfsSeeds).map(_._1)
+    var dist = seeds.map(_ -> 0).toMap
+    for (k <- 1 to Analysis.BfsRounds) {
+      val frontier = dist.collect { case (v, dd) if dd == k - 1 => v }.toSet
+      val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .diff(dist.keySet)
+      dist = dist ++ nxt.map(_ -> k)
+    }
+    val verts = adj.keySet
+    val expect = verts.groupBy(v => dist.getOrElse(v, -1))
+      .map { case (dd, vs) => dd -> vs.size.toLong }
+    val got = Analysis.e9Bfs(spark, TestSpark.sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // layers PARTITION the endpoints: histogram sums to the vertex count,
+    // and the 0-layer is exactly the seed set size
+    assert(got.values.sum == verts.size.toLong)
+    assert(got(0) == math.min(Analysis.BfsSeeds, verts.size).toLong)
+  }
+
   test("e8_freshness: profile equals a driver-side age recompute") {
     val rows = Analysis.e8Freshness(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

@@ -385,4 +385,33 @@ class Round9bOpsSpec extends AnyFunSuite {
         "fixed-size sample should be TakeOrdered")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("e3_fertility: reconciles exactly with e3_bpe_apply's per-doc counts rolled up by language") {
+    val langs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextOps.e3BpeApply(spark, TestSpark.sf0001).collect()
+      .map(r => (langs(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = perDoc.groupBy(_._1).map { case (l, rows) =>
+      l -> ((rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum))
+    }
+    val got = TextOps.e3Fertility(spark, TestSpark.sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nd, nw, nb, nc) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == nw &&
+        r.getLong(3) == nb && r.getLong(4) == nc,
+        s"rollup mismatch for lang ${r.getString(0)}")
+      // milli-unit ratio laws: every word is at least one token, so
+      // fertility >= 1000; cpt is chars-per-token in [1, max word length]
+      assert(r.getLong(5) == 1000L * nb / nw)
+      assert(r.getLong(6) == 1000L * nc / nb)
+      assert(r.getLong(5) >= 1000L)
+    }
+    // the audit discriminates: the fixture's languages do not all share
+    // one fertility (otherwise the per-lang breakdown carries no signal)
+    assert(got.map(_.getLong(5)).distinct.length > 1 ||
+      got.map(_.getLong(6)).distinct.length > 1)
+  }
 }
