@@ -158,7 +158,9 @@ object ScaleProbe {
       // round 9 continuation 2: the graph passes are pair-table-bounded
       // (the e9 family discipline); fertility is one corpus-linear token
       // explode over the memoized trainer state — all linear-safe
-      "e9_hits", "e9_bfs", "e3_fertility")
+      "e9_hits", "e9_bfs", "e3_fertility",
+      // sample × corpus broadcast nested loop (the e2_mips shape) — linear
+      "e2_label_noise")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

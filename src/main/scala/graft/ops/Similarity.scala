@@ -700,6 +700,64 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** Neighborhood size for the label-noise audit — interpolated into
+    * both engines. */
+  val NoiseK = 5
+
+  /** E2 — LABEL-NOISE audit by k-NN disagreement (the cleanlab /
+    * Confident-Learning signal; Deep k-NN, Bahri et al. ICML'20): for
+    * each vector in the deterministic query sample, its NoiseK globally
+    * nearest neighbors by cosine — NO label blocking, because the
+    * disagreement IS the signal — and the count of neighbors whose label
+    * differs, plus the neighborhood's majority label (ties → smaller,
+    * the e2_knn_classify discipline) and a `suspect` flag when the
+    * majority disagrees with the vector's own label. In a training-data
+    * pipeline this is the labeling-QA queue: suspects are sent to
+    * re-annotation before they poison a classifier head (and the
+    * embedding-space twin of e3_langid_scoreboard's confusion audit).
+    * Plan: identical to e2_mips — the fixed-size sample broadcasts into
+    * a nested-loop against the corpus scan (sample × corpus, LINEAR; the
+    * corpus never shuffles), the top-K window prunes per-partition
+    * before its exchange, and everything downstream operates on
+    * |sample|·NoiseK rows. At 100 TB the neighbor gather rides the IVF
+    * probe-side restriction (ivfSearchFor) exactly like the sampled
+    * recall audits. Disagreement counts are integers over the 4-dp-
+    * rounded-free rank order (ranks use the raw index-ordered cosine
+    * fold both engines share bitwise). */
+  def e2LabelNoise(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = withNorm(embeddings(s, d))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    val top = broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("b.label").cast("int").as("nb_label"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NoiseK)
+      .select("vec_id", "other_id", "nb_label")
+    val major = top.groupBy("vec_id", "nb_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("votes"), (-col("nb_label")).as("nl"))).as("m"))
+      .select(col("vec_id"), (-col("m.nl")).cast("int").as("nb_major"))
+    val lbl = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+    top.join(lbl, "vec_id")
+      .groupBy("vec_id", "label")
+      .agg(asLong(count(lit(1))).as("n_nb"),
+        asLong(sum(when(col("nb_label") =!= col("label"), 1L)
+          .otherwise(0L))).as("n_diff"))
+      .join(major, "vec_id")
+      .select(col("vec_id"), col("label"), col("n_nb"), col("n_diff"),
+        col("nb_major"),
+        when(col("n_diff") * 2 > col("n_nb"), 1L).otherwise(0L)
+          .as("suspect"))
+      .orderBy("vec_id")
+  }
+
   /** MMR candidate-pool size and selection count — interpolated into
     * both engines. λ is written as CAST(0.7 AS DOUBLE) on the oracle
     * side so both engines score from the identical binary double. */
@@ -1738,6 +1796,7 @@ object Similarity {
     "e2_ann_pareto" -> (e2AnnPareto _),
     "e2_dim_ablation" -> (e2DimAblation _),
     "e2_mips" -> (e2Mips _),
+    "e2_label_noise" -> (e2LabelNoise _),
     "e2_mmr" -> (e2Mmr _),
     "e2_ivf_rebalance" -> (e2IvfRebalance _),
     "e2_ivf_merge" -> (e2IvfMerge _),
@@ -2310,6 +2369,36 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
          |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    // global (unblocked) top-NoiseK per sampled query, then integer
+    // disagreement counts and a vote-majority with ties to the smaller
+    // label — ranks use the same raw cosine both engines fold in index
+    // order, everything after is integer
+    "e2_label_noise" ->
+      s"""WITH $qselCtes,
+         |gx AS MATERIALIZED (SELECT vec_id, other_id, nb_label FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    CAST(b.label AS INT) AS nb_label,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn <= $NoiseK),
+         |mj AS (SELECT vec_id, nb_label AS nb_major FROM (
+         |  SELECT vec_id, nb_label, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY count(*) DESC, nb_label) AS r
+         |  FROM gx GROUP BY vec_id, nb_label) WHERE r = 1),
+         |ag AS (SELECT g.vec_id, CAST(e.label AS INT) AS label,
+         |    CAST(count(*) AS BIGINT) AS n_nb,
+         |    CAST(sum(CASE WHEN g.nb_label <> CAST(e.label AS INT)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+         |  FROM gx g JOIN embeddings e ON g.vec_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT ag.vec_id, ag.label, ag.n_nb, ag.n_diff, mj.nb_major,
+         |  CAST(CASE WHEN 2 * ag.n_diff > ag.n_nb THEN 1 ELSE 0 END
+         |    AS BIGINT) AS suspect
+         |FROM ag JOIN mj USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     // MMR greedy selection unrolled into MmrK CTE stages over the
     // sampled exact candidate pool; all scoring in integer 1e-5 units
     // (7·rel_i − 3·ps_i) — λ·rel − (1−λ)·ps over 4-dp inputs lands on

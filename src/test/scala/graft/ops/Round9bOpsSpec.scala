@@ -386,6 +386,56 @@ class Round9bOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("e2_label_noise: counts match a driver global-kNN recompute; suspect law holds") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.map(t => t._1 -> t).toMap
+    val got = Similarity.e2LabelNoise(spark, TestSpark.sf0001).collect()
+    assert(got.length == Similarity.AnnQueryK)
+    got.foreach { r =>
+      val (vid, lbl) = (r.getLong(0), r.getInt(1))
+      val (_, qv, qlbl) = byId(vid)
+      assert(lbl == qlbl)
+      val top = emb.filter(_._1 != vid)
+        .map(t => (t._1, t._3, cos(qv, t._2)))
+        .sortBy(t => (-t._3, t._1)).take(Similarity.NoiseK)
+      val nDiff = top.count(_._2 != qlbl).toLong
+      assert(r.getLong(2) == Similarity.NoiseK.toLong)
+      assert(r.getLong(3) == nDiff, s"n_diff mismatch at $vid")
+      val major = top.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, v) => (-v, l) }.head._1
+      assert(r.getInt(4) == major, s"nb_major mismatch at $vid")
+      assert(r.getLong(5) == (if (2 * nDiff > Similarity.NoiseK) 1L else 0L))
+    }
+    // the audit discriminates on the fixture: disagreement counts vary
+    // across queries (the fixture's labels are only weakly clustered in
+    // embedding space, so at sf0.001 every sampled vector's GLOBAL 5-NN
+    // majority disagrees — all 64 rows flag suspect — but the n_diff
+    // profile still separates the borderline from the hopeless)
+    assert(got.map(_.getLong(3)).distinct.length > 1)
+  }
+
+  test("e2_label_noise: the sample broadcasts into a nested loop; pairs are rank-pruned pre-exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = finalPlan(Similarity.e2LabelNoise(spark, TestSpark.sf0001))
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"sample side should broadcast into a nested loop:\n${plan.take(2000)}")
+      assert(plan.contains("WindowGroupLimit"),
+        s"top-K should prune pairs pre-exchange:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("e3_fertility: reconciles exactly with e3_bpe_apply's per-doc counts rolled up by language") {
     val langs = graft.Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "lang").collect()

@@ -192,6 +192,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Space-Saving heavy hitters: exact below capacity, guarantees above it (E4r)") {
+    // Phase 1 — fixture vocabulary (< M): no eviction ever fires, so the
+    // final summary must EQUAL the exact per-source token counts
+    val M = 64
+    val docsDir = TestSpark.tmpDir("sshh") + "/documents.parquet"
+    graft.Tables.documents(spark, TestSpark.sf0001).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val q = Stateful.streamSpaceSaving(spark, docsDir,
+      spark.read.parquet(docsDir).schema, "sshh_sink", M)
+    assert(q.awaitTermination(120000), "space-saving stream did not finish")
+    val ups = spark.table("sshh_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(ups.nonEmpty)
+    val lastVer = ups.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(lastVer.values.max > 1, "corpus arrived in a single micro-batch")
+    val got = ups.collect {
+      case (s0, v, t, c, e) if lastVer(s0) == v => (s0, t) -> ((c, e))
+    }.toMap
+    val want = spark.read.parquet(docsDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == want.keySet,
+      "below capacity the summary must hold the exact key set")
+    got.foreach { case (k, (c, e)) =>
+      assert(e == 0L && c == want(k), s"inexact below capacity at $k")
+    }
+    // Phase 2 — the guarantee laws above capacity, any arrival order:
+    // a driver replay with M=4 over a stream whose vocabulary is 12
+    val m2 = 4
+    val tokens = (1 to 60).map(i => s"t${i % 12}") ++ Seq.fill(30)("hot")
+    val mp = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    tokens.foreach { t =>
+      mp.get(t) match {
+        case Some((c, e)) => mp(t) = (c + 1, e)
+        case None if mp.size < m2 => mp(t) = (1L, 0L)
+        case None =>
+          val (mt, (mc, _)) = mp.minBy { case (tk, (c, _)) => (c, tk) }
+          mp.remove(mt); mp(t) = (mc + 1, mc)
+      }
+    }
+    assert(mp.size <= m2, "state exceeded capacity")
+    val truth = tokens.groupBy(identity).view.mapValues(_.length.toLong)
+    // bound law: true count within [cnt - err, cnt] for surviving entries
+    mp.foreach { case (t, (c, e)) =>
+      assert(truth(t) <= c && truth(t) >= c - e, s"bound violated at $t")
+    }
+    // coverage law: any token with true count > n/M is present
+    val n = tokens.length.toLong
+    truth.filter(_._2 > n / m2).keys
+      .foreach(t => assert(mp.contains(t), s"heavy hitter $t missing"))
+  }
+
   test("streaming token-budget admission enforces the ledger law (E4q)") {
     // budget chosen so the cap BINDS on the fixture (per-source token
     // mass at sf0.001 is well above it) while early arrivals still land
