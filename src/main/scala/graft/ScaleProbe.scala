@@ -160,7 +160,9 @@ object ScaleProbe {
       // explode over the memoized trainer state — all linear-safe
       "e9_hits", "e9_bfs", "e3_fertility",
       // sample × corpus broadcast nested loop (the e2_mips shape) — linear
-      "e2_label_noise")
+      "e2_label_noise",
+      // one (source, fp)-key aggregate / the standard IVF assign pass
+      "e1_dup_inflation", "e2_centroid_purity")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -98,6 +98,35 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy("keeper")
 
+  /** E1 — per-source TOKEN INFLATION from exact duplicates: how many
+    * tokens each source contributes vs how many SURVIVE the exact-dedup
+    * pass (one representative per content fingerprint within the
+    * source), and the inflation ratio in basis points — the token-level
+    * companion to e1_kmv_global's estimated shingle forecast, and the
+    * number a mixture owner subtracts before trusting e7_source_stats'
+    * raw token masses (a source 3× inflated by mirror copies buys 1/3
+    * the diversity its token count claims). Exact duplicates share the
+    * text, hence the token count, so tokens_unique = Σ per-fingerprint
+    * nt. All integers with one DIV. Plan at 100 TB: one scan computing
+    * (fingerprint, token count) scan-side, a (source, fp)-key aggregate
+    * whose exchange carries 32-byte keys + two longs (map-side combined),
+    * then a |sources|-key fold — documents never shuffle. */
+  def e1DupInflation(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), contentFingerprint(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("n"), max(col("nt")).as("nt1"),
+        sum(col("nt")).as("ntall"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("ntall")).as("tokens_total"),
+        sum(col("nt1")).as("tokens_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("tokens_total"), col("tokens_unique"),
+        expr("10000 * tokens_total div tokens_unique").as("inflation_bp"))
+      .orderBy("source")
+
   /** E1 — exact n-gram Jaccard near-dup pairs (threshold 0.2) via shingle
     * co-occurrence: explode distinct shingles, self-join on shingle to get
     * |A∩B| as a count, then Jaccard from per-doc shingle counts. Equi-join
@@ -1474,6 +1503,7 @@ object Dedup {
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_source_novelty" -> (e1SourceNovelty _),
     "e1_exact_dedup" -> (e1ExactDedup _),
+    "e1_dup_inflation" -> (e1DupInflation _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_prefix_join" -> (e1PrefixJoin _),
     "e1_minhash_pairs" -> (e1MinhashPairs _),
@@ -1881,6 +1911,20 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // exact dups share the text hence the token count, so the unique
+    // token mass is one representative nt per (source, fingerprint)
+    "e1_dup_inflation" ->
+      """WITH g AS (SELECT source, md5(lower(trim(text))) AS fp,
+        |    count(*) AS n,
+        |    max(len(string_split(text, ' '))) AS nt1,
+        |    sum(len(string_split(text, ' '))) AS ntall
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(ntall) AS BIGINT) AS tokens_total,
+        |  CAST(sum(nt1) AS BIGINT) AS tokens_unique,
+        |  CAST((10000 * sum(ntall)) // sum(nt1) AS BIGINT) AS inflation_bp
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "e1_lsh_recall" ->
       s"""WITH $minhashCtes,
          |ex AS MATERIALIZED (SELECT da, db FROM inter

@@ -1532,6 +1532,37 @@ object Similarity {
         round(max(col("pop")).cast("double") / avg(col("pop")), 4).as("skew"))
   }
 
+  /** E2 — per-cell LABEL PURITY of the IVF index: for every cell, its
+    * population, majority label, and the majority's share in basis
+    * points — the cluster-quality audit read BEFORE trusting any
+    * cell-local decision (e2_semdedup keeps one doc per near-dup pair
+    * found INSIDE a cell, e2_knn_classify votes INSIDE a cell: a
+    * low-purity cell means those operations cut across labels, exactly
+    * the damage a purity scoreboard catches first). Votes are integers
+    * and the share is one DIV (exact cross-engine); majority ties break
+    * to the smaller label (the e2_knn_classify discipline). Plan: the
+    * standard broadcast-seed assign (vectors never shuffle), then a
+    * (cell, label) aggregate that partial-combines map-side — the
+    * exchange carries ≤ |cells|·|labels| count rows at any corpus size —
+    * and a |cells|-key argmax fold. */
+  def e2CentroidPurity(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val bl = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+      .select(col("cell"), col("vec_id"))
+      .join(embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("int").as("label")),
+        "vec_id")
+    bl.groupBy("cell", "label").agg(count(lit(1)).as("v"))
+      .groupBy("cell")
+      .agg(asLong(sum(col("v"))).as("n"),
+        max(struct(col("v"), (-col("label")).as("nl"))).as("m"))
+      .select(col("cell"), col("n"),
+        (-col("m.nl")).cast("int").as("top_label"),
+        asLong(col("m.v")).as("top_votes"))
+      .withColumn("purity_bp", expr("10000 * top_votes div n"))
+      .orderBy("cell")
+  }
+
   /** E2 — IVF index REBALANCE: the maintenance pass an IVF deployment
     * runs when ingest skews the cell population (e2_ivf_ingest holds
     * seeds frozen — exactly the regime where hot cells emerge, and
@@ -1770,6 +1801,7 @@ object Similarity {
     "e2_semdedup" -> (e2Semdedup _),
     "e2_semdedup_clusters" -> (e2SemdedupClusters _),
     "e2_ivf_stats" -> (e2IvfStats _),
+    "e2_centroid_purity" -> (e2CentroidPurity _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_kmeans3" -> (e2Kmeans3 _),
     "e2_kmeans_objective" -> (e2KmeansObjective _),
@@ -2046,6 +2078,22 @@ object Similarity {
          |  SELECT vec_id, cell, keeper_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
          |  FROM cand) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // integer votes over the ivfCtes assignment; majority ties to the
+    // smaller label (the e2_knn_classify discipline), one DIV per cell
+    "e2_centroid_purity" ->
+      s"""WITH ${ivfCtes(1)},
+         |bl AS (SELECT b.cell, CAST(e.label AS INT) AS label
+         |  FROM build b JOIN embeddings e ON b.vec_id = e.vec_id),
+         |vc AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS v
+         |  FROM bl GROUP BY 1, 2),
+         |tp AS (SELECT cell, label AS top_label, v AS top_votes FROM (
+         |  SELECT cell, label, v, row_number() OVER (PARTITION BY cell
+         |    ORDER BY v DESC, label) AS r FROM vc) WHERE r = 1),
+         |sz AS (SELECT cell, CAST(sum(v) AS BIGINT) AS n FROM vc
+         |  GROUP BY cell)
+         |SELECT sz.cell, sz.n, tp.top_label, tp.top_votes,
+         |  CAST((10000 * tp.top_votes) // sz.n AS BIGINT) AS purity_bp
+         |FROM sz JOIN tp USING (cell) ORDER BY cell""".stripMargin,
     // components over the SAME cell-bucketed pair predicate e2_semdedup
     // prunes with; min-label via recursive reachability (the
     // e1_dedup_clusters oracle form — the star pass must agree with it)

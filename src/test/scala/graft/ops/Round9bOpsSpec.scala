@@ -436,6 +436,60 @@ class Round9bOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("e1_dup_inflation: reconciles with a driver fingerprint recompute; inflation laws hold") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val byFp = rows.groupBy(t => t._2.trim.toLowerCase)
+      val total = rows.map(_._2.split(" ", -1).length.toLong).sum
+      val uniq = byFp.values.map(_.head._2.split(" ", -1).length.toLong).sum
+      src -> ((rows.length.toLong, byFp.size.toLong, total, uniq))
+    }
+    val got = Dedup.e1DupInflation(spark, TestSpark.sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nd, nu, tt, tu) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == nu &&
+        r.getLong(3) == tt && r.getLong(4) == tu,
+        s"recompute mismatch for ${r.getString(0)}")
+      assert(r.getLong(5) == 10000L * tt / tu)
+      // the natural fixture has NO exact duplicates (random token
+      // sequences), so the true inflation is exactly 1.0× everywhere —
+      // reading 10000 bp here is the audit being RIGHT, not vacuous
+      assert(r.getLong(5) == 10000L)
+    }
+    // constructed duplication: duplicate the corpus once (offset ids,
+    // same text — the ScaleProbe replication shape) and the audit must
+    // read exactly 2.0× for every source
+    val dir = graft.TestSpark.tmpDir("dupinf")
+    val doc = graft.Tables.documents(spark, TestSpark.sf0001)
+    doc.unionByName(doc.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 10000000L))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    Dedup.e1DupInflation(spark, dir).collect().foreach { r =>
+      assert(r.getLong(5) == 20000L,
+        s"2x-replicated source ${r.getString(0)} must read 2.0x inflation")
+      assert(r.getLong(1) == 2L * r.getLong(2))
+    }
+  }
+
+  test("e2_centroid_purity: votes partition the corpus; purity laws hold and the audit discriminates") {
+    val got = Similarity.e2CentroidPurity(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    val total = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(got.map(_.getLong(1)).sum == total,
+      "cell populations must partition the corpus")
+    got.foreach { r =>
+      val (n, tv, bp) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(tv >= 1L && tv <= n)
+      assert(bp == 10000L * tv / n)
+    }
+    // the scoreboard discriminates: sampled-seed cells cut across the
+    // label structure, so purity varies (not all cells pure or impure)
+    assert(got.map(_.getLong(4)).distinct.length > 1)
+  }
+
   test("e3_fertility: reconciles exactly with e3_bpe_apply's per-doc counts rolled up by language") {
     val langs = graft.Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "lang").collect()
