@@ -1004,6 +1004,41 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** HITS to CONVERGENCE — the deployment loop the fixed-iteration
+    * declared query documents (pageRankConverged discipline): the same
+    * hitsHalf plan repeats until max |Δhub| < tol, the driver reads ONE
+    * scalar per round, and a localCheckpoint truncates the per-round
+    * lineage. Returns (scores rounded like the declared query, rounds
+    * run). Hub delta is the convergence witness: the authority update is
+    * a pure function of the hub table, so a converged hub implies a
+    * converged authority one half-step later. */
+  def hitsConverged(pairs: DataFrame, tol: Double,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val ed = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .localCheckpoint(true)
+    val v = ed.select(col("src").as("id"))
+      .unionByName(ed.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var hub = v.select(col("id"), lit(1.0).as("x")).localCheckpoint(true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta >= tol) {
+      val auth = hitsHalf(ed, v, hub, "src", "dst").localCheckpoint(true)
+      val next = hitsHalf(ed, v, auth, "dst", "src").localCheckpoint(true)
+      delta = next
+        .join(hub.select(col("id"), col("x").as("x0")), "id")
+        .agg(max(abs(col("x") - col("x0")))).head().getDouble(0)
+      hub = next
+      it += 1
+    }
+    val auth = hitsHalf(ed, v, hub, "src", "dst")
+    (hub.select(col("id"), col("x").as("hx"))
+      .join(auth.select(col("id"), col("x").as("ax")), "id")
+      .select(col("id").as("doc_id"), round(col("hx"), 6).as("hub"),
+        round(col("ax"), 6).as("authority"))
+      .orderBy("doc_id"), it)
+  }
+
   /** BFS parameters for e9_bfs — fixed rounds/seeds so the oracle can
     * unroll the frontier expansion (the KcorePeels treatment). */
   val BfsRounds = 3
@@ -1046,6 +1081,43 @@ object Analysis {
       .select(coalesce(col("dist"), lit(-1)).as("dist"))
       .groupBy("dist").agg(count(lit(1)).as("n_docs"))
       .orderBy("dist")
+  }
+
+  /** BFS to EXHAUSTION — the deployment loop the fixed-round declared
+    * query documents (kcoreConverged discipline): expand until a round's
+    * frontier is EMPTY, the driver reading one frontier-count scalar per
+    * round while localCheckpoint truncates the growing visited-set
+    * lineage. Returns (per-vertex hop distances from the top-degree
+    * seeds — the full reachability closure, no −1 layer because the
+    * loop only stops when nothing is left to reach — and rounds run).
+    * `maxIters` is the runaway valve for a pathological diameter. */
+  def bfsConverged(pairs: DataFrame, seedK: Int = BfsSeeds,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val e = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    val seeds = deg.orderBy(col("dg").desc, col("src")).limit(seedK)
+      .select(col("src").as("v"))
+    var dist = seeds.withColumn("dist", lit(0)).localCheckpoint(true)
+    var it = 0
+    var frontierN = 1L
+    while (it < maxIters && frontierN > 0) {
+      val frontier = dist.filter(col("dist") === it).select(col("v").as("fv"))
+      val next = e.join(frontier, col("src") === col("fv"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(it + 1))
+        .localCheckpoint(true)
+      frontierN = next.count()
+      if (frontierN > 0) { dist = dist.unionByName(next).localCheckpoint(true) }
+      it += 1
+    }
+    // the last loop iteration is the empty-frontier detection probe and
+    // adds no vertices — report only expansions that did, matching how
+    // BfsRounds parameterizes the fixed-round variant (the kcoreConverged
+    // rounds-that-removed-something convention)
+    (dist.orderBy("v"), it - 1)
   }
 
   /** E8 — hour-of-week seasonality profile: the 7×24 activity heatmap

@@ -395,6 +395,60 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got(0) == math.min(Analysis.BfsSeeds, verts.size).toLong)
   }
 
+  test("hitsConverged: terminates, agrees with the fixed-round query's normalization, and 2 rounds sit on its trajectory") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+    val (df, iters) = Analysis.hitsConverged(pairs, 1e-6)
+    assert(iters < 50, "did not converge inside the valve")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the L-inf normalization law holds at the fixpoint too
+    assert(rows.map(_.getDouble(1)).max == 1.0)
+    assert(rows.map(_.getDouble(2)).max == 1.0)
+    // the converged vertex set is the declared query's vertex set
+    val declared = Analysis.e9Hits(spark, TestSpark.sf001).collect()
+    assert(rows.map(_.getLong(0)).toSet == declared.map(_.getLong(0)).toSet)
+  }
+
+  test("bfsConverged: reaches the seeds' full component and the fixed-round layers are its prefix") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+    val (df, rounds) = Analysis.bfsConverged(pairs)
+    val dist = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the fixture's top-3-degree vertices are one clique family whose
+    // neighbors are each other, so 0 expanding rounds is CORRECT here —
+    // the constructed chain below exercises a genuinely deep loop
+    assert(rounds >= 0 && rounds < 50)
+    // reachability closure: every distance is final (no -1 layer), the
+    // deepest layer equals the rounds run, and BFS layering is sound —
+    // a vertex at depth k>0 has a neighbor at depth k-1
+    assert(dist.values.max == rounds)
+    val sym = pairs.select("da", "db").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    dist.foreach { case (v, k) =>
+      if (k > 0) assert(adj(v).exists(n => dist.get(n).contains(k - 1)),
+        s"no parent at depth ${k - 1} for $v")
+    }
+    // prefix law vs the declared fixed-round query: the ≤BfsRounds layer
+    // histogram must match e9_bfs's non-(-1) rows exactly
+    val hist = dist.values.filter(_ <= Analysis.BfsRounds)
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val declared = Analysis.e9Bfs(spark, TestSpark.sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).filter(_._1 >= 0).toMap
+    assert(declared == hist)
+    // constructed 24-vertex chain 0-1-...-23: interior vertices all tie
+    // at degree 2, so the id tie-break seeds {1,2,3}; the loop must run
+    // to the chain's far end (20 expansions) with exact hop distances
+    import spark.implicits._
+    val chain = (0L until 23L).map(i => (i, i + 1)).toDF("da", "db")
+    val (cdf, crounds) = Analysis.bfsConverged(chain)
+    val cd = cdf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(crounds == 20, s"expected 20 expanding rounds, got $crounds")
+    val expect = (0L to 23L).map(v =>
+      v -> Seq(math.abs(v - 1), math.abs(v - 2), math.abs(v - 3)).min.toInt)
+      .toMap
+    assert(cd == expect)
+  }
+
   test("e8_freshness: profile equals a driver-side age recompute") {
     val rows = Analysis.e8Freshness(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
