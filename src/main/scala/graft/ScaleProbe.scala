@@ -162,7 +162,9 @@ object ScaleProbe {
       // sample × corpus broadcast nested loop (the e2_mips shape) — linear
       "e2_label_noise",
       // one (source, fp)-key aggregate / the standard IVF assign pass
-      "e1_dup_inflation", "e2_centroid_purity")
+      "e1_dup_inflation", "e2_centroid_purity",
+      // the semdedup pair stage + scan-side split gates
+      "e6_semantic_leakage")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1755,6 +1755,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E6/E2 — SEMANTIC split leakage: near-duplicate EMBEDDING pairs
+    * (the e2_semdedup cell-bucketed cosine ≥ τ predicate) classified by
+    * the train/val/test splits their endpoints land in — the
+    * embedding-space twin of e6_split_leakage (which audits the same
+    * contamination over MinHash text pairs): a val↔train or test↔train
+    * row is an eval example whose semantic near-copy is in training,
+    * the contamination a paraphrase slips past every lexical audit
+    * (why semantic decontamination exists as a separate pass). Same
+    * SplitSalt slot gate as e6_train_val_test applied to vec_id, so the
+    * audit composes the exact split definition it audits. Plan: the
+    * semdedup pair stage is the declared n·√n cell-bucketed shape
+    * (vectors never shuffle; pre-window projections already applied);
+    * split gates are scan-side; the classification is two 8-byte-key
+    * joins against the pair table and a ≤6-key aggregate. */
+  def e6SemanticLeakage(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+    val pairs = build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") >= SemDedupTau)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    val sp = embeddings(s, d).select(col("vec_id"),
+      when(Sampling.slot(col("vec_id"), Sampling.SplitSalt) < 90, "train")
+        .when(Sampling.slot(col("vec_id"), Sampling.SplitSalt) < 95, "val")
+        .otherwise("test").as("split"))
+    pairs
+      .join(sp.select(col("vec_id").as("va"), col("split").as("sa")), "va")
+      .join(sp.select(col("vec_id").as("vb"), col("split").as("sb")), "vb")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** E2 — int8 SCALAR quantization (SQ8) audit: the other standard vector
     * compression next to PQ (FAISS's SQ8 / Milvus IVF_SQ8): each
     * coordinate maps to one byte via a per-dimension affine
@@ -1802,6 +1838,7 @@ object Similarity {
     "e2_semdedup_clusters" -> (e2SemdedupClusters _),
     "e2_ivf_stats" -> (e2IvfStats _),
     "e2_centroid_purity" -> (e2CentroidPurity _),
+    "e6_semantic_leakage" -> (e6SemanticLeakage _),
     "e2_kmeans_iter" -> (e2KmeansIter _),
     "e2_kmeans3" -> (e2Kmeans3 _),
     "e2_kmeans_objective" -> (e2KmeansObjective _),
@@ -2078,6 +2115,33 @@ object Similarity {
          |  SELECT vec_id, cell, keeper_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
          |  FROM cand) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the e2_semdedup pair predicate + the e6_train_val_test slot gate
+    // replicated on vec_id (same SplitSalt; the e8_centroid_shift qm-
+    // chain form), so the audit composes the split definition it audits
+    "e6_semantic_leakage" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(Sampling.SplitSalt)
+      s"""WITH ${ivfCtes(1)},
+         |prs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >= $SemDedupTau),
+         |sp_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM embeddings),
+         |${mixCtes("sp", "q0", "qm", Seq("vec_id"))},
+         |spl AS MATERIALIZED (SELECT vec_id,
+         |  CASE WHEN (qm % CAST(power(2, 63) AS HUGEINT)) % 100 < 90
+         |       THEN 'train'
+         |       WHEN (qm % CAST(power(2, 63) AS HUGEINT)) % 100 < 95
+         |       THEN 'val' ELSE 'test' END AS split FROM sp)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b,
+         |  count(*) AS n_pairs
+         |FROM prs JOIN spl sa ON prs.va = sa.vec_id
+         |JOIN spl sb ON prs.vb = sb.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // integer votes over the ivfCtes assignment; majority ties to the
     // smaller label (the e2_knn_classify discipline), one DIV per cell
     "e2_centroid_purity" ->

@@ -490,6 +490,37 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("e6_semantic_leakage: categories are canonical, split gates replicate, and the τ dial is monotone in evidence") {
+    val got = Similarity.e6SemanticLeakage(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val canon = Set("test", "train", "val")
+    got.keys.foreach { case (a, b) =>
+      assert(canon(a) && canon(b) && a <= b,
+        s"category ($a, $b) not canonical least/greatest form")
+    }
+    assert(got.values.forall(_ > 0L))
+    // the split gate in the audit IS e6_train_val_test's: replicate the
+    // slot arithmetic driver-side for every vec_id and the populations
+    // must agree with what any (split, split) classification could use
+    val slots = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id")).collect()
+      .map(_.getLong(0)).map { id =>
+        val m = org.apache.spark.sql.graftext.minhashExpression
+          .mix(id ^ graft.ops.Sampling.SplitSalt)
+        val slot = (m & Long.MaxValue) % 100
+        if (slot < 90) "train" else if (slot < 95) "val" else "test"
+      }
+    assert(slots.count(_ == "train") > slots.count(_ == "val"))
+    // on the fixture the train↔train diagonal dominates (90% of mass is
+    // train, so most near-dup pairs land inside it) and at least one
+    // CROSS-split row exists — the contamination the audit exists for
+    assert(got.keys.exists { case (a, b) => a != b },
+      "no cross-split pair on the fixture — audit vacuous")
+    val diag = got.getOrElse(("train", "train"), 0L)
+    assert(got.filter { case (k, _) => k._1 != k._2 }.values.forall(_ <= diag))
+  }
+
   test("e3_fertility: reconciles exactly with e3_bpe_apply's per-doc counts rolled up by language") {
     val langs = graft.Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "lang").collect()
