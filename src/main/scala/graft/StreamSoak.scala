@@ -41,6 +41,36 @@ object StreamSoak {
     val inputRows = spark.read.parquet(src).count()
     val schema = spark.read.parquet(src).schema
 
+    // "ss" as any arg: soak the E4r Space-Saving ingest instead — same
+    // replicated corpus, per-source M-entry global heavy-hitter state.
+    // Replication multiplies every token count by N but adds NO new
+    // tokens, so state stays far below capacity while the counting path
+    // does N× the work — the pure-throughput regime. Reports token
+    // throughput plus the state-bound check (final snapshot rows per
+    // source ≤ M).
+    if (args.contains("ss")) {
+      val M = 64
+      val tokens = spark.read.parquet(src)
+        .select(explode(split(col("text"), " "))).count()
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamSpaceSaving(
+        spark, src, schema, "soak_ss", M)
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the memory sink is |sources|·M·versions rows — driver-sized
+      val snaps = spark.table("soak_ss").select("source", "ver").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val lastVer = snaps.groupBy(_._1).map { case (s0, rs) =>
+        s0 -> rs.map(_._2).max }
+      val finalRows = snaps.groupBy(identity).collect {
+        case ((s0, v), rs) if lastVer(s0) == v => s0 -> rs.length
+      }
+      require(finalRows.values.forall(_ <= M), "state bound violated")
+      println(f"""{"soak":"e4r_space_saving_ingest","input_rows":$inputRows,"tokens":$tokens,"sec":$secs%.1f,"tokens_per_sec":${(tokens / secs).toLong},"sources":${finalRows.size},"state_cap":$M,"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val q = streaming.StreamOps
       .streamFingerprintDedupToFiles(spark, src, schema, out, ckpt)
