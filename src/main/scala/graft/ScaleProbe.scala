@@ -164,7 +164,11 @@ object ScaleProbe {
       // one (source, fp)-key aggregate / the standard IVF assign pass
       "e1_dup_inflation", "e2_centroid_purity",
       // the semdedup pair stage + scan-side split gates
-      "e6_semantic_leakage")
+      "e6_semantic_leakage",
+      // scan-side score+gate, bounded (source, m4) histogram windows
+      "e8_quality_drift",
+      // pair-table x |thresholds| fan-out, never corpus-sized
+      "e1_retention_curve")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -515,6 +515,54 @@ object Analysis {
       .orderBy("label")
   }
 
+  /** E8 — per-source QUALITY-SCORE drift between releases: the
+    * two-sample KS monitor (e8_embed_drift's integer discipline) applied
+    * to the e3_quality composite score, gated by the SAME ReleaseSalt
+    * 90/10 split as e7_dataset_diff/e8_centroid_shift — "did a source's
+    * quality DISTRIBUTION move in the arriving release". This is the
+    * quality-filter owner's early-warning: a crawler change that shifts
+    * a source's score profile silently re-weights every downstream
+    * threshold gate (e3_quality_tiers, e7_curated, e6_curriculum) before
+    * any of them look wrong individually. Scores are the exact
+    * 4-dp-integer m4 units of e3_quality_calibration (same rounding
+    * chain, both engines bit-for-bit); the KS numerator is the exact
+    * integer max |ri·nc − ci·nr| with one final DIV to basis points.
+    * Plan: score + gate are scan-side, the (source, m4) histogram
+    * partial-combines map-side (≤ |sources|·10001 cells), and the
+    * cumulative windows run over that bounded histogram — never over
+    * documents. */
+  def e8QualityDrift(s: SparkSession, d: String): DataFrame = {
+    val pr = documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("nsw", expr(
+        s"size(${TextOps.stopwordFilterSql})"))
+      .select(col("source"),
+        when(Sampling.slot(col("doc_id"), Curation.ReleaseSalt) < 90, 1L)
+          .otherwise(0L).as("isv1"),
+        round(round(TextOps.qualityScore(col("nt"), col("nsw")), 4) * 10000)
+          .cast("long").as("m4"))
+    val h = pr.groupBy("source", "m4")
+      .agg(sum(col("isv1")).as("ra"), sum(lit(1L) - col("isv1")).as("ca"))
+    val wc = Window.partitionBy("source").orderBy("m4")
+    val wl = Window.partitionBy("source")
+    h.withColumn("ri", sum(col("ra")).over(wc))
+      .withColumn("ci", sum(col("ca")).over(wc))
+      .withColumn("nr", sum(col("ra")).over(wl))
+      .withColumn("nc", sum(col("ca")).over(wl))
+      .select(col("source"), col("nr"), col("nc"),
+        abs(col("ri") * col("nc") - col("ci") * col("nr")).as("num"))
+      .groupBy("source")
+      .agg(max(col("nr")).as("n_v1"), max(col("nc")).as("n_v2"),
+        max(col("num")).as("ks_num"))
+      // a source whose docs all landed one side of the gate has no
+      // distribution to drift FROM — dropped, the e8_centroid_shift
+      // missing-side discipline (at sf0.001 a 25-doc source lands all-v1
+      // with probability 0.9^25 ≈ 7%, so this branch is real)
+      .filter(col("n_v1") > 0 && col("n_v2") > 0)
+      .withColumn("ks_bp", expr("ks_num * 10000 div (n_v1 * n_v2)"))
+      .orderBy("source")
+  }
+
   /** E8 — per-user event-type transition matrix: P(next event type |
     * current), the first-order Markov behavior model behind session
     * analytics and bot detection (a user whose transition row collapses
@@ -1370,6 +1418,7 @@ object Analysis {
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
+    "e8_quality_drift" -> (e8QualityDrift _),
     "e8_profile" -> (e8Profile _),
     "e8_outliers" -> (e8Outliers _),
     "e8_mad_outliers" -> (e8MadOutliers _),
@@ -1793,6 +1842,37 @@ object Analysis {
          |    // (CAST(max(nr) AS BIGINT) * CAST(max(nc) AS BIGINT)) AS ks_bp
          |FROM c GROUP BY label ORDER BY label""".stripMargin
     },
+    // the e3_quality_calibration m4 scoring chain verbatim + the
+    // ReleaseSalt slot gate; integer KS numerator over the bounded
+    // (source, m4) histogram with one final DIV (the e8_embed_drift
+    // discipline keyed by source)
+    "e8_quality_drift" ->
+      s"""WITH ${Sampling.slotCtes(graft.ops.Curation.ReleaseSalt)},
+         |qd AS (SELECT d.source,
+         |  CASE WHEN sl.slot < 90 THEN 1 ELSE 0 END AS isv1,
+         |  CAST(round(round(least(1.0,
+         |      len(string_split(d.text, ' ')) / 100.0) *
+         |      (1.0 - len(list_filter(string_split(d.text, ' '),
+         |        t -> t IN ('the','a','of','and','to'))) /
+         |        CAST(len(string_split(d.text, ' ')) AS DOUBLE)), 4)
+         |    * 10000) AS BIGINT) AS m4
+         |  FROM documents d JOIN slots sl ON d.doc_id = sl.doc_id),
+         |h AS (SELECT source, m4, sum(isv1) AS ra, sum(1 - isv1) AS ca
+         |  FROM qd GROUP BY 1, 2),
+         |c AS (SELECT source, m4, ra, ca,
+         |  sum(ra) OVER (PARTITION BY source ORDER BY m4) AS ri,
+         |  sum(ca) OVER (PARTITION BY source ORDER BY m4) AS ci,
+         |  sum(ra) OVER (PARTITION BY source) AS nr,
+         |  sum(ca) OVER (PARTITION BY source) AS nc FROM h)
+         |SELECT source, CAST(max(nr) AS BIGINT) AS n_v1,
+         |  CAST(max(nc) AS BIGINT) AS n_v2,
+         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) AS ks_num,
+         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) * 10000
+         |    // (CAST(max(nr) AS BIGINT) * CAST(max(nc) AS BIGINT))
+         |    AS ks_bp
+         |FROM c GROUP BY source
+         |HAVING max(nr) > 0 AND max(nc) > 0
+         |ORDER BY source""".stripMargin,
     "e8_ks_drift" -> {
       import OracleSql._
       s"""WITH mx_in AS (SELECT event_type, value,

@@ -302,6 +302,52 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Jaccard thresholds (1e-4 units) swept by e1_retention_curve. */
+  val RetentionThresholds: Seq[Long] =
+    Seq(2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L)
+
+  /** E1 — corpus RETENTION CURVE vs the near-dup threshold: for each
+    * candidate Jaccard cut, how many documents and tokens the greedy
+    * keep-the-smaller-id policy would drop, and the kept shares in basis
+    * points — the PRICE TABLE for the dedup-policy dial. e1_lsh_curve
+    * prices the dial's RECALL side (which true pairs each banding
+    * setting finds); this prices its YIELD side (how much corpus
+    * survives each cut) — together they are the two axes of the
+    * threshold decision a curation owner actually makes. Greedy
+    * pair-drop (a doc is dropped iff it is the larger endpoint of any
+    * qualifying pair) is the deterministic per-pair form of keeper
+    * selection; cluster-exact dropping is e1_dedup_clusters' job and
+    * differs only on chains, which the ≥ 0.2 verified pair floor keeps
+    * rare. All counts integer; thresholds compare against the pair
+    * table's 4-dp jaccard ×10⁴ (both engines hold identical integers).
+    * Plan: the pair table fans out ×|thresholds| (pair-sized, never
+    * corpus-sized), one DISTINCT + token join per threshold batch, a
+    * |thresholds|-key aggregate, and the 1-row corpus total broadcast
+    * back. */
+  def e1RetentionCurve(s: SparkSession, d: String): DataFrame = {
+    val nt = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val tot = nt.agg(count(lit(1)).as("nd"), sum(col("nt")).as("ntok"))
+    val dropped = e1MinhashPairs(s, d)
+      .select(col("db"), round(col("jaccard") * 10000).cast("long").as("ji"))
+      .withColumn("thr", explode(array(RetentionThresholds.map(lit): _*)))
+      .filter(col("ji") >= col("thr"))
+      .select("thr", "db").distinct()
+      .join(nt.withColumnRenamed("doc_id", "db"), "db")
+      .groupBy("thr")
+      .agg(count(lit(1)).as("n_dropped"), sum(col("nt")).as("tokens_dropped"))
+    val thrDf = s.createDataFrame(RetentionThresholds.map(Tuple1(_)))
+      .toDF("thr")
+    thrDf.join(dropped, Seq("thr"), "left")
+      .na.fill(0L, Seq("n_dropped", "tokens_dropped"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("n_dropped"), col("tokens_dropped"),
+        expr("10000 * (nd - n_dropped) div nd").as("kept_docs_bp"),
+        expr("10000 * (ntok - tokens_dropped) div ntok")
+          .as("kept_tokens_bp"))
+      .orderBy("thr")
+  }
+
   /** E1 — SimHash fingerprints (native codegen'd expression). Oracle:
     * DuckDB recomputes the full FNV-1a + bit-majority pipeline in HUGEINT
     * arithmetic (see oracles below) — exact for ASCII text, where the
@@ -1504,6 +1550,7 @@ object Dedup {
     "e1_source_novelty" -> (e1SourceNovelty _),
     "e1_exact_dedup" -> (e1ExactDedup _),
     "e1_dup_inflation" -> (e1DupInflation _),
+    "e1_retention_curve" -> (e1RetentionCurve _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
     "e1_prefix_join" -> (e1PrefixJoin _),
     "e1_minhash_pairs" -> (e1MinhashPairs _),
@@ -1911,6 +1958,34 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // greedy pair-drop retention sweep over the verified pair table's
+    // 4-dp jaccard (x 10^4 integers both engines hold identically)
+    "e1_retention_curve" -> {
+      val lits = RetentionThresholds.mkString("[", ", ", "]")
+      s"""WITH $minhashCtes,
+         |nt AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum(nt) AS BIGINT) AS ntok FROM nt),
+         |thr AS (SELECT unnest($lits) AS thr),
+         |dr AS (SELECT DISTINCT thr.thr, mhp.db FROM mhp, thr
+         |  WHERE CAST(round(mhp.jaccard * 10000) AS BIGINT) >= thr.thr),
+         |ag AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_dropped,
+         |  CAST(sum(nt.nt) AS BIGINT) AS tokens_dropped
+         |  FROM dr JOIN nt ON dr.db = nt.doc_id GROUP BY thr)
+         |SELECT CAST(thr.thr AS BIGINT) AS thr,
+         |  coalesce(ag.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+         |  coalesce(ag.tokens_dropped, CAST(0 AS BIGINT))
+         |    AS tokens_dropped,
+         |  (10000 * (tot.nd - coalesce(ag.n_dropped, CAST(0 AS BIGINT))))
+         |    // tot.nd AS kept_docs_bp,
+         |  (10000 * (tot.ntok
+         |    - coalesce(ag.tokens_dropped, CAST(0 AS BIGINT))))
+         |    // tot.ntok AS kept_tokens_bp
+         |FROM thr LEFT JOIN ag ON thr.thr = ag.thr CROSS JOIN tot
+         |ORDER BY thr""".stripMargin
+    },
     // exact dups share the text hence the token count, so the unique
     // token mass is one representative nt per (source, fingerprint)
     "e1_dup_inflation" ->

@@ -395,6 +395,46 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got(0) == math.min(Analysis.BfsSeeds, verts.size).toLong)
   }
 
+  test("e8_quality_drift: equals a driver KS replica; all-one-side sources are dropped") {
+    // scores from the same projection the operator uses (the ORACLE pins
+    // the scoring chain bitwise; this replica targets the gate + KS fold
+    // + drop logic, which are pure integer arithmetic)
+    import org.apache.spark.sql.functions.{expr => fexpr, round => fround, size => fsize, split => fsplit}
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("nt", fsize(fsplit(col("text"), " ")))
+      .withColumn("nsw", fexpr(
+        "size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to')))"))
+      .select(col("doc_id"), col("source"),
+        fround(fround(graft.ops.TextOps.qualityScore(col("nt"), col("nsw")), 4) * 10000)
+          .cast("long").as("m4"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def slot(id: Long): Long =
+      (org.apache.spark.sql.graftext.minhashExpression
+        .mix(id ^ graft.ops.Curation.ReleaseSalt) & Long.MaxValue) % 100
+    val bySrc = docs.groupBy(_._2)
+    val expect = bySrc.flatMap { case (src, rows) =>
+      val scored = rows.map(t => (t._3, slot(t._1) < 90))
+      val nV1 = scored.count(_._2).toLong
+      val nV2 = scored.length - nV1
+      if (nV1 == 0 || nV2 == 0) None
+      else {
+        var ri = 0L; var ci = 0L; var num = 0L
+        scored.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+          ri += g.count(_._2); ci += g.count(!_._2)
+          num = math.max(num, math.abs(ri * nV2 - ci * nV1))
+        }
+        Some(src -> ((nV1, nV2, num, num * 10000 / (nV1 * nV2))))
+      }
+    }
+    val got = Analysis.e8QualityDrift(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // the drop branch is REAL on this fixture (0.9^25 per source)
+    assert(got.size < bySrc.size, "expected at least one all-one-side source")
+    assert(got.nonEmpty)
+  }
+
   test("hitsConverged: terminates, agrees with the fixed-round query's normalization, and 2 rounds sit on its trajectory") {
     val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
     val (df, iters) = Analysis.hitsConverged(pairs, 1e-6)

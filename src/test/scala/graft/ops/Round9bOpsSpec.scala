@@ -436,6 +436,30 @@ class Round9bOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("e1_retention_curve: monotone in the threshold and reconciles with the pair table at the floor") {
+    val rows = Dedup.e1RetentionCurve(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Dedup.RetentionThresholds)
+    // tightening the cut can only drop FEWER docs/tokens (monotone), and
+    // kept shares can only rise
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+      assert(hi._4 >= lo._4 && hi._5 >= lo._5)
+    }
+    // at the 0.2 pair floor EVERY verified pair qualifies, so n_dropped
+    // equals the distinct larger-endpoint count of the whole pair table
+    val allDb = Dedup.e1MinhashPairs(spark, TestSpark.sf0001)
+      .select("db").distinct().count()
+    assert(rows.head._2 == allDb)
+    // share arithmetic
+    val totDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    rows.foreach { case (_, nd, _, kbp, _) =>
+      assert(kbp == 10000L * (totDocs - nd) / totDocs)
+    }
+    assert(rows.head._2 > 0, "fixture has verified pairs — curve not vacuous")
+  }
+
   test("e1_dup_inflation: reconciles with a driver fingerprint recompute; inflation laws hold") {
     val docs = graft.Tables.documents(spark, TestSpark.sf0001)
       .select("source", "text").collect()
