@@ -168,7 +168,9 @@ object ScaleProbe {
       // scan-side score+gate, bounded (source, m4) histogram windows
       "e8_quality_drift",
       // pair-table x |thresholds| fan-out, never corpus-sized
-      "e1_retention_curve")
+      "e1_retention_curve",
+      // three |sources|-bounded monitors meeting in |sources|-key joins
+      "e7_release_gate")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

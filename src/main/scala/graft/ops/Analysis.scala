@@ -1447,6 +1447,58 @@ object Analysis {
     s"$base,\n$iters"
   }
 
+  /** The e8_quality_drift CTE chain (requires `slots` from
+    * Sampling.slotCtes(ReleaseSalt) in the same WITH; ends in CTE `qdr`:
+    * source, n_v1, n_v2, ks_num, ks_bp). Shared verbatim with the
+    * e7_release_gate oracle so the gate can never drift from the
+    * monitor it composes. */
+  private[ops] lazy val qualityDriftChain: String =
+    """qd AS (SELECT d.source,
+      |  CASE WHEN sl.slot < 90 THEN 1 ELSE 0 END AS isv1,
+      |  CAST(round(round(least(1.0,
+      |      len(string_split(d.text, ' ')) / 100.0) *
+      |      (1.0 - len(list_filter(string_split(d.text, ' '),
+      |        t -> t IN ('the','a','of','and','to'))) /
+      |        CAST(len(string_split(d.text, ' ')) AS DOUBLE)), 4)
+      |    * 10000) AS BIGINT) AS m4
+      |  FROM documents d JOIN slots sl ON d.doc_id = sl.doc_id),
+      |h AS (SELECT source, m4, sum(isv1) AS ra, sum(1 - isv1) AS ca
+      |  FROM qd GROUP BY 1, 2),
+      |c AS (SELECT source, m4, ra, ca,
+      |  sum(ra) OVER (PARTITION BY source ORDER BY m4) AS ri,
+      |  sum(ca) OVER (PARTITION BY source ORDER BY m4) AS ci,
+      |  sum(ra) OVER (PARTITION BY source) AS nr,
+      |  sum(ca) OVER (PARTITION BY source) AS nc FROM h),
+      |qdr AS (SELECT source, CAST(max(nr) AS BIGINT) AS n_v1,
+      |  CAST(max(nc) AS BIGINT) AS n_v2,
+      |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) AS ks_num,
+      |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) * 10000
+      |    // (CAST(max(nr) AS BIGINT) * CAST(max(nc) AS BIGINT))
+      |    AS ks_bp
+      |FROM c GROUP BY source
+      |HAVING max(nr) > 0 AND max(nc) > 0)""".stripMargin
+
+  /** The e8_source_divergence CTE chain (self-contained; ends in CTE
+    * `sdr`: source, n_tokens, vocab, tvd). Shared verbatim with the
+    * e7_release_gate oracle. */
+  private[ops] lazy val sourceDivergenceChain: String =
+    """tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |st AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY source, t),
+      |ct AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s,
+      |  count(*) AS vocab FROM st GROUP BY source),
+      |ntt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+      |pr AS (SELECT st.source, ns.n_s, ns.vocab, ntt.n,
+      |  CAST(sum(abs(st.cs * ntt.n - ct.c * ns.n_s)) AS BIGINT) AS psum,
+      |  CAST(sum(ct.c) AS BIGINT) AS pc
+      |  FROM st JOIN ct USING (t) JOIN ns USING (source), ntt
+      |  GROUP BY st.source, ns.n_s, ns.vocab, ntt.n),
+      |sdr AS (SELECT source, n_s AS n_tokens, vocab,
+      |  round((psum + n_s * (n - pc)) /
+      |    (CAST(2 AS DOUBLE) * n_s * n), 4) AS tvd
+      |FROM pr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // cross-multiplied integer centroid-shift identity over micro-
     // quantized coordinates; one final integer->double division per
@@ -1486,24 +1538,12 @@ object Analysis {
          |ORDER BY label""".stripMargin
     },
     // sparse-TVD identity in exact integer arithmetic; one final
-    // integer->double division (see e8SourceDivergence Scaladoc)
+    // integer->double division (see e8SourceDivergence Scaladoc). Chain
+    // shared verbatim with the e7_release_gate oracle.
     "e8_source_divergence" ->
-      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
-        |  FROM documents),
-        |st AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY source, t),
-        |ct AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s,
-        |  count(*) AS vocab FROM st GROUP BY source),
-        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
-        |pr AS (SELECT st.source, ns.n_s, ns.vocab, nt.n,
-        |  CAST(sum(abs(st.cs * nt.n - ct.c * ns.n_s)) AS BIGINT) AS psum,
-        |  CAST(sum(ct.c) AS BIGINT) AS pc
-        |  FROM st JOIN ct USING (t) JOIN ns USING (source), nt
-        |  GROUP BY st.source, ns.n_s, ns.vocab, nt.n)
-        |SELECT source, n_s AS n_tokens, vocab,
-        |  round((psum + n_s * (n - pc)) /
-        |    (CAST(2 AS DOUBLE) * n_s * n), 4) AS tvd
-        |FROM pr ORDER BY source""".stripMargin,
+      s"""WITH $sourceDivergenceChain
+         |SELECT source, n_tokens, vocab, tvd
+         |FROM sdr ORDER BY source""".stripMargin,
     "e8_kanon" ->
       s"""WITH q AS (SELECT lang, source, n_chars // 200 AS len_bucket,
          |    count(*) AS g
@@ -1845,33 +1885,12 @@ object Analysis {
     // the e3_quality_calibration m4 scoring chain verbatim + the
     // ReleaseSalt slot gate; integer KS numerator over the bounded
     // (source, m4) histogram with one final DIV (the e8_embed_drift
-    // discipline keyed by source)
+    // discipline keyed by source). The chain is shared VERBATIM with
+    // the e7_release_gate oracle (the e3_pack_stats can't-drift rule).
     "e8_quality_drift" ->
       s"""WITH ${Sampling.slotCtes(graft.ops.Curation.ReleaseSalt)},
-         |qd AS (SELECT d.source,
-         |  CASE WHEN sl.slot < 90 THEN 1 ELSE 0 END AS isv1,
-         |  CAST(round(round(least(1.0,
-         |      len(string_split(d.text, ' ')) / 100.0) *
-         |      (1.0 - len(list_filter(string_split(d.text, ' '),
-         |        t -> t IN ('the','a','of','and','to'))) /
-         |        CAST(len(string_split(d.text, ' ')) AS DOUBLE)), 4)
-         |    * 10000) AS BIGINT) AS m4
-         |  FROM documents d JOIN slots sl ON d.doc_id = sl.doc_id),
-         |h AS (SELECT source, m4, sum(isv1) AS ra, sum(1 - isv1) AS ca
-         |  FROM qd GROUP BY 1, 2),
-         |c AS (SELECT source, m4, ra, ca,
-         |  sum(ra) OVER (PARTITION BY source ORDER BY m4) AS ri,
-         |  sum(ca) OVER (PARTITION BY source ORDER BY m4) AS ci,
-         |  sum(ra) OVER (PARTITION BY source) AS nr,
-         |  sum(ca) OVER (PARTITION BY source) AS nc FROM h)
-         |SELECT source, CAST(max(nr) AS BIGINT) AS n_v1,
-         |  CAST(max(nc) AS BIGINT) AS n_v2,
-         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) AS ks_num,
-         |  CAST(max(abs(ri * nc - ci * nr)) AS BIGINT) * 10000
-         |    // (CAST(max(nr) AS BIGINT) * CAST(max(nc) AS BIGINT))
-         |    AS ks_bp
-         |FROM c GROUP BY source
-         |HAVING max(nr) > 0 AND max(nc) > 0
+         |$qualityDriftChain
+         |SELECT source, n_v1, n_v2, ks_num, ks_bp FROM qdr
          |ORDER BY source""".stripMargin,
     "e8_ks_drift" -> {
       import OracleSql._

@@ -529,7 +529,54 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Release-gate thresholds (integer units; interpolated into both
+    * engines): quality-drift KS < 2500 bp, exact-dup token inflation
+    * < 1.5×, unigram TVD from the corpus < 0.25. */
+  val GateQualityKsBp = 2500L
+  val GateInflationBp = 15000L
+  val GateTvd4 = 2500L
+
+  /** E7 — per-source RELEASE GATE: the GO/NO-GO verdict table a data
+    * release review signs off on, composing three monitors this engine
+    * already ships — e8_quality_drift (did the score distribution move
+    * between releases), e1_dup_inflation (is the source's token mass
+    * inflated by exact copies), e8_source_divergence (is the source's
+    * unigram profile an outlier vs the corpus) — into integer-threshold
+    * pass flags and one `admit` verdict. This is the lime-etl idea
+    * (run checks, publish a pass/fail table a scheduler gates on —
+    * job_test_result.py) lifted to corpus release QA; the declared
+    * query form means the verdict itself is oracle-checked, and each
+    * component's oracle SQL is composed VERBATIM (qualityDriftChain /
+    * dupInflationChain / sourceDivergenceChain — the e3_pack_stats
+    * can't-drift rule). A source with no drift reading (all docs one
+    * side of the release gate) passes the drift check by default
+    * (ks_bp = 0: no evidence of drift is not evidence of drift). All
+    * comparisons are integer vs integer; TVD enters as round(tvd·10⁴)
+    * — both engines hold the identical 4-dp double, so the integerized
+    * comparison cannot split. Plan: three already-bounded monitor
+    * outputs (≤ |sources| rows each) meet in two |sources|-key joins —
+    * nothing corpus-sized beyond the monitors' own scans. */
+  def e7ReleaseGate(s: SparkSession, d: String): DataFrame = {
+    val qd = Analysis.e8QualityDrift(s, d).select(col("source"), col("ks_bp"))
+    val di = Dedup.e1DupInflation(s, d)
+      .select(col("source"), col("n_docs"), col("inflation_bp"))
+    val sd = Analysis.e8SourceDivergence(s, d).select(col("source"),
+      round(col("tvd") * 10000).cast("long").as("tvd4"))
+    di.join(qd, Seq("source"), "left")
+      .na.fill(0L, Seq("ks_bp"))
+      .join(sd, "source")
+      .select(col("source"), col("n_docs"), col("ks_bp"),
+        col("inflation_bp"), col("tvd4"),
+        (col("ks_bp") < GateQualityKsBp).as("pass_drift"),
+        (col("inflation_bp") < GateInflationBp).as("pass_dup"),
+        (col("tvd4") < GateTvd4).as("pass_divergence"))
+      .withColumn("admit",
+        col("pass_drift") && col("pass_dup") && col("pass_divergence"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_release_gate" -> (e7ReleaseGate _),
     "e7_anneal_plan" -> (e7AnnealPlan _),
     "e7_dataset_diff" -> (e7DatasetDiff _),
     "e7_dedup_weights" -> (e7DedupWeights _),
@@ -545,6 +592,29 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // composes the three monitors' oracle chains VERBATIM (they cannot
+    // drift from the audited queries); integer thresholds interpolated
+    // from the same constants the Spark side compares against
+    "e7_release_gate" ->
+      s"""WITH ${Sampling.slotCtes(ReleaseSalt)},
+         |${Analysis.qualityDriftChain},
+         |${Dedup.dupInflationChain},
+         |${Analysis.sourceDivergenceChain}
+         |SELECT dir.source, dir.n_docs,
+         |  coalesce(qdr.ks_bp, CAST(0 AS BIGINT)) AS ks_bp,
+         |  dir.inflation_bp,
+         |  CAST(round(sdr.tvd * 10000) AS BIGINT) AS tvd4,
+         |  coalesce(qdr.ks_bp, CAST(0 AS BIGINT)) < $GateQualityKsBp
+         |    AS pass_drift,
+         |  dir.inflation_bp < $GateInflationBp AS pass_dup,
+         |  CAST(round(sdr.tvd * 10000) AS BIGINT) < $GateTvd4
+         |    AS pass_divergence,
+         |  (coalesce(qdr.ks_bp, CAST(0 AS BIGINT)) < $GateQualityKsBp
+         |    AND dir.inflation_bp < $GateInflationBp
+         |    AND CAST(round(sdr.tvd * 10000) AS BIGINT) < $GateTvd4)
+         |    AS admit
+         |FROM dir LEFT JOIN qdr USING (source) JOIN sdr USING (source)
+         |ORDER BY dir.source""".stripMargin,
     // two-phase schedule in exact integer DIV arithmetic; w6 is the
     // microMean floor discipline over IEEE sqrt (see e7AnnealPlan)
     "e7_anneal_plan" ->

@@ -1795,6 +1795,23 @@ object Dedup {
        |SELECT v AS doc_id, min(lab) AS cluster FROM reach
        |GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** The e1_dup_inflation CTE chain (self-contained; ends in CTE `dir`:
+    * source, n_docs, n_unique, tokens_total, tokens_unique,
+    * inflation_bp). Shared verbatim with the e7_release_gate oracle so
+    * the gate can never drift from the monitor it composes. */
+  private[ops] lazy val dupInflationChain: String =
+    """g AS (SELECT source, md5(lower(trim(text))) AS fp,
+      |    count(*) AS n,
+      |    max(len(string_split(text, ' '))) AS nt1,
+      |    sum(len(string_split(text, ' '))) AS ntall
+      |  FROM documents GROUP BY 1, 2),
+      |dir AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_unique,
+      |  CAST(sum(ntall) AS BIGINT) AS tokens_total,
+      |  CAST(sum(nt1) AS BIGINT) AS tokens_unique,
+      |  CAST((10000 * sum(ntall)) // sum(nt1) AS BIGINT) AS inflation_bp
+      |FROM g GROUP BY source)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // per-source novelty over the same rare-shingle chain (the prelude
     // rewrite serves `shing` from its temp table; hot/sh recompute from
@@ -1987,19 +2004,13 @@ object Dedup {
          |ORDER BY thr""".stripMargin
     },
     // exact dups share the text hence the token count, so the unique
-    // token mass is one representative nt per (source, fingerprint)
+    // token mass is one representative nt per (source, fingerprint).
+    // Chain shared verbatim with the e7_release_gate oracle.
     "e1_dup_inflation" ->
-      """WITH g AS (SELECT source, md5(lower(trim(text))) AS fp,
-        |    count(*) AS n,
-        |    max(len(string_split(text, ' '))) AS nt1,
-        |    sum(len(string_split(text, ' '))) AS ntall
-        |  FROM documents GROUP BY 1, 2)
-        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_unique,
-        |  CAST(sum(ntall) AS BIGINT) AS tokens_total,
-        |  CAST(sum(nt1) AS BIGINT) AS tokens_unique,
-        |  CAST((10000 * sum(ntall)) // sum(nt1) AS BIGINT) AS inflation_bp
-        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH $dupInflationChain
+         |SELECT source, n_docs, n_unique, tokens_total, tokens_unique,
+         |  inflation_bp
+         |FROM dir ORDER BY source""".stripMargin,
     "e1_lsh_recall" ->
       s"""WITH $minhashCtes,
          |ex AS MATERIALIZED (SELECT da, db FROM inter

@@ -436,6 +436,33 @@ class Round9bOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("e7_release_gate: every column reconciles with its component monitor; flag arithmetic holds") {
+    val sf = TestSpark.sf0001
+    val qd = Analysis.e8QualityDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val di = Dedup.e1DupInflation(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    val sd = Analysis.e8SourceDivergence(spark, sf).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(3) * 10000)).toMap
+    val got = Curation.e7ReleaseGate(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == di.keySet)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nd, inf) = di(src)
+      val ks = qd.getOrElse(src, 0L)
+      assert(r.getLong(1) == nd && r.getLong(2) == ks &&
+        r.getLong(3) == inf && r.getLong(4) == sd(src),
+        s"component mismatch for $src")
+      assert(r.getBoolean(5) == (ks < Curation.GateQualityKsBp))
+      assert(r.getBoolean(6) == (inf < Curation.GateInflationBp))
+      assert(r.getBoolean(7) == (sd(src) < Curation.GateTvd4))
+      assert(r.getBoolean(8) ==
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7)))
+    }
+    // dropped-drift sources appear with the pass-by-default ks_bp = 0
+    assert(got.length > qd.size, "expected at least one defaulted source")
+  }
+
   test("e1_retention_curve: monotone in the threshold and reconciles with the pair table at the floor") {
     val rows = Dedup.e1RetentionCurve(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
