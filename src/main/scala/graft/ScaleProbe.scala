@@ -170,7 +170,9 @@ object ScaleProbe {
       // pair-table x |thresholds| fan-out, never corpus-sized
       "e1_retention_curve",
       // three |sources|-bounded monitors meeting in |sources|-key joins
-      "e7_release_gate")
+      "e7_release_gate",
+      // pair-table-sized moment fold (the e9 family discipline)
+      "e9_assortativity")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

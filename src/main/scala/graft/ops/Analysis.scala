@@ -1087,6 +1087,46 @@ object Analysis {
       .orderBy("doc_id"), it)
   }
 
+  /** E9 — degree ASSORTATIVITY of the near-dup graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over edges — POSITIVE
+    * means hubs link to hubs (interlinked mirror networks: dedup will
+    * collapse whole neighborhoods at once), NEGATIVE means hubs link to
+    * leaves (template-star families: one keeper absorbs many one-off
+    * copies) — the one-number summary of which dedup regime the corpus
+    * is in, read next to e9_degrees' histogram. Exactness: both edge
+    * orientations are summed so the x/y marginals are IDENTICAL —
+    * Pearson reduces to (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) with every
+    * moment an exact INTEGER sum over edges and ONE final division
+    * (no sqrt: var(x) = var(y) by symmetry); `+ 0.0` because r is
+    * legitimately negative, and a zero denominator (a degree-regular
+    * graph, e.g. equal-size cliques) reports 0.0 — correlation is
+    * undefined without variance, and "no structure signal" is the
+    * operational reading. Moments fit longs through the probe scales;
+    * a 100 TB run lifts the identical identity onto DECIMAL(38,0).
+    * Plan: one degree aggregate + two broadcast degree joins back to
+    * edges + a 1-row moment fold — everything pair-table-sized (the
+    * e9 family discipline). */
+  def e9Assortativity(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val e = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    e.join(broadcast(deg.select(col("id").as("src"), col("dg").as("dx"))),
+        "src")
+      .join(broadcast(deg.select(col("id").as("dst"), col("dg").as("dy"))),
+        "dst")
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n_dir_edges"),
+        (when(col("n_dir_edges") * col("sxx") === col("sx") * col("sx"),
+          lit(0.0))
+          .otherwise(round(
+            (col("n_dir_edges") * col("sxy") - col("sx") * col("sx")) /
+              (col("n_dir_edges") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 4)) + lit(0.0)).as("assortativity"))
+  }
+
   /** BFS parameters for e9_bfs — fixed rounds/seeds so the oracle can
     * unroll the frontier expansion (the KcorePeels treatment). */
   val BfsRounds = 3
@@ -1415,6 +1455,7 @@ object Analysis {
     "e9_link_pred" -> (e9LinkPred _),
     "e9_hits" -> (e9Hits _),
     "e9_bfs" -> (e9Bfs _),
+    "e9_assortativity" -> (e9Assortativity _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
@@ -1815,6 +1856,25 @@ object Analysis {
          |FROM h$HitsIters JOIN a$HitsIters USING (id)
          |ORDER BY doc_id""".stripMargin
     },
+    // symmetric-marginal Pearson in exact integer moments with one final
+    // division; zero-variance (degree-regular) graphs report 0.0
+    "e9_assortativity" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+         |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg
+         |  FROM e GROUP BY src),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+         |  CAST(sum(a.dg) AS BIGINT) AS sx,
+         |  CAST(sum(a.dg * a.dg) AS BIGINT) AS sxx,
+         |  CAST(sum(a.dg * b.dg) AS BIGINT) AS sxy
+         |  FROM e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id)
+         |SELECT n_dir_edges,
+         |  CASE WHEN n_dir_edges * sxx = sx * sx THEN 0.0
+         |       ELSE round((n_dir_edges * sxy - sx * sx) /
+         |         CAST(n_dir_edges * sxx - sx * sx AS DOUBLE), 4) END
+         |    + 0.0 AS assortativity
+         |FROM m""".stripMargin,
     "e9_bfs" -> {
       // Unrolled synchronous frontier expansion; anti-joins are LEFT JOIN
       // ... IS NULL (DuckDB's plan for NOT EXISTS on a materialized CTE).

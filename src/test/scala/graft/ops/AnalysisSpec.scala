@@ -435,6 +435,26 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("e9_assortativity: equals a driver Pearson replica over symmetric edge moments") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs.flatMap(e => Seq(e, (e._2, e._1)))
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val m = sym.length.toLong
+    val sx = sym.map(e => deg(e._1)).sum
+    val sxx = sym.map(e => deg(e._1) * deg(e._1)).sum
+    val sxy = sym.map(e => deg(e._1) * deg(e._2)).sum
+    val expect =
+      if (m * sxx == sx * sx) 0.0
+      else BigDecimal((m * sxy - sx * sx).toDouble / (m * sxx - sx * sx))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val row = Analysis.e9Assortativity(spark, TestSpark.sf001).head()
+    assert(row.getLong(0) == m)
+    assert(math.abs(row.getDouble(1) - expect) < 1e-9,
+      s"r mismatch: got ${row.getDouble(1)}, replica $expect")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
   test("hitsConverged: terminates, agrees with the fixed-round query's normalization, and 2 rounds sit on its trajectory") {
     val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
     val (df, iters) = Analysis.hitsConverged(pairs, 1e-6)
