@@ -172,7 +172,9 @@ object ScaleProbe {
       // three |sources|-bounded monitors meeting in |sources|-key joins
       "e7_release_gate",
       // pair-table-sized moment fold (the e9 family discipline)
-      "e9_assortativity")
+      "e9_assortativity",
+      // signature join over the output-bounded pair table
+      "e1_minhash_bbit")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

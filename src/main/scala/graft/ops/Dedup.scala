@@ -832,6 +832,45 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** E1 — b-BIT MinHash audit (Li & König, WWW'10, b = 1): keep only the
+    * LOW BIT of each of the 64 minhash slots — a 64-BIT signature
+    * instead of 64 longs, the 32× storage/bandwidth dial a 100 TB
+    * signature store actually turns — and score the corrected estimator
+    * Ĵ = max(0, 2·(matching-bit fraction) − 1) against both the exact
+    * Jaccard and the full-signature estimate on the SAME verified
+    * pairs e1_minhash_accuracy audits. Random bit collisions match with
+    * probability ½, hence the 2m−1 correction; the audit shows what
+    * resolution survives the compression (b=1 needs ~4× the
+    * permutations for the same variance — priced here empirically).
+    * Exactness: bit matches are exact integers; both estimators divide
+    * by 64 (a power of two — exact in IEEE), and max(0, ·) keeps est_b1
+    * nonnegative so no signed-zero guard is needed; low-bit parity via
+    * bitwise AND is two's-complement-identical in both engines. Plan:
+    * identical to e1_minhash_accuracy — signatures join the
+    * output-bounded pair table only. */
+  def e1MinhashBbit(s: SparkSession, d: String): DataFrame = {
+    val mh = org.apache.spark.sql.graftext.minhashExpression
+    val sigs = rareShingleHashes(s, d).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"))
+      .select(col("doc_id"), mh.minhashSigFromHashes(col("sh")).as("sig"))
+    e1MinhashPairs(s, d)
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .withColumn("eq", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"))
+      .withColumn("mb", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN (x & 1) = (y & 1) THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"))
+      .select(col("da"), col("db"), col("jaccard"),
+        round(col("eq") / 64.0, 4).as("est_full"),
+        asLong(col("mb")).as("n_bit_matches"),
+        round(greatest(lit(0), col("mb") * 2 - 64) / 64.0, 4).as("est_b1"),
+        round(abs(round(col("eq") / 64.0, 4) - col("jaccard")), 4)
+          .as("err_full"),
+        round(abs(round(greatest(lit(0), col("mb") * 2 - 64) / 64.0, 4) -
+          col("jaccard")), 4).as("err_b1"))
+      .orderBy("da", "db")
+  }
+
   /** Blocking parameters for e1FuzzyPairs — interpolated into BOTH
     * engines. Prefix length bounds the per-pair edit-distance work to
     * O(FuzzyPrefix²) regardless of document length; the (lang, length
@@ -1534,6 +1573,7 @@ object Dedup {
     "e1_cdc_chunks" -> (e1CdcChunks _),
     "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
+    "e1_minhash_bbit" -> (e1MinhashBbit _),
     "e1_lsh_recall" -> (e1LshRecall _),
     "e1_lsh_recall_sampled" -> (e1LshRecallSampled _),
     "e1_lsh_curve_sampled" -> (e1LshCurveSampled _),
@@ -1934,6 +1974,24 @@ object Dedup {
          |SELECT p.da, p.db, p.jaccard,
          |  round(eq / 64.0, 4) AS est_jaccard,
          |  round(abs(round(eq / 64.0, 4) - p.jaccard), 4) AS abs_err
+         |FROM mhp p JOIN agree USING (da, db) ORDER BY da, db""".stripMargin,
+    // low-bit parity agreement over the SAME sig CTE; both estimators
+    // divide by 64 (power of two — exact), max(0, .) keeps est_b1 >= 0
+    "e1_minhash_bbit" ->
+      s"""WITH $minhashCtesBlock,
+         |agree AS (SELECT p.da, p.db,
+         |    sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS eq,
+         |    sum(CASE WHEN (a.s & 1) = (b.s & 1) THEN 1 ELSE 0 END) AS mb
+         |  FROM mhp p JOIN sig a ON a.doc_id = p.da
+         |  JOIN sig b ON b.doc_id = p.db AND b.k = a.k
+         |  GROUP BY p.da, p.db)
+         |SELECT p.da, p.db, p.jaccard,
+         |  round(eq / 64.0, 4) AS est_full,
+         |  CAST(mb AS BIGINT) AS n_bit_matches,
+         |  round(greatest(0, 2 * mb - 64) / 64.0, 4) AS est_b1,
+         |  round(abs(round(eq / 64.0, 4) - p.jaccard), 4) AS err_full,
+         |  round(abs(round(greatest(0, 2 * mb - 64) / 64.0, 4) - p.jaccard), 4)
+         |    AS err_b1
          |FROM mhp p JOIN agree USING (da, db) ORDER BY da, db""".stripMargin,
     "e1_containment" ->
       s"""WITH $jaccardCtes

@@ -463,6 +463,36 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(got.length > qd.size, "expected at least one defaulted source")
   }
 
+  test("e1_minhash_bbit: bit matches dominate slot matches; estimator arithmetic and reconciliation with the full audit hold") {
+    val rows = Dedup.e1MinhashBbit(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val full = Dedup.e1MinhashAccuracy(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val mb = r.getLong(4)
+      // a matching slot necessarily matches in its low bit, so bit
+      // matches can never undercount slot matches
+      val eq = math.round(r.getDouble(3) * 64)
+      assert(mb >= eq, s"bit matches < slot matches at ($da,$db)")
+      assert(mb <= 64L)
+      // corrected estimator arithmetic, and est_full reconciles with
+      // e1_minhash_accuracy's est_jaccard pair-for-pair
+      val estB1 = BigDecimal(math.max(0L, 2 * mb - 64).toDouble / 64.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - estB1) < 1e-9)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(3) == full((da, db)))
+    }
+    // the compression costs resolution ON AVERAGE (the b=1 variance
+    // penalty the audit exists to price) — fixture-aggregate, not
+    // pointwise: individual pairs can luck into a better b1 estimate
+    val meanErrFull = rows.map(_.getDouble(6)).sum / rows.length
+    val meanErrB1 = rows.map(_.getDouble(7)).sum / rows.length
+    assert(meanErrB1 >= meanErrFull,
+      f"b=1 should be noisier on average: $meanErrB1%.4f vs $meanErrFull%.4f")
+  }
+
   test("e1_retention_curve: monotone in the threshold and reconciles with the pair table at the floor") {
     val rows = Dedup.e1RetentionCurve(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
