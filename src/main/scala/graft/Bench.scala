@@ -79,14 +79,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Machine-state caveat (round 9, controlled replication in SURVEY
-    // §8): the full-run total is bimodal in BETWEEN-JVM machine state —
-    // the first bench after other heavy work reads ~25-30% above a bench
-    // run immediately after another bench (diffuse across every query;
-    // zero plan difference between same-mode samples). Single-sample
-    // totals should be compared within a mode; per-query medians inside
-    // one run remain mutually comparable either way.
-    println(s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major); total is bimodal in machine state (~25-30%), see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // Machine-state caveat (round 9, seven full samples in SURVEY §8):
+    // full-run totals vary up to ~30% with BETWEEN-JVM machine state
+    // (59.6-83.3 s on identical plans; the slow draws were diffuse
+    // across every query and clustered in one wall-clock window —
+    // transient host contention, not run order: consecutive samples
+    // usually agree within ~4%). Read totals against a same-window
+    // sample; per-query medians inside one run remain mutually
+    // comparable either way.
+    println(s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major); totals vary up to ~30% with machine state, see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
