@@ -174,7 +174,9 @@ object ScaleProbe {
       // pair-table-sized moment fold (the e9 family discipline)
       "e9_assortativity",
       // signature join over the output-bounded pair table
-      "e1_minhash_bbit")
+      "e1_minhash_bbit",
+      // sample x label-block over reconstructed vectors (linear)
+      "e2_sq8_recall")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

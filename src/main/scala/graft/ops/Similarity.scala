@@ -1830,7 +1830,67 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** E2 — SQ8 RETRIEVAL agreement: does int8 scalar quantization change
+    * what retrieval RETURNS? e2_sq8 prices the compression in per-dim
+    * reconstruction MSE; this is the number that actually decides the
+    * ship/no-ship — per label, how often the top-1 neighbor computed
+    * over SQ8-RECONSTRUCTED vectors equals the full-precision top-1,
+    * on the deterministic query sample (the sampled-audit discipline:
+    * exact work = sample × label block, LINEAR, runs at any scale).
+    * Reconstruction is the same per-dim affine as e2_sq8 (codes are
+    * integers; recon = mn + code·(mx−mn)/255 is the identical IEEE
+    * expression both engines evaluate on identical inputs), vectors are
+    * re-assembled dim-ordered (the centroidArrays pattern), and both
+    * rank orders break ties by neighbor id. Plan: the per-dim stats
+    * table (64 rows) broadcasts back over one posexplode pass; the
+    * reconstructed corpus joins the broadcast sample exactly like
+    * sampledExactTopK; agreement is an integer count per label. */
+  def e2Sq8Recall(s: SparkSession, d: String): DataFrame = {
+    val coords = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+    val stats = coords.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val recon = coords.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", expr(
+        """CASE WHEN mx > mn THEN CAST(least(greatest(
+          |  floor((x - mn) * 255.0 / (mx - mn) + 0.5), 0.0), 255.0) AS BIGINT)
+          |ELSE 0 END""".stripMargin))
+      .withColumn("r",
+        expr("CASE WHEN mx > mn THEN mn + code * (mx - mn) / 255.0 ELSE mn END"))
+      .groupBy("vec_id", "label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("r")))),
+        x => x("r")).as("re"))
+      .withColumn("rn2", expr("sqrt(aggregate(re, 0.0D, (a, x) -> a + x * x))"))
+    val qs = broadcast(sampledQueryIds(s, d))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    val sqTop = broadcast(recon.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(recon.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(a.re, b.re, (x, y) -> x * y), 0.0D, (p, q) -> p + q)") /
+          (col("a.rn2") * col("b.rn2")))
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("other_id").as("sq8_nb"))
+    val exact = sampledExactTopK(s, d, 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"))
+    exact.join(sqTop, Seq("vec_id"), "left")
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sq8_nb") === col("exact_nb"), 1L).otherwise(0L))
+          .as("top1_agree"))
+      .withColumn("agree_bp", expr("10000 * top1_agree div n"))
+      .orderBy("label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_sq8_recall" -> (e2Sq8Recall _),
     "e2_sq8" -> (e2Sq8 _),
     "e2_ann_filtered" -> (e2AnnFiltered _),
     "e2_hard_negatives" -> (e2HardNegatives _),
@@ -2115,6 +2175,42 @@ object Similarity {
          |  SELECT vec_id, cell, keeper_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
          |  FROM cand) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // per-dim affine reconstruction replicated exactly (identical IEEE
+    // expression on identical mn/mx/integer codes), vectors re-assembled
+    // dim-ordered, both rank orders tie-broken by neighbor id
+    "e2_sq8_recall" ->
+      s"""WITH $qselCtes,
+         |$sampledExactCte,
+         |px AS (SELECT vec_id, CAST(label AS INT) AS label,
+         |  i.range AS dim,
+         |  CAST(embedding AS DOUBLE[])[CAST(i.range + 1 AS INT)] AS x
+         |  FROM embeddings, range(0, 64) i),
+         |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx
+         |  FROM px GROUP BY dim),
+         |rc AS (SELECT px.vec_id, px.label, px.dim,
+         |  CASE WHEN mx > mn THEN mn + CAST(least(greatest(
+         |      floor((x - mn) * 255.0 / (mx - mn) + 0.5), 0.0), 255.0)
+         |    AS BIGINT) * (mx - mn) / 255.0 ELSE mn END AS r
+         |  FROM px JOIN stats USING (dim)),
+         |rv AS MATERIALIZED (SELECT vec_id, label,
+         |  list(r ORDER BY dim) AS re FROM rc GROUP BY vec_id, label),
+         |sq AS (SELECT vec_id, other_id AS sq8_nb FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(a.re, b.re) DESC, b.vec_id) AS rn
+         |  FROM rv a JOIN rv b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)) WHERE rn = 1),
+         |ex AS (SELECT vec_id, other_id AS exact_nb FROM exs
+         |  WHERE rn = 1)
+         |SELECT CAST(e.label AS INT) AS label, count(*) AS n,
+         |  CAST(sum(CASE WHEN sq.sq8_nb = ex.exact_nb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS top1_agree,
+         |  CAST((10000 * sum(CASE WHEN sq.sq8_nb = ex.exact_nb
+         |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS agree_bp
+         |FROM ex JOIN embeddings e USING (vec_id)
+         |LEFT JOIN sq USING (vec_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the e2_semdedup pair predicate + the e6_train_val_test slot gate
     // replicated on vec_id (same SplitSalt; the e8_centroid_shift qm-
     // chain form), so the audit composes the split definition it audits

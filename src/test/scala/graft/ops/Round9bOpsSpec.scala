@@ -463,6 +463,65 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(got.length > qd.size, "expected at least one defaulted source")
   }
 
+  test("e2_sq8_recall: agreement counts match a driver SQ8-reconstruction recompute") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val dims = emb.head._2.length
+    val mn = Array.tabulate(dims)(i => emb.map(_._2(i)).min)
+    val mx = Array.tabulate(dims)(i => emb.map(_._2(i)).max)
+    def recon(v: Array[Double]): Array[Double] = Array.tabulate(dims) { i =>
+      if (mx(i) > mn(i)) {
+        val code = math.min(math.max(
+          math.floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i)) + 0.5), 0.0),
+          255.0).toLong
+        mn(i) + code * (mx(i) - mn(i)) / 255.0
+      } else mn(i)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.map(t => t._1 -> t).toMap
+    val qids = emb.map { t =>
+      val m = org.apache.spark.sql.graftext.minhashExpression
+        .mix(t._1 ^ Similarity.AnnQuerySalt)
+      (m, t._1)
+    }.sortBy(identity).take(Similarity.AnnQueryK).map(_._2)
+    val rec = emb.map(t => t._1 -> recon(t._2)).toMap
+    def top1(vid: Long, vecs: Map[Long, Array[Double]]): Option[Long] = {
+      val lbl = byId(vid)._3
+      val block = emb.filter(t => t._3 == lbl && t._1 != vid)
+      if (block.isEmpty) None
+      else Some(block.map(t => (t._1, cos(vecs(vid), vecs(t._1))))
+        .minBy { case (id, s0) => (-s0, id) }._1)
+    }
+    val full = emb.map(t => t._1 -> t._2).toMap
+    val expect = qids.flatMap { q =>
+      top1(q, full).map(e => (byId(q)._3, e == top1(q, rec).get))
+    }.groupBy(_._1).map { case (l, rs) =>
+      l -> ((rs.length.toLong, rs.count(_._2).toLong))
+    }
+    val got = Similarity.e2Sq8Recall(spark, TestSpark.sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (l, (n, agree, bp)) =>
+      val (en, ea) = expect(l)
+      assert(n == en && agree == ea, s"label $l: got ($n,$agree) want ($en,$ea)")
+      assert(bp == 10000L * agree / n)
+    }
+    // SQ8 is near-lossless on this data: the audit should read HIGH
+    // agreement overall (the ship/no-ship signal being measured)
+    val tot = got.values.map(_._1).sum
+    val agr = got.values.map(_._2).sum
+    assert(agr * 2 > tot, s"SQ8 agreement below half: $agr/$tot")
+  }
+
   test("e1_minhash_bbit: bit matches dominate slot matches; estimator arithmetic and reconciliation with the full audit hold") {
     val rows = Dedup.e1MinhashBbit(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
