@@ -951,6 +951,100 @@ object Analysis {
           .as("closure"))
   }
 
+  /** E9 — degree-binned LOCAL clustering profile c(k) of the near-dup
+    * graph (Watts–Strogatz coefficient, pooled per degree): for each
+    * degree bucket, the fraction of open wedges at its vertices that are
+    * closed by a third edge. Read next to e9_assortativity and
+    * e9_triangles' single global closure number, c(k) is the CURVE that
+    * separates the two dedup regimes the global number conflates: mirror
+    * networks keep c(k) high at high degree (hubs sit inside welded
+    * families — safe to collapse transitively), template-star corpora
+    * decay c(k) ~ 1/k (hub neighbors are mutual strangers — transitive
+    * welding would over-merge, exactly what e1_dedup_clusters' reviewer
+    * checks). POOLED per bucket (Σ triangles-at-v / Σ C(deg v, 2)) keeps
+    * every number an exact integer until ONE final division — a
+    * per-vertex-average c(k) would sum floats in engine-dependent order.
+    * Triangles are enumerated once in canonical a<b<c order (the
+    * e9_triangles two-join shape, here a LEFT SEMI against the third
+    * edge) and credit each corner via a 3-way union. Plan: everything is
+    * PAIR-TABLE-sized — wedge join bounded by Σdeg² under the upstream
+    * df/hot-block caps, corner credit is a union of three projections of
+    * the triangle list, output is one row per distinct degree. */
+  def e9LocalClustering(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val deg = p.select(col("da").as("v"))
+      .unionByName(p.select(col("db").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.db") === col("e2.da"))
+      .select(col("e1.da").as("a"), col("e1.db").as("b"),
+        col("e2.db").as("c"))
+      .join(p.as("e3"),
+        col("a") === col("e3.da") && col("c") === col("e3.db"), "left_semi")
+    val triAt = tri.select(col("a").as("v"))
+      .unionByName(tri.select(col("b").as("v")))
+      .unionByName(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(triAt, Seq("v"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .groupBy(col("dg").as("degree"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_closed"),
+        expr("sum(dg * (dg - 1)) div 2").as("n_pairs"))
+      .select(col("degree"), col("n_docs"), col("n_closed"), col("n_pairs"),
+        when(col("n_pairs") === 0L, lit(0.0))
+          .otherwise(round(col("n_closed") / col("n_pairs").cast("double"), 4))
+          .as("clustering"))
+      .orderBy("degree")
+  }
+
+  /** E9 — per-community CONDUCTANCE of the label-propagation partition:
+    * φ(S) = cut(S) / min(vol(S), 2m − vol(S)) — the standard cut-quality
+    * score (Kannan–Vempala–Vetta) that modularity does not give you:
+    * e9_modularity says how much better than random the partition is
+    * GLOBALLY; conductance names WHICH community leaks. In the dedup
+    * pipeline this is the weld-confidence column for e1_dedup_clusters'
+    * reviewer — a community with φ near 0 is sealed (collapse it to one
+    * keeper without checking), φ near 1 is mostly boundary (every member
+    * pair needs the verifier before welding). Exactness: cut, volume, m
+    * are integer counts; ONE final division per community (non-negative,
+    * no signed-zero hazard). A cut edge credits BOTH its communities via
+    * a two-projection union. Plan: labels ride the pair-table-sized
+    * e9_label_prop rounds, degrees/volumes are pair-table aggregates, the
+    * 1-row edge total cross-join broadcasts — the corpus never moves
+    * (the e9 family discipline). */
+  def e9Conductance(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val comm = e9LabelProp(s, d).select(col("doc_id"), col("community"))
+    val deg = p.select(col("da").as("v"))
+      .unionByName(p.select(col("db").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val vol = comm.join(deg, col("doc_id") === col("v"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("volume"))
+    val sides = p
+      .join(comm.select(col("doc_id").as("da"), col("community").as("ca")),
+        "da")
+      .join(comm.select(col("doc_id").as("db"), col("community").as("cb")),
+        "db")
+      .filter(col("ca") =!= col("cb"))
+    val cut = sides.select(col("ca").as("community"))
+      .unionByName(sides.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val m = broadcast(p.agg(count(lit(1)).as("m")))
+    vol.join(cut, Seq("community"), "left")
+      .withColumn("cut_edges", coalesce(col("cut_edges"), lit(0L)))
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("volume"),
+        col("cut_edges"),
+        when(least(col("volume"), lit(2L) * col("m") - col("volume")) === 0L,
+          lit(0.0))
+          .otherwise(round(col("cut_edges") /
+            least(col("volume"), lit(2L) * col("m") - col("volume"))
+              .cast("double"), 4)).as("conductance"))
+      .orderBy("community")
+  }
+
   /** Fixed output size for the link-prediction candidate list. */
   val LinkPredK = 50
 
@@ -1456,6 +1550,8 @@ object Analysis {
     "e9_hits" -> (e9Hits _),
     "e9_bfs" -> (e9Bfs _),
     "e9_assortativity" -> (e9Assortativity _),
+    "e9_local_clustering" -> (e9LocalClustering _),
+    "e9_conductance" -> (e9Conductance _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
@@ -1875,6 +1971,60 @@ object Analysis {
          |         CAST(n_dir_edges * sxx - sx * sx AS DOUBLE), 4) END
          |    + 0.0 AS assortativity
          |FROM m""".stripMargin,
+    // pooled-per-degree clustering: exact integer triangle/wedge sums,
+    // one final division; canonical a<b<c triangles via EXISTS (the
+    // e9_triangles join shape), each crediting its three corners
+    "e9_local_clustering" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |deg AS (SELECT v, count(*) AS dg FROM (
+         |    SELECT da AS v FROM mhp2 UNION ALL SELECT db FROM mhp2)
+         |  GROUP BY v),
+         |tri AS MATERIALIZED (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         |  FROM mhp2 e1 JOIN mhp2 e2 ON e1.db = e2.da
+         |  WHERE EXISTS (SELECT 1 FROM mhp2 e3
+         |    WHERE e3.da = e1.da AND e3.db = e2.db)),
+         |ta AS (SELECT v, count(*) AS t FROM (
+         |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY v)
+         |SELECT dg AS degree, count(*) AS n_docs,
+         |  CAST(sum(coalesce(t, 0)) AS BIGINT) AS n_closed,
+         |  CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS n_pairs,
+         |  CASE WHEN sum(dg * (dg - 1)) = 0 THEN 0.0
+         |       ELSE round(CAST(sum(coalesce(t, 0)) AS DOUBLE) /
+         |         CAST(sum(dg * (dg - 1)) // 2 AS BIGINT), 4) END
+         |    AS clustering
+         |FROM deg LEFT JOIN ta USING (v)
+         |GROUP BY dg ORDER BY degree""".stripMargin,
+    // cut/volume per label-prop community in exact integers, one final
+    // division; a cut edge credits BOTH its communities
+    "e9_conductance" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |$lpCtes,
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |lab2 AS MATERIALIZED (SELECT v, lab FROM l$LpIters),
+         |deg AS (SELECT src AS v, count(*) AS dg FROM e GROUP BY src),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mhp2),
+         |vol AS (SELECT lab AS community, count(*) AS n_nodes,
+         |    CAST(sum(dg) AS BIGINT) AS volume
+         |  FROM lab2 JOIN deg ON lab2.v = deg.v GROUP BY lab),
+         |sides AS MATERIALIZED (SELECT a.lab AS ca, b.lab AS cb
+         |  FROM mhp2 JOIN lab2 a ON mhp2.da = a.v
+         |  JOIN lab2 b ON mhp2.db = b.v
+         |  WHERE a.lab <> b.lab),
+         |cut AS (SELECT community, count(*) AS cut_edges FROM (
+         |    SELECT ca AS community FROM sides
+         |    UNION ALL SELECT cb FROM sides)
+         |  GROUP BY community)
+         |SELECT vol.community, n_nodes, volume,
+         |  CAST(coalesce(cut_edges, 0) AS BIGINT) AS cut_edges,
+         |  CASE WHEN least(volume, 2 * m - volume) = 0 THEN 0.0
+         |       ELSE round(coalesce(cut_edges, 0) /
+         |         CAST(least(volume, 2 * m - volume) AS DOUBLE), 4) END
+         |    AS conductance
+         |FROM vol LEFT JOIN cut USING (community) CROSS JOIN mm
+         |ORDER BY community""".stripMargin,
     "e9_bfs" -> {
       // Unrolled synchronous frontier expansion; anti-joins are LEFT JOIN
       // ... IS NULL (DuckDB's plan for NOT EXISTS on a materialized CTE).

@@ -968,6 +968,112 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy("dims")
   }
 
+  /** Neighbors per vector in the kNN graph — interpolated into both
+    * engines. */
+  val KnnGraphK = 3
+
+  /** E2 — kNN-GRAPH construction + MUTUALITY audit: the per-vector
+    * top-K in-cell neighbor lists (the seed structure every graph-ANN
+    * method — NN-descent, HNSW layer 0, diffusion re-ranking — starts
+    * from), scored per label by the MUTUAL-kNN rate: the fraction of
+    * directed edges (a→b) whose reverse (b→a) is also a top-K edge.
+    * Low mutuality is the standard HUBNESS symptom (a few vectors
+    * appear in everyone's list without reciprocating — exactly the
+    * regime where ANN recall degrades and where mutual-kNN clustering
+    * outperforms raw kNN), so this is the one-number health check run
+    * before trusting the graph downstream. Exactness: edge sets are
+    * exact (house cosine + vec_id tie-break), mutuality is a self-join
+    * membership test, rate in integer BASIS POINTS (one integer div) —
+    * no float aggregation at all. Plan at 100 TB: the build is the IVF
+    * in-cell join (n·√n bound, broadcast seeds, vectors never shuffle),
+    * ranks narrow-project before the window exchange (the pre-window
+    * projection rule), the mutuality test is a LEFT SEMI of the edge
+    * list against its own swap — EDGE-LIST-sized (n·K rows), and the
+    * output is one row per label. */
+  def e2KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    val knn = build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnGraphK)
+      .select("vec_id", "other_id")
+    val mut = knn.join(
+      knn.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
+      Seq("vec_id", "other_id"), "left_semi")
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val edges = knn.join(lab, "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val muts = mut.join(lab, "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n_mutual"))
+    edges.join(muts, Seq("label"), "left")
+      .select(col("label").cast("int").as("label"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        expr("coalesce(n_mutual, 0L) * 10000 div n_edges").as("mutual_bp"))
+      .orderBy("label")
+  }
+
+  /** Selection size + seed salt for the greedy k-center coreset —
+    * interpolated into both engines. */
+  val KcenterK = 8
+  val KcenterSalt = 0x7c4e19d2b86f3a55L
+
+  /** E2 — greedy K-CENTER coreset selection (Gonzalez 1985, the
+    * farthest-point traversal): seed with the mix64-first vector, then
+    * K−1 rounds of "pick the corpus vector FARTHEST from everything
+    * selected so far" (in cosine space: the vector whose max similarity
+    * to the selected set is smallest, ties by vec_id). This is the
+    * data-SELECTION primitive the embedding stack was missing next to
+    * its dedup/sampling ops: greedy k-center is the classic 2-approx
+    * coverage coreset — the K picks are maximally spread representatives
+    * (diverse eval seeds, annotation batches, cluster-init that beats
+    * random), and the emitted cover_sim column is the coverage curve
+    * itself (pick k's similarity to its nearest predecessor — monotone
+    * non-decreasing, and where it plateaus is the corpus's intrinsic
+    * diversity budget). Exactness: every cosine is the house index-order
+    * double, max/min are order-independent, ties break on vec_id — both
+    * engines walk the identical greedy trajectory (oracle = unrolled
+    * K-round CTE chain; the kmeans treatment). Plan at 100 TB: each
+    * round is ONE corpus scan against a BROADCAST ≤K-row selected set
+    * (per-vector max over the broadcast — vectors never shuffle; the
+    * per-vector reduction is map-side) ending in a TakeOrdered(1);
+    * the driver ships one (vec_id, sim) row per round — the
+    * kmeansTrained model-fetch discipline, K·n dot products total,
+    * LINEAR in the corpus. */
+  def e2Kcenter(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val seedId = embeddings(s, d).select(col("vec_id"),
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("vec_id").bitwiseXOR(lit(KcenterSalt))).as("m"))
+      .orderBy("m", "vec_id").limit(1).head().getLong(0)
+    var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
+    for (k <- 2 to KcenterK) {
+      val ids = picks.map(_._2)
+      val sel = broadcast(e.filter(col("vec_id").isin(ids: _*))
+        .select(col("embedding").as("semb"), col("nrm").as("snrm")))
+      val row = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(sel)
+        .withColumn("sim",
+          graft.functions.Vectors.dot(col("embedding"), col("semb")) /
+            (col("nrm") * col("snrm")))
+        .groupBy("vec_id").agg(max(col("sim")).as("ms"))
+        .orderBy(col("ms"), col("vec_id")).limit(1).head()
+      picks :+= ((k.toLong, row.getLong(0), Some(row.getDouble(1))))
+    }
+    import s.implicits._
+    picks.toDF("k", "vec_id", "ms")
+      .select(col("k"), col("vec_id"), round(col("ms"), 4).as("cover_sim"))
+      .orderBy("k")
+  }
+
   /** E2 — the ANN recall/cost PARETO frontier: one row per indexing
     * method — IVF at nProbe 1 and 2, single-bucket LSH, and 13-probe
     * multi-probe LSH — scoring each against the exact label-blocked
@@ -1930,6 +2036,8 @@ object Similarity {
     "e2_ivf_rebalance" -> (e2IvfRebalance _),
     "e2_ivf_merge" -> (e2IvfMerge _),
     "e2_hybrid_rrf" -> (e2HybridRrf _),
+    "e2_kcenter" -> (e2Kcenter _),
+    "e2_knn_graph" -> (e2KnnGraph _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -2988,6 +3096,69 @@ object Similarity {
         .mkString(s"WITH $qselCtes,\n$sampledExactCte\n",
           "\nUNION ALL\n", "\nORDER BY method")
     },
+    // greedy farthest-point traversal unrolled into KcenterK CTE rounds:
+    // seed = mix64 argmin, then each round argmin-of-max-cosine against
+    // the accumulated selection (ties by vec_id); every cosine is the
+    // same index-order double the Spark side computes
+    "e2_kcenter" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(KcenterSalt)
+      val rounds = (2 to KcenterK).map { k =>
+        val prev = (1 until k).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        // sel$k pre-joins the ≤K selected vectors so the candidate scan
+        // is emb × (tiny materialized list) — the IN-subquery form made
+        // DuckDB materialize emb × emb first and OOM at sf0.1
+        s"""p$k AS MATERIALIZED ($prev),
+           |sel$k AS MATERIALIZED (SELECT emb.vec_id, emb.v
+           |  FROM emb JOIN p$k USING (vec_id)),
+           |s$k AS (SELECT b.vec_id AS vec_id,
+           |    max(list_cosine_similarity(b.v, a.v)) AS ms
+           |  FROM emb b CROSS JOIN sel$k a
+           |  WHERE b.vec_id NOT IN (SELECT vec_id FROM p$k)
+           |  GROUP BY b.vec_id ORDER BY ms, b.vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to KcenterK).map(k =>
+        s"UNION ALL SELECT CAST($k AS BIGINT), vec_id, round(ms, 4) FROM s$k")
+        .mkString("\n")
+      s"""WITH emb AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sd_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS q0
+         |  FROM embeddings),
+         |${mixCtes("sd", "q0", "sm", Seq("vec_id"))},
+         |s1 AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (
+         |    ORDER BY ${toSigned("sm")}, vec_id) AS rn FROM sd)
+         |  WHERE rn = 1),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS k, vec_id,
+         |  CAST(NULL AS DOUBLE) AS cover_sim FROM s1
+         |$out
+         |ORDER BY k""".stripMargin
+    },
+    // per-vector in-cell top-K edge list off the shared IVF chain, then
+    // a swap self-join for mutuality; rate in integer basis points
+    "e2_knn_graph" ->
+      s"""WITH ${ivfCtes(1)},
+         |knn AS MATERIALIZED (SELECT vec_id, other_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= $KnnGraphK),
+         |mut AS (SELECT k1.vec_id, k1.other_id FROM knn k1
+         |  JOIN knn k2 ON k1.vec_id = k2.other_id
+         |    AND k1.other_id = k2.vec_id),
+         |edg AS (SELECT label, count(*) AS n_edges
+         |  FROM knn JOIN embeddings USING (vec_id) GROUP BY label),
+         |mtl AS (SELECT label, count(*) AS n_mutual
+         |  FROM mut JOIN embeddings USING (vec_id) GROUP BY label)
+         |SELECT CAST(edg.label AS INT) AS label, n_edges,
+         |  CAST(coalesce(n_mutual, 0) AS BIGINT) AS n_mutual,
+         |  coalesce(n_mutual, 0) * 10000 // n_edges AS mutual_bp
+         |FROM edg LEFT JOIN mtl USING (label)
+         |ORDER BY label""".stripMargin,
   )
 
   /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)

@@ -676,4 +676,68 @@ class AnalysisSpec extends AnyFunSuite {
       .filterNot(l => l.contains("t#") || l.contains("source#")).toSeq
     assert(badEx.isEmpty, s"unexpected exchange keys:\n${badEx.mkString("\n")}")
   }
+
+  test("e9_local_clustering: equals a driver per-vertex triangle replica pooled per degree") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    // per-vertex triangle count: closed wedges at v, each triangle
+    // counted once per corner
+    val triAt = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }
+    val expect = adj.keys.toSeq.groupBy(v => adj(v).size.toLong).map {
+      case (dg, vs) =>
+        val closed = vs.map(triAt).sum
+        val possible = vs.size.toLong * dg * (dg - 1) / 2
+        val c =
+          if (possible == 0) 0.0
+          else BigDecimal(closed.toDouble / possible)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        dg -> ((vs.size.toLong, closed, possible, c))
+    }
+    val got = Analysis.e9LocalClustering(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+    // the fixture's graph actually closes triangles (replica cliques)
+    assert(got.values.exists(_._2 > 0), "expected closed triangles")
+  }
+
+  test("e9_conductance: cut/volume laws hold and a driver replica agrees") {
+    val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comm = Analysis.e9LabelProp(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = pairs.length.toLong
+    val rows = Analysis.e9Conductance(spark, TestSpark.sf001).collect()
+    // volume law: Σ volume = 2m (every directed endpoint is in exactly
+    // one community); cut law: Σ cut_edges = 2 × inter-community edges
+    assert(rows.map(_.getLong(2)).sum == 2 * m)
+    val interEdges = pairs.count { case (a, b) => comm(a) != comm(b) }.toLong
+    assert(rows.map(_.getLong(3)).sum == 2 * interEdges)
+    // φ ∈ [0, 1]: cut ≤ volume side by definition (each cut edge is one
+    // of the side's directed endpoints)
+    assert(rows.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // full driver replica
+    val deg = pairs.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, vs) => v -> vs.length.toLong }
+    val expect = comm.groupBy(_._2).map { case (c, vs) =>
+      val vol = vs.keys.toSeq.map(deg).sum
+      val cut = pairs.count { case (a, b) =>
+        comm(a) != comm(b) && (comm(a) == c || comm(b) == c)
+      }.toLong
+      val denom = math.min(vol, 2 * m - vol)
+      val phi =
+        if (denom == 0) 0.0
+        else BigDecimal(cut.toDouble / denom)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c -> ((vs.size.toLong, vol, cut, phi))
+    }
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+  }
 }

