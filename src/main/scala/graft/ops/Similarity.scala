@@ -968,6 +968,39 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy("dims")
   }
 
+  /** Similarity floor for the range search, applied to the 4-dp ROUNDED
+    * cosine (boundary comparisons happen on the canonical rounded grid,
+    * never on raw doubles) — interpolated into both engines. */
+  val RangeTau = 0.25
+
+  /** E2 — RANGE (radius) search for the sampled query set: every
+    * label-block neighbor whose rounded cosine clears RangeTau — the
+    * OTHER retrieval contract next to top-k (FAISS `range_search`):
+    * top-k answers "the best k whatever they look like", range answers
+    * "everything above the quality bar, however many" — the contract
+    * dedup thresholds, recall-oriented RAG, and near-dup candidate
+    * generation actually specify. Output cardinality is data-dependent
+    * BY DESIGN; the emitted rows per query are the calibration table
+    * for choosing τ (read next to e1_lsh_curve, which prices the same
+    * dial on the MinHash side). Threshold compares on the ROUNDED sim
+    * so the boundary set is bit-identical cross-engine. Plan at 100 TB:
+    * the fixed-size query sample broadcasts against the corpus once
+    * (sample × block, LINEAR — the e2_ann_recall_sampled discipline);
+    * no window at all — range search has no rank, so the scan-side
+    * filter is the whole operator and NOTHING shuffles but the hits. */
+  def e2RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val e = withNorm(embeddings(s, d))
+    broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", round(cosine, 4))
+      .filter(col("sim") >= RangeTau)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+        col("sim"))
+      .orderBy("vec_id", "other_id")
+  }
+
   /** Neighbors per vector in the kNN graph — interpolated into both
     * engines. */
   val KnnGraphK = 3
@@ -2038,6 +2071,7 @@ object Similarity {
     "e2_hybrid_rrf" -> (e2HybridRrf _),
     "e2_kcenter" -> (e2Kcenter _),
     "e2_knn_graph" -> (e2KnnGraph _),
+    "e2_range_search" -> (e2RangeSearch _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -3159,6 +3193,19 @@ object Similarity {
          |  coalesce(n_mutual, 0) * 10000 // n_edges AS mutual_bp
          |FROM edg LEFT JOIN mtl USING (label)
          |ORDER BY label""".stripMargin,
+    // sampled radius search: threshold on the ROUNDED cosine so the
+    // boundary set is bit-identical cross-engine
+    "e2_range_search" ->
+      s"""WITH $qselCtes
+         |SELECT a.vec_id, b.vec_id AS other_id,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id <> b.vec_id
+         |WHERE a.vec_id IN (SELECT vec_id FROM qsel)
+         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 4) >= $RangeTau
+         |ORDER BY a.vec_id, other_id""".stripMargin,
   )
 
   /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)

@@ -61,6 +61,56 @@ object TextOps {
         round(qualityScore(col("nt"), col("nsw")), 4).as("score"))
       .orderBy("doc_id")
 
+  /** Token-count bounds for the Gopher-style gate battery —
+    * interpolated into both engines. */
+  val GopherMinTokens = 25
+  val GopherMaxTokens = 100000
+
+  /** E3 — GOPHER-style quality GATE battery (Rae et al. 2021, §A1.1:
+    * the rule-based document filters every production pretraining
+    * pipeline runs before model-based scoring): per source, how many
+    * documents fail each of four independent gates — token-count bounds
+    * [GopherMinTokens, GopherMaxTokens], mean word length in [3, 10]
+    * characters, ≥2 stopword hits (the "real prose" check), and
+    * distinct-token ratio ≥ 0.3 (the repetition check, Gopher's
+    * duplicate-fraction family) — plus the all-gates pass count and
+    * keep rate. Per-SOURCE failure counts (not just a corpus total) are
+    * the operational form: a source whose docs fail g_rep en masse is a
+    * template farm to drop wholesale, one failing g_stop is likely
+    * non-prose (code/tables) routed to a different pipeline. Exactness:
+    * every gate is INTEGER arithmetic (mean-word-length and ratio gates
+    * cross-multiplied: 3·nt ≤ letters ≤ 10·nt, 10·nd ≥ 3·nt), counts
+    * are longs, keep rate in integer basis points — nothing floats.
+    * Plan at 100 TB: one corpus scan; all four gates evaluate scan-side
+    * in one projection; the shuffle carries |sources| rows of counters
+    * (map-side combined). */
+  def e3GopherGates(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("letters",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nsw", size(expr(stopwordFilterSql)).cast("long"))
+      .select(col("source"),
+        (col("nt") >= GopherMinTokens.toLong &&
+          col("nt") <= GopherMaxTokens.toLong).as("g_len"),
+        (col("letters") >= lit(3L) * col("nt") &&
+          col("letters") <= lit(10L) * col("nt")).as("g_wordlen"),
+        (col("nsw") >= 2L).as("g_stop"),
+        (lit(10L) * col("nd") >= lit(3L) * col("nt")).as("g_rep"))
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("g_len"), 1L).otherwise(0L)).as("f_len"),
+        sum(when(!col("g_wordlen"), 1L).otherwise(0L)).as("f_wordlen"),
+        sum(when(!col("g_stop"), 1L).otherwise(0L)).as("f_stop"),
+        sum(when(!col("g_rep"), 1L).otherwise(0L)).as("f_rep"),
+        sum(when(col("g_len") && col("g_wordlen") && col("g_stop") &&
+          col("g_rep"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("keep_bp", expr("n_pass * 10000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** E3 — quality tiering: decile buckets over the composite score, the
     * partition a curriculum / quality-filter pipeline consumes. A global
     * ntile would sort the whole corpus through ONE task, so tiers come
@@ -1147,6 +1197,7 @@ object TextOps {
     "e3_tokens" -> (e3Tokens _),
     "e3_lang_profile" -> (e3LangProfile _),
     "e3_quality" -> (e3Quality _),
+    "e3_gopher_gates" -> (e3GopherGates _),
     "e3_quality_model" -> (e3QualityModel _),
     "e3_bm25" -> (e3Bm25 _),
     "e3_quality_tiers" -> (e3QualityTiers _),
@@ -1524,6 +1575,35 @@ object TextOps {
         |round(least(1.0, CAST(nt AS DOUBLE) / 100.0) * (1.0 - CAST(nsw AS DOUBLE) / nt), 4)
         |  AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    // all four gates in cross-multiplied integer arithmetic; keep rate
+    // in integer basis points
+    "e3_gopher_gates" ->
+      s"""WITH f AS (SELECT source,
+         |  len(string_split(text, ' ')) AS nt,
+         |  len(list_distinct(string_split(text, ' '))) AS nd,
+         |  length(replace(text, ' ', '')) AS letters,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")}))) AS nsw
+         |  FROM documents),
+         |g AS (SELECT source,
+         |  (nt >= $GopherMinTokens AND nt <= $GopherMaxTokens) AS g_len,
+         |  (letters >= 3 * nt AND letters <= 10 * nt) AS g_wordlen,
+         |  (nsw >= 2) AS g_stop,
+         |  (10 * nd >= 3 * nt) AS g_rep FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS f_len,
+         |  CAST(sum(CASE WHEN NOT g_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS f_wordlen,
+         |  CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS f_stop,
+         |  CAST(sum(CASE WHEN NOT g_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS f_rep,
+         |  CAST(sum(CASE WHEN g_len AND g_wordlen AND g_stop AND g_rep
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN g_len AND g_wordlen AND g_stop AND g_rep
+         |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS keep_bp
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "e3_bm25" -> {
       val termsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH p AS (SELECT CAST($Bm25K1 AS DOUBLE) AS k1,

@@ -83,4 +83,57 @@ class Round10OpsSpec extends AnyFunSuite {
     val knnTotal = rows.map(_._2).sum
     assert(knnTotal <= e.count() * Similarity.KnnGraphK)
   }
+
+  test("e3_gopher_gates: driver replica of all four gates and the keep-rate law") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val gates = ds.map { case (_, text) =>
+        val toks = text.split(" ", -1)
+        val nt = toks.length.toLong
+        val nd = toks.distinct.length.toLong
+        val letters = text.replace(" ", "").length.toLong
+        val nsw = toks.count(TextOps.Stopwords.contains).toLong
+        (nt >= TextOps.GopherMinTokens && nt <= TextOps.GopherMaxTokens,
+          letters >= 3 * nt && letters <= 10 * nt,
+          nsw >= 2,
+          10 * nd >= 3 * nt)
+      }
+      val nPass = gates.count(g => g._1 && g._2 && g._3 && g._4).toLong
+      src -> ((ds.length.toLong, gates.count(!_._1).toLong,
+        gates.count(!_._2).toLong, gates.count(!_._3).toLong,
+        gates.count(!_._4).toLong, nPass,
+        nPass * 10000 / ds.length))
+    }
+    val got = TextOps.e3GopherGates(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expect)
+    // the battery is discriminative on the fixture — some docs fail,
+    // some pass (an all-pass or all-fail gate battery tests nothing)
+    assert(got.values.exists(_._6 > 0), "expected at least one passing doc")
+    assert(got.values.exists(v => v._6 < v._1), "expected at least one failing doc")
+  }
+
+  test("e2_range_search: driver replica — exactly the label-block pairs at or above tau") {
+    val rows = Similarity.e2RangeSearch(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= Similarity.RangeTau))
+    // replica over the sampled queries' label blocks
+    val emb = vecs
+    val labels = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queries = rows.map(_._1).distinct
+    val expect = (for {
+      q <- queries
+      (id, v) <- emb if id != q && labels(id) == labels(q)
+      sim = BigDecimal(cos(emb(q), v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= Similarity.RangeTau
+    } yield (q, id, sim)).toSet
+    assert(rows.toSet == expect)
+  }
 }
