@@ -176,7 +176,16 @@ object ScaleProbe {
       // signature join over the output-bounded pair table
       "e1_minhash_bbit",
       // sample x label-block over reconstructed vectors (linear)
-      "e2_sq8_recall")
+      "e2_sq8_recall",
+      // round 10: the two graph passes are pair-table-bounded (the e9
+      // family discipline); kcenter is K broadcast corpus scans
+      // (linear); knn_graph is the n·√n IVF in-cell join; gopher_gates
+      // is one scan with counter aggregates; range_search is the
+      // sample × label-block broadcast join (linear)
+      "e9_local_clustering", "e9_conductance", "e2_kcenter",
+      "e2_knn_graph", "e3_gopher_gates", "e2_range_search",
+      // bounded (source, tk) histogram / the linear PQ encode scan
+      "e8_gini", "e2_pq_distortion")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1366,6 +1366,42 @@ object Analysis {
         round(lit(1.0e12) / col("hhi"), 2).as("effective_sources"))
   }
 
+  /** E8 — per-source GINI coefficient of the document token-length
+    * distribution: the INEQUALITY audit that HHI (e8_concentration)
+    * cannot give — concentration says which sources dominate the corpus,
+    * Gini says which sources are internally dominated by a few huge
+    * documents (G→1: one scraped dump carries the source; G→0: uniform
+    * docs — e3_chunk/e3_pack behave very differently on the two, and
+    * sampling weights computed per-doc silently become per-byte weights
+    * when G is high). Exactness: the sorted-rank identity
+    * G = (2Σᵢ i·xᵢ − (n+1)Σx) / (n·Σx) evaluated entirely in INTEGERS
+    * with one final division — and computed from the LENGTH HISTOGRAM,
+    * not a per-doc rank: a tied block of c docs at length tk and
+    * cumulative count cum contributes 2Σi·x = tk·(2·cum − c + 1)·c
+    * exactly. Plan at 100 TB (the e3_quality_tiers bounded-domain
+    * treatment): ONE (source, tk) aggregate partial-combines the corpus
+    * map-side into a bounded histogram (distinct lengths ≤ max doc
+    * tokens), the cumulative window and the final fold run on that tiny
+    * table — the corpus is never sorted and never shuffled; a per-doc
+    * row_number Gini would pay a full per-source sort instead. */
+  def e8Gini(s: SparkSession, d: String): DataFrame = {
+    val wc = Window.partitionBy("source").orderBy("tk")
+    documents(s, d)
+      .select(col("source"), asLong(size(split(col("text"), " "))).as("tk"))
+      .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("rw2",
+        col("tk") * (lit(2L) * col("cum") - col("c") + lit(1L)) * col("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("tk") * col("c")).as("total_tokens"),
+        sum(col("rw2")).as("rw2"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round((col("rw2") - (col("n_docs") + 1L) * col("total_tokens")) /
+          (col("n_docs") * col("total_tokens")).cast("double"), 4).as("gini"))
+      .orderBy("source")
+  }
+
   /** Group-size threshold below which a quasi-identifier group is flagged
     * re-identifiable (the k of k-anonymity). */
   val KanonK = 5
@@ -1552,6 +1588,7 @@ object Analysis {
     "e9_assortativity" -> (e9Assortativity _),
     "e9_local_clustering" -> (e9LocalClustering _),
     "e9_conductance" -> (e9Conductance _),
+    "e8_gini" -> (e8Gini _),
     "e8_drift" -> (e8Drift _),
     "e8_ks_drift" -> (e8KsDrift _),
     "e8_embed_drift" -> (e8EmbedDrift _),
@@ -1971,6 +2008,21 @@ object Analysis {
          |         CAST(n_dir_edges * sxx - sx * sx AS DOUBLE), 4) END
          |    + 0.0 AS assortativity
          |FROM m""".stripMargin,
+    // histogram-form sorted-rank Gini: a tied block of c docs at length
+    // tk with cumulative count cum contributes 2*sum(i*x) =
+    // tk*(2*cum - c + 1)*c exactly; all integers, one final division
+    "e8_gini" ->
+      """WITH t AS (SELECT source,
+        |    len(string_split(text, ' ')) AS tk FROM documents),
+        |h AS (SELECT source, tk, count(*) AS c FROM t GROUP BY 1, 2),
+        |ch AS (SELECT source, tk, c,
+        |  sum(c) OVER (PARTITION BY source ORDER BY tk) AS cum FROM h)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk * c) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(tk * (2 * cum - c + 1) * c)
+        |      - (sum(c) + 1) * sum(tk * c) AS DOUBLE) /
+        |    CAST(sum(c) * sum(tk * c) AS BIGINT), 4) AS gini
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     // pooled-per-degree clustering: exact integer triangle/wedge sums,
     // one final division; canonical a<b<c triangles via EXISTS (the
     // e9_triangles join shape), each crediting its three corners

@@ -1266,6 +1266,37 @@ object Similarity {
           asLong(col("m.seed_idx")).as("code"))
         .localCheckpoint(false))
 
+  /** E2 — PQ DISTORTION audit: per subspace, the mean squared
+    * quantization error (each vector's distance to its NEAREST codeword
+    * — the quantity PQ training minimizes and the one that bounds ADC
+    * ranking error). This is the quantizer-health table an index
+    * operator reads before trusting e2_pq_search at a new corpus
+    * release: a subspace whose MSE is an outlier has a codebook that no
+    * longer covers the data (rotate/retrain it — the maintenance
+    * decision, like e2_ivf_rebalance's on the cell side), and MSE drift
+    * between releases is the quantization twin of e8_embed_drift.
+    * Exactness: per-(vector, subspace) min-distance is an
+    * order-independent MIN over identically-computed doubles; each min
+    * micro-quantizes scan-side (floor(d²·1e6 + 0.5) — the microMean
+    * discipline) so the cross-vector sum is an exact LONG, with ONE
+    * final division. Plan at 100 TB: the same broadcast-codebook scan
+    * as the encode pass (no pairwise work, vectors never shuffle); the
+    * (vector, subspace) argmin partial-combines map-side; the final
+    * exchange carries PqM counter rows. */
+  def e2PqDistortion(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .join(broadcast(pqSeeds(s, d)))
+      .select(col("vec_id"),
+        posexplode(expr(subDists("ed", "cd"))).as(Seq("sub", "dist")))
+      .groupBy("vec_id", "sub").agg(min(col("dist")).as("md"))
+      .withColumn("md_i", expr("CAST(floor(md * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n"), sum(col("md_i")).as("sse_micro"))
+      .select(asLong(col("sub")).as("sub"), col("n"), col("sse_micro"),
+        round(col("sse_micro") / (col("n") * lit(1000000.0)), 4).as("mse"))
+      .orderBy("sub")
+
   /** E2 — product-quantization codes: the vector-compression half of
     * IVF-PQ. Each vector is stored as PqM codeword indices (one byte
     * each); at 100 TB the codes table IS the index payload — 32× smaller
@@ -2072,6 +2103,7 @@ object Similarity {
     "e2_kcenter" -> (e2Kcenter _),
     "e2_knn_graph" -> (e2KnnGraph _),
     "e2_range_search" -> (e2RangeSearch _),
+    "e2_pq_distortion" -> (e2PqDistortion _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -3206,6 +3238,18 @@ object Similarity {
          |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |    CAST(b.embedding AS DOUBLE[])), 4) >= $RangeTau
          |ORDER BY a.vec_id, other_id""".stripMargin,
+    // nearest-codeword min per (vector, subspace) off the shared dists
+    // CTE, micro-quantized scan-side so the cross-vector sum is exact
+    "e2_pq_distortion" ->
+      s"""WITH $pqCtes,
+         |md AS (SELECT vec_id, sub,
+         |    CAST(floor(min(dist) * 1000000.0 + 0.5) AS BIGINT) AS md_i
+         |  FROM dists GROUP BY vec_id, sub)
+         |SELECT CAST(sub AS BIGINT) AS sub, count(*) AS n,
+         |  CAST(sum(md_i) AS BIGINT) AS sse_micro,
+         |  round(CAST(sum(md_i) AS BIGINT) / (count(*) * 1000000.0), 4)
+         |    AS mse
+         |FROM md GROUP BY sub ORDER BY sub""".stripMargin,
   )
 
   /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)

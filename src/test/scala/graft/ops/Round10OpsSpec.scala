@@ -136,4 +136,42 @@ class Round10OpsSpec extends AnyFunSuite {
     } yield (q, id, sim)).toSet
     assert(rows.toSet == expect)
   }
+
+  test("e8_gini: histogram form equals the per-doc sorted-rank Gini, bounds hold") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val xs = ds.map(_._2).sorted
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val rw = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val g = BigDecimal((2 * rw - (n + 1) * tot).toDouble / (n * tot))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      src -> ((n, tot, g))
+    }
+    val got = Analysis.e8Gini(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    // Gini of a non-negative distribution lives in [0, 1)
+    assert(got.values.forall(v => v._3 >= 0.0 && v._3 < 1.0))
+  }
+
+  test("e2_pq_distortion: ADC-consistency — per-subspace MSE is the mean of the coded distances") {
+    val rows = Similarity.e2PqDistortion(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // one row per subspace, all vectors covered, mse re-derives from the
+    // exact integer sum
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    val n = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
+    rows.foreach { case (_, cnt, sse, mse) =>
+      assert(cnt == n)
+      val exp = BigDecimal(sse.toDouble / (cnt * 1000000.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mse - exp) < 1e-9)
+      assert(sse >= 0L)
+    }
+  }
 }
