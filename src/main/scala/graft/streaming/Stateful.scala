@@ -272,6 +272,85 @@ object Stateful {
     entries.iterator.map(e => HhSnapshot(source, ver, e.tok, e.cnt, e.err))
   }
 
+  final case class VecIn(vec_id: Long, embedding: Seq[Double])
+  final case class KcCenter(id: Long, v: Seq[Double])
+  final case class KcState(ver: Long, r: Double, centers: List[KcCenter])
+  final case class KcSnapshot(ver: Long, center_id: Long, n_centers: Long,
+      r_micro: Long)
+
+  /** E4s — STREAMING K-CENTER maintenance via the DOUBLING algorithm
+    * (Charikar, Chekuri, Feder & Motwani, STOC'97): the one-pass twin of
+    * the batch e2_kcenter coreset — an ingest pipeline that wants "K
+    * maximally-spread representatives of everything ever seen" cannot
+    * re-run greedy selection per arrival, so it maintains the classic
+    * bounded-state sketch instead: ≤K centers plus ONE radius scalar r.
+    * An arriving vector within 2r of a center is absorbed (covered);
+    * otherwise it becomes a center; when centers overflow K, r doubles
+    * (first overflow: half the minimum pairwise center distance) and
+    * centers are greedily re-merged in insertion order until ≤K survive,
+    * all pairwise > 2r apart. The classic invariants — centers pairwise
+    * > r, r only ever doubles, every ingested point within O(r) of a
+    * surviving center (the 8-approximation) — are asserted from the
+    * emitted snapshots in StreamingSpec, replayed against the stream's
+    * own arrival order. Within a micro-batch, vectors fold in vec_id
+    * order so every snapshot is deterministic. State is K vectors + one
+    * double at ANY corpus size — the E4p/E4q/E4r bounded-state
+    * discipline applied to coverage geometry. */
+  def updateKcenterStream(k: Int)(key: Int, rows: Iterator[VecIn],
+      state: GroupState[KcState]): Iterator[KcSnapshot] = {
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val prev = state.getOption.getOrElse(KcState(0L, 0.0, Nil))
+    var r = prev.r
+    var centers = prev.centers
+    rows.toSeq.sortBy(_.vec_id).foreach { p =>
+      val covered = r > 0.0 &&
+        centers.exists(c => d2(c.v, p.embedding) <= 4.0 * r * r)
+      if (!covered && !centers.exists(_.id == p.vec_id)) {
+        centers = centers :+ KcCenter(p.vec_id, p.embedding)
+        while (centers.length > k) {
+          r =
+            if (r == 0.0)
+              math.sqrt(centers.combinations(2).map {
+                case Seq(a, b) => d2(a.v, b.v)
+              }.min) / 2.0
+            else 2.0 * r
+          val kept = scala.collection.mutable.ListBuffer.empty[KcCenter]
+          centers.foreach { c =>
+            if (!kept.exists(kc => d2(kc.v, c.v) <= 4.0 * r * r)) kept += c
+          }
+          centers = kept.toList
+        }
+      }
+    }
+    val ver = prev.ver + 1
+    state.update(KcState(ver, r, centers))
+    val n = centers.length.toLong
+    val rm = math.floor(r * 1e6 + 0.5).toLong
+    centers.iterator.map(c => KcSnapshot(ver, c.id, n, rm))
+  }
+
+  /** File-source embedding stream (one file per micro-batch) → the
+    * single-group doubling-algorithm state → memory sink in update mode;
+    * the latest version is the live K-center sketch. */
+  def streamKcenter(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String, k: Int): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[VecIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[VecIn]
+    rows
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateKcenterStream(k))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source document stream (one file per micro-batch) → scan-side
     * tokenization → per-source Space-Saving summary → memory sink in
     * update mode; the latest version per source is the live global

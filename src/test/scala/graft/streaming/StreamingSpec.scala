@@ -246,6 +246,66 @@ class StreamingSpec extends AnyFunSuite {
       .foreach(t => assert(mp.contains(t), s"heavy hitter $t missing"))
   }
 
+  test("streaming k-center doubling sketch: bounded state, doubling law, separation, coverage (E4s)") {
+    val K = 8
+    val vecsDir = TestSpark.tmpDir("kcst") + "/embeddings.parquet"
+    graft.Tables.embeddings(spark, TestSpark.sf0001).repartition(4)
+      .write.mode("overwrite").parquet(vecsDir)
+    val q = Stateful.streamKcenter(spark, vecsDir,
+      spark.read.parquet(vecsDir).schema, "kcenter_sink", K)
+    assert(q.awaitTermination(120000), "k-center stream did not finish in 120s")
+    val ups = spark.table("kcenter_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ups.nonEmpty)
+    val byVer = ups.groupBy(_._1)
+    assert(byVer.keys.max > 1, "corpus arrived in a single micro-batch")
+    // bounded state: ≤ K centers at every version; the n_centers column
+    // agrees with the actual row count of its version
+    byVer.foreach { case (v, rs) =>
+      assert(rs.length <= K, s"version $v holds ${rs.length} centers")
+      assert(rs.forall(_._3 == rs.length.toLong))
+      assert(rs.map(_._4).distinct.length == 1, "r must be one scalar per version")
+    }
+    // the radius only ever doubles: each successive nonzero r_micro is
+    // the previous nonzero value times a power of two (micro-rounding
+    // tolerance ±1 per step)
+    val rs = byVer.toSeq.sortBy(_._1).map(_._2.head._4)
+    rs.zip(rs.tail).foreach { case (a, b) =>
+      assert(b >= a, s"radius shrank: $a -> $b")
+      if (a > 0 && b > a) {
+        val ratio = b.toDouble / a.toDouble
+        val pow = math.round(math.log(ratio) / math.log(2.0))
+        assert(pow >= 1 && math.abs(ratio - math.pow(2.0, pow.toDouble)) < 1e-3,
+          s"radius moved by a non-power-of-2: $a -> $b")
+      }
+    }
+    // the fixture actually overflows K (doubling exercised)
+    assert(rs.last > 0L, "radius never left 0 — K too large for the fixture")
+    // geometry laws on the FINAL sketch, against the real vectors
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      math.sqrt(s)
+    }
+    val lastVer = byVer.keys.max
+    val centers = byVer(lastVer).map(_._2)
+    val rFinal = byVer(lastVer).head._4.toDouble / 1e6
+    // separation: surviving centers are pairwise farther than r
+    for (a <- centers; b <- centers if a < b)
+      assert(dist(emb(a), emb(b)) > rFinal,
+        s"centers $a,$b closer than r=$rFinal")
+    // coverage: every ingested vector is within the doubling algorithm's
+    // O(r) bound of a surviving center (2r per cover + the telescoping
+    // merge chain ≤ 4r ⇒ 8r is the safe theory bound)
+    val worst = emb.map { case (_, v) => centers.map(c => dist(emb(c), v)).min }.max
+    assert(worst <= 8.0 * rFinal + 1e-9,
+      s"coverage broke: worst $worst vs 8r=${8.0 * rFinal}")
+  }
+
   test("streaming token-budget admission enforces the ledger law (E4q)") {
     // budget chosen so the cap BINDS on the fixture (per-source token
     // mass at sf0.001 is well above it) while early arrivals still land
