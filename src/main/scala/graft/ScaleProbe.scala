@@ -185,7 +185,9 @@ object ScaleProbe {
       "e9_local_clustering", "e9_conductance", "e2_kcenter",
       "e2_knn_graph", "e3_gopher_gates", "e2_range_search",
       // bounded (source, tk) histogram / the linear PQ encode scan
-      "e8_gini", "e2_pq_distortion")
+      "e8_gini", "e2_pq_distortion",
+      // one in-cell pair scan feeding both legs (the n·√n IVF model)
+      "e2_triplet_mining")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

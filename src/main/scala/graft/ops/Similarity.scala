@@ -1053,6 +1053,57 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** E2 — TRIPLET MINING for contrastive / metric learning (the FaceNet
+    * recipe, Schroff et al., CVPR'15, as run over a corpus-scale
+    * embedding table): for every anchor, its hardest in-cell POSITIVE
+    * (most-similar same-label vector — the pair the loss pulls together)
+    * and its hardest in-cell NEGATIVE (most-similar other-label vector —
+    * the e2_hard_negatives pick, the pair the loss pushes apart), with
+    * the MARGIN pos−neg in integer basis points. The margin column is
+    * the mining signal itself: margin ≤ 0 rows are the "hard" triplets
+    * (negative currently closer than positive), small positive margins
+    * are FaceNet's semi-hard band — the batch composition a contrastive
+    * trainer actually samples, produced here as a table instead of
+    * inside the training loop. Anchors lacking an in-cell same-label or
+    * other-label peer drop out (INNER join — a triplet needs all three
+    * legs). Exactness: both sims are the house 4-dp rounded cosine;
+    * the margin subtracts their exact 1e4 integerizations, so no float
+    * subtraction crosses engines. Plan at 100 TB: ONE IVF build and ONE
+    * in-cell pair scan (n·√n bound) feed both legs; each leg narrows to
+    * (ids, label, sim) before its rank exchange (the pre-window
+    * projection rule); the legs meet in a vec_id equi-join of two
+    * n-row tables. */
+  def e2TripletMining(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
+      .join(lab, "vec_id")
+    val pairs = build.as("a")
+      .join(build.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      // narrow before the rank exchanges (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("other_id"), col("b.label").as("other_label"),
+        col("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    def top1(df: DataFrame, idName: String, simName: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("other_id").as(idName),
+          round(col("sim"), 4).as(simName))
+    val pos = top1(pairs.filter(col("label") === col("other_label")),
+      "positive_id", "pos_sim")
+    val neg = top1(pairs.filter(col("label") =!= col("other_label")),
+      "negative_id", "neg_sim")
+    pos.join(neg, "vec_id")
+      .select(col("vec_id"), col("positive_id"), col("pos_sim"),
+        col("negative_id"), col("neg_sim"),
+        (expr("CAST(round(pos_sim * 10000) AS BIGINT)") -
+          expr("CAST(round(neg_sim * 10000) AS BIGINT)")).as("margin_bp"))
+      .orderBy("vec_id")
+  }
+
   /** Selection size + seed salt for the greedy k-center coreset —
     * interpolated into both engines. */
   val KcenterK = 8
@@ -2104,6 +2155,7 @@ object Similarity {
     "e2_knn_graph" -> (e2KnnGraph _),
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
+    "e2_triplet_mining" -> (e2TripletMining _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -3250,6 +3302,32 @@ object Similarity {
          |  round(CAST(sum(md_i) AS BIGINT) / (count(*) * 1000000.0), 4)
          |    AS mse
          |FROM md GROUP BY sub ORDER BY sub""".stripMargin,
+    // one in-cell pair scan feeds both triplet legs; margin subtracts
+    // the exact 1e4 integerizations of the two rounded sims
+    "e2_triplet_mining" ->
+      s"""WITH ${ivfCtes(1)},
+         |prs AS MATERIALIZED (SELECT a.vec_id AS vec_id,
+         |    la.label AS label, b.vec_id AS other_id,
+         |    lb.label AS other_label,
+         |    list_cosine_similarity(a.e, b.e) AS sim
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  JOIN embeddings la ON a.vec_id = la.vec_id
+         |  JOIN embeddings lb ON b.vec_id = lb.vec_id),
+         |pos AS (SELECT vec_id, other_id AS positive_id,
+         |    round(sim, 4) AS pos_sim FROM (
+         |  SELECT vec_id, other_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, other_id) AS rn
+         |  FROM prs WHERE label = other_label) WHERE rn = 1),
+         |neg AS (SELECT vec_id, other_id AS negative_id,
+         |    round(sim, 4) AS neg_sim FROM (
+         |  SELECT vec_id, other_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, other_id) AS rn
+         |  FROM prs WHERE label <> other_label) WHERE rn = 1)
+         |SELECT vec_id, positive_id, pos_sim, negative_id, neg_sim,
+         |  CAST(round(pos_sim * 10000) AS BIGINT)
+         |    - CAST(round(neg_sim * 10000) AS BIGINT) AS margin_bp
+         |FROM pos JOIN neg USING (vec_id) ORDER BY vec_id""".stripMargin,
   )
 
   /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)

@@ -677,6 +677,25 @@ class AnalysisSpec extends AnyFunSuite {
     assert(badEx.isEmpty, s"unexpected exchange keys:\n${badEx.mkString("\n")}")
   }
 
+  test("e8_gini: the corpus reduces to the bounded histogram — one scan, no corpus sort, (source, tk)-keyed exchanges only") {
+    val df = Analysis.e8Gini(spark, TestSpark.sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"expected exactly one documents scan:\n$plan")
+    // every hash exchange carries histogram keys (source/tk), never
+    // doc-level rows: the cumulative window and final fold run on the
+    // bounded (source, tk) table
+    val badEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(l => l.contains("source#")).toSeq
+    assert(badEx.isEmpty, s"unexpected exchange keys:\n${badEx.mkString("\n")}")
+    // the only range exchange (sort) is the |sources|-row output ordering,
+    // which sits after the final aggregate, never on the corpus side: the
+    // window's sort is within-partition on the histogram
+    assert(!plan.contains("Sort [tk") || plan.contains("Window"),
+      s"unexpected corpus-side sort:\n$plan")
+  }
+
   test("e9_local_clustering: equals a driver per-vertex triangle replica pooled per degree") {
     val pairs = graft.ops.Dedup.minhashPairTable(spark, TestSpark.sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -137,6 +137,28 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.toSet == expect)
   }
 
+  test("e2_triplet_mining: leg labels, margin arithmetic, and anchor uniqueness") {
+    val labels = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.e2TripletMining(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one triplet per anchor")
+    rows.foreach { case (a, p, ps, n, ns, m) =>
+      assert(labels(p) == labels(a), s"positive leg crossed labels for $a")
+      assert(labels(n) != labels(a), s"negative leg stayed in-label for $a")
+      assert(m == math.round(ps * 10000) - math.round(ns * 10000),
+        s"margin arithmetic broke for $a")
+      assert(p != a && n != a)
+    }
+    // the mining signal is real on the fixture: both hard (margin <= 0)
+    // and easy (margin > 0) triplets exist
+    assert(rows.exists(_._6 <= 0), "no hard triplets — fixture too easy")
+    assert(rows.exists(_._6 > 0), "no easy triplets — fixture degenerate")
+  }
+
   test("e8_gini: histogram form equals the per-doc sorted-rank Gini, bounds hold") {
     val docs = graft.Tables.documents(spark, TestSpark.sf0001)
       .select("source", "text").collect()
