@@ -1158,6 +1158,48 @@ object Similarity {
       .orderBy("k")
   }
 
+  /** Greedy k-center to a COVERAGE TARGET — the deployment form of
+    * e2_kcenter (the kmeansTrained / kcoreConverged discipline): keep
+    * picking farthest points until the next pick's similarity to the
+    * selected set reaches `tauSim` (the corpus is covered at that
+    * similarity radius) or `maxK` picks, whichever first. The declared
+    * fixed-K query documents the trajectory; this is the loop a coreset
+    * builder actually runs — K is an OUTPUT (the corpus's intrinsic
+    * diversity at radius τ), not an input. Each round is the same ONE
+    * broadcast corpus scan; the driver reads one (vec_id, sim) row per
+    * round. Returns (picks DataFrame like e2_kcenter, rounds run). */
+  def kcenterTrained(s: SparkSession, d: String, tauSim: Double,
+      maxK: Int = 64): (DataFrame, Int) = {
+    val e = withNorm(embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val seedId = embeddings(s, d).select(col("vec_id"),
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("vec_id").bitwiseXOR(lit(KcenterSalt))).as("m"))
+      .orderBy("m", "vec_id").limit(1).head().getLong(0)
+    var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
+    var done = false
+    while (picks.length < maxK && !done) {
+      val ids = picks.map(_._2)
+      val sel = broadcast(e.filter(col("vec_id").isin(ids: _*))
+        .select(col("embedding").as("semb"), col("nrm").as("snrm")))
+      val rows = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(sel)
+        .withColumn("sim",
+          graft.functions.Vectors.dot(col("embedding"), col("semb")) /
+            (col("nrm") * col("snrm")))
+        .groupBy("vec_id").agg(max(col("sim")).as("ms"))
+        .orderBy(col("ms"), col("vec_id")).limit(1).collect()
+      if (rows.isEmpty || rows.head.getDouble(1) >= tauSim) done = true
+      else picks :+= ((picks.length + 1L, rows.head.getLong(0),
+        Some(rows.head.getDouble(1))))
+    }
+    import s.implicits._
+    val df = picks.toDF("k", "vec_id", "ms")
+      .select(col("k"), col("vec_id"), round(col("ms"), 4).as("cover_sim"))
+      .orderBy("k")
+    (df, picks.length)
+  }
+
   /** E2 — the ANN recall/cost PARETO frontier: one row per indexing
     * method — IVF at nProbe 1 and 2, single-bucket LSH, and 13-probe
     * multi-probe LSH — scoring each against the exact label-blocked

@@ -137,6 +137,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.toSet == expect)
   }
 
+  test("kcenterTrained: fixed-K trajectory is its prefix, coverage target stops it") {
+    // with an unreachable target, the first KcenterK picks must equal the
+    // declared query's trajectory exactly (same greedy walk)
+    val (df, k) = Similarity.kcenterTrained(spark, TestSpark.sf0001,
+      tauSim = 2.0, maxK = Similarity.KcenterK)
+    assert(k == Similarity.KcenterK)
+    val fixed = Similarity.e2Kcenter(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val loop = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loop.toSeq == fixed.toSeq, "trained loop diverged from the declared trajectory")
+    // with a reachable target, the loop stops early and the stopping rule
+    // holds: every emitted cover_sim is below the target
+    val (df2, k2) = Similarity.kcenterTrained(spark, TestSpark.sf0001,
+      tauSim = 0.0, maxK = 64)
+    assert(k2 < 64, "coverage target never reached — fixture unexpectedly diverse")
+    val sims = df2.collect().flatMap(r =>
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(sims.forall(_ < 0.0 + 1e-9))
+  }
+
   test("e2_triplet_mining: leg labels, margin arithmetic, and anchor uniqueness") {
     val labels = graft.Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "label").collect()
