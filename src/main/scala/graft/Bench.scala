@@ -87,7 +87,15 @@ object Bench {
     // usually agree within ~4%). Read totals against a same-window
     // sample; per-query medians inside one run remain mutually
     // comparable either way.
-    println(s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major); totals vary up to ~30% with machine state, see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major); totals vary up to ~30% with machine state, see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact viewer tails stdout, truncating the per-query
+    // dict (~70 of 254 parsed from BENCH_r10) — also write the full line
+    // to a file in the repo so every median survives for round-over-round
+    // comparison. Env-overridable so probe runs don't clobber the record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -31,6 +31,42 @@ object StreamSoak {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
+    // "kc" as any arg: soak the E4s streaming k-center sketch instead —
+    // sf0.1 embeddings replicated N× with vec_id offsets but UNCHANGED
+    // vectors, so after the sketch stabilizes every further arrival is a
+    // pure coverage test against the ≤K-center state (distance 0 to some
+    // center) — the steady-state regime an ingest coreset runs in.
+    // Reports vector throughput plus the state bound (final centers ≤ K
+    // and a single radius scalar). Dispatched BEFORE the documents corpus
+    // build: this branch consumes only embeddings, and at high replica
+    // counts materializing the unused documents corpus roughly doubled
+    // soak setup time.
+    if (args.contains("kc")) {
+      val K = 8
+      val vsrc = s"$root/vsrc"
+      val ebase = spark.read.parquet(s"$sf/embeddings.parquet")
+      (0 until n).map(i => ebase.withColumn("vec_id",
+          col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_.unionByName(_))
+        .repartition(16).write.parquet(vsrc)
+      val vRows = spark.read.parquet(vsrc).count()
+      val vSchema = spark.read.parquet(vsrc).schema
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamKcenter(
+        spark, vsrc, vSchema, "soak_kc", K)
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val snaps = spark.table("soak_kc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lastVer = snaps.map(_._1).max
+      val fin = snaps.filter(_._1 == lastVer)
+      require(fin.length <= K, "state bound violated")
+      require(fin.map(_._4).distinct.length == 1, "radius not a single scalar")
+      println(f"""{"soak":"e4s_kcenter_ingest","input_rows":$vRows,"sec":$secs%.1f,"vecs_per_sec":${(vRows / secs).toLong},"final_centers":${fin.length},"r_micro":${fin.head._4},"versions":$lastVer,"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     val base = spark.read.parquet(s"$sf/documents.parquet")
     (0 until n).map(i => base.withColumn("doc_id",
         col("doc_id") + lit(i.toLong * 10000000L)))
@@ -67,39 +103,6 @@ object StreamSoak {
       }
       require(finalRows.values.forall(_ <= M), "state bound violated")
       println(f"""{"soak":"e4r_space_saving_ingest","input_rows":$inputRows,"tokens":$tokens,"sec":$secs%.1f,"tokens_per_sec":${(tokens / secs).toLong},"sources":${finalRows.size},"state_cap":$M,"sf":"$sf","replicas":$n}""")
-      spark.stop()
-      return
-    }
-
-    // "kc" as any arg: soak the E4s streaming k-center sketch instead —
-    // sf0.1 embeddings replicated N× with vec_id offsets but UNCHANGED
-    // vectors, so after the sketch stabilizes every further arrival is a
-    // pure coverage test against the ≤K-center state (distance 0 to some
-    // center) — the steady-state regime an ingest coreset runs in.
-    // Reports vector throughput plus the state bound (final centers ≤ K
-    // and a single radius scalar).
-    if (args.contains("kc")) {
-      val K = 8
-      val vsrc = s"$root/vsrc"
-      val ebase = spark.read.parquet(s"$sf/embeddings.parquet")
-      (0 until n).map(i => ebase.withColumn("vec_id",
-          col("vec_id") + lit(i.toLong * 10000000L)))
-        .reduce(_.unionByName(_))
-        .repartition(16).write.parquet(vsrc)
-      val vRows = spark.read.parquet(vsrc).count()
-      val vSchema = spark.read.parquet(vsrc).schema
-      val t0 = System.nanoTime()
-      val q = streaming.Stateful.streamKcenter(
-        spark, vsrc, vSchema, "soak_kc", K)
-      q.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val snaps = spark.table("soak_kc").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      val lastVer = snaps.map(_._1).max
-      val fin = snaps.filter(_._1 == lastVer)
-      require(fin.length <= K, "state bound violated")
-      require(fin.map(_._4).distinct.length == 1, "radius not a single scalar")
-      println(f"""{"soak":"e4s_kcenter_ingest","input_rows":$vRows,"sec":$secs%.1f,"vecs_per_sec":${(vRows / secs).toLong},"final_centers":${fin.length},"r_micro":${fin.head._4},"versions":$lastVer,"sf":"$sf","replicas":$n}""")
       spark.stop()
       return
     }

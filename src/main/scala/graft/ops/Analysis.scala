@@ -1386,19 +1386,32 @@ object Analysis {
     * row_number Gini would pay a full per-source sort instead. */
   def e8Gini(s: SparkSession, d: String): DataFrame = {
     val wc = Window.partitionBy("source").orderBy("tk")
+    // The rank-weighted products run in DECIMAL(38,0), not BIGINT: at the
+    // 100 TB domain (tk~1e4, cum~1e9 docs/source, c~1e6) tk·(2cum−c+1)·c
+    // ≈ 2e22 exceeds 2^63 and Spark long arithmetic wraps SILENTLY —
+    // while DuckDB's sum(BIGINT) is HUGEINT, so the engines would diverge
+    // exactly where the op claims exactness. Decimal sums stay exact to
+    // 10^38; the ONLY float ops remain the two final double casts and
+    // one division, and decimal→double rounds half-even identically in
+    // both engines — the same contract the raw-long version had.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     documents(s, d)
       .select(col("source"), asLong(size(split(col("text"), " "))).as("tk"))
       .groupBy("source", "tk").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wc))
       .withColumn("rw2",
-        col("tk") * (lit(2L) * col("cum") - col("c") + lit(1L)) * col("c"))
+        col("tk").cast(d38) *
+          (lit(2L) * col("cum") - col("c") + lit(1L)).cast(d38) *
+          col("c").cast(d38))
       .groupBy("source")
       .agg(sum(col("c")).as("n_docs"),
         sum(col("tk") * col("c")).as("total_tokens"),
         sum(col("rw2")).as("rw2"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        round((col("rw2") - (col("n_docs") + 1L) * col("total_tokens")) /
-          (col("n_docs") * col("total_tokens")).cast("double"), 4).as("gini"))
+        round((col("rw2") - (col("n_docs") + 1L).cast(d38) *
+            col("total_tokens").cast(d38)).cast("double") /
+          (col("n_docs").cast(d38) * col("total_tokens").cast(d38))
+            .cast("double"), 4).as("gini"))
       .orderBy("source")
   }
 
@@ -1888,13 +1901,13 @@ object Analysis {
          |cn AS (SELECT e1.src AS doc_a, e2.dst AS doc_b, count(*) AS common
          |  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
          |  GROUP BY 1, 2),
-         |cand AS (SELECT cn.* FROM cn
+         |lp_cand AS (SELECT cn.* FROM cn
          |  LEFT JOIN mhp2 m ON cn.doc_a = m.da AND cn.doc_b = m.db
          |  WHERE m.da IS NULL)
          |SELECT doc_a, doc_b, common, d1.deg AS deg_a, d2.deg AS deg_b,
          |  round(common / CAST(d1.deg + d2.deg - common AS DOUBLE), 4)
          |    AS jaccard
-         |FROM cand JOIN deg d1 ON doc_a = d1.id JOIN deg d2 ON doc_b = d2.id
+         |FROM lp_cand JOIN deg d1 ON doc_a = d1.id JOIN deg d2 ON doc_b = d2.id
          |ORDER BY jaccard DESC, common DESC, doc_a, doc_b
          |LIMIT $LinkPredK""".stripMargin,
     "e9_modularity" ->
@@ -2086,21 +2099,24 @@ object Analysis {
            |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
            |seeds AS MATERIALIZED (SELECT src AS v FROM deg
            |  ORDER BY dg DESC, src LIMIT $BfsSeeds),
-           |d0 AS MATERIALIZED (SELECT v, 0 AS dist FROM seeds)""".stripMargin
+           |bfs_d0 AS MATERIALIZED (SELECT v, 0 AS dist FROM seeds)""".stripMargin
+      // CTE names are bfs_-prefixed: the surrounding WITH already contains
+      // Dedup.minhashCtes, whose banding stage defines f1..f4 — unprefixed
+      // f$k collided with it (CORRECTNESS_r10 "Duplicate CTE name f1").
       val iters = (1 to BfsRounds).map { k =>
-        s"""f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS v
-           |  FROM e JOIN d${k - 1} f ON e.src = f.v AND f.dist = ${k - 1}
-           |  LEFT JOIN d${k - 1} p ON e.dst = p.v WHERE p.v IS NULL),
-           |d$k AS MATERIALIZED (SELECT v, dist FROM d${k - 1}
-           |  UNION ALL SELECT v, $k AS dist FROM f$k)""".stripMargin
+        s"""bfs_f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS v
+           |  FROM e JOIN bfs_d${k - 1} f ON e.src = f.v AND f.dist = ${k - 1}
+           |  LEFT JOIN bfs_d${k - 1} p ON e.dst = p.v WHERE p.v IS NULL),
+           |bfs_d$k AS MATERIALIZED (SELECT v, dist FROM bfs_d${k - 1}
+           |  UNION ALL SELECT v, $k AS dist FROM bfs_f$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${Dedup.minhashCtes},
          |$base,
          |$iters,
          |verts AS (SELECT DISTINCT src AS v FROM e)
-         |SELECT CAST(coalesce(d$BfsRounds.dist, -1) AS INT) AS dist,
+         |SELECT CAST(coalesce(bfs_d$BfsRounds.dist, -1) AS INT) AS dist,
          |  count(*) AS n_docs
-         |FROM verts LEFT JOIN d$BfsRounds ON verts.v = d$BfsRounds.v
+         |FROM verts LEFT JOIN bfs_d$BfsRounds ON verts.v = bfs_d$BfsRounds.v
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "e8_corr" -> {

@@ -1139,18 +1139,24 @@ object Similarity {
           .mix64(col("vec_id").bitwiseXOR(lit(KcenterSalt))).as("m"))
       .orderBy("m", "vec_id").limit(1).head().getLong(0)
     var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
-    for (k <- 2 to KcenterK) {
+    // collect()+isEmpty (the kcenterTrained guard): a corpus with fewer
+    // than KcenterK distinct vectors exhausts the candidate set, and the
+    // query degrades to emitting fewer than K picks instead of throwing.
+    var exhausted = false
+    for (k <- 2 to KcenterK if !exhausted) {
       val ids = picks.map(_._2)
       val sel = broadcast(e.filter(col("vec_id").isin(ids: _*))
         .select(col("embedding").as("semb"), col("nrm").as("snrm")))
-      val row = e.filter(!col("vec_id").isin(ids: _*))
+      val rows = e.filter(!col("vec_id").isin(ids: _*))
         .crossJoin(sel)
         .withColumn("sim",
           graft.functions.Vectors.dot(col("embedding"), col("semb")) /
             (col("nrm") * col("snrm")))
         .groupBy("vec_id").agg(max(col("sim")).as("ms"))
-        .orderBy(col("ms"), col("vec_id")).limit(1).head()
-      picks :+= ((k.toLong, row.getLong(0), Some(row.getDouble(1))))
+        .orderBy(col("ms"), col("vec_id")).limit(1).collect()
+      if (rows.isEmpty) exhausted = true
+      else picks :+= ((k.toLong, rows.head.getLong(0),
+        Some(rows.head.getDouble(1))))
     }
     import s.implicits._
     picks.toDF("k", "vec_id", "ms")
@@ -1189,7 +1195,16 @@ object Similarity {
             (col("nrm") * col("snrm")))
         .groupBy("vec_id").agg(max(col("sim")).as("ms"))
         .orderBy(col("ms"), col("vec_id")).limit(1).collect()
-      if (rows.isEmpty || rows.head.getDouble(1) >= tauSim) done = true
+      // Stop on the 4-dp ROUNDED similarity (BigDecimal half-up — same
+      // shortest-decimal rounding as Spark's round(col, 4), so the
+      // boundary lives on the canonical grid the emitted cover_sim
+      // column uses; the RangeTau rounded-grid discipline). Comparing
+      // the raw double instead let a pick whose raw sim was just under
+      // tau display cover_sim == tau, breaking "all emitted < tau".
+      val rounded = rows.headOption.map(r =>
+        BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (rows.isEmpty || rounded.get >= tauSim) done = true
       else picks :+= ((picks.length + 1L, rows.head.getLong(0),
         Some(rows.head.getDouble(1))))
     }

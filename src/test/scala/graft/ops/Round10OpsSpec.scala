@@ -126,7 +126,19 @@ class Round10OpsSpec extends AnyFunSuite {
     val labels = graft.Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val queries = rows.map(_._1).distinct
+    // queries replicated INDEPENDENTLY of the op's output (mix64 sample,
+    // the e2_kcenter seed-replica discipline) — deriving them from
+    // rows.map(_._1) would mask a query whose hits the op dropped
+    // wholesale
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val queries = emb.keys.toSeq
+      .sortBy(id => (mix64(id ^ Similarity.AnnQuerySalt), id))
+      .take(Similarity.AnnQueryK)
     val expect = (for {
       q <- queries
       (id, v) <- emb if id != q && labels(id) == labels(q)
@@ -154,7 +166,10 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(k2 < 64, "coverage target never reached — fixture unexpectedly diverse")
     val sims = df2.collect().flatMap(r =>
       if (r.isNullAt(2)) None else Some(r.getDouble(2)))
-    assert(sims.forall(_ < 0.0 + 1e-9))
+    // strict: the stopping rule now compares the 4-dp ROUNDED sim (the
+    // same grid the emitted cover_sim lives on), so "all emitted < tau"
+    // holds with no epsilon slack
+    assert(sims.forall(_ < 0.0))
   }
 
   test("e2_triplet_mining: leg labels, margin arithmetic, and anchor uniqueness") {

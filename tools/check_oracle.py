@@ -44,6 +44,19 @@ def main(out_dir, sf_dir):
             rewrites = []
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if rewrites:
+            # Driver-equivalence lint: the driver runs the RAW
+            # self-contained SQL, so parse+bind it here too even when the
+            # accelerated path executes rewritten text. con.sql() binds
+            # lazily (no execution), which catches exactly the failure
+            # class the prelude used to mask — e.g. a consumer CTE name
+            # colliding with the inlined chain's (r10: e9_bfs "Duplicate
+            # CTE name f1", e9_link_pred "cand").
+            try:
+                con.sql(sql)
+            except Exception as e:
+                print(f"FAIL {name}: raw-sql lint: {e}"); n_fail += 1
+                continue
         for f, t in rewrites:
             sql = sql.replace(f, t)
         res_dir = os.path.join(out_dir, name)
