@@ -187,7 +187,10 @@ object ScaleProbe {
       // bounded (source, tk) histogram / the linear PQ encode scan
       "e8_gini", "e2_pq_distortion",
       // one in-cell pair scan feeding both legs (the n·√n IVF model)
-      "e2_triplet_mining")
+      "e2_triplet_mining",
+      // round 11: sampled anchors × corpus, one broadcast pair scan
+      // feeding both legs — linear, the mine's ≥100× scale path
+      "e2_triplet_mining_sampled")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -259,6 +262,62 @@ object ScaleProbe {
             .otherwise(col("text")))
         .write.mode("overwrite").parquet(s"$skewOut/documents.parquet")
       timeQuery("e1_span_dedup", skewOut, "e1_span_dedup[hot-5gram]")
+    }
+
+    // "chain" as any arg: the DEEP-COMPONENT probe for the two
+    // connected-components passes. The LSH pair graphs of the replicated
+    // corpora are clone-cliques (diameter 1), which never separates the
+    // round counts — so construct the adversarial shape directly:
+    // 1000·N chains of depth 64 (the DedupStarSpec corpus at probe
+    // volume). Min-label needs ~diameter rounds, each a full shuffle
+    // barrier; large-star/small-star needs O(log diameter) — the reason
+    // the star pass is the 100 TB production path. Also cross-checks the
+    // two label tables cell-for-cell (the spec's equivalence law, here
+    // at probe volume).
+    if (args.contains("chain")) {
+      val depth = 64L
+      val chains = 1000L * n
+      val pairs = spark.range(0, chains * (depth - 1)).select(
+        expr(s"id div ${depth - 1} * 1000000 + id % ${depth - 1}").as("da"),
+        expr(s"id div ${depth - 1} * 1000000 + id % ${depth - 1} + 1")
+          .as("db"))
+      val verts = pairs.select(col("da").as("doc_id"))
+        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val (ml, mlRounds) = ops.Dedup.connectedComponentsWithRounds(verts, pairs)
+      val mlDf = ml.localCheckpoint(true)
+      val mlClusters = mlDf.select("cluster").distinct().count()
+      val mlSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (st, stRounds) = ops.Dedup.connectedComponentsStar(verts, pairs)
+      val stDf = st.localCheckpoint(true)
+      val stClusters = stDf.select("cluster").distinct().count()
+      val stSec = (System.nanoTime() - t1) / 1e9
+      val mismatches = mlDf.join(stDf.withColumnRenamed("cluster", "c2"),
+        "doc_id").filter(col("cluster") =!= col("c2")).count()
+      require(mismatches == 0L, s"label tables diverge: $mismatches")
+      require(mlClusters == chains && stClusters == chains,
+        s"cluster counts $mlClusters/$stClusters != $chains")
+      println(f"cc_minlabel[${chains}x$depth-chain] $mlSec%8.2f s   rounds=$mlRounds clusters=$mlClusters")
+      println(f"cc_star[${chains}x$depth-chain]     $stSec%8.2f s   rounds=$stRounds clusters=$stClusters")
+    }
+
+    // "kctrain" as any arg: the kcenterTrained coverage-target loop at
+    // fixed tau=0.0 (the corpus's positive-similarity coverage radius) —
+    // wall + rounds-run per N, the measured growth model the fixed-K
+    // e2_kcenter row can't give (K is an OUTPUT here). Replication keeps
+    // the distinct vector SET unchanged, so K(tau) is pinned by corpus
+    // geometry to within the seed's wobble — the mix64 seed ranges over
+    // the replicated id space, so the walk's starting vector (and with
+    // it rounds, ±1) may shift across N; wall is the growth signal
+    // (measured 7/8/8 rounds at 1/10/100×).
+    if (args.contains("kctrain")) {
+      val t0 = System.nanoTime()
+      val (df, k) = ops.Similarity.kcenterTrained(spark, out, tauSim = 0.0)
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"kcenterTrained[tau=0.0]      $sec%8.2f s   rounds=$k rows=$rows")
     }
     spark.stop()
   }

@@ -1104,6 +1104,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — SAMPLED triplet mining, the scale path of e2_triplet_mining
+    * (the e2_ann_recall_sampled discipline): production contrastive
+    * training mines triplets for the anchors in the current batch, not
+    * for every corpus vector at once — so the deployable form restricts
+    * ANCHORS to the deterministic AnnQueryK mix64 sample and mines both
+    * legs EXACTLY against the whole corpus (hardest positive corpus-wide
+    * within the label, hardest negative corpus-wide outside it — a
+    * strictly STRONGER mine per anchor than the full variant's in-cell
+    * legs, at |sample|·n cost instead of n·√n). Plan at 100 TB: the ≤64
+    * anchor rows BROADCAST against ONE corpus scan that feeds both legs
+    * (corpus vectors never shuffle); each leg narrows to (ids, labels,
+    * sim) before its rank exchange (the pre-window projection rule), so
+    * the only exchange is |sample|·n narrow rows — LINEAR in the corpus,
+    * which is why this variant carries the ≥100× ScaleProbe rows the
+    * full mine is excluded from. Same schema + margin arithmetic as the
+    * full variant (exact 1e4 integerizations of the 4-dp rounded sims). */
+  def e2TripletMiningSampled(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val qs = broadcast(sampledQueryIds(s, d))
+    val pairs = broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", cosine)
+      // narrow before the rank exchanges (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("other_id"), col("b.label").as("other_label"),
+        col("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    def top1(df: DataFrame, idName: String, simName: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("other_id").as(idName),
+          round(col("sim"), 4).as(simName))
+    val pos = top1(pairs.filter(col("label") === col("other_label")),
+      "positive_id", "pos_sim")
+    val neg = top1(pairs.filter(col("label") =!= col("other_label")),
+      "negative_id", "neg_sim")
+    pos.join(neg, "vec_id")
+      .select(col("vec_id"), col("positive_id"), col("pos_sim"),
+        col("negative_id"), col("neg_sim"),
+        (expr("CAST(round(pos_sim * 10000) AS BIGINT)") -
+          expr("CAST(round(neg_sim * 10000) AS BIGINT)")).as("margin_bp"))
+      .orderBy("vec_id")
+  }
+
   /** Selection size + seed salt for the greedy k-center coreset —
     * interpolated into both engines. */
   val KcenterK = 8
@@ -2213,6 +2257,7 @@ object Similarity {
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
     "e2_triplet_mining" -> (e2TripletMining _),
+    "e2_triplet_mining_sampled" -> (e2TripletMiningSampled _),
   )
 
   /** DuckDB replica of hyperplaneExpression.sigImpl + the bucketed top-1
@@ -3381,6 +3426,31 @@ object Similarity {
          |  SELECT vec_id, other_id, sim, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY sim DESC, other_id) AS rn
          |  FROM prs WHERE label <> other_label) WHERE rn = 1)
+         |SELECT vec_id, positive_id, pos_sim, negative_id, neg_sim,
+         |  CAST(round(pos_sim * 10000) AS BIGINT)
+         |    - CAST(round(neg_sim * 10000) AS BIGINT) AS margin_bp
+         |FROM pos JOIN neg USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // sampled anchors (qsel), both legs exact against the whole corpus;
+    // one anchor×corpus pair scan feeds both legs
+    "e2_triplet_mining_sampled" ->
+      s"""WITH $qselCtes,
+         |sprs AS MATERIALIZED (SELECT a.vec_id AS vec_id,
+         |    a.label AS label, b.vec_id AS other_id,
+         |    b.label AS other_label,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
+         |pos AS (SELECT vec_id, other_id AS positive_id,
+         |    round(sim, 4) AS pos_sim FROM (
+         |  SELECT vec_id, other_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, other_id) AS rn
+         |  FROM sprs WHERE label = other_label) WHERE rn = 1),
+         |neg AS (SELECT vec_id, other_id AS negative_id,
+         |    round(sim, 4) AS neg_sim FROM (
+         |  SELECT vec_id, other_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, other_id) AS rn
+         |  FROM sprs WHERE label <> other_label) WHERE rn = 1)
          |SELECT vec_id, positive_id, pos_sim, negative_id, neg_sim,
          |  CAST(round(pos_sim * 10000) AS BIGINT)
          |    - CAST(round(neg_sim * 10000) AS BIGINT) AS margin_bp
