@@ -1113,8 +1113,10 @@ object Similarity {
     * within the label, hardest negative corpus-wide outside it — a
     * strictly STRONGER mine per anchor than the full variant's in-cell
     * legs, at |sample|·n cost instead of n·√n). Plan at 100 TB: the ≤64
-    * anchor rows BROADCAST against ONE corpus scan that feeds both legs
-    * (corpus vectors never shuffle); each leg narrows to (ids, labels,
+    * anchor rows BROADCAST against a column-pruned corpus scan per leg
+    * (Catalyst pushes the label equality into the positive leg's hash
+    * join; the negative leg is the broadcast nested loop — corpus
+    * vectors never shuffle in either); each leg narrows to (ids, labels,
     * sim) before its rank exchange (the pre-window projection rule), so
     * the only exchange is |sample|·n narrow rows — LINEAR in the corpus,
     * which is why this variant carries the ≥100× ScaleProbe rows the
