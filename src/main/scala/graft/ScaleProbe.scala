@@ -190,7 +190,10 @@ object ScaleProbe {
       "e2_triplet_mining",
       // round 11: sampled anchors × corpus, one broadcast pair scan
       // feeding both legs — linear, the mine's ≥100× scale path
-      "e2_triplet_mining_sampled")
+      "e2_triplet_mining_sampled",
+      // n·√n kNN build + n·K² wedge join / one scan + constant-size bit
+      // table broadcast / 3-gram explode + vocab-bounded distinct
+      "e9_link_pred_knn", "e1_bloom_audit", "e8_heaps")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

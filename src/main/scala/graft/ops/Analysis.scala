@@ -253,6 +253,44 @@ object Analysis {
         round(expr("regr_r2(ln(c), ln(rank))"), 4).as("r2"))
   }
 
+  /** E8 — HEAPS'-LAW vocabulary-growth fit across sources: V = K·nᵝ, fit
+    * as the regression of ln(vocab) on ln(tokens) with each SOURCE as one
+    * observation — the cross-source form a corpus owner actually uses
+    * ("does doubling a source's token mass buy ~2^β the vocabulary, or
+    * is it re-crawling the same text"), and the growth-side companion to
+    * e8_zipf's frequency-spectrum fit (the two laws are duals). β well
+    * below the corpus norm for one source = internal repetition
+    * (complements e1_dup_inflation, which only sees EXACT dups); β ≈ 1 =
+    * vocabulary still growing linearly, the corpus is nowhere near
+    * saturating. The TYPE is the word 3-GRAM — the unit the dedup stack
+    * already indexes — because n-gram space is where growth lives (the
+    * fixture's unigram vocabulary is a deliberately tiny ~31 shared
+    * types, so a unigram fit reads a degenerate β = 0 at every scale;
+    * real corpora fit Heaps on n-grams for the same reason once unigram
+    * vocab saturates). r² says how law-like the source family is. Float
+    * contract: ln + the regr_* aggregates over |sources| points, 4-dp
+    * rounded — the e8_zipf precedent. Plan at 100 TB: one 3-gram explode
+    * (built scan-side with the e8_collocations transform/sequence shape)
+    * into a (source, gram)-key DISTINCT (map-side combined, bounded by
+    * Σ per-source n-gram vocabularies) and a (source)-key count, then
+    * the regression folds |sources| rows to ONE — the corpus is scanned
+    * once and documents never shuffle. */
+  def e8Heaps(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
+        .as("gram"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("vocab"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(expr("regr_slope(ln(vocab), ln(n_grams))"), 4).as("beta"),
+        round(expr("regr_intercept(ln(vocab), ln(n_grams))"), 4).as("ln_k"),
+        round(expr("regr_r2(ln(vocab), ln(n_grams))"), 4).as("r2"))
+
   /** Collocation thresholds — interpolated into BOTH engines. */
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -1610,6 +1648,7 @@ object Analysis {
     "e8_outliers" -> (e8Outliers _),
     "e8_mad_outliers" -> (e8MadOutliers _),
     "e8_zipf" -> (e8Zipf _),
+    "e8_heaps" -> (e8Heaps _),
     "e8_collocations" -> (e8Collocations _),
     "e8_diversity" -> (e8Diversity _),
     "e8_decay" -> (e8Decay _),
@@ -2320,6 +2359,24 @@ object Analysis {
          |  round(regr_intercept(ln(c), ln(rank)), 4) AS intercept,
          |  round(regr_r2(ln(c), ln(rank)), 4) AS r2
          |FROM rk""".stripMargin,
+    // cross-source Heaps fit on word 3-grams: one (source, gram)
+    // distinct + gram count per source, then the regression folds
+    // |sources| rows to one
+    "e8_heaps" ->
+      """WITH g AS (SELECT source,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+        |  FROM (SELECT source, string_split(text, ' ') AS toks,
+        |      unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+        |    FROM documents)),
+        |sv AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS vocab
+        |  FROM g GROUP BY source)
+        |SELECT count(*) AS n_sources,
+        |  round(regr_slope(ln(vocab), ln(n_grams)), 4) AS beta,
+        |  round(regr_intercept(ln(vocab), ln(n_grams)), 4) AS ln_k,
+        |  round(regr_r2(ln(vocab), ln(n_grams)), 4) AS r2
+        |FROM sv""".stripMargin,
     "e8_collocations" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
          |uni AS (SELECT w, count(*) AS cw FROM (

@@ -98,6 +98,81 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy("keeper")
 
+  /** Bloom filter geometry for e1_bloom_audit — interpolated into both
+    * engines. m = 2^14 bits / k = 4 hashes sizes the fixture into the
+    * informative fill range (≈45% fill, a measurable few-hundred-bp FP
+    * rate at sf0.1 — a filter in the 0%-FP regime audits nothing);
+    * production turns m up with the corpus. */
+  val BloomBits = 1L << 14
+  val BloomK = 4
+  /** Per-hash seeds + the 50/50 stored/probe split salt (positive and
+    * < 2^63 so the unsigned HUGEINT carry matches Spark — the slotCtes
+    * invariant). */
+  val BloomSeeds: Seq[Long] = Seq(0x243f6a8885a308d3L,
+    0x13198a2e03707344L, 0x0a4093822299f31dL, 0x082efa98ec4e6c89L)
+  val BloomSplitSalt = 0x452821e638d01377L
+
+  /** E1 — BLOOM FILTER SIZING AUDIT for the incremental-dedup guard: the
+    * scale path of e1_incremental_neardup fronts its LEFT ANTI with a
+    * bloom filter over content fingerprints, and this query prices that
+    * filter's geometry (m, k) on the actual corpus BEFORE a 100 TB run
+    * commits to it. The corpus hash-splits 50/50 (the e8_embed_drift
+    * release-gate discipline, on doc_id): the stored half's distinct
+    * fingerprints set their k bit positions; the probe half's
+    * fingerprints NOT shared with the stored half (a shared fingerprint
+    * is a true positive, not an FP) test membership — a probe whose
+    * every position is set is a FALSE POSITIVE, the event that costs the
+    * incremental path a wasted shuffle-join probe. Emits the predicted
+    * rate (bits_set/m)^k — computed EXACTLY as bits_set⁴·10⁴ div m⁴ in
+    * DECIMAL(38,0)/HUGEINT, no float pow — next to the measured rate, so
+    * an operator sees both the theory and the corpus's agreement with
+    * it. ALL-INTEGER output. Fingerprint → slot arithmetic: the first 15
+    * hex chars of the md5 fold to a positive int64 (identical text →
+    * identical fold in both engines), each seed's position is
+    * mix64(h ^ seed) mod m — m is a power of two, so Spark's signed pmod
+    * and DuckDB's unsigned mod agree (low-18-bit equality survives the
+    * signedness difference). Plan at 100 TB: fingerprints are computed
+    * scan-side (documents never shuffle); the stored side's bit table is
+    * ≤ m rows — CONSTANT size regardless of corpus — so membership
+    * testing is a BROADCAST join against every probe position; the only
+    * corpus-sized exchanges carry 8-byte fingerprint keys for the two
+    * distincts and the anti-join. */
+  def e1BloomAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftext.minhashExpression.mix64
+    val hs = documents(s, d).select(
+      conv(substring(contentFingerprint(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"),
+      (graft.ops.Sampling.slot(col("doc_id"), BloomSplitSalt) < 50)
+        .as("stored"))
+    val storedFp = hs.filter(col("stored")).select("h").distinct()
+    val probeOnly = hs.filter(!col("stored")).select("h").distinct()
+      .join(storedFp, Seq("h"), "left_anti")
+    def positions = array_distinct(array(BloomSeeds.map(sd =>
+      pmod(mix64(col("h").bitwiseXOR(lit(sd))), lit(BloomBits))): _*))
+    val bits = storedFp.select(explode(positions).as("bit")).distinct()
+    val probePos = probeOnly.select(col("h"), positions.as("ps"))
+      .select(col("h"), size(col("ps")).as("np"), explode(col("ps")).as("bit"))
+    val falsePos = probePos.join(broadcast(bits), "bit")
+      .groupBy("h", "np").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("np"))
+      .agg(count(lit(1)).as("false_pos"))
+    val m4 = java.math.BigInteger.valueOf(BloomBits).pow(4)
+    storedFp.agg(count(lit(1)).as("n_stored"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .crossJoin(probeOnly.agg(count(lit(1)).as("n_probe")))
+      .crossJoin(falsePos)
+      .select(lit(BloomBits).as("m_bits"), lit(BloomK.toLong).as("k"),
+        col("n_stored"), col("bits_set"),
+        expr(s"bits_set * 10000 div ${BloomBits}").as("fill_bp"),
+        expr(s"CAST((CAST(bits_set AS DECIMAL(38,0)) * bits_set * bits_set" +
+            s" * bits_set * 10000) div CAST('$m4' AS DECIMAL(38,0)) AS BIGINT)")
+          .as("pred_fp_bp"),
+        col("n_probe"), col("false_pos"),
+        when(col("n_probe") === 0L, lit(0L))
+          .otherwise(expr("false_pos * 10000 div n_probe"))
+          .as("meas_fp_bp"))
+  }
+
   /** E1 — per-source TOKEN INFLATION from exact duplicates: how many
     * tokens each source contributes vs how many SURVIVE the exact-dedup
     * pass (one representative per content fingerprint within the
@@ -1589,6 +1664,7 @@ object Dedup {
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_source_novelty" -> (e1SourceNovelty _),
     "e1_exact_dedup" -> (e1ExactDedup _),
+    "e1_bloom_audit" -> (e1BloomAudit _),
     "e1_dup_inflation" -> (e1DupInflation _),
     "e1_retention_curve" -> (e1RetentionCurve _),
     "e1_ngram_jaccard" -> (e1NgramJaccard _),
@@ -2033,6 +2109,52 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // md5 prefix folds to int64 via the list_reduce hex fold; positions
+    // via one mix chain per side over (fp × seeds); all counts integer
+    "e1_bloom_audit" -> {
+      import OracleSql._
+      val seeds = BloomSeeds
+        .map(s0 => s"(CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))")
+        .mkString(", ")
+      val m4 = java.math.BigInteger.valueOf(BloomBits).pow(4)
+      s"""WITH ${Sampling.slotCtes(BloomSplitSalt)},
+         |ph AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef',
+         |      substring(md5(lower(trim(text))), CAST(i AS INT), 1)) - 1
+         |      AS BIGINT))),
+         |    (h, dg) -> h * 16 + dg) AS BIGINT) AS h FROM documents),
+         |sfp AS MATERIALIZED (SELECT DISTINCT h FROM ph
+         |  JOIN slots USING (doc_id) WHERE slot < 50),
+         |pod AS MATERIALIZED (SELECT DISTINCT ph.h FROM ph
+         |  JOIN slots USING (doc_id)
+         |  LEFT JOIN sfp ON ph.h = sfp.h WHERE slot >= 50 AND sfp.h IS NULL),
+         |bsd AS (SELECT * FROM (VALUES $seeds) AS t(sd)),
+         |bq_in AS (SELECT h, xor(CAST(h AS HUGEINT), sd) AS q0 FROM sfp, bsd),
+         |${mixCtes("bq", "q0", "qm", Seq("h"))},
+         |bits AS MATERIALIZED (SELECT DISTINCT CAST(qm % $BloomBits AS BIGINT)
+         |  AS bit FROM bq),
+         |pq_in AS (SELECT h, xor(CAST(h AS HUGEINT), sd) AS q0 FROM pod, bsd),
+         |${mixCtes("pq", "q0", "qp", Seq("h"))},
+         |ppos AS (SELECT DISTINCT h, CAST(qp % $BloomBits AS BIGINT) AS bit
+         |  FROM pq),
+         |pcnt AS (SELECT h, count(*) AS np FROM ppos GROUP BY h),
+         |phit AS (SELECT ppos.h, count(*) AS hits FROM ppos
+         |  JOIN bits USING (bit) GROUP BY ppos.h),
+         |fpc AS (SELECT CAST(count(*) AS BIGINT) AS false_pos
+         |  FROM pcnt JOIN phit USING (h) WHERE hits = np),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_stored FROM sfp),
+         |bsn AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits),
+         |npr AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM pod)
+         |SELECT CAST($BloomBits AS BIGINT) AS m_bits,
+         |  CAST($BloomK AS BIGINT) AS k, n_stored, bits_set,
+         |  bits_set * 10000 // $BloomBits AS fill_bp,
+         |  CAST((CAST(bits_set AS HUGEINT) * bits_set * bits_set * bits_set
+         |    * 10000) // CAST('$m4' AS HUGEINT) AS BIGINT) AS pred_fp_bp,
+         |  n_probe, false_pos,
+         |  CASE WHEN n_probe = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE false_pos * 10000 // n_probe END AS meas_fp_bp
+         |FROM ns CROSS JOIN bsn CROSS JOIN npr CROSS JOIN fpc""".stripMargin
+    },
     // greedy pair-drop retention sweep over the verified pair table's
     // 4-dp jaccard (x 10^4 integers both engines hold identically)
     "e1_retention_curve" -> {

@@ -1024,6 +1024,25 @@ object Similarity {
     * list against its own swap — EDGE-LIST-sized (n·K rows), and the
     * output is one row per label. */
   def e2KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val (knn, mut) = knnEdges(s, d)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val edges = knn.join(lab, "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val muts = mut.join(lab, "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n_mutual"))
+    edges.join(muts, Seq("label"), "left")
+      .select(col("label").cast("int").as("label"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        expr("coalesce(n_mutual, 0L) * 10000 div n_edges").as("mutual_bp"))
+      .orderBy("label")
+  }
+
+  /** Directed KnnGraphK-NN edges (vec_id, other_id) off the IVF in-cell
+    * join, and their MUTUAL (symmetric) subset — the shared graph builder
+    * of e2_knn_graph and e9_link_pred_knn, extracted so the audited graph
+    * and the prediction graph cannot drift (the e3_pack_stats rule,
+    * applied to a DataFrame stage instead of oracle SQL). */
+  private[ops] def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = withNorm(embeddings(s, d))
     val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
     val w = Window.partitionBy("vec_id")
@@ -1041,16 +1060,53 @@ object Similarity {
     val mut = knn.join(
       knn.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
       Seq("vec_id", "other_id"), "left_semi")
-    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
-    val edges = knn.join(lab, "vec_id")
-      .groupBy("label").agg(count(lit(1)).as("n_edges"))
-    val muts = mut.join(lab, "vec_id")
-      .groupBy("label").agg(count(lit(1)).as("n_mutual"))
-    edges.join(muts, Seq("label"), "left")
-      .select(col("label").cast("int").as("label"), col("n_edges"),
-        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
-        expr("coalesce(n_mutual, 0L) * 10000 div n_edges").as("mutual_bp"))
-      .orderBy("label")
+    (knn, mut)
+  }
+
+  /** Fixed output size for the kNN-graph link-prediction list. */
+  val KnnLinkPredK = 50
+
+  /** E9 — LINK PREDICTION over the MUTUAL kNN embedding graph by
+    * common-neighbor Jaccard: the semantic twin of e9_link_pred, which
+    * runs the same score over the dedup pair graph — where near-dup
+    * clusters are cliques and the candidate list is empty BY DESIGN (its
+    * spec pins that, and a constructed wedge corpus proves the scorer).
+    * The mutual-kNN graph is the non-degenerate habitat: kNN graphs are
+    * never cliques (out-degree is capped at K), so two vectors that share
+    * retrieval neighbors without being each other's neighbors — exactly
+    * the pairs an ANN index loses at its K cutoff, the retrieval
+    * recall-repair list — always exist. Jaccard = cn/(deg_a+deg_b−cn) is
+    * one exact integer ratio (adjacent pairs anti-joined out). Plan at
+    * 100 TB: the mutual edge list is ≤ n·K rows with BOTH endpoint
+    * degrees ≤ K by construction, so the wedge self-join is ≤ n·K² rows
+    * — LINEAR in the corpus with no skew exposure at all (contrast the
+    * dedup graph, where a hub's df² needs the upstream caps); degrees
+    * arrive by two narrow id-keyed equi-joins (AQE broadcasts them at
+    * small scale, shuffles on 8-byte keys at large), and the fixed-K
+    * output is TakeOrderedAndProject. */
+  def e9LinkPredKnn(s: SparkSession, d: String): DataFrame = {
+    val mut = knnEdges(s, d)._2
+    val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
+    val cn = mut.as("e1")
+      .join(mut.as("e2"),
+        col("e1.other_id") === col("e2.vec_id") &&
+          col("e1.vec_id") < col("e2.other_id"))
+      .groupBy(col("e1.vec_id").as("vec_a"), col("e2.other_id").as("vec_b"))
+      .agg(count(lit(1)).as("common"))
+    val cand = cn.join(mut,
+      col("vec_a") === col("vec_id") && col("vec_b") === col("other_id"),
+      "left_anti")
+    cand
+      .join(deg.as("d1"), col("vec_a") === col("d1.id"))
+      .join(deg.as("d2"), col("vec_b") === col("d2.id"))
+      .select(col("vec_a"), col("vec_b"), col("common"),
+        col("d1.deg").as("deg_a"), col("d2.deg").as("deg_b"),
+        round(col("common") /
+          (col("d1.deg") + col("d2.deg") - col("common")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("common").desc, col("vec_a"),
+        col("vec_b"))
+      .limit(KnnLinkPredK)
   }
 
   /** E2 — TRIPLET MINING for contrastive / metric learning (the FaceNet
@@ -2256,6 +2312,7 @@ object Similarity {
     "e2_hybrid_rrf" -> (e2HybridRrf _),
     "e2_kcenter" -> (e2Kcenter _),
     "e2_knn_graph" -> (e2KnnGraph _),
+    "e9_link_pred_knn" -> (e9LinkPredKnn _),
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
     "e2_triplet_mining" -> (e2TripletMining _),
@@ -3362,16 +3419,7 @@ object Similarity {
     // a swap self-join for mutuality; rate in integer basis points
     "e2_knn_graph" ->
       s"""WITH ${ivfCtes(1)},
-         |knn AS MATERIALIZED (SELECT vec_id, other_id FROM (
-         |  SELECT a.vec_id, b.vec_id AS other_id,
-         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |      list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
-         |  FROM build a JOIN build b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-         |  WHERE rn <= $KnnGraphK),
-         |mut AS (SELECT k1.vec_id, k1.other_id FROM knn k1
-         |  JOIN knn k2 ON k1.vec_id = k2.other_id
-         |    AND k1.other_id = k2.vec_id),
+         |$knnMutCtes,
          |edg AS (SELECT label, count(*) AS n_edges
          |  FROM knn JOIN embeddings USING (vec_id) GROUP BY label),
          |mtl AS (SELECT label, count(*) AS n_mutual
@@ -3381,6 +3429,27 @@ object Similarity {
          |  coalesce(n_mutual, 0) * 10000 // n_edges AS mutual_bp
          |FROM edg LEFT JOIN mtl USING (label)
          |ORDER BY label""".stripMargin,
+    // common-neighbor Jaccard over the SAME mutual-kNN CTEs as
+    // e2_knn_graph (shared knnMutCtes — the can't-drift rule); adjacency
+    // anti-joined out so the union identity is exact
+    "e9_link_pred_knn" ->
+      s"""WITH ${ivfCtes(1)},
+         |$knnMutCtes,
+         |kdeg AS (SELECT vec_id AS id, count(*) AS deg FROM mut GROUP BY 1),
+         |kcn AS (SELECT e1.vec_id AS vec_a, e2.other_id AS vec_b,
+         |    count(*) AS common
+         |  FROM mut e1 JOIN mut e2 ON e1.other_id = e2.vec_id
+         |    AND e1.vec_id < e2.other_id
+         |  GROUP BY 1, 2),
+         |kcand AS (SELECT kcn.* FROM kcn
+         |  LEFT JOIN mut m ON kcn.vec_a = m.vec_id AND kcn.vec_b = m.other_id
+         |  WHERE m.vec_id IS NULL)
+         |SELECT vec_a, vec_b, common, d1.deg AS deg_a, d2.deg AS deg_b,
+         |  round(common / CAST(d1.deg + d2.deg - common AS DOUBLE), 4)
+         |    AS jaccard
+         |FROM kcand JOIN kdeg d1 ON vec_a = d1.id JOIN kdeg d2 ON vec_b = d2.id
+         |ORDER BY jaccard DESC, common DESC, vec_a, vec_b
+         |LIMIT $KnnLinkPredK""".stripMargin,
     // sampled radius search: threshold on the ROUNDED cosine so the
     // boundary set is bit-identical cross-engine
     "e2_range_search" ->
@@ -3458,6 +3527,22 @@ object Similarity {
          |    - CAST(round(neg_sim * 10000) AS BIGINT) AS margin_bp
          |FROM pos JOIN neg USING (vec_id) ORDER BY vec_id""".stripMargin,
   )
+
+  /** The directed-kNN + mutual-subset CTE block (`knn`, `mut`; requires
+    * ivfCtes in the same WITH) — shared by e2_knn_graph and
+    * e9_link_pred_knn so the audited graph and the prediction graph are
+    * the same text. MATERIALIZED: link prediction references mut 4×. */
+  private lazy val knnMutCtes: String =
+    s"""knn AS MATERIALIZED (SELECT vec_id, other_id FROM (
+       |  SELECT a.vec_id, b.vec_id AS other_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+       |  FROM build a JOIN build b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $KnnGraphK),
+       |mut AS MATERIALIZED (SELECT k1.vec_id, k1.other_id FROM knn k1
+       |  JOIN knn k2 ON k1.vec_id = k2.other_id
+       |    AND k1.other_id = k2.vec_id)""".stripMargin
 
   /** DuckDB replica of sampledQueryIds: mix64(vec_id ^ AnnQuerySalt)
     * ORDER BY (m, vec_id) LIMIT AnnQueryK, as CTEs ending in `qsel`

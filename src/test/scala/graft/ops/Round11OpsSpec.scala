@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-11 operators: the kNN-graph link-prediction laws
+  * (candidates are non-adjacent two-hop pairs with exact common/degree
+  * arithmetic — the algorithmic content the fixed-K oracle LIMIT can't
+  * fully express), a full driver replica of the bloom audit (split,
+  * positions, fill, and false-positive count recomputed from scratch),
+  * and the Heaps-fit sanity laws. Values are pinned by the DuckDB
+  * oracles; these specs pin the laws. */
+class Round11OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("e9_link_pred_knn: non-adjacent two-hop pairs with exact arithmetic") {
+    val mut = Similarity.knnEdges(spark, TestSpark.sf0001)._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mutual edge set is symmetric and out-degree-capped at K
+    assert(mut.forall { case (a, b) => mut.contains((b, a)) })
+    val deg = mut.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(deg.values.forall(_ <= Similarity.KnnGraphK))
+    val rows = Similarity.e9LinkPredKnn(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "kNN graph unexpectedly clique-like")
+    // driver replica of the candidate table: common neighbors over mut
+    val nbrs = mut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val common = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq
+      if a < b && !mut.contains((a, b))
+      c = (na intersect nb).size if c > 0
+    } yield (a, b) -> c).toMap
+    rows.foreach { case (a, b, c, da, db, j) =>
+      assert(!mut.contains((a, b)), s"($a,$b) is an edge")
+      assert(common(a -> b) == c, s"common mismatch at ($a,$b)")
+      assert(deg(a) == da && deg(b) == db, s"degree mismatch at ($a,$b)")
+      val expect = BigDecimal(c.toDouble / (da + db - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expect, s"jaccard mismatch at ($a,$b)")
+    }
+    // the emitted list is the TOP of the candidate table under the
+    // declared total order (jaccard desc, common desc, a, b)
+    val all = common.toSeq.map { case ((a, b), c) =>
+      val j = BigDecimal(c.toDouble / (deg(a) + deg(b) - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c.toLong, deg(a).toLong, deg(b).toLong, j)
+    }.sortBy { case (a, b, c, _, _, j) => (-j, -c, a, b) }
+      .take(Similarity.KnnLinkPredK)
+    assert(rows.toSeq == all)
+  }
+
+  test("e1_bloom_audit: full driver replica of split, fill, and FP count") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(text: String): Long = {
+      // Spark trim strips SPACES only and lower is locale-free
+      val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .toLowerCase(java.util.Locale.ROOT)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def slot(id: Long): Long =
+      Math.floorMod(mix64(id ^ Dedup.BloomSplitSalt) & Long.MaxValue, 100L)
+    val stored = docs.filter(d => slot(d._1) < 50).map(d => h(d._2)).toSet
+    val probeOnly = docs.filter(d => slot(d._1) >= 50).map(d => h(d._2))
+      .toSet -- stored
+    def positions(hp: Long): Set[Long] =
+      Dedup.BloomSeeds.map(sd =>
+        Math.floorMod(mix64(hp ^ sd), Dedup.BloomBits)).toSet
+    val bits = stored.flatMap(positions)
+    val falsePos = probeOnly.count(p => positions(p).subsetOf(bits))
+    val row = Dedup.e1BloomAudit(spark, TestSpark.sf0001).collect().head
+    assert(row.getLong(0) == Dedup.BloomBits && row.getLong(1) == Dedup.BloomK)
+    assert(row.getLong(2) == stored.size, "n_stored")
+    assert(row.getLong(3) == bits.size, "bits_set")
+    assert(row.getLong(4) == bits.size * 10000L / Dedup.BloomBits, "fill_bp")
+    assert(row.getLong(6) == probeOnly.size, "n_probe")
+    assert(row.getLong(7) == falsePos.toLong, "false_pos")
+    assert(row.getLong(8) ==
+      (if (probeOnly.isEmpty) 0L
+       else falsePos.toLong * 10000L / probeOnly.size), "meas_fp_bp")
+    // predicted rate replica in BigInt (the DECIMAL(38,0) path)
+    val bs = BigInt(bits.size)
+    assert(row.getLong(5) ==
+      (bs * bs * bs * bs * 10000 / BigInt(Dedup.BloomBits).pow(4)).toLong,
+      "pred_fp_bp")
+  }
+
+  test("e8_heaps: 3-gram fit matches a driver least-squares replica") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSource = docs.groupBy(_._1).map { case (src, ds) =>
+      val grams = ds.flatMap { case (_, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < 3) Seq.empty[String]
+        else (0 to toks.length - 3).map(i =>
+          s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      }
+      src -> ((grams.length.toLong, grams.distinct.length.toLong))
+    }
+    val row = Analysis.e8Heaps(spark, TestSpark.sf0001).collect().head
+    assert(row.getLong(0) == perSource.size, "n_sources")
+    // least-squares replica (float-tolerant: regr_* accumulate in a
+    // different order than a driver fold — the 4-dp oracle is the
+    // bitwise pin, this pins the VALUE to 1e-6)
+    val pts = perSource.values.map { case (n, v) =>
+      (math.log(n.toDouble), math.log(v.toDouble)) }.toSeq
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getDouble(1) - beta) < 1e-3, s"beta ${row.getDouble(1)} vs $beta")
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.5, "beta range")
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0, "r2 range")
+  }
+}
