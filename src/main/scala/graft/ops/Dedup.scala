@@ -139,14 +139,25 @@ object Dedup {
     * distincts and the anti-join. */
   def e1BloomAudit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftext.minhashExpression.mix64
-    val hs = documents(s, d).select(
-      conv(substring(contentFingerprint(col("text")), 1, 15), 16, 10)
-        .cast("long").as("h"),
-      (graft.ops.Sampling.slot(col("doc_id"), BloomSplitSalt) < 50)
-        .as("stored"))
-    val storedFp = hs.filter(col("stored")).select("h").distinct()
-    val probeOnly = hs.filter(!col("stored")).select("h").distinct()
-      .join(storedFp, Seq("h"), "left_anti")
+    // ONE corpus scan → one h-keyed membership aggregate, CHECKPOINTED
+    // (the shared-pair-table memo pattern): the audit's four scalar
+    // branches (stored count, bit table, probe count, FP count) would
+    // otherwise each re-scan the corpus — the e8_concentration
+    // five-scan lesson. The checkpoint is distinct-fingerprint-sized
+    // (9-byte rows), and "probe-only" is a flag comparison on it
+    // instead of a corpus-sized anti-join.
+    val fpTab = documents(s, d).select(
+        conv(substring(contentFingerprint(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        (graft.ops.Sampling.slot(col("doc_id"), BloomSplitSalt) < 50)
+          .as("stored"))
+      .groupBy("h")
+      .agg(max(col("stored")).as("in_stored"),
+        max(!col("stored")).as("in_probe"))
+      .localCheckpoint(true)
+    val storedFp = fpTab.filter(col("in_stored")).select("h")
+    val probeOnly = fpTab.filter(col("in_probe") && !col("in_stored"))
+      .select("h")
     def positions = array_distinct(array(BloomSeeds.map(sd =>
       pmod(mix64(col("h").bitwiseXOR(lit(sd))), lit(BloomBits))): _*))
     val bits = storedFp.select(explode(positions).as("bit")).distinct()

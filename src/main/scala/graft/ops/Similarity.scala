@@ -1085,7 +1085,11 @@ object Similarity {
     * small scale, shuffles on 8-byte keys at large), and the fixed-K
     * output is TakeOrderedAndProject. */
   def e9LinkPredKnn(s: SparkSession, d: String): DataFrame = {
-    val mut = knnEdges(s, d)._2
+    // checkpointed: referenced 4× below (degrees, both wedge legs, the
+    // adjacency anti-join) — without the memo each reference re-runs
+    // the whole n·√n kNN build (the e9_pagerank MATERIALIZED rule,
+    // Spark side); the memo is edge-list-sized (≤ n·K 16-byte rows)
+    val mut = knnEdges(s, d)._2.localCheckpoint(true)
     val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
     val cn = mut.as("e1")
       .join(mut.as("e2"),
