@@ -77,6 +77,31 @@ object StreamSoak {
     val inputRows = spark.read.parquet(src).count()
     val schema = spark.read.parquet(src).schema
 
+    // "bl" as any arg: soak the E4t bloom-dedup ingest — the same
+    // replicated corpus through the BOUNDED bloom state (NShards × m
+    // bits forever, vs E4i's per-distinct-fingerprint entries): every
+    // replica beyond the first is an exact duplicate the filter must
+    // drop, so steady state is k bit-probes per arrival that mutate
+    // nothing — the regime the operator is designed for. Reports arrival
+    // throughput, admitted count, and the bits-set state bound.
+    if (args.contains("bl")) {
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamBloomDedup(
+        spark, src, schema, "soak_bl")
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val led = spark.table("soak_bl")
+        .agg(count(lit(1)), sum(when(col("admitted"), 1L).otherwise(0L)),
+          max(col("bits_set")))
+        .collect().head
+      val (arrivals, admitted, maxBits) =
+        (led.getLong(0), led.getLong(1), led.getLong(2))
+      require(maxBits <= graft.ops.Dedup.BloomBits, "state bound violated")
+      println(f"""{"soak":"e4t_bloom_dedup_ingest","input_rows":$inputRows,"arrivals":$arrivals,"admitted":$admitted,"sec":$secs%.1f,"rows_per_sec":${(arrivals / secs).toLong},"max_bits_set":$maxBits,"m_bits":${graft.ops.Dedup.BloomBits},"shards":${streaming.Stateful.BloomShards},"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     // "ss" as any arg: soak the E4r Space-Saving ingest instead — same
     // replicated corpus, per-source M-entry global heavy-hitter state.
     // Replication multiplies every token count by N but adds NO new

@@ -351,6 +351,80 @@ object Stateful {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  final case class FpIn(shard: Int, doc_id: Long, h: Long)
+  final case class BloomShardState(ver: Long, bits: Array[Byte])
+  final case class BloomDecision(shard: Int, ver: Long, doc_id: Long,
+      admitted: Boolean, bits_set: Long)
+
+  /** E4t — STREAMING APPROXIMATE DEDUP behind a bloom filter: the
+    * deployment whose geometry e1_bloom_audit prices. E4i's exact
+    * fingerprint dedup keeps one state entry PER DISTINCT FINGERPRINT —
+    * bounded only by the watermark horizon; this is the TRULY
+    * bounded-state form an unbounded-horizon ingest runs: state is m
+    * BITS per shard FOREVER, the price is the audit's false-positive
+    * rate (a first-seen document whose k positions are already set is
+    * silently dropped — bloom dedup never re-admits a duplicate, it can
+    * only over-drop). Fingerprints are SHARDED by h mod NShards, so
+    * dedup stays exact-global (a fingerprint's every occurrence lands on
+    * the same shard's filter) while shards update in parallel — the
+    * production layout for a filter too hot for one task. Same geometry
+    * constants (m, k, seeds) as the batch audit, so the audit's
+    * predicted/measured FP columns price EXACTLY this operator. Within a
+    * micro-batch, docs fold in doc_id order — every decision ledger is
+    * deterministic (the E4q discipline). */
+  def updateBloomDedup(mBits: Long, seeds: Seq[Long])(shard: Int,
+      rows: Iterator[FpIn],
+      state: GroupState[BloomShardState]): Iterator[BloomDecision] = {
+    import org.apache.spark.sql.graftext.minhashExpression.mix
+    val prev = state.getOption
+      .getOrElse(BloomShardState(0L, new Array[Byte]((mBits / 8).toInt)))
+    val bits = prev.bits.clone()
+    def isSet(p: Long): Boolean =
+      (bits((p / 8).toInt) & (1 << (p % 8).toInt)) != 0
+    def setBit(p: Long): Unit =
+      bits((p / 8).toInt) = (bits((p / 8).toInt) | (1 << (p % 8).toInt)).toByte
+    val ver = prev.ver + 1
+    val decisions = rows.toSeq.sortBy(_.doc_id).map { r =>
+      val pos = seeds.map(sd => java.lang.Math.floorMod(mix(r.h ^ sd), mBits))
+      val dup = pos.forall(isSet)
+      if (!dup) pos.foreach(setBit)
+      BloomDecision(shard, ver, r.doc_id, admitted = !dup, 0L)
+    }
+    state.update(BloomShardState(ver, bits))
+    val set = bits.map(b => java.lang.Integer.bitCount(b & 0xff)).sum.toLong
+    decisions.iterator.map(_.copy(bits_set = set))
+  }
+
+  /** Shard count for the streaming bloom dedup — the filter partitions
+    * by fingerprint so each shard owns a disjoint slice exactly. */
+  val BloomShards = 8
+
+  /** File-source document stream (one file per micro-batch) → scan-side
+    * md5-fold fingerprint (the e1_bloom_audit expression) → per-shard
+    * bloom state → memory sink in update mode; the emitted rows are the
+    * admission ledger. */
+  def streamBloomDedup(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[FpIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(
+        pmod(conv(substring(graft.ops.Dedup.contentFingerprint(col("text")),
+          1, 15), 16, 10).cast("long"), lit(BloomShards)).cast("int")
+          .as("shard"),
+        col("doc_id"),
+        conv(substring(graft.ops.Dedup.contentFingerprint(col("text")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .as[FpIn]
+    rows
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        updateBloomDedup(graft.ops.Dedup.BloomBits, graft.ops.Dedup.BloomSeeds))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source document stream (one file per micro-batch) → scan-side
     * tokenization → per-source Space-Saving summary → memory sink in
     * update mode; the latest version per source is the live global

@@ -831,4 +831,65 @@ class StreamingSpec extends AnyFunSuite {
     val deduped = spark.table("dedup_sink").agg(sum("n")).collect()(0).getLong(0)
     assert(deduped == ev.count(), "every duplicated event_id collapses to one")
   }
+
+  test("streaming bloom dedup: ledger matches a driver replay; dups never re-admitted (E4t)") {
+    // double the corpus so every fingerprint arrives at least twice —
+    // the bloom can FALSELY DROP a first arrival but can NEVER re-admit
+    // a fingerprint once stored (no false negatives), which is the law
+    // that makes it a dedup
+    val dir = TestSpark.tmpDir("bloomst") + "/documents.parquet"
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .repartition(3).write.mode("append").parquet(dir)
+    val q = Stateful.streamBloomDedup(spark, dir,
+      spark.read.parquet(dir).schema, "bloom_sink")
+    assert(q.awaitTermination(120000), "bloom stream did not finish in 120s")
+    val ledger = spark.table("bloom_sink").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4)))
+    assert(ledger.length == docs.count() * 2, "one decision per arrival")
+    assert(ledger.map(_._2).max > 1, "corpus arrived in a single micro-batch")
+    // driver replay: same fingerprints, same shard partition, same
+    // per-batch doc_id fold order (ver orders the batches per shard)
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val hs = spark.read.parquet(dir).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = graft.ops.Dedup.BloomBits
+    ledger.groupBy(_._1).foreach { case (shard, rows) =>
+      val bits = scala.collection.mutable.Set.empty[Long]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, docId, admitted, bitsSet) =>
+        val h = hs(docId)
+        assert(Math.floorMod(h, Stateful.BloomShards.toLong) == shard.toLong,
+          s"doc $docId on wrong shard")
+        val pos = graft.ops.Dedup.BloomSeeds
+          .map(sd => Math.floorMod(mix64(h ^ sd), m))
+        val dup = pos.forall(bits.contains)
+        assert(admitted == !dup, s"decision mismatch at doc $docId")
+        if (!dup) bits ++= pos
+        // the dedup law: an already-admitted fingerprint is NEVER
+        // re-admitted (bloom has no false negatives)
+        if (seen.contains(h)) assert(!admitted, s"fp of $docId re-admitted")
+        if (admitted) seen += h
+      }
+      // state bound: the emitted bits_set never exceeds m, and the final
+      // batch's value equals the replay's filter size
+      assert(rows.map(_._5).max <= m)
+      val lastVer = rows.map(_._2).max
+      assert(rows.filter(_._2 == lastVer).head._5 == bits.size.toLong,
+        s"bits_set diverged on shard $shard")
+    }
+    // every distinct fingerprint admitted at most once GLOBALLY, and at
+    // least one duplicate arrival was dropped
+    val admittedFps = ledger.filter(_._4).map(r => hs(r._3))
+    assert(admittedFps.length == admittedFps.distinct.length)
+    assert(ledger.exists(!_._4), "doubled corpus produced no drops")
+  }
 }
