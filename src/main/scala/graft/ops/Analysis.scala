@@ -1614,7 +1614,150 @@ object Analysis {
       .orderBy("source")
   }
 
+  /** E8 — PEARSON χ² test of source × lang INDEPENDENCE: the one-number
+    * answer to "is language distribution a property of the corpus or of
+    * each source?" — the stratification check run before trusting
+    * per-source language quotas (e6_stratified_sample) or per-language
+    * mixture weights (e7_mixture): a large χ² (V → 1) means language mass
+    * is concentrated in specific sources, so source-level sampling
+    * decisions silently become language decisions. Includes
+    * OBSERVED-ZERO cells (expected > 0 contributes its full e to the
+    * statistic), so the contingency table is the complete sources×langs
+    * cross join, not just observed pairs. Exactness: each cell term is
+    * the algebraic form (o·n − rs·cs)²/(n·rs·cs) evaluated in DOUBLE
+    * with identical operation order in both engines; the cross-cell sum
+    * is FP-order-dependent but the domain is bounded (|sources|·|langs|
+    * cells) and the result is 4-dp rounded — the e8_diversity contract.
+    * At the 100 TB domain o·n ≈ 10¹²·10¹² = 10²⁴ exceeds BIGINT, which
+    * is exactly why the term is computed in double (exact to 2⁻⁵³
+    * relative, far inside the 4-dp grid) instead of wrapping integer
+    * arithmetic. Plan at 100 TB (the bounded-domain treatment): ONE
+    * (source, lang) aggregate partial-combines the corpus map-side;
+    * marginals, the cross join, and the fold all run on that tiny table
+    * — the corpus is scanned once and never shuffled. */
+  def e8Chi2(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rs = cells.groupBy("source").agg(sum(col("o")).as("rs"))
+    val cs = cells.groupBy("lang").agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("source")).as("nr"),
+      countDistinct(col("lang")).as("nc"))
+    rs.crossJoin(broadcast(cs))
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("t",
+        pow(col("o").cast("double") * col("n").cast("double") -
+            col("rs").cast("double") * col("cs").cast("double"), 2) /
+          (col("n").cast("double") * col("rs").cast("double") *
+            col("cs").cast("double")))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("t")).as("chi2"))
+      .select(col("n").as("n_docs"), col("nr").as("n_sources"),
+        col("nc").as("n_langs"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") *
+            least(col("nr") - 1L, col("nc") - 1L).cast("double"))), 4)
+          .as("cramers_v"))
+  }
+
+  /** Tail-sample size for the Hill estimator — interpolated into BOTH
+    * engines. 20 keeps the order statistic inside every fixture source
+    * at sf0.001 (each source holds ≥ 21 docs at the smallest scale). */
+  val TailM = 20
+
+  /** E8 — per-source HILL TAIL-INDEX of the document token-length
+    * distribution: α̂ = m / Σᵢ₌₁..ₘ ln(xᵢ/xₘ₊₁) over the m largest
+    * documents — the heavy-tail EXPONENT that e8_gini's single
+    * inequality number cannot give: Gini says "a few huge docs dominate",
+    * Hill says HOW heavy the tail is (α ≤ 2: infinite variance — token
+    * budgets and pack-bin estimates computed from mean doc length are
+    * meaningless; α large: exponential-ish tail, per-doc planning is
+    * safe). The estimator every web-scale corpus audit runs before
+    * believing a mean. Exactness: the top-(m+1) order statistic is
+    * pinned by the (tk DESC, doc_id) total order; the only float work is
+    * m+1 ln() calls and one division, 4-dp rounded (the e8_zipf ln
+    * contract); a fully-tied tail (denominator exactly 0 — m sequential
+    * IEEE adds of the same constant in both engines) emits NULL rather
+    * than ±inf. Plan at 100 TB: the per-source top-(m+1) runs as a
+    * partition-parallel rank window over (source, tk, doc_id) triples —
+    * narrow rows, combiner-unfriendly but tiny; at extreme per-source
+    * cardinality swap the window for a two-stage per-partition top-k
+    * merge (the TakeOrdered discipline, per group). Everything after the
+    * rank filter touches ≤ (m+1)·|sources| rows. */
+  def e8TailIndex(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("tk").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        asLong(size(split(col("text"), " "))).as("tk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TailM + 1)
+      .groupBy("source")
+      .agg(sum(when(col("rn") <= TailM, log(col("tk").cast("double"))))
+          .as("sl"),
+        max(when(col("rn") === TailM + 1, col("tk"))).as("x_k"),
+        count(lit(1)).as("n_tail"))
+      .filter(col("x_k").isNotNull)
+      .withColumn("den",
+        col("sl") - lit(TailM.toDouble) * log(col("x_k").cast("double")))
+      .select(col("source"), lit(TailM.toLong).as("m"), col("x_k"),
+        when(col("den") > 0.0,
+          round(lit(TailM.toDouble) / col("den"), 4)).as("hill_alpha"))
+      .orderBy("source")
+  }
+
+  /** Degree thresholds for the rich-club curve — interpolated into BOTH
+    * engines. */
+  val RichClubKs: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** E9 — RICH-CLUB coefficient curve over the near-dup pair graph:
+    * φ(k) = 2·E₍₎ₖ / (Nₖ(Nₖ−1)) where Nₖ counts nodes of degree > k and
+    * E₍₎ₖ the edges with BOTH endpoints above k — "do the most-duplicated
+    * documents duplicate EACH OTHER?" A rising φ(k) is the template-farm
+    * signature (hub docs forming a near-clique — one boilerplate family),
+    * flat φ is diffuse duplication; e9_degrees gives the degree
+    * distribution, this gives its CORRELATION structure (the same reason
+    * e9_assortativity exists, but thresholded to the tail where cleanup
+    * decisions actually bind). ALL-INTEGER: counts and one basis-point
+    * integer division per k; zero/one-node clubs emit φ = 0. Plan at
+    * 100 TB: degrees and the min-endpoint-degree edge table are
+    * pair-table-sized; the fixed k list cross-joins as a 4-row broadcast
+    * and each (k, ·) aggregate partial-combines map-side — nothing
+    * larger than the pair table ever shuffles. */
+  def e9RichClub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashPairTable(s, d).select(col("da"), col("db"))
+    val deg = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val pe = pairs
+      .join(deg.select(col("id").as("da"), col("deg").as("dega")), "da")
+      .join(deg.select(col("id").as("db"), col("deg").as("degb")), "db")
+      .select(least(col("dega"), col("degb")).as("mindeg"))
+    val ks = broadcast(RichClubKs.map(_.toLong).toDF("k"))
+    val nk = ks.join(deg, col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = ks.join(pe, col("mindeg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_bp",
+        when(col("n_nodes") >= 2L,
+          expr("n_edges * 20000 div (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_chi2" -> (e8Chi2 _),
+    "e8_tail_index" -> (e8TailIndex _),
+    "e9_rich_club" -> (e9RichClub _),
     "e8_centroid_shift" -> (e8CentroidShift _),
     "e8_source_divergence" -> (e8SourceDivergence _),
     "e8_kanon" -> (e8Kanon _),
@@ -1726,6 +1869,80 @@ object Analysis {
       |FROM pr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // complete sources×langs cross join (observed-zero cells included);
+    // per-cell algebraic term in DOUBLE with the same op order as the
+    // Spark side, 4-dp rounded fold (see e8Chi2 Scaladoc)
+    "e8_chi2" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS o FROM documents
+        |  GROUP BY 1, 2),
+        |mrow AS (SELECT source, sum(o) AS rs FROM cells GROUP BY 1),
+        |mcol AS (SELECT lang, sum(o) AS cs FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS nr,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS nc FROM cells),
+        |fcell AS (SELECT mrow.source, mcol.lang, rs, cs,
+        |    coalesce(o, 0) AS o
+        |  FROM mrow CROSS JOIN mcol
+        |  LEFT JOIN cells ON cells.source = mrow.source
+        |    AND cells.lang = mcol.lang),
+        |terms AS (SELECT
+        |  pow(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE), 2)
+        |    / (CAST(n AS DOUBLE) * CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))
+        |    AS t, n, nr, nc
+        |  FROM fcell CROSS JOIN tot)
+        |SELECT n AS n_docs, nr AS n_sources, nc AS n_langs,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  round(sum(t), 4) AS chi2,
+        |  round(sqrt(sum(t) / (CAST(n AS DOUBLE)
+        |    * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 4) AS cramers_v
+        |FROM terms GROUP BY n, nr, nc""".stripMargin,
+    // per-source top-(m+1) order statistic pinned by (tk DESC, doc_id);
+    // ln + one division, 4-dp rounded; fully-tied tail emits NULL
+    // (see e8TailIndex Scaladoc)
+    "e8_tail_index" ->
+      s"""WITH lt AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+         |  FROM documents),
+         |rk AS (SELECT source, tk,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY tk DESC, doc_id) AS rn
+         |  FROM lt),
+         |top AS (SELECT source,
+         |    sum(CASE WHEN rn <= $TailM THEN ln(CAST(tk AS DOUBLE)) END)
+         |      AS sl,
+         |    max(CASE WHEN rn = $TailM + 1 THEN tk END) AS x_k
+         |  FROM rk WHERE rn <= $TailM + 1 GROUP BY source)
+         |SELECT source, CAST($TailM AS BIGINT) AS m, x_k,
+         |  CASE WHEN sl - $TailM * ln(CAST(x_k AS DOUBLE)) > 0
+         |    THEN round($TailM / (sl - $TailM * ln(CAST(x_k AS DOUBLE))), 4)
+         |  END AS hill_alpha
+         |FROM top WHERE x_k IS NOT NULL ORDER BY source""".stripMargin,
+    // rich-club curve off the pair graph: degrees + min-endpoint-degree
+    // edges, fixed k list, all-integer bp division (see e9RichClub)
+    "e9_rich_club" -> {
+      val kList = RichClubKs.map(k => s"CAST($k AS BIGINT)").mkString(", ")
+      s"""WITH ${Dedup.minhashCtes},
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |rc_deg AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT da AS id FROM mhp2 UNION ALL SELECT db FROM mhp2)
+         |  GROUP BY 1),
+         |rc_pe AS (SELECT least(d1.deg, d2.deg) AS mindeg
+         |  FROM mhp2 JOIN rc_deg d1 ON mhp2.da = d1.id
+         |  JOIN rc_deg d2 ON mhp2.db = d2.id),
+         |rc_ks AS (SELECT unnest([$kList]) AS k),
+         |rc_nk AS (SELECT k, count(*) AS n_nodes FROM rc_ks
+         |  JOIN rc_deg ON rc_deg.deg > k GROUP BY k),
+         |rc_ek AS (SELECT k, count(*) AS n_edges FROM rc_ks
+         |  JOIN rc_pe ON rc_pe.mindeg > k GROUP BY k)
+         |SELECT rc_ks.k, coalesce(n_nodes, 0) AS n_nodes,
+         |  coalesce(n_edges, 0) AS n_edges,
+         |  CASE WHEN coalesce(n_nodes, 0) >= 2
+         |    THEN coalesce(n_edges, 0) * 20000 // (n_nodes * (n_nodes - 1))
+         |    ELSE 0 END AS phi_bp
+         |FROM rc_ks LEFT JOIN rc_nk USING (k) LEFT JOIN rc_ek USING (k)
+         |ORDER BY k""".stripMargin
+    },
     // cross-multiplied integer centroid-shift identity over micro-
     // quantized coordinates; one final integer->double division per
     // label (see e8CentroidShift Scaladoc); same ReleaseSalt gate as

@@ -126,4 +126,92 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.5, "beta range")
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0, "r2 range")
   }
+
+  test("e8_chi2: driver contingency replica + statistic laws") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sources = docs.map(_._1).distinct
+    val langs = docs.map(_._2).distinct
+    val n = docs.length.toLong
+    val rs = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cs = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // full cross join incl. observed-zero cells, same algebraic term
+    val chi2 = (for (s0 <- sources; l0 <- langs) yield {
+      val o = cells.getOrElse((s0, l0), 0L).toDouble
+      math.pow(o * n - rs(s0).toDouble * cs(l0), 2) /
+        (n.toDouble * rs(s0) * cs(l0))
+    }).sum
+    val row = Analysis.e8Chi2(spark, TestSpark.sf0001).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == sources.length &&
+      row.getLong(2) == langs.length)
+    assert(row.getLong(3) == (sources.length - 1L) * (langs.length - 1L))
+    assert(math.abs(row.getDouble(4) - chi2) < 1e-3,
+      s"chi2 ${row.getDouble(4)} vs $chi2")
+    val v = math.sqrt(chi2 / (n * math.min(sources.length, langs.length)
+      .toDouble - n))
+    // Cramér's V in [0,1] and consistent with the replica
+    assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    assert(math.abs(row.getDouble(5) -
+      math.sqrt(chi2 / (n.toDouble *
+        (math.min(sources.length, langs.length) - 1)))) < 1e-3)
+  }
+
+  test("e8_tail_index: driver Hill replica over the pinned order statistic") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val m = Analysis.TailM
+    val expect = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val sorted = ds.sortBy { case (_, id, tk) => (-tk, id) }
+      if (sorted.length < m + 1) None
+      else {
+        val top = sorted.take(m).map(_._3)
+        val xk = sorted(m)._3
+        val den = top.map(t => math.log(t.toDouble)).sum -
+          m * math.log(xk.toDouble)
+        Some(src -> ((xk, if (den > 0) Some(m / den) else None)))
+      }
+    }
+    val rows = Analysis.e8TailIndex(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(rows.keySet == expect.keySet, "source coverage")
+    expect.foreach { case (src, (xk, alpha)) =>
+      assert(rows(src)._1 == xk, s"x_k mismatch at $src")
+      (alpha, rows(src)._2) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-3,
+          s"alpha $b vs $a at $src")
+        case (None, None) => ()
+        case other => fail(s"null disagreement at $src: $other")
+      }
+    }
+    // heavy-tail exponents are positive when defined
+    assert(rows.values.flatMap(_._2).forall(_ > 0.0))
+  }
+
+  test("e9_rich_club: driver replica + monotone club-size law") {
+    val pairs = Dedup.minhashPairTable(spark, TestSpark.sf0001)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Analysis.e9RichClub(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Analysis.RichClubKs.map(_.toLong))
+    rows.foreach { case (k, nn, ne, phi) =>
+      val club = deg.filter(_._2 > k).keySet
+      assert(nn == club.size.toLong, s"n_nodes at k=$k")
+      val edges = pairs.count { case (a, b) =>
+        club.contains(a) && club.contains(b) }
+      assert(ne == edges.toLong, s"n_edges at k=$k")
+      val want = if (nn >= 2) ne * 20000 / (nn * (nn - 1)) else 0L
+      assert(phi == want, s"phi_bp at k=$k")
+    }
+    // club sizes shrink as the threshold rises (strict law of the def)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
+  }
 }
