@@ -575,7 +575,49 @@ object Curation {
       .orderBy("source")
   }
 
+  val ShardSalt = 0x4d9a7e15f0b3c268L
+
+  /** Shard count for the dataloader shard plan — interpolated into BOTH
+    * engines. */
+  val NShards = 16
+
+  /** E7 — DATALOADER SHARD PLAN: assign every document to one of
+    * NShards training shards by hash — shard = slot(doc_id, ShardSalt)
+    * mod NShards — and emit the per-shard manifest row a distributed
+    * dataloader validates before an epoch: doc/token mass, the
+    * order-independent id checksum a written shard must reproduce, and
+    * the token-balance SKEW in signed basis points vs the ideal 1/N
+    * split (skew_bp = tokens·N·10⁴/total − 10⁴). Balanced shards are
+    * the difference between N data-parallel ranks finishing together
+    * and the epoch running at the slowest shard's pace; hash sharding
+    * is balanced in EXPECTATION only, so this table is the check that
+    * catches a pathological corpus before the GPUs idle on it (the
+    * WebDataset/tar-shard planning step). ALL-INTEGER; assignment is a
+    * pure function of doc_id — stable under reruns, appends, and
+    * engine moves, no shuffle state. Plan at 100 TB: scan-side hash
+    * gate + one NShards-key aggregate that partial-combines map-side —
+    * the corpus never shuffles; the signed-bp arithmetic runs on the
+    * N-row result (token totals ≤ 10¹⁴ × 16·10⁴ fits BIGINT; past
+    * ~10¹⁵ tokens lift onto DECIMAL(38,0) per the e8_gini rule). */
+  def e7ShardPlan(s: SparkSession, d: String): DataFrame = {
+    val perShard = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        (Sampling.slot(col("doc_id"), ShardSalt) % lit(NShards.toLong))
+          .as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+    val tot = perShard.agg(sum(col("n_tokens")).as("tt"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("id_sum"),
+        (expr(s"n_tokens * ${NShards}L * 10000L div tt") - 10000L)
+          .as("skew_bp"))
+      .orderBy("shard")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_shard_plan" -> (e7ShardPlan _),
     "e7_release_gate" -> (e7ReleaseGate _),
     "e7_anneal_plan" -> (e7AnnealPlan _),
     "e7_dataset_diff" -> (e7DatasetDiff _),
@@ -592,6 +634,21 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // shard = slot mod NShards off the shared splitmix chain; signed-bp
+    // balance arithmetic on the N-row result (see e7ShardPlan)
+    "e7_shard_plan" ->
+      s"""WITH ${Sampling.slotCtes(ShardSalt)},
+         |shd AS (SELECT s.doc_id, CAST(s.slot % $NShards AS BIGINT) AS shard,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+         |  FROM slots s JOIN documents d USING (doc_id)),
+         |per AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |  FROM shd GROUP BY 1),
+         |ttl AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+         |SELECT shard, n_docs, n_tokens, id_sum,
+         |  n_tokens * $NShards * 10000 // tt - 10000 AS skew_bp
+         |FROM per CROSS JOIN ttl ORDER BY shard""".stripMargin,
     // composes the three monitors' oracle chains VERBATIM (they cannot
     // drift from the audited queries); integer thresholds interpolated
     // from the same constants the Spark side compares against

@@ -1130,7 +1130,41 @@ object Relational {
   }
 
   /** All declared queries keyed by the SparkEntry / oracle name. */
+  /** Q55 [EXT] — GAPS-AND-ISLANDS over per-user activity dates: collapse
+    * each user's distinct active days into maximal CONSECUTIVE runs via
+    * the classic date − row_number() constant-group trick, then emit the
+    * per-user streak profile (active days, island count, longest streak,
+    * first/last day) — the retention/streak shape (DAU streaks, billing
+    * continuity, sensor uptime) that q53_sessionize's gap-threshold
+    * windows can't express because islands are defined on the DATE grid,
+    * not on event spacing. Deterministic: dates are exact, the
+    * row_number order (user_id, dt) is total after the DISTINCT, and
+    * every output is an integer count or a formatted date. Plan at
+    * 100 TB: the DISTINCT (user, date) pre-aggregate partial-combines
+    * map-side (the corpus's event mass folds to ≤ users×days rows
+    * before any window); the island window runs partition-parallel per
+    * user on that compacted table; both downstream aggregates are
+    * map-side-combinable. One shuffle on user_id total — the window and
+    * both groupBys reuse the same hash partitioning. */
+  def q55GapsIslands(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+      .withColumn("grp", expr("date_sub(dt, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY dt))"))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("dt")).as("mn"),
+        max(col("dt")).as("mx"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("max_island_len"),
+        fmtDate(min(col("mn"))).as("first_day"),
+        fmtDate(max(col("mx"))).as("last_day"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_gaps_islands" -> (q55GapsIslands _),
     "q54_range_frame" -> (q54RangeFrame _),
     "q53_sessionize" -> (q53Sessionize _),
     "q51_lateral" -> (q51Lateral _),
@@ -1198,6 +1232,24 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    // date - row_number() constant-group islands over distinct active
+    // days (see q55GapsIslands)
+    "q55_gaps_islands" ->
+      """WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+        |  FROM events),
+        |g AS (SELECT user_id, dt,
+        |    dt - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY dt) AS INT) AS grp
+        |  FROM ad),
+        |isl AS (SELECT user_id, grp, count(*) AS len,
+        |    min(dt) AS mn, max(dt) AS mx
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_island_len,
+        |  strftime(min(mn), '%Y-%m-%d') AS first_day,
+        |  strftime(max(mx), '%Y-%m-%d') AS last_day
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
     // integer day key + RANGE frame: DuckDB's numeric RANGE matches
     // Spark's rangeBetween(-6, currentRow) including same-day peers
     "q54_range_frame" ->

@@ -449,7 +449,43 @@ object Sampling {
       .orderBy("split_a", "split_b")
   }
 
+  val GroupKfoldSalt = 0x7be41f20c6a83d59L
+
+  /** E6 — GROUPED K-fold assignment: every document of a source lands in
+    * the SAME fold — fold(source) = slot(min(doc_id) per source,
+    * GroupKfoldSalt) mod K. This is the leakage-safe CV protocol when
+    * groups correlate with content (sklearn's GroupKFold): plain
+    * e6_kfold splits WITHIN a source, so near-identical same-source docs
+    * straddle train/eval and inflate scores (exactly what
+    * e6_split_leakage counts); grouping by source moves whole templates
+    * together. The group key is the source's MINIMUM doc id — a pure
+    * function of the data usable for ANY group type without a
+    * cross-engine string hash — so the assignment stays reproducible on
+    * any engine with no sampling state. Emits the per-fold audit row
+    * (source/doc/token mass + the order-independent id checksum, the
+    * e6_kfold contract; empty folds are simply absent). ALL-INTEGER.
+    * Plan at 100 TB: the source→fold table is one bounded-domain
+    * aggregate (|sources| rows) that BROADCASTS back onto the corpus
+    * scan; the fold aggregate partial-combines map-side — the corpus
+    * never shuffles. */
+  def e6GroupKfold(s: SparkSession, d: String): DataFrame = {
+    val sf = documents(s, d)
+      .groupBy("source").agg(min(col("doc_id")).as("gkey"))
+      .select(col("source"),
+        (slot(col("gkey"), GroupKfoldSalt) % lit(Kfolds.toLong)).as("fold"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(broadcast(sf), "source")
+      .groupBy("fold")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("fold")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_group_kfold" -> (e6GroupKfold _),
     "e6_split_leakage" -> (e6SplitLeakage _),
     "e6_kfold" -> (e6Kfold _),
     "e6_interleave" -> (e6Interleave _),
@@ -504,6 +540,26 @@ object Sampling {
          |FROM mhp2 JOIN spl a ON mhp2.da = a.doc_id
          |JOIN spl b ON mhp2.db = b.doc_id
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
+    // per-source min-doc-id group key through the gkf-prefixed splitmix
+    // chain (the e6_split_leakage prefixing treatment); fold = slot mod K
+    "e6_group_kfold" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(GroupKfoldSalt)
+      s"""WITH gkf_in AS (SELECT source,
+         |    xor(CAST(gkey AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS g0
+         |  FROM (SELECT source, min(doc_id) AS gkey FROM documents
+         |    GROUP BY 1)),
+         |${mixCtes("gkf", "g0", "g1", Seq("source"))},
+         |gfold AS (SELECT source,
+         |  CAST((g1 % CAST(power(2, 63) AS HUGEINT)) % 100 % $Kfolds
+         |    AS BIGINT) AS fold FROM gkf)
+         |SELECT fold, count(DISTINCT d.source) AS n_sources,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+         |FROM documents d JOIN gfold USING (source)
+         |GROUP BY fold ORDER BY fold""".stripMargin
     },
     "e6_kfold" ->
       s"""WITH ${slotCtes(KfoldSalt)},

@@ -2273,7 +2273,65 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** E2 — HAMMING-SIGNATURE ANN (binary quantization): every vector is
+    * sign-binarized into ONE 64-bit word (bit i set iff embedding[i] > 0
+    * — the 1-bit extreme of the e2_sq8 quantization ladder: float32 →
+    * int8 → 1 bit, 256× smaller than the raw vector), candidates ranked
+    * by popcount(xor) Hamming distance, scored against the exact GLOBAL
+    * cosine top-1 for the sampled query set. This is the cheap-filter
+    * stage of a binarized-rerank deployment (Hamming shortlist →
+    * full-precision rerank, the e2_pq_rerank pattern at 8 bytes/vector):
+    * the emitted per-query hit column is exactly the "can 1 bit/dim find
+    * the true neighbor alone" calibration a deployment reads before
+    * sizing its rerank depth. ALL-INTEGER ranking (popcount, vec_id
+    * tie-break); the exact side orders raw house cosines (bit-identical
+    * to DuckDB's DOUBLE[] kernel) with the same tie-break. Plan at
+    * 100 TB: signatures are computed SCAN-SIDE in one codegen'd pass
+    * (8 bytes/vector retained — a 100 TB float corpus is a 1.6 TB
+    * signature table); the fixed query sample broadcasts to both sides;
+    * each per-query top-1 is a min(struct) aggregate that PARTIAL-
+    * COMBINES map-side, so one candidate row per (query, partition)
+    * crosses the wire — no window exchange at all; the exact side is
+    * the linear sample × corpus scan every *_sampled audit pays.
+    * Bound: one word holds ≤ 64 dims (the fixture width); wider
+    * embeddings pack ceil(dims/64) words and sum per-word popcounts
+    * (zip_with + aggregate) — same plan shape, k·8 bytes/vector. */
+  def e2HammingAnn(s: SparkSession, d: String): DataFrame = {
+    val sigs = embeddings(s, d).select(col("vec_id"),
+      expr("aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> " +
+        "acc + CASE WHEN element_at(embedding, i + 1) > 0.0D " +
+        "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)").as("sgn"))
+    val qs = broadcast(sampledQueryIds(s, d))
+    val qsig = broadcast(sigs.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("sgn").as("qsgn")))
+    val ham = sigs.join(qsig, col("qid") =!= col("vec_id"))
+      .select(col("qid"),
+        bit_count(col("sgn").bitwiseXOR(col("qsgn"))).cast("long").as("h"),
+        col("vec_id").as("nb"))
+      .groupBy("qid")
+      .agg(min(struct(col("h"), col("nb"))).as("m"))
+      .select(col("qid"), col("m.nb").as("ham_nb"), col("m.h").as("hamming"))
+    val e = withNorm(embeddings(s, d))
+    val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm")))
+    val exact = e.join(qe, col("qid") =!= col("vec_id"))
+      .select(col("qid"),
+        (-(graft.functions.Vectors.dot(col("embedding"), col("qemb")) /
+          (col("nrm") * col("qnrm")))).as("ns"),
+        col("vec_id").as("nb"))
+      .groupBy("qid")
+      .agg(min(struct(col("ns"), col("nb"))).as("m"))
+      .select(col("qid"), col("m.nb").as("exact_nb"))
+    ham.join(exact, "qid")
+      .select(col("qid").as("vec_id"), col("ham_nb"), col("hamming"),
+        col("exact_nb"),
+        when(col("ham_nb") === col("exact_nb"), 1L).otherwise(0L).as("hit"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_hamming_ann" -> (e2HammingAnn _),
     "e2_sq8_recall" -> (e2Sq8Recall _),
     "e2_sq8" -> (e2Sq8 _),
     "e2_ann_filtered" -> (e2AnnFiltered _),
@@ -2535,6 +2593,37 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sign bits unrolled per dimension (no bit packing needed oracle-
+    // side: Hamming = count of sign mismatches); exact side is the
+    // global DOUBLE[] cosine top-1 with the house tie-break
+    "e2_hamming_ann" ->
+      s"""WITH $qselCtes,
+         |hbits AS (SELECT vec_id, i,
+         |    CASE WHEN x > 0 THEN 1 ELSE 0 END AS b
+         |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |      unnest(range(len(embedding))) AS i FROM embeddings)),
+         |hq AS (SELECT hbits.* FROM hbits JOIN qsel USING (vec_id)),
+         |hm AS (SELECT hq.vec_id AS qid, o.vec_id AS oid,
+         |    sum(CASE WHEN hq.b <> o.b THEN 1 ELSE 0 END) AS ham
+         |  FROM hq JOIN hbits o ON hq.i = o.i AND hq.vec_id <> o.vec_id
+         |  GROUP BY 1, 2),
+         |hb AS (SELECT qid, oid AS ham_nb, CAST(ham AS BIGINT) AS hamming
+         |  FROM (SELECT qid, oid, ham, row_number() OVER (
+         |      PARTITION BY qid ORDER BY ham, oid) AS rn FROM hm)
+         |  WHERE rn = 1),
+         |hx AS (SELECT a.vec_id AS qid, b.vec_id AS oid,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM embeddings a JOIN qsel ON a.vec_id = qsel.vec_id
+         |  JOIN embeddings b ON b.vec_id <> a.vec_id),
+         |he AS (SELECT qid, oid AS exact_nb
+         |  FROM (SELECT qid, oid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, oid) AS rn FROM hx)
+         |  WHERE rn = 1)
+         |SELECT hb.qid AS vec_id, ham_nb, hamming, exact_nb,
+         |  CAST(CASE WHEN ham_nb = exact_nb THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit
+         |FROM hb JOIN he USING (qid) ORDER BY vec_id""".stripMargin,
     "e2_sq8" ->
       """WITH c AS (SELECT CAST(i.range AS INT) AS dim,
         |    CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x

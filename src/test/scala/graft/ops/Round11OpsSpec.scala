@@ -214,4 +214,106 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse)
     assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
   }
+
+  test("e2_hamming_ann: signature replica + exact-arg-min law") {
+    val embs = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val sig = embs.map { case (id, v) =>
+      id -> v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0f) acc + (1L << i) else acc }
+    }.toMap
+    val qids = embs.map(_._1)
+      .sortBy(id => (mix64(id ^ Similarity.AnnQuerySalt), id))
+      .take(Similarity.AnnQueryK).toSet
+    val rows = Similarity.e2HammingAnn(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSet == qids, "query sample")
+    rows.foreach { case (q, hamNb, ham, exactNb, hit) =>
+      // hamming top-1 replica: min (popcount(xor), id) over the corpus
+      val cands = embs.map(_._1).filter(_ != q)
+        .map(o => (java.lang.Long.bitCount(sig(q) ^ sig(o)).toLong, o))
+      val best = cands.min
+      assert((ham, hamNb) == best, s"hamming pick at q=$q")
+      // the hit flag is exactly agreement with the exact cosine top-1
+      val qv = embs.find(_._1 == q).get._2.map(_.toDouble)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val qn = math.sqrt(dot(qv, qv))
+      val ex = embs.filter(_._1 != q).map { case (o, ov0) =>
+        val ov = ov0.map(_.toDouble)
+        (-(dot(qv, ov) / (qn * math.sqrt(dot(ov, ov)))), o)
+      }.min._2
+      assert(exactNb == ex, s"exact pick at q=$q")
+      assert(hit == (if (hamNb == exactNb) 1L else 0L))
+    }
+  }
+
+  test("e6_group_kfold: every source lands whole in one fold") {
+    val sf0 = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf0)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    // replica of the group key: fold(source) from the source's min id
+    val fold = docs.groupBy(_._1).view.mapValues { ds =>
+      val gkey = ds.map(_._2).min
+      ((mix64(gkey ^ Sampling.GroupKfoldSalt) & Long.MaxValue) % 100) %
+        Sampling.Kfolds
+    }.toMap
+    val expect = docs.groupBy(d => fold(d._1)).map { case (f, ds) =>
+      f -> ((ds.map(_._1).distinct.length.toLong, ds.length.toLong,
+        ds.map(_._3).sum, ds.map(_._2).sum))
+    }
+    val rows = Sampling.e6GroupKfold(spark, sf0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows == expect)
+    // partition law: folds are disjoint by construction (pure function
+    // of source) and total (every doc counted exactly once)
+    assert(rows.values.map(_._2).sum == docs.length.toLong)
+  }
+
+  test("e7_shard_plan: partition laws + signed skew identity") {
+    val rows = Curation.e7ShardPlan(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(rows.map(_._2).sum == nDocs, "total docs")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < Curation.NShards))
+    val tt = rows.map(_._3).sum
+    rows.foreach { case (_, _, nt, _, skew) =>
+      assert(skew == nt * Curation.NShards * 10000L / tt - 10000L)
+    }
+    // signed skew sums to ~0 (floor rounding leaves at most N short)
+    val ssum = rows.map(_._5).sum
+    assert(ssum <= 0 && ssum > -Curation.NShards * rows.length,
+      s"skew sum $ssum")
+  }
+
+  test("q55_gaps_islands: driver islands replica on the date grid") {
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val expect = ev.distinct.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(_._2).distinct.sortBy(_.toEpochDay)
+      // islands: split where consecutive days differ by more than 1
+      val runs = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc, d0) => acc match {
+          case (h :: t) :: rest if d0.toEpochDay == h.toEpochDay + 1 =>
+            (d0 :: h :: t) :: rest
+          case _ => List(d0) :: acc
+        }
+      }
+      u -> ((days.length.toLong, runs.length.toLong,
+        runs.map(_.length).max.toLong,
+        days.head.toString, days.last.toString))
+    }
+    val rows = Relational.q55GapsIslands(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(rows == expect)
+  }
 }
