@@ -193,7 +193,17 @@ object ScaleProbe {
       "e2_triplet_mining_sampled",
       // n·√n kNN build + n·K² wedge join / one scan + constant-size bit
       // table broadcast / 3-gram explode + vocab-bounded distinct
-      "e9_link_pred_knn", "e1_bloom_audit", "e8_heaps")
+      "e9_link_pred_knn", "e1_bloom_audit", "e8_heaps",
+      // round 11 continuation: chi2/shard_plan/group_kfold are one-scan
+      // bounded-domain aggregates; tail_index is a per-source top-(m+1)
+      // rank window over narrow triples; rich_club is pair-table-bounded;
+      // hamming_ann is sample × corpus over 8-byte signatures (linear);
+      // gaps_islands folds events to ≤ users×days rows before its window
+      "e8_chi2", "e8_tail_index", "e9_rich_club", "e2_hamming_ann",
+      "e6_group_kfold", "e7_shard_plan", "q55_gaps_islands",
+      // jsd shares the source_divergence vocab-keyed shape; graph_search
+      // is |sample| walk state against the n·K edge table per round
+      "e8_jsd", "e2_graph_search")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

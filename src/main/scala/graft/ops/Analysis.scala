@@ -1614,6 +1614,54 @@ object Analysis {
       .orderBy("source")
   }
 
+  /** E8 — per-source JENSEN-SHANNON divergence between the source's
+    * unigram distribution P and the REST of the corpus Q: the smoothed,
+    * symmetric, [0, ln 2]-bounded companion to e8_source_divergence's
+    * exact TVD — TVD weighs all mass moves equally, JSD (the mixture-KL
+    * average) punishes mass appearing where the other side has ~none,
+    * which is the signature of a source that is topically alien rather
+    * than merely re-weighted (the metric behind distribution-matching
+    * curation like DSIR, and the standard report column next to TVD in
+    * corpus cards). Tokens absent from the source fold analytically:
+    * their total contribution is ln2·(1 − Σ_{t∈Vs} q_t)/2, so the join
+    * only ever touches the source's OWN vocabulary rows. Precision: each
+    * term uses ln() on ratios of integer-exact counts in IDENTICAL
+    * operation order both engines; all terms are ≥ 0 (no cancellation),
+    * so the vocab-sized FP sum stays within ~1e-12 of order-invariant —
+    * absorbed by the 4-dp round (the e8_zipf ln contract; the exact-TVD
+    * twin exists precisely because ln is not bit-stable, so the two
+    * queries together give one exact and one information-theoretic view).
+    * Plan at 100 TB: identical shape to e8_source_divergence — one
+    * (source, token) aggregate partial-combines map-side, the vocab
+    * aggregate AQE-gates its broadcast, marginals arrive as 1-row/
+    * |sources|-row broadcasts, and the final fold is |sources| rows. */
+  def e8Jsd(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val ns = st.groupBy("source")
+      .agg(sum(col("cs")).as("n_s"), count(lit(1)).as("vocab"))
+    val nt = ct.agg(sum(col("c")).as("n"))
+    st.join(ct, "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .withColumn("p", col("cs").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", (col("c") - col("cs")).cast("double") /
+        (col("n") - col("n_s")).cast("double"))
+      .withColumn("term",
+        col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+          when(col("q") > 0.0,
+            col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+            .otherwise(lit(0.0)))
+      .groupBy(col("source"), col("n_s"), col("vocab"))
+      .agg(sum(col("term")).as("tsum"), sum(col("q")).as("qsum"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        round((col("tsum") +
+          log(lit(2.0)) * (lit(1.0) - col("qsum"))) / 2.0, 4).as("jsd"))
+      .orderBy("source")
+  }
+
   /** E8 — PEARSON χ² test of source × lang INDEPENDENCE: the one-number
     * answer to "is language distribution a property of the corpus or of
     * each source?" — the stratification check run before trusting
@@ -1755,6 +1803,7 @@ object Analysis {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_jsd" -> (e8Jsd _),
     "e8_chi2" -> (e8Chi2 _),
     "e8_tail_index" -> (e8TailIndex _),
     "e9_rich_club" -> (e9RichClub _),
@@ -1987,6 +2036,32 @@ object Analysis {
       s"""WITH $sourceDivergenceChain
          |SELECT source, n_tokens, vocab, tvd
          |FROM sdr ORDER BY source""".stripMargin,
+    // source-vs-rest JSD over the source's own vocabulary rows with the
+    // absent-token mass folded analytically (see e8Jsd Scaladoc); term
+    // expressions in the same operation order as the Spark side
+    "e8_jsd" ->
+      """WITH jt AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |jst AS (SELECT source, t, count(*) AS cs FROM jt GROUP BY 1, 2),
+        |jct AS (SELECT t, count(*) AS c FROM jt GROUP BY 1),
+        |jns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM jst GROUP BY 1),
+        |jnt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM jct),
+        |jterm AS (SELECT jst.source, n_s, vocab,
+        |    CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+        |    CAST(c - cs AS DOUBLE) / CAST(n - n_s AS DOUBLE) AS q
+        |  FROM jst JOIN jct USING (t)
+        |  JOIN jns ON jst.source = jns.source CROSS JOIN jnt),
+        |jfold AS (SELECT source, n_s, vocab,
+        |    sum(p * ln(2.0 * p / (p + q)) +
+        |      CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q))
+        |        ELSE 0 END) AS tsum,
+        |    sum(q) AS qsum
+        |  FROM jterm GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_tokens, vocab,
+        |  round((tsum + ln(2.0) * (1.0 - qsum)) / 2.0, 4) AS jsd
+        |FROM jfold ORDER BY source""".stripMargin,
     "e8_kanon" ->
       s"""WITH q AS (SELECT lang, source, n_chars // 200 AS len_bucket,
          |    count(*) AS g

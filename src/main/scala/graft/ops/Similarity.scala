@@ -2330,7 +2330,103 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Greedy-routing step budget — interpolated into BOTH engines. */
+  val GraphSearchSteps = 4
+
+  /** E2 — GREEDY GRAPH-ANN SEARCH over the kNN graph: for each sampled
+    * query, start at the global entry vector (min splitmix64 rank — the
+    * IVF seed discipline; the runner-up when that vector IS the query,
+    * since the walk's whole candidate universe excludes the query's own
+    * stored copy) and repeatedly hop to the best of
+    * {current} ∪ out-neighbors(current) by query cosine, for
+    * GraphSearchSteps rounds — the navigable-graph search primitive
+    * (HNSW layer 0 / NSG routing) built on the SAME directed kNN edges
+    * e2_knn_graph audits: that query says whether the graph is navigable
+    * (mutuality/hubness), this one MEASURES routing on it — final
+    * neighbor, hop count, and agreement with the exact global top-1.
+    * The update is monotone (the argmax includes the current node), so a
+    * converged walk is a fixed point and the unrolled rounds need no
+    * early-exit plumbing; hops counts actual moves. Exactness: cosines
+    * are the house index-order doubles (bit-identical to the DOUBLE[]
+    * oracle), every argmax tie-breaks on vec_id, the walk is one
+    * deterministic trajectory per query. Plan at 100 TB: the walk state
+    * is |sample| rows re-broadcast each round against the edge table
+    * (n·K rows) and the vector table — per-round work is
+    * candidate-lookup-sized, never corpus-sized; the entry fetch is one
+    * TakeOrdered row (the kmeansTrained model-fetch discipline); only
+    * the exact-baseline leg pays the sample × corpus scan every
+    * *_sampled audit pays. */
+  def e2GraphSearch(s: SparkSession, d: String): DataFrame = {
+    // the walk references the edge table once per unrolled round — memo
+    // it (the e9_link_pred_knn localCheckpoint discipline) so the IVF
+    // build + rank window run ONCE, not GraphSearchSteps times
+    val knn = knnEdges(s, d)._1.localCheckpoint(true)
+    val e = withNorm(embeddings(s, d))
+    val qs = broadcast(sampledQueryIds(s, d))
+    val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm")))
+    // top-2 entry candidates (one TakeOrdered fetch): each query starts
+    // at the global min-splitmix vector, falling back to the runner-up
+    // when that vector IS the query — the search never returns the
+    // query's own stored copy (the vec_id =!= discipline of every e2
+    // audit, applied to the walk's whole candidate universe)
+    val entryIds = embeddings(s, d).select(col("vec_id"),
+        org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("vec_id")).as("m"))
+      .orderBy("m", "vec_id").limit(2).collect().map(_.getLong(0))
+    val cvec = e.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    def qsim(emb: org.apache.spark.sql.Column,
+        nrm: org.apache.spark.sql.Column) =
+      graft.functions.Vectors.dot(col("qemb"), emb) / (col("qnrm") * nrm)
+    val ew = Window.partitionBy("qid").orderBy("pref")
+    var st = qe
+      .crossJoin(broadcast(cvec.filter(col("cid").isin(entryIds: _*))))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("pref",
+        when(col("cid") === entryIds.head, 0L).otherwise(1L))
+      .withColumn("prn", row_number().over(ew)).filter(col("prn") === 1)
+      .select(col("qid"), col("qemb"), col("qnrm"),
+        col("cid").as("cur"), qsim(col("cemb"), col("cnrm")).as("sim"),
+        lit(0L).as("hops"))
+    for (_ <- 1 to GraphSearchSteps) {
+      val cand = st
+        .join(knn.select(col("vec_id").as("cur"),
+          col("other_id").as("cid")), Seq("cur"))
+        .filter(col("cid") =!= col("qid"))
+        .join(cvec, "cid")
+        .select(col("qid"), col("cid"),
+          qsim(col("cemb"), col("cnrm")).as("csim"))
+      val best = cand
+        .unionByName(st.select(col("qid"), col("cur").as("cid"),
+          col("sim").as("csim")))
+        .groupBy("qid")
+        .agg(min(struct((-col("csim")).as("ns"), col("cid").as("nb")))
+          .as("m"))
+        .select(col("qid"), col("m.nb").as("ncur"), (-col("m.ns")).as("nsim"))
+      st = st.join(best, "qid")
+        .select(col("qid"), col("qemb"), col("qnrm"),
+          col("ncur").as("ncur2"), col("nsim").as("nsim2"),
+          (col("hops") +
+            when(col("ncur") =!= col("cur"), 1L).otherwise(0L)).as("hops"))
+        .withColumnRenamed("ncur2", "cur").withColumnRenamed("nsim2", "sim")
+    }
+    val exact = cvec.join(qe, col("qid") =!= col("cid"))
+      .select(col("qid"),
+        (-qsim(col("cemb"), col("cnrm"))).as("ns"), col("cid").as("nb"))
+      .groupBy("qid")
+      .agg(min(struct(col("ns"), col("nb"))).as("m"))
+      .select(col("qid"), col("m.nb").as("exact_nb"))
+    st.join(exact, "qid")
+      .select(col("qid").as("vec_id"), col("cur").as("final_nb"),
+        round(col("sim"), 4).as("sim"), col("hops"), col("exact_nb"),
+        when(col("cur") === col("exact_nb"), 1L).otherwise(0L).as("hit"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_graph_search" -> (e2GraphSearch _),
     "e2_hamming_ann" -> (e2HammingAnn _),
     "e2_sq8_recall" -> (e2Sq8Recall _),
     "e2_sq8" -> (e2Sq8 _),
@@ -2593,6 +2689,55 @@ object Similarity {
        |WHERE rn <= $PqTopK ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // unrolled greedy walk over the shared knn CTEs (the can't-drift
+    // rule); entry = min splitmix64 rank off the IVF mix chain; argmax
+    // includes the current node so a converged walk is a fixed point
+    "e2_graph_search" -> {
+      val steps = (1 to GraphSearchSteps).map { k =>
+        s"""gc$k AS (SELECT s.qid, s.qe, knn.other_id AS cid,
+           |    list_cosine_similarity(s.qe, e.e) AS csim
+           |  FROM gs${k - 1} s JOIN knn ON s.cur = knn.vec_id
+           |    AND knn.other_id <> s.qid
+           |  JOIN emb e ON knn.other_id = e.vec_id),
+           |ga$k AS (SELECT qid, cid, csim FROM gc$k
+           |  UNION ALL SELECT qid, cur, sim FROM gs${k - 1}),
+           |gb$k AS (SELECT qid, cid AS ncur, csim AS nsim FROM (
+           |    SELECT qid, cid, csim, row_number() OVER (PARTITION BY qid
+           |      ORDER BY csim DESC, cid) AS rn FROM ga$k) WHERE rn = 1),
+           |gs$k AS (SELECT s.qid, s.qe, b.ncur AS cur, b.nsim AS sim,
+           |    s.hops + CASE WHEN b.ncur <> s.cur THEN 1 ELSE 0 END AS hops
+           |  FROM gs${k - 1} s JOIN gb$k b USING (qid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfCtes(1)},
+         |$knnMutCtes,
+         |$qselCtes,
+         |gse AS (SELECT eid, ern FROM (SELECT vec_id AS eid,
+         |    row_number() OVER (ORDER BY m, vec_id) AS ern FROM mx)
+         |  WHERE ern <= 2),
+         |gs0 AS (SELECT qid, qe, cur, sim, 0 AS hops FROM (
+         |  SELECT q.vec_id AS qid, qe.e AS qe, g.eid AS cur,
+         |    list_cosine_similarity(qe.e, ee.e) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY g.ern)
+         |      AS prn
+         |  FROM qsel q JOIN emb qe ON q.vec_id = qe.vec_id
+         |  CROSS JOIN gse g JOIN emb ee ON g.eid = ee.vec_id
+         |  WHERE g.eid <> q.vec_id) WHERE prn = 1),
+         |$steps,
+         |gx AS (SELECT q.vec_id AS qid, b.vec_id AS oid,
+         |    list_cosine_similarity(a.e, b.e) AS sim
+         |  FROM qsel q JOIN emb a ON q.vec_id = a.vec_id
+         |  JOIN emb b ON b.vec_id <> a.vec_id),
+         |ge AS (SELECT qid, oid AS exact_nb
+         |  FROM (SELECT qid, oid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, oid) AS rn FROM gx) WHERE rn = 1)
+         |SELECT f.qid AS vec_id, f.cur AS final_nb,
+         |  round(f.sim, 4) AS sim, CAST(f.hops AS BIGINT) AS hops,
+         |  ge.exact_nb,
+         |  CAST(CASE WHEN f.cur = ge.exact_nb THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit
+         |FROM gs$GraphSearchSteps f JOIN ge USING (qid)
+         |ORDER BY vec_id""".stripMargin
+    },
     // sign bits unrolled per dimension (no bit packing needed oracle-
     // side: Hamming = count of sign mismatches); exact side is the
     // global DOUBLE[] cosine top-1 with the house tie-break

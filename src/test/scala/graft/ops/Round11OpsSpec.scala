@@ -293,6 +293,78 @@ class Round11OpsSpec extends AnyFunSuite {
       s"skew sum $ssum")
   }
 
+  test("e8_jsd: driver replica + information-theoretic bounds") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val st = docs.flatMap { case (src, ts) => ts.map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = ct.values.sum
+    val expect = ns.keys.map { src =>
+      // .toSeq first: collecting (k, v) tuples straight off a Map
+      // re-forms a Map and silently DEDUPES equal (term, q) pairs
+      val terms = st.toSeq.collect { case ((s0, t), cs) if s0 == src =>
+        val p = cs.toDouble / ns(src)
+        val q = (ct(t) - cs).toDouble / (n - ns(src))
+        val tq = if (q > 0) q * math.log(2.0 * q / (p + q)) else 0.0
+        (p * math.log(2.0 * p / (p + q)) + tq, q)
+      }
+      val jsd = (terms.map(_._1).sum +
+        math.log(2.0) * (1.0 - terms.map(_._2).sum)) / 2.0
+      src -> jsd
+    }.toMap
+    val rows = Analysis.e8Jsd(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == expect.keySet)
+    rows.foreach { case (src, j) =>
+      assert(math.abs(j - expect(src)) < 1e-3, s"jsd at $src")
+      // JSD (nats) is bounded by [0, ln 2]
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"bound at $src")
+    }
+  }
+
+  test("e2_graph_search: monotone walk replica over the knn edges") {
+    val sf0 = TestSpark.sf0001
+    val knn = Similarity.knnEdges(spark, sf0)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val embs = graft.Tables.embeddings(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (embs(a), embs(b))
+      val d = x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      d / (math.sqrt(x.indices.foldLeft(0.0)((s0, i) => s0 + x(i) * x(i))) *
+        math.sqrt(y.indices.foldLeft(0.0)((s0, i) => s0 + y(i) * y(i))))
+    }
+    val entry2 = embs.keys.toSeq.sortBy(id => (mix64(id), id)).take(2)
+    val rows = Similarity.e2GraphSearch(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == math.min(Similarity.AnnQueryK, embs.size))
+    rows.foreach { case (q, fin, sim, hops, exactNb, hit) =>
+      // replica walk: argmax over {cur} ∪ N(cur) \ {q}, ties to smaller id
+      var cur = if (entry2.head == q) entry2(1) else entry2.head
+      var h = 0L
+      for (_ <- 1 to Similarity.GraphSearchSteps) {
+        val cands = (knn.getOrElse(cur, Set.empty) + cur) - q
+        val next = cands.minBy(c => (-cos(q, c), c))
+        if (next != cur) { h += 1; cur = next }
+      }
+      assert(fin == cur, s"final node at q=$q")
+      assert(hops == h, s"hops at q=$q")
+      val es = BigDecimal(cos(q, cur))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sim == es, s"sim at q=$q")
+      val ex = embs.keys.filter(_ != q).minBy(c => (-cos(q, c), c))
+      assert(exactNb == ex && hit == (if (fin == ex) 1L else 0L))
+    }
+    // the walk is monotone: hops never exceeds the step budget
+    assert(rows.forall(_._4 <= Similarity.GraphSearchSteps))
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
