@@ -132,6 +132,31 @@ object StreamSoak {
       return
     }
 
+    // "sh" as any arg: soak the E4u simhash near-dup filter — the same
+    // replicated corpus (exact clones, so every replica beyond the first
+    // shares its original's signature AND prefix shard) through the
+    // prefix-sharded bounded ring state. Steady state is one ring scan
+    // per arrival at min_ham 0 that mutates nothing. Reports arrival
+    // throughput, admitted count, and the ring-size state bound.
+    if (args.contains("sh")) {
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamSimhashDedup(
+        spark, src, schema, "soak_sh")
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val led = spark.table("soak_sh")
+        .agg(count(lit(1)), sum(when(col("admitted"), 1L).otherwise(0L)),
+          max(col("ring_size")))
+        .collect().head
+      val (arrivals, admitted, maxRing) =
+        (led.getLong(0), led.getLong(1), led.getLong(2))
+      require(maxRing <= streaming.Stateful.SimRingCap.toLong,
+        "state bound violated")
+      println(f"""{"soak":"e4u_simhash_neardup_ingest","input_rows":$inputRows,"arrivals":$arrivals,"admitted":$admitted,"sec":$secs%.1f,"rows_per_sec":${(arrivals / secs).toLong},"max_ring":$maxRing,"ring_cap":${streaming.Stateful.SimRingCap},"ham_max":${streaming.Stateful.SimHamMax},"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val q = streaming.StreamOps
       .streamFingerprintDedupToFiles(spark, src, schema, out, ckpt)

@@ -1083,7 +1083,11 @@ object Relational {
     * partitioning — no second shuffle (the groupBy keys are a superset
     * of the partition key), per-user history is bounded, and no state
     * beyond the sort, so the same plan runs on 10^11 events. */
-  def q53Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** Per-event session assignment (user_id, event_id, event_type, us,
+    * session_no) — the shared builder of q53_sessionize and
+    * q56_attribution, extracted so the reported sessions and the
+    * attributed sessions cannot drift (the e3_pack_stats rule). */
+  private[ops] def sessionized(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
@@ -1094,12 +1098,51 @@ object Relational {
         when(col("prev_us").isNull ||
           col("us") - col("prev_us") > lit(SessionGapUs), 1L).otherwise(0L))
       .withColumn("session_no", sum(col("boundary")).over(run))
+      .select("user_id", "event_id", "event_type", "us", "session_no")
+  }
+
+  def q53Sessionize(s: SparkSession, d: String): DataFrame = {
+    sessionized(s, d)
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
         expr("(max(us) - min(us)) div 1000000").as("dur_s"),
         min(col("event_id")).as("first_event"))
       .orderBy("user_id", "session_no")
+  }
+
+  /** Q56 [EXT] — FIRST-TOUCH CONVERSION ATTRIBUTION over the q53
+    * sessions: each session's entry channel is its first event_type (by
+    * time, event_id tie-break), a conversion is any 'purchase' inside
+    * the session, and the output is the per-channel funnel row
+    * (sessions, converted sessions, total purchases, conversion rate in
+    * integer basis points) — the standard marketing/product-analytics
+    * question "which entry point produces buyers", composed VERBATIM on
+    * the shared session builder so the attribution can never disagree
+    * with q53's session boundaries. ALL-INTEGER (counts + one bp
+    * division). Plan at scale: the session builder's single user_id
+    * exchange is reused by the first-event rank window AND the
+    * per-session aggregate (both key on a superset of user_id); the
+    * channel fold is a bounded |event_types|-key aggregate that
+    * partial-combines map-side. */
+  def q56Attribution(s: SparkSession, d: String): DataFrame = {
+    val se = sessionized(s, d)
+    val w = Window.partitionBy("user_id", "session_no")
+      .orderBy(col("us"), col("event_id"))
+    val first = se.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("session_no"),
+        col("event_type").as("channel"))
+    val conv = se.groupBy("user_id", "session_no")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+    first.join(conv, Seq("user_id", "session_no"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("purchases") > 0L, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("purchases")).as("n_purchases"))
+      .withColumn("conv_bp", expr("n_converted * 10000 div n_sessions"))
+      .orderBy("channel")
   }
 
   /** Q54 [EXT] — trailing-7-day revenue per customer via a true RANGE
@@ -1164,6 +1207,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_attribution" -> (q56Attribution _),
     "q55_gaps_islands" -> (q55GapsIslands _),
     "q54_range_frame" -> (q54RangeFrame _),
     "q53_sessionize" -> (q53Sessionize _),
@@ -1229,9 +1273,44 @@ object Relational {
     "q42_approx_distinct" -> (q42ApproxDistinct _),
   )
 
+  /** Session-assignment CTE chain ending in `sess` (user_id, event_id,
+    * event_type, us, session_no) — shared verbatim by the q53 and q56
+    * oracles so they can't drift (mirrors `sessionized`). */
+  private lazy val sessionCtes: String =
+    s"""e AS (SELECT user_id, event_id, event_type,
+       |    epoch_us(ts) AS us FROM events),
+       |l AS (SELECT *, lag(us) OVER
+       |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+       |b AS (SELECT *, CASE WHEN prev_us IS NULL
+       |      OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS bd FROM l),
+       |sess AS (SELECT *, CAST(sum(bd) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS BIGINT) AS session_no FROM b)""".stripMargin
+
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    // first event_type per session (us, event_id order) joined to the
+    // per-session purchase count, folded per channel (see q56Attribution)
+    "q56_attribution" ->
+      s"""WITH $sessionCtes,
+         |fs AS (SELECT user_id, session_no, event_type AS channel
+         |  FROM (SELECT user_id, session_no, event_type,
+         |      row_number() OVER (PARTITION BY user_id, session_no
+         |        ORDER BY us, event_id) AS rn FROM sess)
+         |  WHERE rn = 1),
+         |cv AS (SELECT user_id, session_no,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS purchases
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT channel, count(*) AS n_sessions,
+         |  CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_converted,
+         |  CAST(sum(purchases) AS BIGINT) AS n_purchases,
+         |  CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS conv_bp
+         |FROM fs JOIN cv USING (user_id, session_no)
+         |GROUP BY channel ORDER BY channel""".stripMargin,
     // date - row_number() constant-group islands over distinct active
     // days (see q55GapsIslands)
     "q55_gaps_islands" ->
@@ -1267,15 +1346,7 @@ object Relational {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
         |FROM orders ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q53_sessionize" ->
-      s"""WITH e AS (SELECT user_id, event_id, event_type,
-         |    epoch_us(ts) AS us FROM events),
-         |l AS (SELECT *, lag(us) OVER
-         |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
-         |b AS (SELECT *, CASE WHEN prev_us IS NULL
-         |      OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS bd FROM l),
-         |sess AS (SELECT *, CAST(sum(bd) OVER (PARTITION BY user_id
-         |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-         |    CURRENT ROW) AS BIGINT) AS session_no FROM b)
+      s"""WITH $sessionCtes
          |SELECT user_id, session_no, count(*) AS n_events,
          |  count(DISTINCT event_type) AS n_types,
          |  (max(us) - min(us)) // 1000000 AS dur_s,

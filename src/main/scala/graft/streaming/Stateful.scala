@@ -425,6 +425,76 @@ object Stateful {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  final case class SimIn(pfx: Int, doc_id: Long, sig: Long)
+  final case class SimRingState(ver: Long, sigs: List[Long])
+  final case class SimDecision(pfx: Int, ver: Long, doc_id: Long,
+      admitted: Boolean, min_ham: Long, ring_size: Long)
+
+  /** Ring capacity per prefix shard and the Hamming radius — the state
+    * bound is SimShardsTotal prefixes × SimRingCap 8-byte signatures
+    * FOREVER (16 KiB/prefix at 2048). */
+  val SimRingCap = 2048
+  val SimHamMax = 3L
+
+  /** E4u — STREAMING SIMHASH NEAR-DUP FILTER: the bounded-state
+    * NEAR-duplicate twin of E4t (whose bloom state catches only EXACT
+    * fingerprints): arrivals carry their 64-bit SimHash (the same
+    * native expression as batch e1_simhash), shard on the signature's
+    * HIGH BYTE, and are dropped when any signature in the shard's
+    * bounded recency ring lies within SimHamMax Hamming bits. The
+    * contract is explicit and two-sided: EXACT duplicates always share
+    * the prefix (Hamming 0), so while the original's signature is in
+    * the ring an exact re-arrival is always caught; a near-dup whose
+    * differing bits straddle the prefix lands on another shard and is
+    * missed — the recall price of sharding, priced in batch by
+    * e1_simhash_pairs' band analysis — and ring eviction (FIFO at
+    * SimRingCap) makes it a RECENT-HORIZON dedup, the trade every
+    * unbounded news/CDC ingest actually runs. Within a micro-batch,
+    * docs fold in doc_id order (the E4q determinism discipline);
+    * min_ham is emitted per decision so the ledger doubles as the
+    * radius-calibration sample. */
+  def updateSimhashDedup(cap: Int, hamMax: Long)(pfx: Int,
+      rows: Iterator[SimIn],
+      state: GroupState[SimRingState]): Iterator[SimDecision] = {
+    val prev = state.getOption.getOrElse(SimRingState(0L, Nil))
+    var ring = prev.sigs.toVector
+    val ver = prev.ver + 1
+    val decisions = rows.toSeq.sortBy(_.doc_id).map { r =>
+      val minHam =
+        if (ring.isEmpty) 64L
+        else ring.map(s0 => java.lang.Long.bitCount(s0 ^ r.sig)).min.toLong
+      val dup = minHam <= hamMax
+      if (!dup) ring = (ring :+ r.sig).takeRight(cap)
+      SimDecision(pfx, ver, r.doc_id, admitted = !dup, minHam,
+        ring.size.toLong)
+    }
+    state.update(SimRingState(ver, ring.toList))
+    decisions.iterator
+  }
+
+  /** File-source document stream (one file per micro-batch) → scan-side
+    * native SimHash → high-byte prefix shard → bounded ring state →
+    * memory sink in update mode; the emitted rows are the admission
+    * ledger. */
+  def streamSimhashDedup(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[SimIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(graft.functions.Hashes.simHash(col("text")).as("sig"),
+        col("doc_id"))
+      .select(expr("CAST(shiftrightunsigned(sig, 56) AS INT)").as("pfx"),
+        col("doc_id"), col("sig"))
+      .as[SimIn]
+    rows
+      .groupByKey(_.pfx)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        updateSimhashDedup(SimRingCap, SimHamMax))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source document stream (one file per micro-batch) → scan-side
     * tokenization → per-source Space-Saving summary → memory sink in
     * update mode; the latest version per source is the live global

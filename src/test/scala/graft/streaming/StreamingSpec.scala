@@ -892,4 +892,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(admittedFps.length == admittedFps.distinct.length)
     assert(ledger.exists(!_._4), "doubled corpus produced no drops")
   }
+
+  test("streaming simhash near-dup: ledger matches a driver replay (E4u)") {
+    // double the corpus with EXACT clones — identical text → identical
+    // signature → identical prefix, so while the original's signature is
+    // in the ring the clone MUST be dropped at min_ham = 0
+    val dir = TestSpark.tmpDir("simst") + "/documents.parquet"
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .repartition(3).write.mode("append").parquet(dir)
+    val q = Stateful.streamSimhashDedup(spark, dir,
+      spark.read.parquet(dir).schema, "sim_sink")
+    assert(q.awaitTermination(120000), "simhash stream did not finish in 120s")
+    val ledger = spark.table("sim_sink").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+    assert(ledger.length == docs.count() * 2, "one decision per arrival")
+    assert(ledger.map(_._2).max > 1, "corpus arrived in a single micro-batch")
+    val sigs = spark.read.parquet(dir)
+      .select(col("doc_id"), graft.functions.Hashes.simHash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay each prefix shard in (ver, doc_id) order with the same
+    // ring fold
+    ledger.groupBy(_._1).foreach { case (pfx, rows) =>
+      var ring = Vector.empty[Long]
+      rows.sortBy(r => (r._2, r._3)).foreach {
+        case (_, _, docId, admitted, minHam, ringSize) =>
+          val sig = sigs(docId)
+          assert((sig >>> 56).toInt == pfx, s"doc $docId on wrong prefix")
+          val mh = if (ring.isEmpty) 64L
+            else ring.map(s0 => java.lang.Long.bitCount(s0 ^ sig)).min.toLong
+          assert(minHam == mh, s"min_ham mismatch at doc $docId")
+          assert(admitted == (mh > Stateful.SimHamMax),
+            s"decision mismatch at doc $docId")
+          if (admitted) ring = (ring :+ sig).takeRight(Stateful.SimRingCap)
+          assert(ringSize == ring.size.toLong, s"ring size at doc $docId")
+      }
+      // state bound holds on every decision row
+      assert(rows.forall(_._6 <= Stateful.SimRingCap.toLong))
+    }
+    // the doubled corpus produced drops, and every drop is a real
+    // within-radius event
+    assert(ledger.exists(!_._4), "doubled corpus produced no drops")
+    assert(ledger.filter(!_._4).forall(_._5 <= Stateful.SimHamMax))
+  }
 }
