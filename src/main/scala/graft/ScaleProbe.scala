@@ -203,7 +203,10 @@ object ScaleProbe {
       "e6_group_kfold", "e7_shard_plan", "q55_gaps_islands",
       // jsd shares the source_divergence vocab-keyed shape; graph_search
       // is |sample| walk state against the n·K edge table per round
-      "e8_jsd", "e2_graph_search")
+      "e8_jsd", "e2_graph_search",
+      // q56 reuses q53's single user_id exchange; storage_plan is the
+      // e3_pack two-level window over (id, nbytes) pairs
+      "q56_attribution", "e5_storage_plan")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -503,7 +503,52 @@ object Multimodal {
         (sum(col("n_bytes")) - max(col("n_bytes"))).cast("long").as("bytes_saved"))
       .orderBy("keeper_doc_id")
 
+  /** Archive-packing knobs — interpolated into BOTH engines. 4 KiB
+    * archives keep several archives per (source, shard) group at the
+    * fixture sizes; a production WebDataset run sets ~1 GiB. */
+  val ArchiveBytes = 4096L
+  val ArchShards = 4
+  val ArchShardSalt = 0x35d8a6c47b19e02fL
+  val ArchIdStride = 1000000L
+
+  /** E5 — STORAGE PLAN: pack blobs into fixed-budget sequential archives
+    * (the WebDataset/tar-shard layout every multimodal trainer streams
+    * from) and emit the per-archive manifest (blob count, byte mass,
+    * id span) a dataloader validates before an epoch. Packing uses the
+    * START-OFFSET rule on the running byte sum — a blob belongs to the
+    * archive its first byte lands in, so archives overflow by at most
+    * one blob (streaming tar-writer semantics, no lookahead); order
+    * inside a group is doc_id, so the plan is a pure function of the
+    * corpus. This is e7_shard_plan's byte-axis sibling (that balances
+    * TOKEN mass across a fixed shard count; this cuts BYTE mass into
+    * budget-sized sequential archives) and e3_pack's discipline moved
+    * from context windows to storage. Plan at 100 TB: the running sum
+    * runs per (source, splitmix64 doc-shard) — the e3_pack two-level
+    * window, partition-parallel with no global sort; only (id, nbytes)
+    * pairs enter the window, BLOBS NEVER MOVE (the manifest tells the
+    * writer what to fetch); the manifest aggregate partial-combines. */
+  def e5StoragePlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nbytes"),
+        pmod(org.apache.spark.sql.graftext.minhashExpression
+          .mix64(col("doc_id").bitwiseXOR(lit(ArchShardSalt)))
+          .bitwiseAND(lit(Long.MaxValue)), lit(ArchShards.toLong))
+          .as("shard"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("archive_id",
+        col("shard") * ArchIdStride +
+          expr(s"(cum - nbytes) div $ArchiveBytes"))
+      .groupBy("source", "archive_id")
+      .agg(count(lit(1)).as("n_blobs"), sum(col("nbytes")).as("arch_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "archive_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e5_storage_plan" -> (e5StoragePlan _),
     "e5_blob_dedup" -> (e5BlobDedup _),
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
@@ -556,6 +601,33 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // start-offset archive packing over the (source, ar-shard) running
+    // byte sum (see e5StoragePlan); shard off the shared splitmix chain
+    "e5_storage_plan" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(ArchShardSalt)
+      s"""WITH ar_in AS (SELECT doc_id, source,
+         |    CAST(length(text) AS BIGINT) AS nbytes,
+         |    xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS a0
+         |  FROM documents),
+         |${mixCtes("ar", "a0", "a1", Seq("doc_id", "source", "nbytes"))},
+         |ash AS (SELECT doc_id, source, nbytes,
+         |    CAST((a1 % CAST(power(2, 63) AS HUGEINT)) % $ArchShards
+         |      AS BIGINT) AS shard FROM ar),
+         |acum AS (SELECT doc_id, source, nbytes, shard,
+         |    sum(nbytes) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ash),
+         |aid AS (SELECT doc_id, source, nbytes,
+         |    shard * $ArchIdStride + (cum - nbytes) // $ArchiveBytes
+         |      AS archive_id
+         |  FROM acum)
+         |SELECT source, CAST(archive_id AS BIGINT) AS archive_id,
+         |  count(*) AS n_blobs, CAST(sum(nbytes) AS BIGINT) AS arch_bytes,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM aid GROUP BY 1, 2 ORDER BY source, archive_id""".stripMargin
+    },
     "e5_audio_segments" ->
       s"""WITH w AS (SELECT doc_id, text,
          |  unnest(range(0, 1 + (length(text) - 1) // $AudioWin)) AS wid

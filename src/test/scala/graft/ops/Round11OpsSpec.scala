@@ -365,6 +365,69 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows.forall(_._4 <= Similarity.GraphSearchSteps))
   }
 
+  test("e5_storage_plan: packing laws (total, overflow-by-one, spans)") {
+    val sf0 = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf0)
+      .selectExpr("doc_id", "source", "CAST(length(text) AS LONG) AS nb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = Multimodal.e5StoragePlan(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // total: every blob lands in exactly one archive
+    assert(rows.map(_._3).sum == docs.length.toLong)
+    assert(rows.map(_._4).sum == docs.map(_._3).sum)
+    // replica: same shard hash, same start-offset rule
+    val expect = docs.groupBy { case (id, src, _) =>
+      (src, ((mix64(id ^ Multimodal.ArchShardSalt) & Long.MaxValue) %
+        Multimodal.ArchShards)) }
+      .toSeq.flatMap { case ((src, shard), ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, _, nb) =>
+          val aid = shard * Multimodal.ArchIdStride +
+            cum / Multimodal.ArchiveBytes
+          cum += nb
+          (src, aid, id, nb)
+        }
+      }.groupBy(t => (t._1, t._2)).map { case ((src, aid), bs) =>
+        (src, aid) -> ((bs.size.toLong, bs.map(_._4).sum,
+          bs.map(_._3).min, bs.map(_._3).max))
+      }
+    val got = rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == expect)
+    // overflow-by-one: an archive exceeds the budget only via its last
+    // blob (start-offset rule) — bytes minus any single blob's tail
+    // cannot exceed the budget unless the archive is that one blob
+    rows.filter(_._4 > Multimodal.ArchiveBytes).foreach { r =>
+      val blobs = expect((r._1, r._2))
+      assert(blobs._1 == 1L ||
+        r._4 - docs.filter(d => d._1 == blobs._4).head._3 <
+          Multimodal.ArchiveBytes, s"over-packed archive ${r._2}")
+    }
+  }
+
+  test("q56_attribution: channel funnel replica over q53 sessions") {
+    val se = Relational.sessionized(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val bySess = se.groupBy(r => (r._1, r._5))
+    val expect = bySess.toSeq.map { case (_, evs) =>
+      val first = evs.minBy(e => (e._4, e._2))._3
+      val purchases = evs.count(_._3 == "purchase").toLong
+      (first, purchases)
+    }.groupBy(_._1).map { case (ch, ss) =>
+      ch -> ((ss.size.toLong, ss.count(_._2 > 0).toLong, ss.map(_._2).sum))
+    }
+    val rows = Relational.q56Attribution(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (ch, (ns, nc, np)) =>
+      val (gns, gnc, gnp, bp) = rows(ch)
+      assert((gns, gnc, gnp) == ((ns, nc, np)), s"funnel at $ch")
+      assert(bp == nc * 10000 / ns, s"conv_bp at $ch")
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
