@@ -206,7 +206,11 @@ object ScaleProbe {
       "e8_jsd", "e2_graph_search",
       // q56 reuses q53's single user_id exchange; storage_plan is the
       // e3_pack two-level window over (id, nbytes) pairs
-      "q56_attribution", "e5_storage_plan")
+      "q56_attribution", "e5_storage_plan",
+      // q57 is two conditional range-frame windows + one (user, ts)
+      // equi-join on the same user_id exchange; ppr is the e9_pagerank
+      // edge-sized round with a broadcast seed vector
+      "q57_window_funnel", "e9_ppr")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1802,7 +1802,61 @@ object Analysis {
       .orderBy("k")
   }
 
+  /** Personalized-PageRank seed count and salt — interpolated into BOTH
+    * engines. */
+  val PprSeeds = 4
+  val PprSalt = 0x5f27c93ab1e6d840L
+
+  /** E9 — PERSONALIZED PageRank from a fixed seed set: restart mass
+    * concentrates on PprSeeds splitmix64-selected graph vertices instead
+    * of the uniform vector, so the scores answer "which documents are
+    * structurally CLOSE to these seeds through the duplication graph" —
+    * the graph-retrieval primitive behind seed-expansion curation (grow
+    * a labeled contamination/template family along near-dup edges; the
+    * local-community view that global e9_pagerank flattens). Same
+    * damping, iteration count, and edge-sized round as e9_pagerank
+    * (shared prGraph; rounds differ only in the restart vector — a
+    * broadcast |S|-row join replaces the 1-row uniform base). Seeds are
+    * pinned by (mix64(id ^ salt), id) rank over the VERTEX set, so both
+    * engines pick identical seeds with no driver round-trip; scores are
+    * 6-dp rounded doubles (the e9_pagerank float contract: per-vertex
+    * sums bounded by degree). Fewer than PprSeeds vertices would carry
+    * reduced restart mass; the pair graph exceeds the seed count at
+    * every fixture scale. Plan at 100 TB: identical to e9_pagerank —
+    * one edge-sized shuffle per round, checkpointed edges, degrees and
+    * the seed vector broadcast. */
+  def e9Ppr(s: SparkSession, d: String): DataFrame = {
+    val g = prGraph(Dedup.minhashPairTable(s, d))
+    val seeds = g.verts
+      .select(col("id"), org.apache.spark.sql.graftext.minhashExpression
+        .mix64(col("id").bitwiseXOR(lit(PprSalt))).as("m"))
+      .orderBy("m", "id").limit(PprSeeds).select("id")
+    val sv = g.verts
+      .join(broadcast(seeds.withColumn("seed", lit(1L))), Seq("id"), "left")
+      .select(col("id"),
+        when(col("seed").isNotNull, lit(1.0) / PprSeeds)
+          .otherwise(lit(0.0)).as("sv"))
+      .localCheckpoint(true)
+    var r = sv.select(col("id"), col("sv").as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = g.edges
+        .join(r, g.edges("src") === r("id"))
+        .join(g.deg, "src")
+        .select(col("dst"), (col("r") / col("dg").cast("double")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      r = sv.join(contrib, sv("id") === contrib("dst"), "left")
+        .select(sv("id"),
+          (lit(PrBase) * col("sv") +
+            lit(PrDamping) * coalesce(col("cs"), lit(0.0))).as("r"))
+    }
+    r.join(sv.select(col("id"), (col("sv") > 0.0).as("is_seed")), "id")
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("pprank"),
+        col("is_seed"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_ppr" -> (e9Ppr _),
     "e8_jsd" -> (e8Jsd _),
     "e8_chi2" -> (e8Chi2 _),
     "e8_tail_index" -> (e8TailIndex _),
@@ -2268,6 +2322,47 @@ object Analysis {
          |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
          |FROM ds LEFT JOIN intra USING (community) CROSS JOIN mm
          |ORDER BY community""".stripMargin,
+    // e9_pagerank's materialized loop with the uniform base swapped for
+    // the seed restart vector (pp-prefixed mix chain over the VERTEX
+    // set; see e9Ppr)
+    "e9_ppr" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(PprSalt)
+      val base =
+        s"""e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+           |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+           |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+           |pp_in AS (SELECT id,
+           |  xor(CAST(id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS p0
+           |  FROM v),
+           |${mixCtes("pp", "p0", "p1", Seq("id"))},
+           |sd AS MATERIALIZED (SELECT id FROM (
+           |  SELECT id, row_number() OVER (
+           |    ORDER BY ${toSigned("p1")}, id) AS rn FROM pp)
+           |  WHERE rn <= $PprSeeds),
+           |sv AS MATERIALIZED (SELECT v.id,
+           |  CASE WHEN sd.id IS NOT NULL THEN 1.0 / $PprSeeds
+           |    ELSE 0.0 END AS sv
+           |  FROM v LEFT JOIN sd ON v.id = sd.id),
+           |r0 AS MATERIALIZED (SELECT id, sv AS r FROM sv)""".stripMargin
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS id,
+           |    sum(r${k - 1}.r / CAST(deg.dg AS DOUBLE)) AS cs
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r$k AS MATERIALIZED (SELECT sv.id,
+           |    $PrBase * sv.sv + $PrDamping * coalesce(c$k.cs, 0.0) AS r
+           |  FROM sv LEFT JOIN c$k ON sv.id = c$k.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters
+         |SELECT r$PrIters.id AS doc_id, round(r, 6) AS pprank,
+         |  sv.sv > 0.0 AS is_seed
+         |FROM r$PrIters JOIN sv ON r$PrIters.id = sv.id
+         |ORDER BY doc_id""".stripMargin
+    },
     "e9_pagerank" -> {
       // Every CTE that is referenced more than once (transitively, the
       // whole MinHash chain through `e`) is AS MATERIALIZED: DuckDB

@@ -1145,6 +1145,59 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** Funnel horizon (µs from the step-1 event) — interpolated into BOTH
+    * engines. */
+  val FunnelWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** Q57 [EXT] — ORDERED WINDOW FUNNEL (the ClickHouse `windowFunnel`
+    * shape): per user, the deepest view → click → purchase prefix
+    * reachable in STRICT time order within FunnelWindowUs of the view,
+    * folded to the per-level user histogram — the conversion-depth
+    * companion to q56 (that attributes sessions to entry channels; this
+    * measures how far users get through an ordered step sequence,
+    * whatever session they straddle). Semantics are exactly "next step
+    * strictly later in time": step k+1 is the MINIMUM step-(k+1)
+    * timestamp > step k's — same-instant events do NOT advance the
+    * funnel (documented; makes the chain a pure function of (user, us)
+    * sets, so ties need no id arbitration and both engines agree
+    * bit-for-bit on integer micros). Users emit their MAX level over
+    * all views; users with no view are absent. Plan at scale: ONE hash
+    * exchange on user_id feeds both conditional range-frame windows
+    * (min next-click / next-purchase over `RANGE 1 FOLLOWING ..`); the
+    * view→click hop is an equi-join on (user, next-click-us) against
+    * the DISTINCT click rows (next-purchase is a function of (user,
+    * click-us) under strict-order semantics, so the dedup is lossless);
+    * the level fold partial-combines to ≤ 3 rows. */
+  def q57WindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val wf = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      tsMicros(col("ts")).as("us"))
+    val base = ev
+      .withColumn("nc",
+        min(when(col("event_type") === "click", col("us"))).over(wf))
+      .withColumn("np",
+        min(when(col("event_type") === "purchase", col("us"))).over(wf))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"), col("np")).distinct()
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"), col("nc"))
+    views
+      .join(clicks,
+        views("user_id") === clicks("user_id") &&
+          views("nc") === clicks("c_us"), "left")
+      .select(views("user_id"), col("v_us"), col("nc"), col("np"))
+      .withColumn("lvl",
+        when(col("np").isNotNull &&
+          col("np") - col("v_us") <= FunnelWindowUs, 3L)
+          .when(col("nc").isNotNull &&
+            col("nc") - col("v_us") <= FunnelWindowUs, 2L)
+          .otherwise(1L))
+      .groupBy("user_id").agg(max(col("lvl")).as("funnel_level"))
+      .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_level")
+  }
+
   /** Q54 [EXT] — trailing-7-day revenue per customer via a true RANGE
     * window frame over the integer order-day key: each order row sees
     * the sum/count of its customer's orders in the preceding 7 calendar
@@ -1207,6 +1260,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_window_funnel" -> (q57WindowFunnel _),
     "q56_attribution" -> (q56Attribution _),
     "q55_gaps_islands" -> (q55GapsIslands _),
     "q54_range_frame" -> (q54RangeFrame _),
@@ -1290,6 +1344,36 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    // strict-time-order funnel: conditional range-frame next-step mins,
+    // view -> click hop via the (user, next-click-us) equi-join against
+    // DISTINCT clicks (see q57WindowFunnel)
+    "q57_window_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |base AS (SELECT user_id, event_type, us,
+         |    min(CASE WHEN event_type = 'click' THEN us END) OVER (
+         |      PARTITION BY user_id ORDER BY us
+         |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+         |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+         |      PARTITION BY user_id ORDER BY us
+         |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+         |  FROM ev),
+         |ck AS (SELECT DISTINCT user_id, us AS c_us, np FROM base
+         |  WHERE event_type = 'click'),
+         |vw AS (SELECT user_id, us AS v_us, nc FROM base
+         |  WHERE event_type = 'view'),
+         |lv AS (SELECT vw.user_id,
+         |    CASE WHEN ck.np IS NOT NULL
+         |        AND ck.np - vw.v_us <= $FunnelWindowUs THEN 3
+         |      WHEN vw.nc IS NOT NULL
+         |        AND vw.nc - vw.v_us <= $FunnelWindowUs THEN 2
+         |      ELSE 1 END AS lvl
+         |  FROM vw LEFT JOIN ck ON vw.user_id = ck.user_id
+         |    AND vw.nc = ck.c_us),
+         |ul AS (SELECT user_id, CAST(max(lvl) AS BIGINT) AS funnel_level
+         |  FROM lv GROUP BY user_id)
+         |SELECT funnel_level, count(*) AS n_users
+         |FROM ul GROUP BY funnel_level ORDER BY funnel_level""".stripMargin,
     // first event_type per session (us, event_id order) joined to the
     // per-session purchase count, folded per channel (see q56Attribution)
     "q56_attribution" ->

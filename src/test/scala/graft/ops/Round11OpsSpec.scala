@@ -428,6 +428,78 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q57_window_funnel: strict-order funnel replica") {
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = Relational.FunnelWindowUs
+    val expect = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val clicks = es.filter(_._2 == "click").map(_._3).sorted
+        val purch = es.filter(_._2 == "purchase").map(_._3).sorted
+        val lvl = views.map { v =>
+          clicks.find(_ > v) match {
+            case Some(c) =>
+              purch.find(_ > c) match {
+                case Some(p) if p - v <= w => 3L
+                case _ => if (c - v <= w) 2L else 1L
+              }
+            case None => 1L
+          }
+        }.max
+        Some(lvl)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Relational.q57WindowFunnel(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == expect)
+    // total users with >= 1 view are fully partitioned across levels
+    assert(rows.values.sum ==
+      ev.filter(_._2 == "view").map(_._1).distinct.length.toLong)
+  }
+
+  test("e9_ppr: restart-mass conservation + seed locality laws") {
+    val rows = Analysis.e9Ppr(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.count(_._3) == Analysis.PprSeeds, "seed count")
+    // replica seed selection over the pair-graph vertex set
+    val pairs = Dedup.minhashPairTable(spark, TestSpark.sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val seeds = verts.sortBy(id => (mix64(id ^ Analysis.PprSalt), id))
+      .take(Analysis.PprSeeds).toSet
+    assert(rows.filter(_._3).map(_._1).toSet == seeds, "seed identity")
+    // full replica of the damped push loop
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toDouble).toMap
+    val sv = verts.map(v =>
+      v -> (if (seeds(v)) 1.0 / Analysis.PprSeeds else 0.0)).toMap
+    var r = sv
+    for (_ <- 1 to Analysis.PrIters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      verts.foreach { v =>
+        adj(v).foreach { u => contrib(v) += r(u) / deg(u) }
+      }
+      r = verts.map(v =>
+        v -> (Analysis.PrBase * sv(v) +
+          Analysis.PrDamping * contrib(v))).toMap
+    }
+    rows.foreach { case (id, score, _) =>
+      assert(math.abs(score - r(id)) < 1e-4, s"pprank at $id")
+    }
+    // locality: total mass stays <= 1 (mass only leaks at dangling ends)
+    val total = rows.map(_._2).sum
+    assert(total > 0.0 && total <= 1.0 + 1e-6, s"mass $total")
+    // seeds hold more mass than the average non-seed (restart pull)
+    val seedAvg = rows.filter(_._3).map(_._2).sum / Analysis.PprSeeds
+    val rest = rows.filterNot(_._3)
+    assert(seedAvg > rest.map(_._2).sum / math.max(1, rest.length))
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
