@@ -210,7 +210,9 @@ object ScaleProbe {
       // q57 is two conditional range-frame windows + one (user, ts)
       // equi-join on the same user_id exchange; ppr is the e9_pagerank
       // edge-sized round with a broadcast seed vector
-      "q57_window_funnel", "e9_ppr")
+      "q57_window_funnel", "e9_ppr",
+      // one broadcast n·k candidate pass + two map-side-combined folds
+      "e2_silhouette")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

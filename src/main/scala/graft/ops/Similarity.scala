@@ -2425,7 +2425,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — SIMPLIFIED SILHOUETTE of the nearest-centroid clustering: per
+    * vector, a = cosine distance to its ASSIGNED centroid (the
+    * e2_vq_assign argmax, ties → lower label) and b = distance to the
+    * nearest OTHER centroid; s = (b − a)/max(a, b) ∈ [−1, 1], folded to
+    * a per-cluster mean — the clustering-quality audit read next to
+    * e2_kmeans_objective: the objective says how TIGHT clusters are,
+    * silhouette says how SEPARATED they are (s → 0: the vector sits on
+    * a boundary; s < 0: assigned to the wrong centroid — the classic
+    * "k is wrong / clusters overlap" signal). The simplified
+    * (centroid-based) variant IS the scale path: full silhouette is
+    * O(n²) pairwise, this is one n·k candidate pass. Exactness: the
+    * candidate rows are one per (vector, centroid), so the top-2 sims
+    * ARE (a, b) — taken from one sorted collect_list of k structs per
+    * vector (k is tiny and bounded); per-row s micro-quantizes and the
+    * cluster mean uses the exact integer half-up microMean identity
+    * (order-independent; |s| ≤ 1 is far inside its bound). A vector
+    * equidistant-at-0 from both tops (a = b = 1-sim = 0) emits s = 0.
+    * Plan at 100 TB: the k-row codebook broadcasts into one scan-side
+    * candidate pass; the per-vector fold and the k-key cluster fold
+    * both partial-combine map-side — the corpus never shuffles. */
+  def e2Silhouette(s: SparkSession, d: String): DataFrame = {
+    val cen = centroidArrays(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+    e.join(broadcast(cen))
+      .withColumn("sim",
+        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (col("enrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sim"),
+        (-col("clabel")).as("nl"))), asc = false).as("t"))
+      .select(col("vec_id"), (-col("t")(0)("nl")).cast("long").as("cluster"),
+        col("t")(0)("sim").as("a_sim"), col("t")(1)("sim").as("b_sim"))
+      .withColumn("x",
+        when(greatest(lit(1.0) - col("a_sim"), lit(1.0) - col("b_sim")) > 0.0,
+          (col("a_sim") - col("b_sim")) /
+            greatest(lit(1.0) - col("a_sim"), lit(1.0) - col("b_sim")))
+          .otherwise(lit(0.0)))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), microMean.as("mean_sil"))
+      .orderBy("cluster")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_silhouette" -> (e2Silhouette _),
     "e2_graph_search" -> (e2GraphSearch _),
     "e2_hamming_ann" -> (e2HammingAnn _),
     "e2_sq8_recall" -> (e2Sq8Recall _),
@@ -3521,6 +3566,35 @@ object Similarity {
       s"""WITH $centroidCte
          |SELECT label, CAST(dim AS INT) AS dim, c, n FROM cend
          |ORDER BY label, dim""".stripMargin,
+    // top-2 centroid sims per vector (one row per (vec, centroid), so
+    // rn<=2 IS (a, b)); per-row s micro-quantized into the exact integer
+    // half-up mean (see e2Silhouette)
+    "e2_silhouette" ->
+      s"""WITH $centroidCte,
+         |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen
+         |  FROM cend GROUP BY label),
+         |sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cen) AS sim
+         |  FROM embeddings e, cen c),
+         |tops AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN clabel END) AS cluster,
+         |    max(CASE WHEN rn = 1 THEN sim END) AS a_sim,
+         |    max(CASE WHEN rn = 2 THEN sim END) AS b_sim
+         |  FROM (SELECT vec_id, clabel, sim, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+         |    FROM sims) WHERE rn <= 2 GROUP BY vec_id),
+         |sx AS (SELECT cluster,
+         |    CASE WHEN greatest(1.0 - a_sim, 1.0 - b_sim) > 0
+         |      THEN (a_sim - b_sim) / greatest(1.0 - a_sim, 1.0 - b_sim)
+         |      ELSE 0.0 END AS x
+         |  FROM tops)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n,
+         |  CAST((2 * CAST(sum(CAST(floor(CAST(x AS DOUBLE)
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      + count(*) * 20000100) // (200 * count(*)) - 100000 AS DOUBLE)
+         |    / 10000.0 AS mean_sil
+         |FROM sx GROUP BY cluster ORDER BY cluster""".stripMargin,
     "e2_vq_assign" ->
       s"""WITH $centroidCte,
          |cen AS (SELECT label AS clabel, list(c ORDER BY dim) AS cen

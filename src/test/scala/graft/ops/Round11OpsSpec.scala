@@ -500,6 +500,20 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(seedAvg > rest.map(_._2).sum / math.max(1, rest.length))
   }
 
+  test("e2_silhouette: bounds + agreement with the vq assignment") {
+    val rows = Similarity.e2Silhouette(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // silhouette means live in [-1, 1]
+    assert(rows.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    // cluster populations match the vq assignment exactly (same argmax)
+    val vq = Similarity.e2VqAssign(spark, TestSpark.sf0001).collect()
+      .map(r => r.getInt(2).toLong)
+    val pops = vq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap ==
+      pops.map { case (k, v) => k -> v })
+    assert(rows.map(_._2).sum == vq.length.toLong)
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
