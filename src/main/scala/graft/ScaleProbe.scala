@@ -212,7 +212,9 @@ object ScaleProbe {
       // edge-sized round with a broadcast seed vector
       "q57_window_funnel", "e9_ppr",
       // one broadcast n·k candidate pass + two map-side-combined folds
-      "e2_silhouette")
+      "e2_silhouette",
+      // three 1-row-broadcast power scans / + two sample × corpus legs
+      "e2_top_pc", "e2_abtt")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

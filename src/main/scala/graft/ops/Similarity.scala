@@ -2469,7 +2469,132 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Power-iteration round count — interpolated into BOTH engines. */
+  val TopPcIters = 3
+
+  /** E2 — TOP PRINCIPAL COMPONENT by matrix-free POWER ITERATION: three
+    * unrolled rounds of v ← normalize(Σᵢ (xᵢ·v)·xᵢ) from the exact unit
+    * start v₀ = (1/8,…,1/8) (64·(1/8)² = 1, exactly representable),
+    * emitting the final direction and the Rayleigh eigenvalue estimate
+    * λ = ‖Σ(xᵢ·v)xᵢ‖ — the dominant-direction extraction behind
+    * "All-but-the-top" embedding post-processing (Mu & Viswanath 2018:
+    * frequency-direction removal that measurably improves similarity
+    * search over raw embeddings) and the isotropy check run before
+    * trusting cosine retrieval at all. Never materializes the d×d
+    * covariance: each round is ONE corpus scan (xᵢ·v scan-side against
+    * the broadcast 1-row direction, the kmeans codebook discipline).
+    * Exactness: the ONLY cross-row reduction is the per-dim
+    * contribution sum, made order-independent by micro-quantizing
+    * s·xᵢⱼ scan-side and summing exact integers in DECIMAL(38,0)
+    * (longs overflow at Σ|s·x|·10⁶ ≈ 10¹⁹ on a 10¹² corpus — the
+    * e8_gini rule); everything after is scalar double arithmetic in
+    * identical operation order on identical inputs, so inter-round
+    * directions are bit-identical UNROUNDED doubles and only the
+    * output rounds (6-dp, the e9_pagerank float contract). Plan at
+    * 100 TB: three narrow scans, 64 decimal keys per exchange, the
+    * direction rides as a 1-row localCheckpoint — nothing else moves. */
+  def e2TopPc(s: SparkSession, d: String): DataFrame = {
+    topPcDirection(s, d)
+      .select(posexplode(col("varr")).as(Seq("dim0", "vc")), col("lam"))
+      .select((col("dim0") + 1).cast("long").as("dim"),
+        round(col("vc"), 6).as("pc"), round(col("lam"), 4).as("lambda"))
+      .orderBy("dim")
+  }
+
+  /** E2 — ALL-BUT-THE-TOP retrieval audit: does removing the top
+    * principal component CHANGE what retrieval returns? For the sampled
+    * query set, the exact global cosine top-1 over RAW embeddings vs
+    * over residuals rᵢ = xᵢ − (xᵢ·v)v (v = the e2_top_pc direction,
+    * shared builder — the can't-drift rule), with the per-query agree
+    * flag. This is the ship/no-ship number for the Mu & Viswanath
+    * post-processing the e2_top_pc Scaladoc cites: λ quantifies HOW
+    * dominant the common direction is, this measures whether its
+    * removal actually re-ranks neighbors (the e2_sq8_recall reading,
+    * applied to isotropization instead of quantization). Exactness:
+    * v arrives as the bit-identical unrounded direction both engines
+    * derive from exact integer sums; residuals are scalar double
+    * arithmetic in identical order; both top-1s are the map-side
+    * min(struct) fold with vec_id tie-break. Plan at 100 TB: the three
+    * power-iteration scans plus TWO sample × corpus passes (raw and
+    * residual legs) — the residual is computed scan-side from the
+    * broadcast direction, never materialized corpus-wide. */
+  def e2Abtt(s: SparkSession, d: String): DataFrame = {
+    val dir = topPcDirection(s, d) // 1-row (varr, lam)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .crossJoin(broadcast(dir.select(col("varr"))))
+      .withColumn("pv",
+        expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
+      .withColumn("rd", expr("zip_with(ed, varr, (x, y) -> x - pv * y)"))
+      .select(col("vec_id"), col("ed"), col("rd"),
+        expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))").as("en"),
+        expr("sqrt(aggregate(rd, 0.0D, (a, x) -> a + x * x))").as("rn"))
+    // NOT checkpointed: each leg recomputes the scan-side residual from
+    // the broadcast direction instead of pinning a 2×-width corpus copy
+    val qs = broadcast(sampledQueryIds(s, d))
+    val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("ed").as("qed"),
+        col("rd").as("qrd"), col("en").as("qen"), col("rn").as("qrn")))
+    def top1(vec: String, qvec: String, nrm: String, qnrm: String) =
+      e.join(qe, col("qid") =!= col("vec_id"))
+        .select(col("qid"),
+          (-(expr(s"aggregate(zip_with($vec, $qvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+            (col(nrm) * col(qnrm)))).as("ns"),
+          col("vec_id").as("nb"))
+        .groupBy("qid")
+        .agg(min(struct(col("ns"), col("nb"))).as("m"))
+        .select(col("qid"), col("m.nb"))
+    val raw = top1("ed", "qed", "en", "qen")
+      .withColumnRenamed("nb", "raw_nb")
+    val res = top1("rd", "qrd", "rn", "qrn")
+      .withColumnRenamed("nb", "abtt_nb")
+    raw.join(res, "qid")
+      .select(col("qid").as("vec_id"), col("raw_nb"), col("abtt_nb"),
+        when(col("raw_nb") === col("abtt_nb"), 1L).otherwise(0L)
+          .as("agree"))
+      .orderBy("vec_id")
+  }
+
+  /** The e2_top_pc power-iteration loop, shared so e2_abtt's direction
+    * cannot drift from the audited one; returns the 1-row (varr, lam). */
+  private def topPcDirection(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    var v = s.range(1).select(
+      expr("transform(sequence(1, 64), i -> 0.125D)").as("varr"),
+      lit(0.0).as("lam")).localCheckpoint(true)
+    for (_ <- 1 to TopPcIters) {
+      val sums = e.crossJoin(broadcast(v))
+        .withColumn("sv",
+          expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
+        .select(posexplode(col("ed")).as(Seq("dim", "x")), col("sv"))
+        .withColumn("mic",
+          floor(col("sv") * col("x") * lit(1000000.0) + lit(0.5)).cast(d38))
+        .groupBy("dim").agg(sum(col("mic")).as("sd"))
+      // the norm comes from the EXACT integer sum of squares (decimal —
+      // order-independent, unlike a 64-term double fold whose 1-ulp
+      // accumulation drift would flip micro-quantization floors next
+      // round); both engines then round the same integer to double once.
+      // Bound: Σ S² < 10³⁸ ⇒ |S_j| ≲ 1.25×10¹⁸ — holds to ~10¹¹ rows at
+      // |s·x| ≤ 10; past that, quantize at 10⁴ instead (same identity).
+      v = sums
+        .groupBy()
+        .agg(collect_list(struct(col("dim"), col("sd"))).as("t"),
+          sum(col("sd") * col("sd")).as("ssq"))
+        .select(expr(
+          "transform(array_sort(t), p -> CAST(p.sd AS DOUBLE))").as("u"),
+          sqrt(col("ssq").cast("double")).as("nrm"))
+        .select(expr("transform(u, x -> x / nrm)").as("varr"),
+          (col("nrm") / lit(1000000.0)).as("lam"))
+        .localCheckpoint(true)
+    }
+    v
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_abtt" -> (e2Abtt _),
+    "e2_top_pc" -> (e2TopPc _),
     "e2_silhouette" -> (e2Silhouette _),
     "e2_graph_search" -> (e2GraphSearch _),
     "e2_hamming_ann" -> (e2HammingAnn _),
@@ -3566,6 +3691,89 @@ object Similarity {
       s"""WITH $centroidCte
          |SELECT label, CAST(dim AS INT) AS dim, c, n FROM cend
          |ORDER BY label, dim""".stripMargin,
+    // residual legs off the SAME pc_v chain (shared topPcDirection on
+    // the Spark side — the can't-drift rule); both top-1s via the house
+    // cosine kernel with vec_id tie-break (see e2Abtt)
+    "e2_abtt" -> {
+      val rounds = (1 to TopPcIters).map { k =>
+        s"""pc_s$k AS MATERIALIZED (SELECT e.vec_id,
+           |    list_inner_product(e.ed, v.varr) AS sv
+           |  FROM pemb e CROSS JOIN pc_v${k - 1} v),
+           |pc_d$k AS MATERIALIZED (SELECT dim, sum(mic) AS sd FROM (
+           |    SELECT i.range AS dim,
+           |      CAST(floor(s.sv * e.ed[CAST(i.range + 1 AS INT)]
+           |        * 1000000.0 + 0.5) AS HUGEINT) AS mic
+           |    FROM pemb e JOIN pc_s$k s USING (vec_id), range(0, 64) i)
+           |  GROUP BY dim),
+           |pc_n$k AS (SELECT sqrt(CAST(sum(sd * sd) AS DOUBLE)) AS nrm
+           |  FROM pc_d$k),
+           |pc_v$k AS MATERIALIZED (SELECT
+           |    list(CAST(sd AS DOUBLE) / nrm ORDER BY dim) AS varr,
+           |    max(nrm) / 1000000.0 AS lam
+           |  FROM pc_d$k CROSS JOIN pc_n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pemb AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+         |pc_v0 AS (SELECT [0.125 FOR i IN range(0, 64)]::DOUBLE[] AS varr,
+         |    0.0 AS lam),
+         |$rounds,
+         |$qselCtes,
+         |abp AS MATERIALIZED (SELECT e.vec_id, e.ed,
+         |    list_inner_product(e.ed, v.varr) AS pv, v.varr
+         |  FROM pemb e CROSS JOIN pc_v$TopPcIters v),
+         |abr AS MATERIALIZED (SELECT vec_id, ed,
+         |    [ed[CAST(i + 1 AS INT)] - pv * varr[CAST(i + 1 AS INT)]
+         |      FOR i IN range(0, 64)]::DOUBLE[] AS rd
+         |  FROM abp),
+         |abx AS (SELECT q.vec_id AS qid, b.vec_id AS oid,
+         |    list_cosine_similarity(a.ed, b.ed) AS sim_raw,
+         |    list_cosine_similarity(a.rd, b.rd) AS sim_res
+         |  FROM qsel q JOIN abr a ON q.vec_id = a.vec_id
+         |  JOIN abr b ON b.vec_id <> a.vec_id),
+         |abraw AS (SELECT qid, oid AS raw_nb FROM (
+         |    SELECT qid, oid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim_raw DESC, oid) AS rn FROM abx) WHERE rn = 1),
+         |abres AS (SELECT qid, oid AS abtt_nb FROM (
+         |    SELECT qid, oid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim_res DESC, oid) AS rn FROM abx) WHERE rn = 1)
+         |SELECT abraw.qid AS vec_id, raw_nb, abtt_nb,
+         |  CAST(CASE WHEN raw_nb = abtt_nb THEN 1 ELSE 0 END AS BIGINT)
+         |    AS agree
+         |FROM abraw JOIN abres USING (qid) ORDER BY vec_id""".stripMargin
+    },
+    // unrolled power-iteration rounds: scan-side inner products against
+    // the 1-row direction, micro-quantized per-dim contribution sums in
+    // HUGEINT, the norm off the EXACT integer sum of squares (see
+    // e2TopPc)
+    "e2_top_pc" -> {
+      val rounds = (1 to TopPcIters).map { k =>
+        s"""pc_s$k AS MATERIALIZED (SELECT e.vec_id,
+           |    list_inner_product(e.ed, v.varr) AS sv
+           |  FROM pemb e CROSS JOIN pc_v${k - 1} v),
+           |pc_d$k AS MATERIALIZED (SELECT dim, sum(mic) AS sd FROM (
+           |    SELECT i.range AS dim,
+           |      CAST(floor(s.sv * e.ed[CAST(i.range + 1 AS INT)]
+           |        * 1000000.0 + 0.5) AS HUGEINT) AS mic
+           |    FROM pemb e JOIN pc_s$k s USING (vec_id), range(0, 64) i)
+           |  GROUP BY dim),
+           |pc_n$k AS (SELECT sqrt(CAST(sum(sd * sd) AS DOUBLE)) AS nrm
+           |  FROM pc_d$k),
+           |pc_v$k AS MATERIALIZED (SELECT
+           |    list(CAST(sd AS DOUBLE) / nrm ORDER BY dim) AS varr,
+           |    max(nrm) / 1000000.0 AS lam
+           |  FROM pc_d$k CROSS JOIN pc_n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pemb AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+         |pc_v0 AS (SELECT [0.125 FOR i IN range(0, 64)]::DOUBLE[] AS varr,
+         |    0.0 AS lam),
+         |$rounds
+         |SELECT CAST(i.range + 1 AS BIGINT) AS dim,
+         |  round(varr[CAST(i.range + 1 AS INT)], 6) AS pc,
+         |  round(lam, 4) AS lambda
+         |FROM pc_v$TopPcIters, range(0, 64) i
+         |ORDER BY dim""".stripMargin
+    },
     // top-2 centroid sims per vector (one row per (vec, centroid), so
     // rn<=2 IS (a, b)); per-row s micro-quantized into the exact integer
     // half-up mean (see e2Silhouette)

@@ -514,6 +514,79 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == vq.length.toLong)
   }
 
+  test("e2_top_pc: driver power-iteration replica + unit-norm law") {
+    val embs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1).map(_._2)
+    var v = Array.fill(64)(0.125)
+    var lam = 0.0
+    for (_ <- 1 to Similarity.TopPcIters) {
+      val sums = Array.fill(64)(BigInt(0))
+      embs.foreach { x =>
+        val sv = x.indices.foldLeft(0.0)((a, j) => a + x(j) * v(j))
+        x.indices.foreach { j =>
+          sums(j) += BigInt(math.floor(sv * x(j) * 1000000.0 + 0.5).toLong)
+        }
+      }
+      val ssq = sums.map(s0 => s0 * s0).sum
+      val nrm = math.sqrt(ssq.toDouble)
+      v = sums.map(_.toDouble / nrm)
+      lam = nrm / 1000000.0
+    }
+    val rows = Similarity.e2TopPc(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 64)
+    rows.foreach { case (dim, pc, l) =>
+      val exp = BigDecimal(v(dim.toInt - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pc - exp) < 2e-6, s"pc at dim $dim: $pc vs $exp")
+      assert(math.abs(l - lam) < 1e-3, s"lambda $l vs $lam")
+    }
+    // the emitted direction is unit-norm on the 6-dp grid
+    val n2 = rows.map(r => r._2 * r._2).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"norm^2 $n2")
+    assert(rows.head._3 > 0.0, "lambda positive")
+  }
+
+  test("e2_abtt: residual top-1 replica + orthogonality law") {
+    val embs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    // direction from the audited query itself (6-dp is plenty for a
+    // 1e-3 replica check; the oracle is the bitwise pin)
+    val pc = Similarity.e2TopPc(spark, TestSpark.sf0001).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val rows = Similarity.e2Abtt(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def resid(x: Array[Double]) = {
+      val pv = dot(x, pc)
+      x.indices.map(i => x(i) - pv * pc(i)).toArray
+    }
+    // residuals are orthogonal to the direction (to replica precision)
+    embs.values.take(10).foreach { x =>
+      assert(math.abs(dot(resid(x), pc)) < 1e-3)
+    }
+    rows.foreach { case (q, rawNb, abttNb, agree) =>
+      val qv = embs(q)
+      val raw = embs.keys.filter(_ != q)
+        .minBy(o => (-(dot(qv, embs(o)) /
+          (math.sqrt(dot(qv, qv)) * math.sqrt(dot(embs(o), embs(o))))), o))
+      assert(rawNb == raw, s"raw top-1 at q=$q")
+      val qr = resid(qv)
+      val res = embs.keys.filter(_ != q)
+        .minBy { o =>
+          val or = resid(embs(o))
+          (-(dot(qr, or) /
+            (math.sqrt(dot(qr, qr)) * math.sqrt(dot(or, or)))), o)
+        }
+      assert(abttNb == res, s"abtt top-1 at q=$q")
+      assert(agree == (if (rawNb == abttNb) 1L else 0L))
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
