@@ -214,7 +214,9 @@ object ScaleProbe {
       // one broadcast n·k candidate pass + two map-side-combined folds
       "e2_silhouette",
       // three 1-row-broadcast power scans / + two sample × corpus legs
-      "e2_top_pc", "e2_abtt")
+      "e2_top_pc", "e2_abtt",
+      // one posexplode scan folding to 64 keys map-side
+      "e8_dim_stats")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1855,7 +1855,44 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** E8 — per-DIMENSION embedding feature-health profile: for each of
+    * the 64 coordinates, the corpus mean, variance, and exact micro-unit
+    * range — the isotropy/dead-feature table read next to e2_top_pc's λ
+    * (λ says ONE direction dominates; this says WHICH raw coordinates
+    * are degenerate: near-zero variance = dead feature, outsized
+    * variance or shifted mean = the rogue dimension that dominates
+    * unnormalized distance). Exactness: mean and mean-of-squares use
+    * the exact integer half-up microMean identity over scan-side
+    * micro-quantized values (order-independent long sums; the
+    * e2_centroids discipline), min/max are exact micro-unit integers,
+    * and the variance closes over the two identical 4-dp doubles with
+    * one final 4-dp round. Plan at 100 TB: one posexplode scan
+    * partial-combines to 64 keys map-side — only 64 fixed-size rows
+    * ever cross the wire. */
+  def e8DimStats(s: SparkSession, d: String): DataFrame = {
+    def halfUp(sumExpr: String): String =
+      s"""CAST((2 * CAST($sumExpr AS BIGINT) + count(1) * 20000100)
+         |  div (200 * count(1)) - 100000 AS DOUBLE) / 10000.0""".stripMargin
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("xd"))
+      .withColumn("mic", floor(col("xd") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("micsq",
+        floor(col("xd") * col("xd") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        expr(halfUp("sum(mic)")).as("mean"),
+        expr(halfUp("sum(micsq)")).as("m2"),
+        min(col("mic")).as("min_micro"), max(col("mic")).as("max_micro"))
+      .select(col("dim"), col("n"), col("mean"),
+        round(col("m2") - col("mean") * col("mean"), 4).as("variance"),
+        col("min_micro"), col("max_micro"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_dim_stats" -> (e8DimStats _),
     "e9_ppr" -> (e9Ppr _),
     "e8_jsd" -> (e8Jsd _),
     "e8_chi2" -> (e8Chi2 _),
@@ -2322,6 +2359,31 @@ object Analysis {
          |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
          |FROM ds LEFT JOIN intra USING (community) CROSS JOIN mm
          |ORDER BY community""".stripMargin,
+    // per-dim micro-quantized integer half-up means (the centroidCte
+    // arithmetic) + exact micro ranges; variance closes over the two
+    // identical 4-dp doubles (see e8DimStats)
+    "e8_dim_stats" ->
+      """WITH dx AS (SELECT i.range AS dim0,
+        |    CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS xd
+        |  FROM embeddings, range(0, 64) i),
+        |dm AS (SELECT CAST(dim0 + 1 AS BIGINT) AS dim,
+        |    count(*) AS n,
+        |    CAST((2 * CAST(sum(CAST(floor(xd * 1000000.0 + 0.5)
+        |        AS BIGINT)) AS BIGINT)
+        |      + count(*) * 20000100) // (200 * count(*)) - 100000
+        |      AS DOUBLE) / 10000.0 AS mean,
+        |    CAST((2 * CAST(sum(CAST(floor(xd * xd * 1000000.0 + 0.5)
+        |        AS BIGINT)) AS BIGINT)
+        |      + count(*) * 20000100) // (200 * count(*)) - 100000
+        |      AS DOUBLE) / 10000.0 AS m2,
+        |    CAST(min(CAST(floor(xd * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS min_micro,
+        |    CAST(max(CAST(floor(xd * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS max_micro
+        |  FROM dx GROUP BY dim0)
+        |SELECT dim, n, mean, round(m2 - mean * mean, 4) AS variance,
+        |  min_micro, max_micro
+        |FROM dm ORDER BY dim""".stripMargin,
     // e9_pagerank's materialized loop with the uniform base swapped for
     // the seed restart vector (pp-prefixed mix chain over the VERTEX
     // set; see e9Ppr)

@@ -587,6 +587,30 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e8_dim_stats: driver replica of the micro-unit moments") {
+    val embs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    val rows = Analysis.e8DimStats(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 64 && rows.forall(_._2 == embs.length.toLong))
+    def halfUp(sum: Long, n: Long): Double =
+      ((2 * sum + n * 20000100L) / (200 * n) - 100000L).toDouble / 10000.0
+    rows.foreach { case (dim, n, mean, variance, mn, mx) =>
+      val xs = embs.map(_(dim.toInt - 1))
+      val mics = xs.map(x => math.floor(x * 1000000.0 + 0.5).toLong)
+      val sqs = xs.map(x => math.floor(x * x * 1000000.0 + 0.5).toLong)
+      assert(mean == halfUp(mics.sum, n), s"mean at dim $dim")
+      val m2 = halfUp(sqs.sum, n)
+      val v = BigDecimal(m2 - mean * mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(variance == v, s"variance at dim $dim")
+      assert(mn == mics.min && mx == mics.max, s"range at dim $dim")
+      // population variance is non-negative up to the quantization grid
+      assert(variance >= -1e-4, s"negative variance at dim $dim")
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
