@@ -216,7 +216,9 @@ object ScaleProbe {
       // three 1-row-broadcast power scans / + two sample × corpus legs
       "e2_top_pc", "e2_abtt",
       // one posexplode scan folding to 64 keys map-side
-      "e8_dim_stats")
+      "e8_dim_stats",
+      // bounded digests: windows x types rank / per-user min + day fold
+      "e4n_window_topk", "q58_running_distinct")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1198,6 +1198,30 @@ object Relational {
       .orderBy("funnel_level")
   }
 
+  /** Q58 [EXT] — CUMULATIVE DISTINCT USERS by day (the audience-growth
+    * curve): running count of users whose FIRST event is on or before
+    * each day, plus that day's new-user count — the classic "running
+    * distinct" that a naive per-day COUNT(DISTINCT) over a growing
+    * prefix makes quadratic: the first-touch identity (a user counts
+    * exactly once, on their first day) turns it into one user-keyed
+    * min-aggregate plus a cumulative sum over the BOUNDED day digest.
+    * ALL-INTEGER. Plan at scale: the per-user min(first day) partial-
+    * combines map-side (the corpus's event mass folds to |users| rows),
+    * the day fold to |days| rows, and the running sum's single-partition
+    * window runs on that digest only — never on events. */
+  def q58RunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val run = Window.orderBy("first_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("dt"))
+      .groupBy("user_id").agg(min(col("dt")).as("first_day"))
+      .groupBy("first_day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(run))
+      .select(fmtDate(col("first_day")).as("day"), col("new_users"),
+        col("cum_users"))
+      .orderBy("day")
+  }
+
   /** Q54 [EXT] — trailing-7-day revenue per customer via a true RANGE
     * window frame over the integer order-day key: each order row sees
     * the sum/count of its customer's orders in the preceding 7 calendar
@@ -1260,6 +1284,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_running_distinct" -> (q58RunningDistinct _),
     "q57_window_funnel" -> (q57WindowFunnel _),
     "q56_attribution" -> (q56Attribution _),
     "q55_gaps_islands" -> (q55GapsIslands _),
@@ -1344,6 +1369,18 @@ object Relational {
   /** DuckDB oracle SQL for each query (driver runs these over the same
     * parquet files; column names/aliases must match the Spark output). */
   val oracles: Map[String, String] = Map(
+    // first-touch identity: per-user min day, then a cumulative sum over
+    // the bounded day digest (see q58RunningDistinct)
+    "q58_running_distinct" ->
+      """WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |dd AS (SELECT first_day, count(*) AS new_users FROM fu
+        |  GROUP BY first_day)
+        |SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY first_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM dd ORDER BY day""".stripMargin,
     // strict-time-order funnel: conditional range-frame next-step mins,
     // view -> click hop via the (user, next-click-us) equi-join against
     // DISTINCT clicks (see q57WindowFunnel)

@@ -26,6 +26,29 @@ object StreamOps {
         col("event_type"), col("n"), col("total"))
       .orderBy("bucket", "event_type")
 
+  /** E4n — per-window TOP-K "trending" table: the top-3 event types of
+    * every tumbling 6-hour window by count (ties → event_type order) —
+    * the live leaderboard a monitoring stream publishes per window
+    * (e4a gives every bucket×type cell; this is the ranked digest a
+    * dashboard actually renders, and in streaming form it is the
+    * append-mode rank-over-finalized-window pattern: rank AFTER the
+    * watermark closes the window). ALL-INTEGER counts, total order
+    * (count DESC, event_type). Plan at scale: the bucket×type aggregate
+    * partial-combines map-side to a BOUNDED table (windows × types);
+    * the rank window runs on that digest, never on events. */
+  def e4nWindowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("n").desc, col("event_type"))
+    events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("bucket", "rk")
+  }
+
   /** E4a — sliding windows: 1-hour windows every 30 minutes, batch mode.
     * Each event lands in exactly two windows; the oracle materializes both
     * bucket starts per row. */
@@ -581,6 +604,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow()).start()
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e4n_window_topk" -> (e4nWindowTopk _),
     "e4a_tumbling" -> (e4aTumbling _),
     "e4b_sliding" -> (e4bSliding _),
     "e4c_sessions" -> (e4cSessions _),
@@ -616,6 +640,17 @@ object StreamOps {
       Seq("signup", "view", "click", "purchase"), FunnelWindowUs),
     "e4f2_funnel4" -> funnelOracle(Seq("signup", "view", "click", "purchase"),
       FunnelWindowUs, "first_purchase_us"),
+    // 6-hour buckets align epoch/2000-01-01 identically (offset is a
+    // multiple of the bucket width); rank over the bounded digest
+    "e4n_window_topk" ->
+      """WITH wt AS (SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, event_type, n, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT bucket, event_type, n, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY n DESC, event_type) AS rk
+        |  FROM wt)
+        |WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin,
     "e4a_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |  '%Y-%m-%d %H:%M:%S') AS bucket, event_type,

@@ -611,6 +611,56 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q58_running_distinct: first-touch identity replica") {
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val daily = firstDay.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val days = daily.keys.toSeq.sorted
+    val expect = days.zipWithIndex.map { case (day, i) =>
+      (day, daily(day), days.take(i + 1).map(daily).sum)
+    }
+    val rows = Relational.q58RunningDistinct(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == expect)
+    // the curve ends at the total distinct user count
+    assert(rows.last._3 == firstDay.size.toLong)
+  }
+
+  test("e4n_window_topk: per-window rank laws") {
+    val rows = graft.streaming.StreamOps.e4nWindowTopk(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length), s"ranks at $b")
+      assert(byRank.length <= 3)
+      // counts are non-increasing down the ranks; ties broken by type
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2))
+        case _ => ()
+      }
+    }
+    // full replica against the unranked tumbling aggregate
+    val agg = graft.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("window(ts, '6 hours') AS w", "event_type")
+      .groupBy("w", "event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS b",
+        "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = agg.groupBy(_._1).toSeq.flatMap { case (b, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, t, n), i) => (b, t, n, i + 1L) }
+    }.toSet
+    assert(rows.toSet == expect)
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
