@@ -218,7 +218,9 @@ object ScaleProbe {
       // one posexplode scan folding to 64 keys map-side
       "e8_dim_stats",
       // bounded digests: windows x types rank / per-user min + day fold
-      "e4n_window_topk", "q58_running_distinct")
+      "e4n_window_topk", "q58_running_distinct",
+      // pair-table-sized with two id-keyed vector fetch joins
+      "e2_lexical_agreement")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -2592,7 +2592,44 @@ object Similarity {
     v
   }
 
+  /** Embedding-cosine floor below which a lexical near-dup pair is
+    * flagged as an embedding-model miss — interpolated into BOTH
+    * engines; compared on the 4-dp ROUNDED cosine (the RangeTau
+    * rounded-grid discipline). */
+  val LexAgreeTau = 0.5
+
+  /** E2 — LEXICAL ↔ EMBEDDING AGREEMENT: every LSH-verified near-dup
+    * pair (the e1 pair table, Jaccard ≥ 0.2) scored by its EMBEDDING
+    * cosine, with a low_cos flag where the model disagrees with the
+    * lexical ground truth — the cross-modal sanity audit run before
+    * trusting semantic dedup (e2_semdedup) or ANN retrieval on a new
+    * embedding model: lexical near-duplicates are the one label-free
+    * ground truth a corpus carries, and a pair that shares 20%+ of its
+    * shingles but embeds below LexAgreeTau is either a model failure or
+    * a boilerplate artifact — exactly the rows a model-rollout review
+    * reads. Composes the SAME verified pair table as the e9 graph
+    * family (can't-drift) and the house cosine kernel; ALL outputs are
+    * 4-dp-grid values and exact ids. Plan at 100 TB: pair-table-sized —
+    * two id-keyed joins fetch the pair's vectors (the e9 degree-join
+    * shape), cosines are scan-side, nothing corpus-sized shuffles. */
+  def e2LexicalAgreement(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val pairs = graft.ops.Dedup.e1MinhashPairs(s, d)
+    pairs
+      .join(e.select(col("vec_id").as("da"), col("embedding").as("ea"),
+        col("nrm").as("na")), "da")
+      .join(e.select(col("vec_id").as("db"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "db")
+      .withColumn("cos_sim",
+        round(graft.functions.Vectors.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 4))
+      .select(col("da"), col("db"), col("jaccard"), col("cos_sim"),
+        (col("cos_sim") < LexAgreeTau).as("low_cos"))
+      .orderBy("da", "db")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_lexical_agreement" -> (e2LexicalAgreement _),
     "e2_abtt" -> (e2Abtt _),
     "e2_top_pc" -> (e2TopPc _),
     "e2_silhouette" -> (e2Silhouette _),
@@ -3691,6 +3728,19 @@ object Similarity {
       s"""WITH $centroidCte
          |SELECT label, CAST(dim AS INT) AS dim, c, n FROM cend
          |ORDER BY label, dim""".stripMargin,
+    // the verified pair table's jaccard joined to the pair's DOUBLE[]
+    // cosine; floor compares on the rounded grid (see e2LexicalAgreement)
+    "e2_lexical_agreement" ->
+      s"""WITH ${graft.ops.Dedup.minhashCtes},
+         |mhp2 AS MATERIALIZED (SELECT da, db, jaccard FROM mhp)
+         |SELECT m.da, m.db, m.jaccard,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 4) < $LexAgreeTau AS low_cos
+         |FROM mhp2 m JOIN embeddings a ON m.da = a.vec_id
+         |JOIN embeddings b ON m.db = b.vec_id
+         |ORDER BY da, db""".stripMargin,
     // residual legs off the SAME pc_v chain (shared topPcDirection on
     // the Spark side — the can't-drift rule); both top-1s via the house
     // cosine kernel with vec_id tie-break (see e2Abtt)

@@ -661,6 +661,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows.toSet == expect)
   }
 
+  test("e2_lexical_agreement: pair coverage + cosine replica") {
+    val pairs = Dedup.e1MinhashPairs(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val embs = graft.Tables.embeddings(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val rows = Similarity.e2LexicalAgreement(spark, TestSpark.sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    // every verified pair with both vectors present appears exactly once
+    val covered = pairs.keySet.filter { case (a, b) =>
+      embs.contains(a) && embs.contains(b) }
+    assert(rows.keySet == covered)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    rows.foreach { case ((a, b), (j, cos, low)) =>
+      assert(j == pairs((a, b)), s"jaccard at ($a,$b)")
+      val exp = BigDecimal(dot(embs(a), embs(b)) /
+        (math.sqrt(dot(embs(a), embs(a))) * math.sqrt(dot(embs(b), embs(b)))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cos - exp) < 1e-9, s"cosine at ($a,$b)")
+      assert(low == (cos < Similarity.LexAgreeTau), s"flag at ($a,$b)")
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
