@@ -220,7 +220,9 @@ object ScaleProbe {
       // bounded digests: windows x types rank / per-user min + day fold
       "e4n_window_topk", "q58_running_distinct",
       // pair-table-sized with two id-keyed vector fetch joins
-      "e2_lexical_agreement")
+      "e2_lexical_agreement",
+      // two id-only drop sets left-joined onto one corpus scan
+      "e1_hybrid_dedup")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1655,7 +1655,51 @@ object Dedup {
         sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_hot"))
       .orderBy("df_digits")
 
+  /** E1 — HYBRID (lexical ∪ semantic) dedup verdict: per source, how
+    * many documents each detector drops — the LSH/Jaccard pair table's
+    * keep-smaller-id policy vs e2_semdedup's in-cell cosine policy —
+    * their overlap, the UNION the production pipeline actually ships
+    * (lexical catches templates and clones, semantic catches
+    * paraphrases; SemDeDup deploys exactly this pairing), and the kept
+    * token share in basis points. The `both` column is the detector-
+    * REDUNDANCY number: high overlap means the cheap lexical pass
+    * already covers most of what the embedding pass would drop, and the
+    * marginal cost of semantic dedup buys only the difference —
+    * the budget decision this table exists to inform. Composes the two
+    * shipped detectors VERBATIM (shared pair table + e2_semdedup —
+    * can't-drift); ALL-INTEGER. Plan at 100 TB: both drop sets are
+    * id-only (pair-table-sized / n-sized), LEFT-joined onto one corpus
+    * scan; the source fold partial-combines map-side. */
+  def e1HybridDedup(s: SparkSession, d: String): DataFrame = {
+    val lex = minhashPairTable(s, d)
+      .select(col("db").as("doc_id")).distinct()
+      .withColumn("lex", lit(1L))
+    val sem = Similarity.e2Semdedup(s, d)
+      .select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("sem", lit(1L))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(lex, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("source"), col("nt"),
+        coalesce(col("lex"), lit(0L)).as("l"),
+        coalesce(col("sem"), lit(0L)).as("m"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("l")).as("drop_lex"), sum(col("m")).as("drop_sem"),
+        sum(col("l") * col("m")).as("drop_both"),
+        sum(greatest(col("l"), col("m"))).as("drop_union"),
+        sum(col("nt")).as("total_tokens"),
+        sum(when(col("l") + col("m") === 0L, col("nt")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("kept_bp",
+        expr("kept_tokens * 10000 div total_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_hybrid_dedup" -> (e1HybridDedup _),
     "e1_cdc_chunks" -> (e1CdcChunks _),
     "e1_span_dedup" -> (e1SpanDedup _),
     "e1_minhash_accuracy" -> (e1MinhashAccuracy _),
@@ -1940,6 +1984,36 @@ object Dedup {
       |FROM g GROUP BY source)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both detectors' chains verbatim in one WITH (names are disjoint);
+    // drop sets as DISTINCT id CTEs left-joined onto the corpus scan
+    "e1_hybrid_dedup" ->
+      s"""WITH $minhashCtes,
+         |mhp2 AS MATERIALIZED (SELECT da, db FROM mhp),
+         |${Similarity.ivfCtesForHybrid},
+         |hsem AS MATERIALIZED (SELECT DISTINCT a.vec_id AS doc_id
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >=
+         |    ${Similarity.SemDedupTau}),
+         |hlex AS (SELECT DISTINCT db AS doc_id FROM mhp2),
+         |hdoc AS (SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         |    CASE WHEN hlex.doc_id IS NULL THEN 0 ELSE 1 END AS l,
+         |    CASE WHEN hsem.doc_id IS NULL THEN 0 ELSE 1 END AS m
+         |  FROM documents d
+         |  LEFT JOIN hlex ON d.doc_id = hlex.doc_id
+         |  LEFT JOIN hsem ON d.doc_id = hsem.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(l) AS BIGINT) AS drop_lex,
+         |  CAST(sum(m) AS BIGINT) AS drop_sem,
+         |  CAST(sum(l * m) AS BIGINT) AS drop_both,
+         |  CAST(sum(greatest(l, m)) AS BIGINT) AS drop_union,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN l + m = 0 THEN nt ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  CAST(sum(CASE WHEN l + m = 0 THEN nt ELSE 0 END) * 10000
+         |    // sum(nt) AS BIGINT) AS kept_bp
+         |FROM hdoc GROUP BY source ORDER BY source""".stripMargin,
     // per-source novelty over the same rare-shingle chain (the prelude
     // rewrite serves `shing` from its temp table; hot/sh recompute from
     // it, both cheap)

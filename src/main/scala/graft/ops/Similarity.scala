@@ -2750,6 +2750,10 @@ object Similarity {
     * with the same tie-break, then top-1 within the probed cell(s) —
     * build side indexed under its top-1 cell, probe side fanned out to
     * its top-`nProbe` cells. */
+  /** The nProbe=1 IVF chain exposed for the cross-family e1_hybrid_dedup
+    * oracle (Dedup.scala) — same text as every e2 consumer uses. */
+  private[ops] lazy val ivfCtesForHybrid: String = ivfCtes(1)
+
   /** IVF oracle CTE prefix ending in `build` (vec_id, e, cell — every
     * vector under its top-1 cell) and `probe` (top-`nProbe` cells). */
   private def ivfCtes(nProbe: Int): String = {

@@ -686,6 +686,36 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e1_hybrid_dedup: composition laws vs the two detectors") {
+    val sf0 = TestSpark.sf0001
+    val lexDrop = Dedup.minhashPairTable(spark, sf0)
+      .select("db").collect().map(_.getLong(0)).toSet
+    val semDrop = Similarity.e2Semdedup(spark, sf0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, sf0)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS LONG) AS nt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = Dedup.e1HybridDedup(spark, sf0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (n, dl, dm, db0, du, tt, kt, bp) = rows(src)
+      assert(n == ds.length.toLong)
+      assert(dl == ds.count(d => lexDrop(d._1)).toLong, s"lex at $src")
+      assert(dm == ds.count(d => semDrop(d._1)).toLong, s"sem at $src")
+      assert(db0 == ds.count(d => lexDrop(d._1) && semDrop(d._1)).toLong)
+      assert(du == ds.count(d => lexDrop(d._1) || semDrop(d._1)).toLong)
+      // inclusion-exclusion ties the four counts together
+      assert(du == dl + dm - db0, s"inclusion-exclusion at $src")
+      assert(tt == ds.map(_._3).sum)
+      assert(kt == ds.filter(d => !lexDrop(d._1) && !semDrop(d._1))
+        .map(_._3).sum)
+      assert(bp == kt * 10000 / tt)
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
