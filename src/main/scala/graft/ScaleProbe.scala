@@ -222,7 +222,9 @@ object ScaleProbe {
       // pair-table-sized with two id-keyed vector fetch joins
       "e2_lexical_agreement",
       // two id-only drop sets left-joined onto one corpus scan
-      "e1_hybrid_dedup")
+      "e1_hybrid_dedup",
+      // vocab-keyed df/tf aggregates / scan-side gate + 2-key fold
+      "e3_stopwords", "e6_ab_srm")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

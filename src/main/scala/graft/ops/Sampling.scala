@@ -484,7 +484,44 @@ object Sampling {
       .orderBy("fold")
   }
 
+  val AbSalt = 0x2c86f1a95d3e7b04L
+
+  /** 95% critical value of χ² with 1 dof, on the 4-dp grid both engines
+    * emit — interpolated into BOTH. */
+  val SrmCrit4 = 3.8415
+
+  /** E6 — A/B ASSIGNMENT with the SAMPLE-RATIO-MISMATCH guardrail: a
+    * deterministic 50/50 hash split (slot < 50 → 'a') plus the one-dof
+    * χ² against the declared ratio — for a 50/50 split the statistic
+    * collapses exactly to (n_a − n_b)²/n — and the srm verdict at the
+    * 95% critical value. SRM is the first gate every experimentation
+    * platform runs before reading ANY metric: a biased assignment hash,
+    * a variant-specific drop, or a filter applied after assignment all
+    * surface here first, and a triggered SRM invalidates the experiment
+    * regardless of its p-values. The salt is independent of the
+    * sample/split/fold gates, so assignment is uncorrelated with every
+    * other declared membership. Exactness: counts are exact, the
+    * statistic is one double division from exact longs, 4-dp rounded;
+    * the verdict compares the ROUNDED value to the 4-dp critical
+    * constant (the rounded-grid discipline). At the 10¹²-doc domain
+    * (n_a − n_b)² can exceed 2⁶³ only in the all-one-side failure case
+    * the flag exists to catch — the division then lifts to
+    * DECIMAL(38,0) per the e8_gini rule. Plan at 100 TB: scan-side hash
+    * gate + one 2-key map-side-combined aggregate. */
+  def e6AbSrm(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .select(when(slot(col("doc_id"), AbSalt) < 50L, 1L).otherwise(0L)
+        .as("isa"))
+      .agg(sum(col("isa")).as("n_a"),
+        sum(lit(1L) - col("isa")).as("n_b"))
+      .select(col("n_a"), col("n_b"), (col("n_a") - col("n_b")).as("delta"),
+        round(pow((col("n_a") - col("n_b")).cast("double"), 2) /
+          (col("n_a") + col("n_b")).cast("double"), 4).as("chi2"))
+      .withColumn("srm", col("chi2") > SrmCrit4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_ab_srm" -> (e6AbSrm _),
     "e6_group_kfold" -> (e6GroupKfold _),
     "e6_split_leakage" -> (e6SplitLeakage _),
     "e6_kfold" -> (e6Kfold _),
@@ -540,6 +577,26 @@ object Sampling {
          |FROM mhp2 JOIN spl a ON mhp2.da = a.doc_id
          |JOIN spl b ON mhp2.db = b.doc_id
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
+    // 50/50 slot gate off the ab-prefixed splitmix chain; the 1-dof
+    // SRM statistic collapses to (n_a - n_b)^2 / n (see e6AbSrm)
+    "e6_ab_srm" -> {
+      import OracleSql._
+      val saltU = java.lang.Long.toUnsignedString(AbSalt)
+      s"""WITH asr_in AS (SELECT doc_id,
+         |    xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS b0
+         |  FROM documents),
+         |${mixCtes("asr", "b0", "b1", Seq("doc_id"))},
+         |srm_v AS (SELECT CASE WHEN (b1 % CAST(power(2, 63) AS HUGEINT))
+         |    % 100 < 50 THEN 1 ELSE 0 END AS isa FROM asr),
+         |srm_counts AS (SELECT CAST(sum(isa) AS BIGINT) AS n_a,
+         |    CAST(sum(1 - isa) AS BIGINT) AS n_b FROM srm_v)
+         |SELECT n_a, n_b, n_a - n_b AS delta,
+         |  round(pow(CAST(n_a - n_b AS DOUBLE), 2)
+         |    / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
+         |  round(pow(CAST(n_a - n_b AS DOUBLE), 2)
+         |    / CAST(n_a + n_b AS DOUBLE), 4) > $SrmCrit4 AS srm
+         |FROM srm_counts""".stripMargin
     },
     // per-source min-doc-id group key through the gkf-prefixed splitmix
     // chain (the e6_split_leakage prefixing treatment); fold = slot mod K

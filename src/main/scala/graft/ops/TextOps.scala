@@ -1172,7 +1172,48 @@ object TextOps {
       .orderBy("thr_m4")
   }
 
+  /** Document-frequency share (bp) above which a token is induced as a
+    * stopword — interpolated into BOTH engines. */
+  val StopwordDfBp = 6000L
+
+  /** E3 — STOPWORD INDUCTION from document frequency: tokens appearing
+    * in more than StopwordDfBp/10⁴ of documents become the induced
+    * stopword list, emitted with each word's df share and its share of
+    * the total TOKEN mass — the corpus-adaptive replacement for a fixed
+    * English list (multilingual/web corpora violate fixed lists both
+    * ways: "the" may be rare in a code-heavy source while boilerplate
+    * carrier words behave as stopwords). The token-mass column is the
+    * number BM25/TF-IDF indexing actually budgets by: inducing the list
+    * prices exactly how much postings volume the stop filter saves
+    * (read next to e3_postings / e3_bm25, which consume such a list's
+    * complement). ALL-INTEGER shares. Plan at 100 TB: one per-doc
+    * DISTINCT explode partial-combines into the vocab-keyed df
+    * aggregate; the token-mass aggregate reuses the same explode shape;
+    * both marginals broadcast as 1-row folds — vocabulary-bounded,
+    * corpus never shuffles. */
+  def e3Stopwords(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val df = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tot = tf.agg(sum(col("tf")).as("n_tokens"))
+    df.join(tf, "t")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+      .withColumn("df_bp", expr("df * 10000 div n_docs"))
+      .filter(col("df_bp") > StopwordDfBp)
+      .select(col("t").as("stopword"), col("df"), col("df_bp"),
+        col("tf").as("token_count"),
+        expr("tf * 10000 div n_tokens").as("mass_bp"))
+      .orderBy(col("df_bp").desc, col("stopword"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_stopwords" -> (e3Stopwords _),
     "e3_bpe_vocab" -> (e3BpeVocab _),
     "e3_bpe_apply" -> (e3BpeApply _),
     "e3_fertility" -> (e3Fertility _),
@@ -1293,6 +1334,22 @@ object TextOps {
        |FROM r GROUP BY source, shard, pack_id ORDER BY source, pack_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-doc DISTINCT df + raw tf over the same split; integer bp
+    // shares and the bp threshold (see e3Stopwords)
+    "e3_stopwords" ->
+      s"""WITH sdf AS (SELECT t, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |    FROM documents) GROUP BY t),
+         |stf AS (SELECT t, count(*) AS tf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY t),
+         |snd AS (SELECT count(*) AS n_docs FROM documents),
+         |snt AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens FROM stf)
+         |SELECT t AS stopword, df, df * 10000 // n_docs AS df_bp,
+         |  tf AS token_count, tf * 10000 // n_tokens AS mass_bp
+         |FROM sdf JOIN stf USING (t) CROSS JOIN snd CROSS JOIN snt
+         |WHERE df * 10000 // n_docs > $StopwordDfBp
+         |ORDER BY df_bp DESC, stopword""".stripMargin,
     "e3_bpe_vocab" -> {
       val union = (1 to BpeRounds).map { k =>
         s"SELECT CAST($k AS BIGINT) AS rank, a, b, a || b AS merged, n FROM top$k"

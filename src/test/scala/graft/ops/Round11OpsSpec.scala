@@ -716,6 +716,44 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e3_stopwords: df/mass replica + threshold law") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap(_.distinct).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val tf = docs.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTok = tf.values.sum
+    val rows = TextOps.e3Stopwords(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val expectSet = df.filter { case (_, c) =>
+      c * 10000 / nDocs > TextOps.StopwordDfBp }.keySet
+    assert(rows.map(_._1).toSet == expectSet, "induced list")
+    rows.foreach { case (t, d0, dbp, tc, mbp) =>
+      assert(d0 == df(t) && tc == tf(t), s"counts at $t")
+      assert(dbp == df(t) * 10000 / nDocs && mbp == tf(t) * 10000 / nTok)
+    }
+  }
+
+  test("e6_ab_srm: balanced fixture passes; statistic replica") {
+    val ids = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val na = ids.count(id =>
+      ((mix64(id ^ Sampling.AbSalt) & Long.MaxValue) % 100) < 50).toLong
+    val nb = ids.length - na
+    val row = Sampling.e6AbSrm(spark, TestSpark.sf0001).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getLong(2) == na - nb)
+    val chi2 = BigDecimal(math.pow((na - nb).toDouble, 2) / ids.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) == chi2)
+    assert(row.getBoolean(4) == (chi2 > Sampling.SrmCrit4))
+    // a healthy 50/50 hash on the fixture must NOT trigger SRM
+    assert(!row.getBoolean(4), s"SRM triggered on a clean split: $chi2")
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
