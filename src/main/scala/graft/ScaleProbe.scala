@@ -224,7 +224,9 @@ object ScaleProbe {
       // two id-only drop sets left-joined onto one corpus scan
       "e1_hybrid_dedup",
       // vocab-keyed df/tf aggregates / scan-side gate + 2-key fold
-      "e3_stopwords", "e6_ab_srm")
+      "e3_stopwords", "e6_ab_srm",
+      // per-doc window minima + df-capped fingerprint equi-join
+      "e1_winnowing")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -1698,7 +1698,64 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Winnowing knobs — interpolated into BOTH engines. Window w over the
+    * 3-gram hash sequence guarantees any shared run of ≥ w + 2 tokens
+    * yields a shared fingerprint (the winnowing guarantee). */
+  val WinnowW = 4
+  val WinnowTau = 0.2
+  val WinnowDfCap = 64
+
+  /** E1 — WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS algorithm): per document, the minimum 3-gram FNV hash of every
+    * complete w-window over the hash sequence, DISTINCT — a position-
+    * aware fingerprint set ~1/w the size of the full shingle set that
+    * still GUARANTEES detection of any shared token run of length ≥
+    * w + k − 1 (the local-window property random MinHash sampling does
+    * not give: MinHash bounds the Jaccard ESTIMATE, winnowing bounds
+    * which MATCHES survive — the plagiarism/attribution contract).
+    * Pairs are scored by Jaccard over the winnowed sets through the
+    * same df-cap + equi-join discipline as e1_ngram_jaccard /
+    * e5_video_neardup. Exactness: hashes are the native codegen'd FNV
+    * (bit-replicated in SQL), window minima compare SIGNED longs in
+    * both engines, sets are exact. Plan at 100 TB: hashes + window
+    * minima are per-document (partition-parallel window, narrow rows);
+    * only the ~n/w 8-byte fingerprints join, hot fingerprints are
+    * df-capped exactly like hot shingles, and the pair fan-out is
+    * fingerprint-bounded. */
+  def e1Winnowing(s: SparkSession, d: String): DataFrame = {
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p").rowsBetween(0, WinnowW - 1)
+    val fps = documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftext.ngramExpressions
+          .wordShingleHashes(col("text"), 3).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("nh"),
+        posexplode(col("hs")).as(Seq("p", "h")))
+      .withColumn("fp", min(col("h")).over(hw))
+      .filter(col("p") <= col("nh") - WinnowW)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(false)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select("fp")
+    val ff = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val sz = ff.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    ff.as("a")
+      .join(ff.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+        >= WinnowTau)
+      .select(col("da"), col("db"), col("i").as("common_fps"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_winnowing" -> (e1Winnowing _),
     "e1_hybrid_dedup" -> (e1HybridDedup _),
     "e1_cdc_chunks" -> (e1CdcChunks _),
     "e1_span_dedup" -> (e1SpanDedup _),
@@ -1984,6 +2041,48 @@ object Dedup {
       |FROM g GROUP BY source)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // raw FNV 3-gram hashes (the e1_cdc_chunks byte-fold replica, no
+    // mix), SIGNED window minima over complete w-windows, then the
+    // df-capped fingerprint equi-join (see e1Winnowing)
+    "e1_winnowing" -> {
+      import OracleSql._
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |wfh0 AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+         |    list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(range(1, length(g) + 1),
+         |          i2 -> CAST(unicode(substring(g, CAST(i2 AS INT), 1)) AS HUGEINT))),
+         |      (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |                 * 1099511628211) % $M) AS h0
+         |  FROM (SELECT doc_id, i,
+         |      array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+         |    FROM wt, unnest(range(1, len(toks) - 1)) u(i))),
+         |wfh AS (SELECT doc_id, p, ${toSigned("h0")} AS h FROM wfh0),
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, p,
+         |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+         |        AS fp,
+         |      count(*) OVER (PARTITION BY doc_id) AS nh
+         |    FROM wfh)
+         |  WHERE p <= nh - $WinnowW),
+         |whot AS (SELECT fp FROM wfp GROUP BY fp
+         |  HAVING count(*) > $WinnowDfCap),
+         |wff AS (SELECT wfp.doc_id, wfp.fp FROM wfp
+         |  LEFT JOIN whot ON wfp.fp = whot.fp WHERE whot.fp IS NULL),
+         |wsz AS (SELECT doc_id, count(*) AS n FROM wff GROUP BY 1),
+         |wpr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM wff a JOIN wff b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(i AS BIGINT) AS common_fps,
+         |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM wpr JOIN wsz x ON wpr.da = x.doc_id
+         |JOIN wsz y ON wpr.db = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= $WinnowTau
+         |ORDER BY da, db""".stripMargin
+    },
     // both detectors' chains verbatim in one WITH (names are disjoint);
     // drop sets as DISTINCT id CTEs left-joined onto the corpus scan
     "e1_hybrid_dedup" ->

@@ -754,6 +754,52 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(!row.getBoolean(4), s"SRM triggered on a clean split: $chi2")
   }
 
+  test("e1_winnowing: fingerprint replica + the winnowing guarantee") {
+    val sf0 = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver replica of the native FNV 3-gram hashes
+    def fnv(g: String): Long = {
+      var h = 0xcbf29ce484222325L
+      g.getBytes("UTF-8").foreach { b =>
+        h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val fps = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val hs = (0 to toks.length - 3)
+        .map(i => fnv(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+      val w = Dedup.WinnowW
+      val sel = (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      id -> sel
+    }.toMap
+    val df = fps.values.toSeq.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val kept = fps.map { case (id, s0) =>
+      id -> s0.filter(df(_) <= Dedup.WinnowDfCap) }
+    val expect = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a < b
+      i = (sa intersect sb).size if i > 0
+      j = i.toDouble / (sa.size + sb.size - i) if j >= Dedup.WinnowTau
+    } yield (a, b) -> ((i.toLong, BigDecimal(j)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    val rows = Dedup.e1Winnowing(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows == expect)
+    // coverage law of the winnowing guarantee: every document long
+    // enough for one complete window has >= 1 fingerprint, and the
+    // selection is ~1/w the full hash set (never larger)
+    docs.foreach { case (id, text) =>
+      val nTok = text.split(" ", -1).length
+      if (nTok >= Dedup.WinnowW + 2) {
+        assert(fps(id).nonEmpty, s"no fingerprints for doc $id")
+        assert(fps(id).size <= nTok - 2, s"over-selected at doc $id")
+      }
+    }
+  }
+
   test("q55_gaps_islands: driver islands replica on the date grid") {
     val ev = graft.Tables.events(spark, TestSpark.sf0001)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS dt")
