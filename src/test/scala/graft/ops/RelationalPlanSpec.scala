@@ -298,7 +298,11 @@ class RelationalPlanSpec extends AnyFunSuite {
       // reviewed round 9 continuation: decile threshold windows run on
       // the score histogram; the budget-total windows on the
       // |sources|-row fold (Curation.e7AnnealPlan)
-      "e7_anneal_plan" -> "score-histogram + |sources|-row aggregates")
+      "e7_anneal_plan" -> "score-histogram + |sources|-row aggregates",
+      // reviewed round 11: the running sum consumes the per-first-day
+      // digest — bounded by the |days| domain (the per-user min fold
+      // collapses the event mass before the window; q58 Scaladoc)
+      "q58_running_distinct" -> "day-domain first-touch aggregate")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
