@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host-calibration anchor (round 12): bench totals are only
+    * interpretable against the host they ran on — r10→r11 totals moved
+    * +47% on structurally identical plans, and attributing that took a
+    * round of archaeology because the calibration lived in SURVEY prose.
+    * The artifact now carries its own normalization factor: the isolated
+    * median of ONE fixed CPU-bound query (`e3_lm_score` — the r8/r11
+    * precedent; ≈1.0 s on the reference host class, 1.65 s on the r12
+    * host), measured at JVM start under the exact isolation protocol
+    * (warm rep at the warm dir + the measured dir, then median-of-3)
+    * BEFORE the full-run warm loop touches anything else — so it equals
+    * what a fresh-JVM SPARK_GRAFT_ONLY probe of the same query reads.
+    * Cross-round reads should compare total/anchor_s ratios, not raw
+    * totals. Skipped when SPARK_GRAFT_ONLY is set (a probe run IS an
+    * isolated measurement already). */
+  val AnchorQuery = "e3_lm_score"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional comma-separated filter: measure just these queries in an
@@ -18,11 +34,26 @@ object Bench {
     val warmDir =
       if (new java.io.File(warmDir0).isDirectory) warmDir0
       else { System.err.println(s"[bench] warm dir $warmDir0 missing; warming on $sfDir"); sfDir }
+    def run1(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir).count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Anchor FIRST (fresh JVM, nothing else warmed) — see AnchorQuery.
+    val anchorS: Option[Double] =
+      if (only.isDefined) None
+      else {
+        run1(AnchorQuery, warmDir); run1(AnchorQuery, sfDir) // warm reps
+        Some((0 until 3).map(_ => run1(AnchorQuery, sfDir)).sorted.apply(1))
+      }
+    val load1 =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
+      .foreach { case (n, _) => run1(n, warmDir) }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
@@ -59,43 +90,43 @@ object Bench {
     val Reps = 3
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = named.map { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm
-      val ts = (0 until Reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    val results = named.map { case (name, _) =>
+      run1(name, sfDir) // warm
+      val ts = (0 until Reps).map(_ => run1(name, sfDir)).sorted
       name -> ts(Reps / 2)
     }
-    // One JSON line, summary fields LAST and per-query entries sorted by
-    // ASCENDING time: the artifact viewer tails the output, so if the line
-    // is truncated it loses the FRONT — i.e. the cheapest queries, which
-    // carry the least cross-round signal — while the expensive queries and
-    // the totals survive. Times are rounded to 1 ms (measurement noise is
-    // ±20-30%, so sub-ms digits are pure line length); key order and
-    // trailing digits are free to a JSON parser.
     val qs = results.sortBy { case (n, t) => (t, n) }
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Machine-state caveat (round 9, seven full samples in SURVEY §8):
-    // full-run totals vary up to ~30% with BETWEEN-JVM machine state
-    // (59.6-83.3 s on identical plans; the slow draws were diffuse
-    // across every query and clustered in one wall-clock window —
-    // transient host contention, not run order: consecutive samples
-    // usually agree within ~4%). Read totals against a same-window
-    // sample; per-query medians inside one run remain mutually
-    // comparable either way.
-    val line = s"""{"queries":$qs,"n_queries":${results.size},"method":"per-query warm rep + median-of-3 consecutive (query-major); totals vary up to ~30% with machine state, see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    val cpus = Runtime.getRuntime.availableProcessors
+    val anchorFields = anchorS
+      .map(a => f""""anchor_s":$a%.3f,"anchor_q":"$AnchorQuery",""")
+      .getOrElse("")
+    // Compact summary: totals + the normalization context, NO per-query
+    // dict — short enough that no capture window clips it.
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$anchorFields"cpus":$cpus,"load1":$load1%.2f,"sf":"$sfDir","method":"per-query warm rep + median-of-3; divide totals by anchor_s to compare across hosts; full per-query medians in bench_full.json"}"""
+    // Emission order (round-12 verdict task 8): the driver's artifact
+    // capture has clipped BOTH ends of long output before (BENCH_r10 lost
+    // the cheap-query front; BENCH_r11 lost the trailing summary fields),
+    // so the structured summary prints as the FIRST line AND again as the
+    // LAST line, with the full per-query line between them — a single-
+    // sided truncation of any length keeps at least one complete summary.
+    // The full line keeps summary fields last and per-query entries sorted
+    // by ASCENDING time (a front-truncated capture loses the cheapest,
+    // least-signal queries first). Times rounded to 1 ms (noise is
+    // ±20-30%; sub-ms digits are line length, and key order is free to a
+    // JSON parser).
+    val line = s"""{"queries":$qs,"n_queries":${results.size},$anchorFields"cpus":$cpus,"load1":${f"$load1%.2f"},"method":"per-query warm rep + median-of-3 consecutive (query-major); totals vary with host — normalize by anchor_s (isolated fresh-JVM $AnchorQuery median), see SURVEY bench notes","metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(summary)
     println(line)
-    // The driver's artifact viewer tails stdout, truncating the per-query
-    // dict (~70 of 254 parsed from BENCH_r10) — also write the full line
-    // to a file in the repo so every median survives for round-over-round
-    // comparison. Env-overridable so probe runs don't clobber the record.
+    // Full line also goes to a repo file so every median survives for
+    // round-over-round comparison (the driver's capture truncates).
+    // Env-overridable so probe runs don't clobber the record.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    println(summary)
     spark.stop()
   }
 }

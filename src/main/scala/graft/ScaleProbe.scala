@@ -226,7 +226,12 @@ object ScaleProbe {
       // vocab-keyed df/tf aggregates / scan-side gate + 2-key fold
       "e3_stopwords", "e6_ab_srm",
       // per-doc window minima + df-capped fingerprint equi-join
-      "e1_winnowing")
+      "e1_winnowing",
+      // round 12: rerank = the hamming signature scan + a broadcast
+      // id-keyed shortlist fetch (linear, the e2_hamming_ann shape);
+      // dup_ngrams = shingle-keyed df count + the MinHash chain's h-keyed
+      // equi-join folding to per-doc digests (linear in incidences)
+      "e2_hamming_rerank", "e8_dup_ngrams")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

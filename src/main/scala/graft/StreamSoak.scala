@@ -68,12 +68,23 @@ object StreamSoak {
     }
 
     val base = spark.read.parquet(s"$sf/documents.parquet")
-    (0 until n).map(i => base.withColumn("doc_id",
-        col("doc_id") + lit(i.toLong * 10000000L)))
-      .reduce(_.unionByName(_))
-      .withColumn("ingest_ts",
-        expr("timestamp_micros(1706745600000000 + doc_id % 600 * 1000000)"))
-      .repartition(16).write.parquet(src)
+    // Chunked replication (round 12, for the 1000x soak): a single
+    // 1000-branch union blows up plan analysis (the ScaleProbe two-level
+    // lesson), so replicas land in <=100-branch appends. Same rows, same
+    // id offsets; the source just has 16 files per chunk.
+    val chunk = 100
+    var i0 = 0
+    while (i0 < n) {
+      val hi = math.min(i0 + chunk, n)
+      (i0 until hi).map(i => base.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_.unionByName(_))
+        .withColumn("ingest_ts",
+          expr("timestamp_micros(1706745600000000 + doc_id % 600 * 1000000)"))
+        .repartition(16)
+        .write.mode(if (i0 == 0) "overwrite" else "append").parquet(src)
+      i0 = hi
+    }
     val inputRows = spark.read.parquet(src).count()
     val schema = spark.read.parquet(src).schema
 

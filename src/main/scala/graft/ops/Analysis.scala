@@ -291,6 +291,41 @@ object Analysis {
         round(expr("regr_intercept(ln(vocab), ln(n_grams))"), 4).as("ln_k"),
         round(expr("regr_r2(ln(vocab), ln(n_grams))"), 4).as("r2"))
 
+  /** E8 — DUPLICATED-NGRAM incidence per source (the memorization /
+    * train-set-duplication metric of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): over the dedup stack's
+    * per-doc DISTINCT word-3-shingle table, an incidence (doc, shingle)
+    * is DUPLICATED when its shingle occurs in ≥ 2 documents; the table
+    * reports each source's duplicated-incidence share in basis points.
+    * Read next to e1_dup_inflation (EXACT whole-doc dups) and e8_heaps
+    * (vocabulary growth): this is the partial-overlap mass those two
+    * bracket — the signal that tells a curator which source needs
+    * span-level dedup (e1_span_dedup) rather than whole-doc dedup.
+    * Composes Dedup.shingleHashes VERBATIM (the PRE-cap table — hot
+    * shingles are precisely the duplicated mass, so the df cap must not
+    * hide them; the e1_shingle_profile precedent). ALL-INTEGER (exact
+    * df counts, basis points by integer division). Plan at 100 TB: df is
+    * a shingle-keyed count over (doc, h) rows (map-side combined); the
+    * incidence join is the same h-keyed equi-join the MinHash chain
+    * shuffles; incidences then fold to ONE digest row per doc BEFORE the
+    * doc-keyed source fetch, so the documents join carries |docs| rows,
+    * never incidences; the final fold is |sources|-keyed. */
+  def e8DupNgrams(s: SparkSession, d: String): DataFrame = {
+    val inc = Dedup.shingleHashes(s, d)
+    val dfh = inc.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = inc.join(dfh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("di"))
+    perDoc
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("ni")).as("n_inc"), sum(col("di")).as("dup_inc"))
+      .select(col("source"), col("n_inc"), col("dup_inc"),
+        expr("dup_inc * 10000 div n_inc").as("dup_bp"))
+      .orderBy("source")
+  }
+
   /** Collocation thresholds — interpolated into BOTH engines. */
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -1932,6 +1967,7 @@ object Analysis {
     "e8_mad_outliers" -> (e8MadOutliers _),
     "e8_zipf" -> (e8Zipf _),
     "e8_heaps" -> (e8Heaps _),
+    "e8_dup_ngrams" -> (e8DupNgrams _),
     "e8_collocations" -> (e8Collocations _),
     "e8_diversity" -> (e8Diversity _),
     "e8_decay" -> (e8Decay _),
@@ -2811,6 +2847,19 @@ object Analysis {
     // cross-source Heaps fit on word 3-grams: one (source, gram)
     // distinct + gram count per source, then the regression folds
     // |sources| rows to one
+    // same shingle text as the MinHash chain (prelude-accelerated); sums
+    // cast BIGINT (DuckDB sum(BIGINT) widens to HUGEINT)
+    "e8_dup_ngrams" ->
+      s"""WITH ${Dedup.shingleHashCtes},
+         |dfq AS (SELECT h, count(*) AS df FROM shing GROUP BY h),
+         |pdoc AS (SELECT s.doc_id, count(*) AS ni,
+         |    sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS di
+         |  FROM shing s JOIN dfq USING (h) GROUP BY s.doc_id)
+         |SELECT d.source, CAST(sum(pdoc.ni) AS BIGINT) AS n_inc,
+         |  CAST(sum(pdoc.di) AS BIGINT) AS dup_inc,
+         |  CAST(sum(pdoc.di) * 10000 // sum(pdoc.ni) AS BIGINT) AS dup_bp
+         |FROM pdoc JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "e8_heaps" ->
       """WITH g AS (SELECT source,
         |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram

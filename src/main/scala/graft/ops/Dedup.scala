@@ -33,7 +33,7 @@ object Dedup {
           .wordShingleHashes(col("text"), 3)).as("hs"))
       .filter(size(col("hs")) > 0)
 
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashArr(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** Document-frequency cap for the pairwise paths. The co-occurrence join

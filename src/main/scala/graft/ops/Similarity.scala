@@ -535,25 +535,90 @@ object Similarity {
         .mix64(col("vec_id").bitwiseXOR(lit(AnnQuerySalt))).as("m"))
       .orderBy("m", "vec_id").limit(AnnQueryK).select("vec_id")
 
-  /** Exact label-blocked top-k ground truth for the sampled query set —
-    * the shared exact side of every *_sampled audit. Work is
-    * sample × label-block (linear in the corpus); the sampled side is
-    * broadcast so the block join never shuffles the corpus. Columns:
-    * (vec_id, rn, other_id, sim) with sim rounded 4-dp like
-    * e2_cosine_topk. */
-  private def sampledExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
-    val qs = broadcast(sampledQueryIds(s, d))
+  /** Per-(session, corpus) memo of the SHARED exact ground truth the
+    * *_sampled audit family pays (round 12 — previously six audits each
+    * re-ran their own sample × corpus exact pass on every execution:
+    * e2_ann_recall_sampled, e2_recall_at_k_sampled, e2_ann_pareto_sampled,
+    * e2_mips, e2_triplet_mining_sampled, e2_hamming_ann, e2_graph_search,
+    * e2_abtt's raw leg). For the deterministic AnnQueryK query set it holds
+    * the top-3 candidates by (a) global cosine (`cos_g`), (b) cosine within
+    * each label half — same-label and other-label ranked separately
+    * (`cos_l`, kept to the deepest consumer depth — MmrPool/HybridK = 8),
+    * and (c) global raw inner product (`ip_g`): ≤ 64 × 22 rows,
+    * built ONCE per (session, corpus) from TWO sample × corpus scans (the
+    * global cosine top-3 is contained in the union of the two label-half
+    * top-3s, so it re-ranks those ≤6 rows instead of re-scanning; the IP
+    * ordering needs its own scan) and localCheckpoint'd like the dedup
+    * shingle/pair memos. Consumers COMPOSE THIS BUILDER VERBATIM (the
+    * can't-drift rule): filter on `leg` + `rn` + label half, round at their
+    * own precision. sim/ip are UNROUNDED house doubles (index-order
+    * accumulation — bit-identical to what each consumer previously computed
+    * in place: double multiply/divide are commutative bit-exactly, so
+    * operand-order differences between the old in-place legs are
+    * immaterial). Plan: each scan's rank filter pushes down as a partial
+    * WindowGroupLimit, so the exchanges carry per-partition top-3 rows,
+    * never the 64·n candidate set; the query sample is a broadcast
+    * TakeOrdered. Same IMMUTABLE-CORPUS-PATH assumption as pqCodesCache
+    * (see that Scaladoc); [[clearMemos]] drops it. */
+  private val exactTruthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def exactSampleTruth(s: SparkSession, d: String): DataFrame =
+    exactTruthCache.computeIfAbsent((s, d),
+      _ => exactSampleTruthPlan(s, d).localCheckpoint(false))
+
+  /** The un-memoized builder behind [[exactSampleTruth]] — separate so the
+    * plan specs can assert the PRODUCING stage's shape (broadcast sample,
+    * WindowGroupLimit pre-exchange pruning) without racing the memo's
+    * checkpoint materialization. */
+  private[ops] def exactSampleTruthPlan(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("other_id"))
-    broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+    val qs = broadcast(sampledQueryIds(s, d))
+    val pairs = broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
-      // narrow before the rank exchange (the pre-window projection rule)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
-        col("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .withColumn("ip", graft.functions.Vectors.dot(
+        col("a.embedding"), col("b.embedding")))
+      // narrow before the rank exchanges (the pre-window projection rule)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("other_id"), col("b.label").as("other_label"),
+        col("sim"), col("ip"))
+    val wl = Window
+      .partitionBy(col("vec_id"), col("label") === col("other_label"))
+      .orderBy(col("sim").desc, col("other_id"))
+    val wg = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("other_id"))
+    val wip = Window.partitionBy("vec_id")
+      .orderBy(col("ip").desc, col("other_id"))
+    // the label-half legs keep the DEEPEST depth any consumer reads:
+    // MMR's candidate pool and the RRF dense list both take top-MmrPool/
+    // HybridK (= 8), the top-k audits take 3 (computed at call time —
+    // object-val initialization order makes a file-level max val unsafe)
+    val keepK = Seq(3, MmrPool, HybridK).max
+    val cosL = pairs.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") <= keepK)
+    val cosG = cosL.drop("rn").withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= 3)
+    val ipG = pairs.withColumn("rn", row_number().over(wip))
+      .filter(col("rn") <= 3)
+    cosG.withColumn("leg", lit("cos_g"))
+      .unionByName(cosL.withColumn("leg", lit("cos_l")))
+      .unionByName(ipG.withColumn("leg", lit("ip_g")))
+  }
+
+  /** Exact label-blocked top-k ground truth for the sampled query set —
+    * the shared exact side of the label-blocked *_sampled audits, now a
+    * filter over [[exactSampleTruth]] (`cos_l` leg restricted to the
+    * same-label half ranks exactly the a.label === b.label pairs the old
+    * in-place join ranked). Columns: (vec_id, rn, other_id, sim) with sim
+    * rounded 4-dp like e2_cosine_topk. */
+  private def sampledExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k <= Seq(3, MmrPool, HybridK).max,
+      s"memo keeps the label-half top-${Seq(3, MmrPool, HybridK).max}; " +
+        s"deepen exactSampleTruth's keepK before asking for top-$k")
+    exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_l" && col("label") === col("other_label")
+        && col("rn") <= k)
       .select(col("vec_id"), col("rn"), col("other_id"),
         round(col("sim"), 4).as("sim"))
   }
@@ -681,24 +746,16 @@ object Similarity {
     * Round9bOpsSpec. Oracle: DuckDB list_inner_product over DOUBLE[] —
     * the same index-ordered double accumulation as the native
     * dotProduct expression (the e2_cosine_topk bitwise precedent). */
-  def e2Mips(s: SparkSession, d: String): DataFrame = {
-    val qs = broadcast(sampledQueryIds(s, d))
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ip").desc, col("other_id"))
-    broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
-      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("ip",
-        graft.functions.Vectors.dot(col("a.embedding"), col("b.embedding")))
-      // narrow before the rank exchange (the pre-window projection rule)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
-        col("ip"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  def e2Mips(s: SparkSession, d: String): DataFrame =
+    // the `ip_g` leg of the shared exact-truth memo IS this query's whole
+    // computation (round 12): the sample × corpus IP scan runs once per
+    // session instead of once per execution; the plan-shape pins
+    // (broadcast nested-loop, WindowGroupLimit pre-exchange pruning) moved
+    // to the BUILDER's plan in Round9bOpsSpec
+    exactSampleTruth(s, d).filter(col("leg") === "ip_g" && col("rn") <= 3)
       .select(col("vec_id"), asLong(col("rn")).as("rn"),
         col("other_id"), round(col("ip"), 4).as("ip"))
       .orderBy("vec_id", "rn")
-  }
 
   /** Neighborhood size for the label-noise audit — interpolated into
     * both engines. */
@@ -1183,24 +1240,18 @@ object Similarity {
     * full mine is excluded from. Same schema + margin arithmetic as the
     * full variant (exact 1e4 integerizations of the 4-dp rounded sims). */
   def e2TripletMiningSampled(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val qs = broadcast(sampledQueryIds(s, d))
-    val pairs = broadcast(e.join(qs, Seq("vec_id"), "left_semi")).as("a")
-      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("sim", cosine)
-      // narrow before the rank exchanges (the pre-window projection rule)
-      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("other_id"), col("b.label").as("other_label"),
-        col("sim"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("other_id"))
+    // both legs are rank-1 rows of the shared exact-truth memo's `cos_l`
+    // leg (round 12): rank within (query, label-half) over sim desc /
+    // other_id is exactly the per-filtered-set window the in-place legs
+    // computed — the sample × corpus scan runs once per session
+    val m = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_l" && col("rn") === 1)
     def top1(df: DataFrame, idName: String, simName: String): DataFrame =
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("other_id").as(idName),
-          round(col("sim"), 4).as(simName))
-    val pos = top1(pairs.filter(col("label") === col("other_label")),
+      df.select(col("vec_id"), col("other_id").as(idName),
+        round(col("sim"), 4).as(simName))
+    val pos = top1(m.filter(col("label") === col("other_label")),
       "positive_id", "pos_sim")
-    val neg = top1(pairs.filter(col("label") =!= col("other_label")),
+    val neg = top1(m.filter(col("label") =!= col("other_label")),
       "negative_id", "neg_sim")
     pos.join(neg, "vec_id")
       .select(col("vec_id"), col("positive_id"), col("pos_sim"),
@@ -1460,7 +1511,9 @@ object Similarity {
     * corpus counts). The next query rebuilds them; existing DataFrames
     * already handed out stay valid (checkpoint blocks are released by the
     * session's ContextCleaner once unreferenced). */
-  def clearMemos(): Unit = { pqCodesCache.clear(); corpusCount.clear() }
+  def clearMemos(): Unit = {
+    pqCodesCache.clear(); corpusCount.clear(); exactTruthCache.clear()
+  }
 
   private def pqCodeRows(s: SparkSession, d: String): DataFrame =
     // Memoized per (session, corpus) with a LAZY checkpoint, like the dedup
@@ -2297,10 +2350,7 @@ object Similarity {
     * embeddings pack ceil(dims/64) words and sum per-word popcounts
     * (zip_with + aggregate) — same plan shape, k·8 bytes/vector. */
   def e2HammingAnn(s: SparkSession, d: String): DataFrame = {
-    val sigs = embeddings(s, d).select(col("vec_id"),
-      expr("aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> " +
-        "acc + CASE WHEN element_at(embedding, i + 1) > 0.0D " +
-        "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)").as("sgn"))
+    val sigs = signSigs(s, d)
     val qs = broadcast(sampledQueryIds(s, d))
     val qsig = broadcast(sigs.join(qs, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("sgn").as("qsgn")))
@@ -2311,22 +2361,90 @@ object Similarity {
       .groupBy("qid")
       .agg(min(struct(col("h"), col("nb"))).as("m"))
       .select(col("qid"), col("m.nb").as("ham_nb"), col("m.h").as("hamming"))
-    val e = withNorm(embeddings(s, d))
-    val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("nrm").as("qnrm")))
-    val exact = e.join(qe, col("qid") =!= col("vec_id"))
-      .select(col("qid"),
-        (-(graft.functions.Vectors.dot(col("embedding"), col("qemb")) /
-          (col("nrm") * col("qnrm")))).as("ns"),
-        col("vec_id").as("nb"))
-      .groupBy("qid")
-      .agg(min(struct(col("ns"), col("nb"))).as("m"))
-      .select(col("qid"), col("m.nb").as("exact_nb"))
+    // exact global cosine top-1 from the shared exact-truth memo (round
+    // 12): the memo's cos_g rank-1 row is the same min-by-(−sim, id) the
+    // in-place map-side fold picked — one memo scan instead of the
+    // sample × corpus pass per execution
+    val exact = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_g" && col("rn") === 1)
+      .select(col("vec_id").as("qid"), col("other_id").as("exact_nb"))
     ham.join(exact, "qid")
       .select(col("qid").as("vec_id"), col("ham_nb"), col("hamming"),
         col("exact_nb"),
         when(col("ham_nb") === col("exact_nb"), 1L).otherwise(0L).as("hit"))
+      .orderBy("vec_id")
+  }
+
+  /** (vec_id, sgn): the 64-bit sign-binarized signature of every vector
+    * (bit i set iff embedding[i] > 0) — shared by e2_hamming_ann and
+    * e2_hamming_rerank (can't-drift rule: both stages of the binarized
+    * deployment rank the SAME signatures). One scan-side codegen'd pass;
+    * 8 bytes/vector retained. */
+  private def signSigs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> " +
+        "acc + CASE WHEN element_at(embedding, i + 1) > 0.0D " +
+        "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)").as("sgn"))
+
+  /** Shortlist depth for the Hamming→rerank two-stage retrieval —
+    * interpolated into BOTH engines. */
+  val HamRerankC = 8
+
+  /** E2 — HAMMING-SHORTLIST → EXACT RERANK: the two-stage deployment
+    * e2_hamming_ann's Scaladoc promises (binarized filter → full-precision
+    * rerank, the e2_pq_rerank pattern at 8 bytes/vector): for each sampled
+    * query, the HamRerankC nearest signatures by popcount(xor) (ties →
+    * lower vec_id) are re-scored by exact raw cosine, and the reranked
+    * top-1 is scored against the exact global top-1 (the shared
+    * exactSampleTruth memo). Read next to e2_hamming_ann: that table says
+    * whether 1 bit/dim finds the true neighbor ALONE (top-1), this one
+    * says whether it lands the true neighbor anywhere in an 8-deep
+    * shortlist a cheap rerank can recover — the number that actually
+    * sizes a binarized index's rerank depth. Per query, hit here is ≥
+    * e2_hamming_ann's hit BY CONSTRUCTION (if the rank-1 signature is the
+    * true neighbor, it is in the shortlist and wins the cosine rerank) —
+    * the reconciliation law Round12OpsSpec pins. Exactness: all-integer
+    * Hamming ranking; rerank cosines are the house index-order doubles,
+    * 4-dp rounded at the edge; both tie-breaks on vec_id. Plan at 100 TB:
+    * one signature scan against the broadcast query signatures with the
+    * rank filter pushed as a partial WindowGroupLimit (per-partition top-C
+    * rows cross the wire, never sample × corpus); the ≤ sample·C shortlist
+    * then BROADCASTS into an id-keyed fetch of raw vectors (corpus never
+    * shuffles); the exact baseline is one memo scan. */
+  def e2HammingRerank(s: SparkSession, d: String): DataFrame = {
+    val sigs = signSigs(s, d)
+    val qs = broadcast(sampledQueryIds(s, d))
+    val qsig = broadcast(sigs.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("sgn").as("qsgn")))
+    val wh = Window.partitionBy("qid").orderBy(col("h"), col("nb"))
+    val shortlist = sigs.join(qsig, col("qid") =!= col("vec_id"))
+      .select(col("qid"),
+        bit_count(col("sgn").bitwiseXOR(col("qsgn"))).cast("long").as("h"),
+        col("vec_id").as("nb"))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("rn") <= HamRerankC)
+      .select(col("qid"), col("nb"))
+    val e = withNorm(embeddings(s, d))
+    val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm")))
+    val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("nb"))
+    val rr = e.select(col("vec_id").as("nb"), col("embedding"), col("nrm"))
+      .join(broadcast(shortlist), "nb")
+      .join(qe, "qid")
+      .select(col("qid"), col("nb"),
+        (graft.functions.Vectors.dot(col("embedding"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("qid"), col("nb").as("rr_nb"),
+        round(col("sim"), 4).as("rr_sim"))
+    val exact = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_g" && col("rn") === 1)
+      .select(col("vec_id").as("qid"), col("other_id").as("exact_nb"))
+    rr.join(exact, "qid")
+      .select(col("qid").as("vec_id"), col("rr_nb"), col("rr_sim"),
+        col("exact_nb"),
+        when(col("rr_nb") === col("exact_nb"), 1L).otherwise(0L).as("hit"))
       .orderBy("vec_id")
   }
 
@@ -2412,12 +2530,12 @@ object Similarity {
             when(col("ncur") =!= col("cur"), 1L).otherwise(0L)).as("hops"))
         .withColumnRenamed("ncur2", "cur").withColumnRenamed("nsim2", "sim")
     }
-    val exact = cvec.join(qe, col("qid") =!= col("cid"))
-      .select(col("qid"),
-        (-qsim(col("cemb"), col("cnrm"))).as("ns"), col("cid").as("nb"))
-      .groupBy("qid")
-      .agg(min(struct(col("ns"), col("nb"))).as("m"))
-      .select(col("qid"), col("m.nb").as("exact_nb"))
+    // exact global cosine top-1 from the shared exact-truth memo (round
+    // 12) — the walk's own state/edge plumbing is untouched; only the
+    // baseline leg stops re-paying the sample × corpus scan
+    val exact = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_g" && col("rn") === 1)
+      .select(col("vec_id").as("qid"), col("other_id").as("exact_nb"))
     st.join(exact, "qid")
       .select(col("qid").as("vec_id"), col("cur").as("final_nb"),
         round(col("sim"), 4).as("sim"), col("hops"), col("exact_nb"),
@@ -2544,8 +2662,14 @@ object Similarity {
         .groupBy("qid")
         .agg(min(struct(col("ns"), col("nb"))).as("m"))
         .select(col("qid"), col("m.nb"))
-    val raw = top1("ed", "qed", "en", "qen")
-      .withColumnRenamed("nb", "raw_nb")
+    // RAW leg (round 12): the raw-embedding global top-1 IS the shared
+    // exact-truth memo's cos_g row (the double-cast zip_with dot here and
+    // the native float dot there widen per-element and accumulate in the
+    // same index order — bit-identical doubles), so only the RESIDUAL leg
+    // still pays a sample × corpus scan; this roughly halves the audit
+    val raw = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_g" && col("rn") === 1)
+      .select(col("vec_id").as("qid"), col("other_id").as("raw_nb"))
     val res = top1("rd", "qrd", "rn", "qrn")
       .withColumnRenamed("nb", "abtt_nb")
     raw.join(res, "qid")
@@ -2635,6 +2759,7 @@ object Similarity {
     "e2_silhouette" -> (e2Silhouette _),
     "e2_graph_search" -> (e2GraphSearch _),
     "e2_hamming_ann" -> (e2HammingAnn _),
+    "e2_hamming_rerank" -> (e2HammingRerank _),
     "e2_sq8_recall" -> (e2Sq8Recall _),
     "e2_sq8" -> (e2Sq8 _),
     "e2_ann_filtered" -> (e2AnnFiltered _),
@@ -2874,6 +2999,35 @@ object Similarity {
        |  FROM carr c, dta d WHERE c.vec_id <> d.qid)""".stripMargin
   }
 
+  /** Per-(query, other) Hamming distances over unrolled sign bits —
+    * shared by the e2_hamming_ann and e2_hamming_rerank oracles (the two
+    * stages of the binarized deployment rank the SAME signatures).
+    * Requires qselCtes. Produces `hm` (qid, oid, ham). */
+  private def hamCtes: String =
+    """hbits AS (SELECT vec_id, i,
+      |    CASE WHEN x > 0 THEN 1 ELSE 0 END AS b
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |      unnest(range(len(embedding))) AS i FROM embeddings)),
+      |hq AS (SELECT hbits.* FROM hbits JOIN qsel USING (vec_id)),
+      |hm AS (SELECT hq.vec_id AS qid, o.vec_id AS oid,
+      |    sum(CASE WHEN hq.b <> o.b THEN 1 ELSE 0 END) AS ham
+      |  FROM hq JOIN hbits o ON hq.i = o.i AND hq.vec_id <> o.vec_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact global DOUBLE[] cosine top-1 for the sampled query set with
+    * the house tie-break — the oracle twin of the exactSampleTruth memo's
+    * cos_g leg. Requires qselCtes. Produces `he` (qid, exact_nb). */
+  private def exactTop1Ctes: String =
+    """hx AS (SELECT a.vec_id AS qid, b.vec_id AS oid,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings a JOIN qsel ON a.vec_id = qsel.vec_id
+      |  JOIN embeddings b ON b.vec_id <> a.vec_id),
+      |he AS (SELECT qid, oid AS exact_nb
+      |  FROM (SELECT qid, oid, row_number() OVER (
+      |      PARTITION BY qid ORDER BY sim DESC, oid) AS rn FROM hx)
+      |  WHERE rn = 1)""".stripMargin
+
   private def pqSearchOracle: String =
     s"""WITH $adCtes
        |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(adist, 4) AS adist
@@ -2954,32 +3108,39 @@ object Similarity {
     // global DOUBLE[] cosine top-1 with the house tie-break
     "e2_hamming_ann" ->
       s"""WITH $qselCtes,
-         |hbits AS (SELECT vec_id, i,
-         |    CASE WHEN x > 0 THEN 1 ELSE 0 END AS b
-         |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-         |      unnest(range(len(embedding))) AS i FROM embeddings)),
-         |hq AS (SELECT hbits.* FROM hbits JOIN qsel USING (vec_id)),
-         |hm AS (SELECT hq.vec_id AS qid, o.vec_id AS oid,
-         |    sum(CASE WHEN hq.b <> o.b THEN 1 ELSE 0 END) AS ham
-         |  FROM hq JOIN hbits o ON hq.i = o.i AND hq.vec_id <> o.vec_id
-         |  GROUP BY 1, 2),
+         |$hamCtes,
          |hb AS (SELECT qid, oid AS ham_nb, CAST(ham AS BIGINT) AS hamming
          |  FROM (SELECT qid, oid, ham, row_number() OVER (
          |      PARTITION BY qid ORDER BY ham, oid) AS rn FROM hm)
          |  WHERE rn = 1),
-         |hx AS (SELECT a.vec_id AS qid, b.vec_id AS oid,
-         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-         |      CAST(b.embedding AS DOUBLE[])) AS sim
-         |  FROM embeddings a JOIN qsel ON a.vec_id = qsel.vec_id
-         |  JOIN embeddings b ON b.vec_id <> a.vec_id),
-         |he AS (SELECT qid, oid AS exact_nb
-         |  FROM (SELECT qid, oid, row_number() OVER (
-         |      PARTITION BY qid ORDER BY sim DESC, oid) AS rn FROM hx)
-         |  WHERE rn = 1)
+         |$exactTop1Ctes
          |SELECT hb.qid AS vec_id, ham_nb, hamming, exact_nb,
          |  CAST(CASE WHEN ham_nb = exact_nb THEN 1 ELSE 0 END AS BIGINT)
          |    AS hit
          |FROM hb JOIN he USING (qid) ORDER BY vec_id""".stripMargin,
+    // top-HamRerankC Hamming shortlist re-scored by exact DOUBLE[]
+    // cosine; same shared ham / exact-top-1 CTE text as e2_hamming_ann
+    // (can't-drift)
+    "e2_hamming_rerank" ->
+      s"""WITH $qselCtes,
+         |$hamCtes,
+         |hsl AS (SELECT qid, oid FROM (SELECT qid, oid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY ham, oid) AS rn FROM hm)
+         |  WHERE rn <= $HamRerankC),
+         |rr0 AS (SELECT hsl.qid, hsl.oid,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM hsl JOIN embeddings a ON hsl.qid = a.vec_id
+         |  JOIN embeddings b ON hsl.oid = b.vec_id),
+         |rr AS (SELECT qid, oid AS rr_nb, round(sim, 4) AS rr_sim
+         |  FROM (SELECT qid, oid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, oid) AS rn FROM rr0)
+         |  WHERE rn = 1),
+         |$exactTop1Ctes
+         |SELECT rr.qid AS vec_id, rr_nb, rr_sim, exact_nb,
+         |  CAST(CASE WHEN rr_nb = exact_nb THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit
+         |FROM rr JOIN he USING (qid) ORDER BY vec_id""".stripMargin,
     "e2_sq8" ->
       """WITH c AS (SELECT CAST(i.range AS INT) AS dim,
         |    CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x

@@ -366,16 +366,20 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum < total)
   }
 
-  test("e2_mips: the 64-query sample rides a broadcast nested-loop; pairs are rank-pruned before the exchange") {
+  test("exact-truth builder: the 64-query sample rides a broadcast nested-loop; pairs are rank-pruned before the exchange") {
+    // round 12: e2_mips (and the other *_sampled exact legs) consume the
+    // shared exactSampleTruth memo, so the plan-shape pins live on the
+    // BUILDER's un-memoized plan
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = finalPlan(Similarity.e2Mips(spark, TestSpark.sf0001))
+      val plan = finalPlan(
+        Similarity.exactSampleTruthPlan(spark, TestSpark.sf0001))
       // with auto-broadcast OFF, the nested-loop broadcast is OURS: the
       // corpus side streams, only the fixed-size sample is replicated
       assert(plan.contains("BroadcastNestedLoopJoin"),
         s"sample side should broadcast into a nested loop:\n${plan.take(2000)}")
-      // the top-3 window prunes each input partition to <= 3 rows per
+      // the top-3 windows prune each input partition to <= 3 rows per
       // query BEFORE the rank exchange (WindowGroupLimit), so the shuffle
       // carries O(sample * partitions) rows, never sample x corpus
       assert(plan.contains("WindowGroupLimit"),
@@ -384,6 +388,12 @@ class Round9bOpsSpec extends AnyFunSuite {
       assert(plan.contains("TakeOrderedAndProject"),
         "fixed-size sample should be TakeOrdered")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("e2_mips: consumes the checkpointed exact-truth memo, not a fresh corpus pass") {
+    val plan = finalPlan(Similarity.e2Mips(spark, TestSpark.sf0001))
+    assert(plan.contains("ExistingRDD"),
+      s"mips should scan the exactSampleTruth memo:\n${plan.take(2000)}")
   }
 
   test("e2_label_noise: counts match a driver global-kNN recompute; suspect law holds") {
