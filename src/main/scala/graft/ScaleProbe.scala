@@ -231,7 +231,14 @@ object ScaleProbe {
       // id-keyed shortlist fetch (linear, the e2_hamming_ann shape);
       // dup_ngrams = shingle-keyed df count + the MinHash chain's h-keyed
       // equi-join folding to per-doc digests (linear in incidences)
-      "e2_hamming_rerank", "e8_dup_ngrams")
+      "e2_hamming_rerank", "e8_dup_ngrams",
+      // round 12 continuation: adamic_adar shares link_pred_knn's
+      // wedge-join bound; recall_per_query is the sampled audit minus
+      // its fold; burstiness/percent_rank fold to bounded digests
+      // (types×days / 5×10 keys); aspect_buckets is scan-side metadata
+      // arithmetic into a ≤16-key aggregate
+      "e9_adamic_adar", "e2_recall_per_query", "e8_burstiness",
+      "q59_percent_rank", "e5_aspect_buckets")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

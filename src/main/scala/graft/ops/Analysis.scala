@@ -740,6 +740,37 @@ object Analysis {
       .orderBy("event_type")
   }
 
+  /** E8 — traffic BURSTINESS per event type: the Fano factor
+    * (variance-to-mean ratio) of per-day event counts — the standard
+    * dispersion screen for arrival processes (Fano, Phys. Rev. 72,
+    * 1947; used on event streams to separate Poisson-like organic
+    * traffic, F ≈ 1, from bursty bot/batch traffic, F ≫ 1, and from
+    * rate-limited/templated feeds, F ≪ 1). Read next to e8_seasonality
+    * (periodic structure) and e8_autocorr (serial structure): this is
+    * the marginal-dispersion cell of that monitor family, and the one
+    * that fires on aperiodic bursts both of them miss. Exactness: daily
+    * counts are integers, so n·Σc² − (Σc)² and n·Σc are exact long
+    * arithmetic; the single double division rounds at 4 dp. Plan at
+    * 100 TB: the (type, day) count partial-combines map-side to a
+    * types×days-bounded digest; the per-type fold runs on that digest,
+    * never on events. */
+  def e8Burstiness(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(asLong(count(lit(1))).as("n_days"), sum(col("c")).as("n_events"),
+        max(col("c")).as("peak_day"), min(col("c")).as("trough_day"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("peak_day"), col("trough_day"),
+        round(col("n_events") / col("n_days").cast("double"), 4)
+          .as("mean_per_day"),
+        round((col("n_days") * col("ss") - col("n_events") * col("n_events"))
+          / (col("n_days") * col("n_events")).cast("double"), 4).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** E8 — Benford leading-digit analysis of `o_totalprice`: observed
     * first-digit shares against Benford's log₁₀(1+1/d) expectation — the
     * classic forensic screen for fabricated or template-generated numeric
@@ -1944,6 +1975,7 @@ object Analysis {
     "e8_cusum" -> (e8Cusum _),
     "e8_freshness" -> (e8Freshness _),
     "e8_autocorr" -> (e8Autocorr _),
+    "e8_burstiness" -> (e8Burstiness _),
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_label_prop" -> (e9LabelProp _),
@@ -2252,6 +2284,23 @@ object Analysis {
         |  round(n / CAST(t AS DOUBLE)
         |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS dev
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // integer daily counts → exact long quadratic form; one double
+    // division rounds at 4 dp (sums CAST BIGINT out of DuckDB's HUGEINT
+    // widening before the arithmetic so both engines fold in long space)
+    "e8_burstiness" ->
+      """WITH bday AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(max(c) AS BIGINT) AS peak_day,
+        |  CAST(min(c) AS BIGINT) AS trough_day,
+        |  round(CAST(sum(c) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+        |    AS mean_per_day,
+        |  round((count(*) * CAST(sum(c * c) AS BIGINT)
+        |      - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+        |    / CAST(count(*) * CAST(sum(c) AS BIGINT) AS DOUBLE), 4) AS fano
+        |FROM bday GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e8_autocorr" ->
       // n·x_t − S keeps the centered terms exact longs; one double
       // division per lag at the very end (same micro-unit discipline as

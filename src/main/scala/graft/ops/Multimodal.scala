@@ -547,8 +547,44 @@ object Multimodal {
       .orderBy("source", "archive_id")
   }
 
+  /** E5 — ASPECT-RATIO BUCKETING for image training (the NovelAI/SDXL
+    * recipe: group images by aspect ratio and resize each bucket to a
+    * shared target shape of roughly constant AREA, so batches stack
+    * without crop-induced composition loss): blobs bucket by their
+    * metadata aspect in exact QUARTER units (width·4 div height — the
+    * fixture's 16px-step widths over a 64px height make this a lossless
+    * integerization), each bucket gets the 8-aligned target dims that
+    * keep ≈ the 64×64 reference area at the bucket's aspect, and the
+    * manifest reports per-bucket image count, source/target pixel mass,
+    * and the shrink ratio in basis points. The only double is
+    * sqrt(16384/aq) on identical small integers (correctly-rounded IEEE
+    * in both engines), floored into the 8-grid immediately. Plan at
+    * 100 TB: pure scan-side arithmetic on metadata (blobs are never
+    * touched — the e5_storage_plan rule) folding into a ≤16-key
+    * map-side-combined aggregate; the resize itself is the
+    * e5_blob_features mapPartitions stage, priced there. */
+  def e5AspectBuckets(s: SparkSession, d: String): DataFrame = {
+    withBlobs(s, d).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("aq", expr("w * 4 div h"))
+      .withColumn("tgt_h",
+        expr("CAST(floor(sqrt(16384.0 / aq)) AS BIGINT) div 8 * 8"))
+      .withColumn("tgt_w", expr("aq * tgt_h div 4 div 8 * 8"))
+      .groupBy("aq", "tgt_w", "tgt_h")
+      .agg(count(lit(1)).as("n_images"),
+        sum(expr("w * h")).as("src_pixels"),
+        sum(expr("tgt_w * tgt_h")).as("tgt_pixels"))
+      .select(col("aq").as("aspect_q4"), col("tgt_w"), col("tgt_h"),
+        col("n_images"), col("src_pixels"), col("tgt_pixels"),
+        expr("(src_pixels - tgt_pixels) * 10000 div src_pixels")
+          .as("shrink_bp"))
+      .orderBy("aspect_q4")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e5_storage_plan" -> (e5StoragePlan _),
+    "e5_aspect_buckets" -> (e5AspectBuckets _),
     "e5_blob_dedup" -> (e5BlobDedup _),
     "e5_blob_features" -> (e5BlobFeatures _),
     "e5_frame_sample" -> (e5FrameSample _),
@@ -628,6 +664,26 @@ object Multimodal {
          |  CAST(max(doc_id) AS BIGINT) AS last_doc
          |FROM aid GROUP BY 1, 2 ORDER BY source, archive_id""".stripMargin
     },
+    // metadata-only arithmetic (the blob never decodes); aspect in exact
+    // quarter units, target dims floored onto the 8-grid from
+    // sqrt(16384/aq) over identical small integers
+    "e5_aspect_buckets" ->
+      """WITH ab AS (SELECT doc_id,
+        |    CAST(64 + (doc_id % 16) * 16 AS BIGINT) AS w,
+        |    CAST(64 AS BIGINT) AS h FROM documents),
+        |ab2 AS (SELECT doc_id, w, h, w * 4 // h AS aq FROM ab),
+        |ab3 AS (SELECT doc_id, w, h, aq,
+        |    CAST(floor(sqrt(16384.0 / aq)) AS BIGINT) // 8 * 8 AS tgt_h
+        |  FROM ab2),
+        |ab4 AS (SELECT doc_id, w, h, aq, tgt_h,
+        |    aq * tgt_h // 4 // 8 * 8 AS tgt_w FROM ab3)
+        |SELECT aq AS aspect_q4, tgt_w, tgt_h,
+        |  CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(sum(w * h) AS BIGINT) AS src_pixels,
+        |  CAST(sum(tgt_w * tgt_h) AS BIGINT) AS tgt_pixels,
+        |  CAST(sum(w * h) - sum(tgt_w * tgt_h) AS BIGINT) * 10000
+        |    // CAST(sum(w * h) AS BIGINT) AS shrink_bp
+        |FROM ab4 GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "e5_audio_segments" ->
       s"""WITH w AS (SELECT doc_id, text,
          |  unnest(range(0, 1 + (length(text) - 1) // $AudioWin)) AS wid

@@ -1222,6 +1222,42 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Q59 [EXT] — relative-standing windows (percent_rank / cume_dist)
+    * folded to a decile profile: where each order's total price sits
+    * WITHIN its priority class, summarized as a 10-bucket histogram with
+    * the bucket's percent_rank floor and cume_dist ceiling — the "is
+    * this class price-skewed vs the others" table, and the two ranking
+    * functions the window surface (q17 rank, q33 ntile, q44
+    * distribution) didn't yet declare. Exactness: the bucket is computed
+    * in INTEGER space from rank() over exact cents — (rk−1)·10 div
+    * (n−1) — so no double ever picks a bucket; the reported
+    * percent_rank/cume_dist doubles divide identical integers in both
+    * engines (the e8_autocorr discipline) and round at 4 dp. Ties take
+    * the same rank, hence the same bucket, in both engines. Plan at
+    * 100 TB: one exchange on the 5-key priority column (skew-safe: the
+    * classes are uniform) serves rank, both distribution functions, and
+    * the partition count; the decile fold partial-combines to ≤ 50
+    * rows. */
+  def q59PercentRank(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("o_orderpriority").orderBy("cents")
+    val wAll = Window.partitionBy("o_orderpriority")
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rk", rank().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("pr", percent_rank().over(wOrd))
+      .withColumn("cd", cume_dist().over(wOrd))
+      .withColumn("pr_bucket",
+        least(lit(9L), expr("(rk - 1) * 10 div greatest(n - 1, 1)")))
+      .groupBy("o_orderpriority", "pr_bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("pr")), 4).as("pr_lo"),
+        round(max(col("cd")), 4).as("cd_hi"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("o_orderpriority", "pr_bucket")
+  }
+
   /** Q54 [EXT] — trailing-7-day revenue per customer via a true RANGE
     * window frame over the integer order-day key: each order row sees
     * the sum/count of its customer's orders in the preceding 7 calendar
@@ -1289,6 +1325,7 @@ object Relational {
     "q56_attribution" -> (q56Attribution _),
     "q55_gaps_islands" -> (q55GapsIslands _),
     "q54_range_frame" -> (q54RangeFrame _),
+    "q59_percent_rank" -> (q59PercentRank _),
     "q53_sessionize" -> (q53Sessionize _),
     "q51_lateral" -> (q51Lateral _),
     "q52_date_spine" -> (q52DateSpine _),
@@ -1371,6 +1408,25 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // first-touch identity: per-user min day, then a cumulative sum over
     // the bounded day digest (see q58RunningDistinct)
+    // bucket picked in integer rank space ((rk-1)*10 // (n-1)); the
+    // reported percent_rank/cume_dist doubles divide identical integers
+    "q59_percent_rank" ->
+      """WITH po AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |pw AS (SELECT o_orderpriority, cents,
+        |    rank() OVER w AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM po WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)),
+        |pb AS (SELECT pw.*, least(9, (rk - 1) * 10 // greatest(n - 1, 1))
+        |    AS pr_bucket FROM pw)
+        |SELECT o_orderpriority, CAST(pr_bucket AS BIGINT) AS pr_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(min(pr), 4) AS pr_lo, round(max(cd), 4) AS cd_hi,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM pb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q58_running_distinct" ->
       """WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
         |  FROM events GROUP BY user_id),

@@ -1170,6 +1170,99 @@ object Similarity {
       .limit(KnnLinkPredK)
   }
 
+  /** Exact micro-unit Adamic–Adar weights for every degree a common
+    * neighbor can have in the mutual-kNN graph: mutuality gives z an edge
+    * to BOTH wedge endpoints (deg ≥ 2) and the out-degree cap bounds it
+    * at KnnGraphK, so the whole weight domain is this tiny table.
+    * Computed ONCE here and interpolated as integer LITERALS into both
+    * engines — no ln() ever crosses an engine boundary (libm vs
+    * java.lang.Math last-ulp drift is the risk class the house
+    * integerization discipline exists for). */
+  private[ops] val AdamicAdarMicro: Seq[(Int, Long)] =
+    (2 to KnnGraphK).map(k =>
+      k -> math.floor(1e6 / math.log(k.toDouble) + 0.5).toLong)
+
+  private def aaWeightCase: String =
+    AdamicAdarMicro.map { case (k, w) => s"WHEN $k THEN $w" }
+      .mkString("CASE zdeg ", " ", " ELSE 0 END")
+
+  /** E9 — ADAMIC–ADAR link prediction over the mutual-kNN embedding
+    * graph: e9_link_pred_knn's candidate generator (non-adjacent two-hop
+    * pairs) with the AA scorer Σ_z 1/ln(deg z) instead of common-neighbor
+    * Jaccard — the standard refinement (Adamic & Adar, "Friends and
+    * neighbors on the Web", Soc. Networks 25, 2003) that discounts
+    * common neighbors by how promiscuous they are: a hub shared with
+    * everyone says little, a low-degree shared neighbor is strong
+    * evidence. Ranked side by side with the Jaccard list this is the
+    * link-prediction scoreboard a retrieval-recall-repair pipeline
+    * actually tunes on. Exactness: weights are the [[AdamicAdarMicro]]
+    * integer micro-units summed as longs (order-independent; no float
+    * sum and no engine-side ln). Plan at 100 TB: identical to
+    * e9_link_pred_knn — the wedge join is ≤ n·K² rows over the
+    * checkpointed ≤ n·K mutual edge list, the weight attaches by one
+    * narrow id-keyed join against the ≤ n-row degree table before the
+    * (a,b) fold, and the fixed-K output is TakeOrderedAndProject. */
+  def e9AdamicAdar(s: SparkSession, d: String): DataFrame = {
+    // checkpointed for the same 4-reference reason as e9_link_pred_knn
+    val mut = knnEdges(s, d)._2.localCheckpoint(true)
+    val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
+    val wedges = mut.as("e1")
+      .join(mut.as("e2"),
+        col("e1.other_id") === col("e2.vec_id") &&
+          col("e1.vec_id") < col("e2.other_id"))
+      .select(col("e1.vec_id").as("vec_a"), col("e2.other_id").as("vec_b"),
+        col("e1.other_id").as("z"))
+      .join(deg.select(col("id").as("z"), col("deg").as("zdeg")), "z")
+    val cn = wedges
+      .groupBy("vec_a", "vec_b")
+      .agg(count(lit(1)).as("common"),
+        sum(expr(aaWeightCase)).as("aa_micro"))
+    val cand = cn.join(mut,
+      col("vec_a") === col("vec_id") && col("vec_b") === col("other_id"),
+      "left_anti")
+    cand
+      .join(deg.as("d1"), col("vec_a") === col("d1.id"))
+      .join(deg.as("d2"), col("vec_b") === col("d2.id"))
+      .select(col("vec_a"), col("vec_b"), col("common"), col("aa_micro"),
+        col("d1.deg").as("deg_a"), col("d2.deg").as("deg_b"))
+      .orderBy(col("aa_micro").desc, col("common").desc, col("vec_a"),
+        col("vec_b"))
+      .limit(KnnLinkPredK)
+  }
+
+  /** E2 — the PER-QUERY drill-down of e2_ann_recall_sampled: one row per
+    * sampled query with the IVF answer, the exact label-blocked answer,
+    * the hit bit, and the similarity GAP in integer basis points — the
+    * table you read when the aggregate recall moves and you need to know
+    * WHICH queries the index lost and by how much (recall is a
+    * distribution, not a mean; the tail queries are where an ANN
+    * deployment gets paged). Exactness: both sims are 4-dp rounded
+    * before the exact 1e4 integerization, so the gap never subtracts raw
+    * doubles across engines; a query whose IVF cell has no peer keeps
+    * NULL ivf columns (the audit family's LEFT-join tolerance) and
+    * scores hit = 0 with NULL gap. Plan at 100 TB: both sides are the
+    * family's shared machinery — the exact side filters the
+    * once-per-session exactSampleTruth memo, the IVF side answers only
+    * the 64 broadcast queries — so the join is 64 × 64 rows; nothing
+    * here adds a corpus-sized stage to what the aggregate audit already
+    * pays. */
+  def e2RecallPerQuery(s: SparkSession, d: String): DataFrame = {
+    val qs = broadcast(sampledQueryIds(s, d))
+    val exact = sampledExactTopK(s, d, 1)
+      .select(col("vec_id"), col("other_id").as("exact_nb"),
+        col("sim").as("exact_sim"))
+    val ivf = ivfSearchFor(s, d, 1, Some(qs))
+      .select(col("vec_id"), col("neighbor_id").as("ivf_nb"),
+        col("sim").as("ivf_sim"))
+    exact.join(ivf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("exact_nb"), col("exact_sim"),
+        col("ivf_nb"), col("ivf_sim"),
+        when(col("ivf_nb") === col("exact_nb"), 1L).otherwise(0L).as("hit"),
+        (expr("CAST(round(exact_sim * 10000) AS BIGINT)") -
+          expr("CAST(round(ivf_sim * 10000) AS BIGINT)")).as("gap_bp"))
+      .orderBy("vec_id")
+  }
+
   /** E2 — TRIPLET MINING for contrastive / metric learning (the FaceNet
     * recipe, Schroff et al., CVPR'15, as run over a corpus-scale
     * embedding table): for every anchor, its hardest in-cell POSITIVE
@@ -2803,6 +2896,8 @@ object Similarity {
     "e2_kcenter" -> (e2Kcenter _),
     "e2_knn_graph" -> (e2KnnGraph _),
     "e9_link_pred_knn" -> (e9LinkPredKnn _),
+    "e9_adamic_adar" -> (e9AdamicAdar _),
+    "e2_recall_per_query" -> (e2RecallPerQuery _),
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
     "e2_triplet_mining" -> (e2TripletMining _),
@@ -4185,6 +4280,62 @@ object Similarity {
          |FROM kcand JOIN kdeg d1 ON vec_a = d1.id JOIN kdeg d2 ON vec_b = d2.id
          |ORDER BY jaccard DESC, common DESC, vec_a, vec_b
          |LIMIT $KnnLinkPredK""".stripMargin,
+    // same wedge generator as e9_link_pred_knn; the AA weight is the
+    // Scala-side integer literal table (no engine-side ln)
+    "e9_adamic_adar" ->
+      s"""WITH ${ivfCtes(1)},
+         |$knnMutCtes,
+         |adeg AS (SELECT vec_id AS id, count(*) AS deg FROM mut GROUP BY 1),
+         |awdg AS (SELECT e1.vec_id AS vec_a, e2.other_id AS vec_b,
+         |    adeg.deg AS zdeg
+         |  FROM mut e1 JOIN mut e2 ON e1.other_id = e2.vec_id
+         |    AND e1.vec_id < e2.other_id
+         |  JOIN adeg ON e1.other_id = adeg.id),
+         |aacn AS (SELECT vec_a, vec_b, count(*) AS common,
+         |    CAST(sum($aaWeightCase) AS BIGINT) AS aa_micro
+         |  FROM awdg GROUP BY 1, 2),
+         |aacand AS (SELECT aacn.* FROM aacn
+         |  LEFT JOIN mut m ON aacn.vec_a = m.vec_id AND aacn.vec_b = m.other_id
+         |  WHERE m.vec_id IS NULL)
+         |SELECT vec_a, vec_b, common, aa_micro,
+         |  d1.deg AS deg_a, d2.deg AS deg_b
+         |FROM aacand JOIN adeg d1 ON vec_a = d1.id JOIN adeg d2 ON vec_b = d2.id
+         |ORDER BY aa_micro DESC, common DESC, vec_a, vec_b
+         |LIMIT $KnnLinkPredK""".stripMargin,
+    // per-query drill-down of e2_ann_recall_sampled: same ivf + exact
+    // CTE text, the final fold removed; gaps subtract exact 1e4
+    // integerizations of the 4-dp rounded sims
+    "e2_recall_per_query" ->
+      s"""WITH ${ivfCtes(1)},
+         |$qselCtes,
+         |rpq_ivf AS (SELECT vec_id, neighbor_id AS ivf_nb,
+         |    round(sim, 4) AS ivf_sim FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn = 1),
+         |rpq_ex AS (SELECT vec_id, other_id AS exact_nb,
+         |    round(sim, 4) AS exact_sim FROM (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM emb a JOIN embeddings la ON a.vec_id = la.vec_id
+         |  JOIN embeddings lb ON la.label = lb.label AND lb.vec_id <> a.vec_id
+         |  JOIN emb b ON b.vec_id = lb.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |  WHERE rn = 1)
+         |SELECT e.vec_id, e.exact_nb, e.exact_sim, i.ivf_nb, i.ivf_sim,
+         |  CAST(CASE WHEN i.ivf_nb = e.exact_nb THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit,
+         |  CAST(round(e.exact_sim * 10000) AS BIGINT)
+         |    - CAST(round(i.ivf_sim * 10000) AS BIGINT) AS gap_bp
+         |FROM rpq_ex e LEFT JOIN rpq_ivf i USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
     // sampled radius search: threshold on the ROUNDED cosine so the
     // boundary set is bit-identical cross-engine
     "e2_range_search" ->

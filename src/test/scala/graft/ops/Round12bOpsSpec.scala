@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-12 continuation ops. Values are pinned by the
+  * DuckDB oracles; these specs pin the CROSS-OP laws — the candidate-set
+  * identity between the two kNN link predictors, the per-query audit's
+  * reconciliation with its aggregate, and the closed-form invariants of
+  * the burstiness / decile / aspect-bucket folds. */
+class Round12bOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("adamic-adar ranks the SAME candidate set link_pred_knn ranks") {
+    // both consume the identical wedge generator over the mutual-kNN
+    // graph; only the scorer differs — so (vec_a, vec_b, common, deg_a,
+    // deg_b) must agree row-for-row once re-keyed, and the AA score must
+    // sit inside the bounds the weight table forces: every common
+    // neighbor contributes w(KnnGraphK) ≤ w_z ≤ w(2)
+    val jac = Similarity.e9LinkPredKnn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val aa = Similarity.e9AdamicAdar(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(aa.nonEmpty)
+    val ws = Similarity.AdamicAdarMicro.toMap
+    val (wMin, wMax) = (ws.values.min, ws.values.max)
+    aa.foreach { case (a, b, common, aaMicro, degA, degB) =>
+      assert(common * wMin <= aaMicro && aaMicro <= common * wMax,
+        s"aa_micro outside the weight-table envelope at ($a,$b)")
+      // the fixture's 50-deep lists may differ in tail membership (the
+      // scorers order differently), but any pair on BOTH lists must
+      // carry identical generator columns
+      jac.get((a, b)).foreach { case (c2, da2, db2) =>
+        assert((common, degA, degB) == (c2, da2, db2),
+          s"wedge generator drifted between scorers at ($a,$b)")
+      }
+    }
+    // AA ordering is by the micro score itself
+    assert(aa.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("recall_per_query drill-down reconciles with the aggregate audit") {
+    val per = Similarity.e2RecallPerQuery(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val labels = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agg = Similarity.e2AnnRecallSampled(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-label (n, hits) of the drill-down == the aggregate audit
+    val grouped = per.groupBy(p => labels(p._1))
+    assert(grouped.keySet == agg.keySet)
+    grouped.foreach { case (lab, rows) =>
+      assert((rows.size.toLong, rows.map(_._4).sum) == agg(lab),
+        s"per-query rows disagree with the aggregate at label $lab")
+    }
+    per.foreach { case (q, exactNb, ivfNb, hit, gap) =>
+      assert(hit == (if (ivfNb.contains(exactNb)) 1L else 0L))
+      // a hit means the same 4-dp sim on both sides — exact zero gap
+      if (hit == 1L) assert(gap.contains(0L), s"hit with nonzero gap at $q")
+      if (ivfNb.isEmpty) assert(gap.isEmpty, s"gap without an answer at $q")
+    }
+  }
+
+  test("burstiness: exact integer quadratic form over the daily counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Analysis.e8Burstiness(spark, d).collect()
+    val daily = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_.getString(0)).toSet == daily.keySet)
+    rows.foreach { r =>
+      val cs = daily(r.getString(0))
+      val (n, tot, ss) = (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      assert(r.getLong(1) == n && r.getLong(2) == tot)
+      assert(r.getLong(3) == cs.max && r.getLong(4) == cs.min)
+      val fano = (n * ss - tot * tot).toDouble / (n * tot).toDouble
+      assert(math.abs(r.getDouble(6) -
+        math.floor(fano * 10000 + 0.5) / 10000) < 1e-12)
+    }
+  }
+
+  test("percent_rank deciles: complete, ordered, and closed at both ends") {
+    val rows = Relational.q59PercentRank(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    val totals = graft.Tables.orders(spark, d)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (pri, bs) =>
+      assert(bs.map(_._3).sum == totals(pri), s"orders lost at $pri")
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.head._2 == 0L && sorted.head._4 == 0.0,
+        s"first decile must open at percent_rank 0 ($pri)")
+      assert(sorted.last._5 == 1.0, s"last decile must close at cume_dist 1 ($pri)")
+      assert(sorted.forall(b => b._2 >= 0 && b._2 <= 9))
+      // price ranges are disjoint and ascending across buckets (ties
+      // stay in one bucket, so max(prev) ≤ min(next))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._7 <= hi._6, s"overlap at $pri")
+        case _ => ()
+      }
+    }
+  }
+
+  test("aspect buckets: lossless integerization, 8-grid targets, area law") {
+    val rows = Multimodal.e5AspectBuckets(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // the fixture's 16 width steps each land in their own quarter-unit
+    // bucket, every doc exactly once
+    assert(rows.map(_._1).toSeq == (4L to 19L))
+    assert(rows.map(_._4).sum ==
+      graft.Tables.documents(spark, d).count())
+    rows.foreach { case (aq, tw, th, n, srcPx, tgtPx, shrinkBp) =>
+      assert(tw % 8 == 0 && th % 8 == 0, s"off-grid target at aq=$aq")
+      // th is the LARGEST 8-multiple whose square fits the reference
+      // area at this aspect, and tw the largest 8-multiple under the
+      // bucket aspect at that height — so area never exceeds 4096 but
+      // may sit two grid steps under it (both dims floor independently)
+      assert(tw * th <= 4096, s"area overflow at aq=$aq")
+      assert((th + 8) * (th + 8) > 16384.0 / aq, s"th not maximal at aq=$aq")
+      assert(tw <= aq * th / 4.0 && aq * th / 4.0 - tw < 9.0,
+        s"tw not the floored aspect width at aq=$aq")
+      assert(tgtPx == n * tw * th && srcPx >= tgtPx)
+      assert(shrinkBp == (srcPx - tgtPx) * 10000 / srcPx)
+    }
+  }
+}
