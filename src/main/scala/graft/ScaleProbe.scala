@@ -238,7 +238,10 @@ object ScaleProbe {
       // (types×days / 5×10 keys); aspect_buckets is scan-side metadata
       // arithmetic into a ≤16-key aggregate
       "e9_adamic_adar", "e2_recall_per_query", "e8_burstiness",
-      "q59_percent_rank", "e5_aspect_buckets")
+      "q59_percent_rank", "e5_aspect_buckets",
+      // rvq: two broadcast-codebook scan passes + an id-keyed residual
+      // join (linear); moments: two scans folding to |types| keys
+      "e2_rvq", "e8_moments")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -771,6 +771,57 @@ object Analysis {
       .orderBy("event_type")
   }
 
+  /** E8 — higher distribution MOMENTS of the event value per type:
+    * skewness and excess kurtosis next to q38's sd/variance — the two
+    * shape numbers that separate "same mean and spread" distributions
+    * (a template generator clamps tails → negative excess kurtosis; a
+    * fraud/bot burst fattens one tail → skew moves first; both are
+    * invisible to e8_profile's range columns and q38's second moment).
+    * Exactness: values integerize scan-side (round(v·1e4), the
+    * e8_autocorr micro unit); pass 1 folds exact (n, Σ) per type and the
+    * integer-micro mean S1 div n broadcasts back (the remainder bias is
+    * < 1e-4 of a unit and identical in both engines — positive values,
+    * so floor and truncation agree); pass 2 folds centered powers d²,
+    * d³, d⁴ in DECIMAL(38,0) (d⁴ ≈ 1e28 per row would wrap a long at
+    * 1e8+ rows — the e8_gini widening rule). The only doubles are the
+    * final ratios: ·, /, sqrt are all correctly-rounded IEEE on
+    * identical inputs, so skew = m3/(m2·√m2) and kurt = m4/m2² − 3
+    * cross engines bit-exactly (no pow(), whose libm vs JVM last ulp
+    * is NOT pinned). Plan at 100 TB: two scans, both folding map-side
+    * to |types| keys; the stats table broadcasts — the e8_outliers
+    * two-pass shape. */
+  def e8Moments(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mv = events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("mi"))
+    val stats = mv.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("mi")).as("s1"))
+      .withColumn("mu", expr("s1 div n"))
+    mv.join(broadcast(stats), "event_type")
+      .withColumn("dd", (col("mi") - col("mu")).cast(d38))
+      .groupBy("event_type")
+      .agg(min(col("n")).as("n"), min(col("s1")).as("s1"),
+        sum(col("dd") * col("dd")).as("s2"),
+        sum(col("dd") * col("dd") * col("dd")).as("s3"),
+        sum(col("dd") * col("dd") * col("dd") * col("dd")).as("s4"))
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / (col("n") * lit(10000.0)), 4)
+          .as("mean"),
+        round(sqrt(col("s2").cast("double") / col("n").cast("double"))
+          / lit(10000.0), 4).as("sd"),
+        expr("""CASE WHEN s2 = 0 THEN 0.0 ELSE
+                round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))), 4)
+                END""").as("skew"),
+        expr("""CASE WHEN s2 = 0 THEN 0.0 ELSE
+                round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 4)
+                END""").as("kurtosis"))
+      .orderBy("event_type")
+  }
+
   /** E8 — Benford leading-digit analysis of `o_totalprice`: observed
     * first-digit shares against Benford's log₁₀(1+1/d) expectation — the
     * classic forensic screen for fabricated or template-generated numeric
@@ -1976,6 +2027,7 @@ object Analysis {
     "e8_freshness" -> (e8Freshness _),
     "e8_autocorr" -> (e8Autocorr _),
     "e8_burstiness" -> (e8Burstiness _),
+    "e8_moments" -> (e8Moments _),
     "e8_benford" -> (e8Benford _),
     "e9_pagerank" -> (e9Pagerank _),
     "e9_label_prop" -> (e9LabelProp _),
@@ -2301,6 +2353,37 @@ object Analysis {
         |      - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
         |    / CAST(count(*) * CAST(sum(c) AS BIGINT) AS DOUBLE), 4) AS fano
         |FROM bday GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // centered powers in DECIMAL(38,0) about the integer-micro mean
+    // (positive values: // and div agree); final ratios use only
+    // correctly-rounded IEEE ops (no pow), identical text both engines
+    "e8_moments" ->
+      """WITH mv AS (SELECT event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS mi FROM events),
+        |ms AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mi) AS BIGINT) AS s1 FROM mv GROUP BY 1),
+        |mm AS (SELECT event_type, n, s1, s1 // n AS mu FROM ms),
+        |md AS (SELECT mv.event_type, mm.n, mm.s1,
+        |    CAST(mv.mi - mm.mu AS DECIMAL(38,0)) AS dd
+        |  FROM mv JOIN mm USING (event_type)),
+        |mf AS (SELECT event_type, min(n) AS n, min(s1) AS s1,
+        |    sum(dd * dd) AS s2, sum(dd * dd * dd) AS s3,
+        |    sum(dd * dd * dd * dd) AS s4
+        |  FROM md GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / (n * 10000.0), 4) AS mean,
+        |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0, 4)
+        |    AS sd,
+        |  CASE WHEN s2 = 0 THEN 0.0 ELSE
+        |    round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))), 4)
+        |    END AS skew,
+        |  CASE WHEN s2 = 0 THEN 0.0 ELSE
+        |    round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 4)
+        |    END AS kurtosis
+        |FROM mf ORDER BY event_type""".stripMargin,
     "e8_autocorr" ->
       // n·x_t − S keeps the centered terms exact longs; one double
       // division per lag at the very end (same micro-unit discipline as

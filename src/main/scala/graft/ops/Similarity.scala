@@ -1557,6 +1557,105 @@ object Similarity {
   val PqSeedSalt = 0x2e8c5b17d9f4a603L
   val PqQuerySalt = 0x6b91d73e24c8fa15L
 
+  /** Residual-quantizer knobs: RvqK1 coarse codewords, RvqK2 SAMPLED
+    * residual codewords (codeword 0 is the implicit ZERO residual, so
+    * the stage-2 codebook has RvqK2+1 entries and the second stage can
+    * never do worse than stopping after the first — the per-vector
+    * dominance law Round12bOpsSpec pins). */
+  val RvqK1 = 32
+  val RvqK2 = 15
+  val RvqSalt1 = 0x51c6a7e39b04d8f2L
+  val RvqSalt2 = 0x7d092c4f6e8b13a5L
+
+  /** Full-vector squared L2 between double arrays `a` and `b` —
+    * subtraction and accumulation in index order so the DuckDB
+    * list_reduce replica (0.0-prepended left fold) is bit-identical. */
+  private def fullL2(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+       |          0.0D, (p, q) -> p + q)""".stripMargin
+
+  /** E2 — RESIDUAL VECTOR QUANTIZATION (RVQ) distortion: the two-stage
+    * additive quantizer (Chen, Guan & Wang, "Approximate nearest
+    * neighbor search by residual vector quantization", Sensors 2010 —
+    * the scheme underneath DiskANN-style hybrid indexes and neural
+    * codecs like SoundStream): stage 1 snaps each vector to its nearest
+    * of RvqK1 coarse codewords (full-vector L2, the deterministic
+    * sampled codebook discipline of pqSeeds), stage 2 quantizes the
+    * RESIDUAL against a second codebook of RvqK2 sampled residuals plus
+    * the zero codeword. The output is the per-stage-2-codeword distortion
+    * ledger — n, coarse-only vs RVQ SSE in exact micro units, and the
+    * residual stage's gain in basis points — the table that says whether
+    * a second quantization stage pays for its byte (contrast
+    * e2_pq_distortion, which splits DIMENSIONS; RVQ splits MAGNITUDE,
+    * and the two compose in production as IVF→RVQ→PQ). Exactness: both
+    * codebooks are splitmix64-sampled (no float k-means crosses
+    * engines), every distance is the index-ordered fullL2 lambda on
+    * identical doubles, argmins tie-break on the lower codeword, and the
+    * SSE sums integerize per vector (floor(d·1e6 + 0.5)) before the
+    * exact long fold — the e2_pq_distortion discipline, which also sets
+    * the declared long-range bound (≈1e18 micro units; a >1e10-vector
+    * deployment widens the two sums to DECIMAL(38,0), the e8_gini
+    * precedent). Plan at 100 TB: both codebooks BROADCAST (≤ 48 rows of
+    * 64 doubles); each stage is one scan-side n·K candidate pass whose
+    * (vec_id) argmin partial-combines map-side; vectors cross the wire
+    * only once — the residual join is id-keyed against the n-row
+    * assignment table — and the final fold is ≤ RvqK2+1 keys. */
+  def e2Rvq(s: SparkSession, d: String): DataFrame = {
+    val mixE = org.apache.spark.sql.graftext.minhashExpression
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    def sampleRank(salt: Long): DataFrame = emb
+      .select(col("vec_id"), col("ed"),
+        mixE.mix64(col("vec_id").bitwiseXOR(lit(salt))).as("m"))
+      .orderBy(col("m"), col("vec_id"))
+    val seeds1 = broadcast(sampleRank(RvqSalt1).limit(RvqK1)
+      .withColumn("c1",
+        row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
+      .select(col("c1"), col("ed").as("cv1")))
+    val a1 = emb.join(seeds1)
+      .select(col("vec_id"), col("c1"),
+        expr(fullL2("ed", "cv1")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("c1"))).as("s"))
+      .select(col("vec_id"), col("s.dist").as("d1"), col("s.c1").as("c1"))
+    val resid = emb.join(a1, "vec_id").join(seeds1, "c1")
+      .select(col("vec_id"), col("d1"),
+        expr("zip_with(ed, cv1, (x, y) -> x - y)").as("rv"))
+    val s2ids = broadcast(sampleRank(RvqSalt2).limit(RvqK2)
+      .withColumn("c2",
+        row_number().over(Window.orderBy(col("m"), col("vec_id"))))
+      .select(col("vec_id"), col("c2")))
+    val zeroRow = emb.sparkSession.range(1)
+      .select(lit(0).as("c2"),
+        expr("transform(sequence(1, 64), x -> 0.0D)").as("cv2"))
+    val seeds2 = broadcast(resid.join(s2ids, "vec_id")
+      .select(col("c2"), col("rv").as("cv2"))
+      .unionByName(zeroRow))
+    resid.join(seeds2)
+      .select(col("vec_id"), col("d1"), col("c2"),
+        expr(fullL2("rv", "cv2")).as("dist2"))
+      .groupBy("vec_id")
+      .agg(min(col("d1")).as("d1"),
+        min(struct(col("dist2"), col("c2"))).as("s"))
+      .select(col("vec_id"),
+        expr("CAST(floor(d1 * 1000000.0 + 0.5) AS BIGINT)").as("d1i"),
+        col("s.c2").as("c2"),
+        expr("CAST(floor(s.dist2 * 1000000.0 + 0.5) AS BIGINT)").as("d2i"))
+      .groupBy("c2")
+      .agg(count(lit(1)).as("n"), sum(col("d1i")).as("coarse_sse_micro"),
+        sum(col("d2i")).as("rvq_sse_micro"))
+      .select(asLong(col("c2")).as("codeword"), col("n"),
+        col("coarse_sse_micro"), col("rvq_sse_micro"),
+        round(col("coarse_sse_micro") / (col("n") * lit(1000000.0)), 4)
+          .as("coarse_mse"),
+        round(col("rvq_sse_micro") / (col("n") * lit(1000000.0)), 4)
+          .as("rvq_mse"),
+        expr("""CASE WHEN coarse_sse_micro = 0 THEN CAST(0 AS BIGINT)
+                ELSE (coarse_sse_micro - rvq_sse_micro) * 10000
+                  div coarse_sse_micro END""").as("gain_bp"))
+      .orderBy("codeword")
+  }
+
   /** The PqKsub sampled codeword vectors with index 0..PqKsub-1 in
     * (splitmix64, vec_id) order — deterministic like the IVF seeds; a
     * production build swaps sampling for a per-subspace k-means train
@@ -2900,6 +2999,7 @@ object Similarity {
     "e2_recall_per_query" -> (e2RecallPerQuery _),
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
+    "e2_rvq" -> (e2Rvq _),
     "e2_triplet_mining" -> (e2TripletMining _),
     "e2_triplet_mining_sampled" -> (e2TripletMiningSampled _),
   )
@@ -4349,6 +4449,79 @@ object Similarity {
          |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |    CAST(b.embedding AS DOUBLE[])), 4) >= $RangeTau
          |ORDER BY a.vec_id, other_id""".stripMargin,
+    // two splitmix-sampled codebooks; residuals via the same x−y lambda;
+    // both argmins tie-break on the lower codeword; SSE integerizes per
+    // vector before the exact long fold (the e2_pq_distortion rule)
+    "e2_rvq" -> {
+      import OracleSql._
+      val s1 = java.lang.Long.toUnsignedString(RvqSalt1)
+      val s2 = java.lang.Long.toUnsignedString(RvqSalt2)
+      s"""WITH remb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |  FROM embeddings),
+         |rq1_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$s1' AS HUGEINT)) AS h0
+         |  FROM embeddings),
+         |${mixCtes("rq1", "h0", "h1", Seq("vec_id"))},
+         |rq1m AS (SELECT vec_id, ${toSigned("h1")} AS m FROM rq1),
+         |rs1 AS (SELECT row_number() OVER (ORDER BY rq1m.m, e.vec_id) - 1
+         |    AS c1, e.ed AS cv1
+         |  FROM remb e JOIN rq1m ON e.vec_id = rq1m.vec_id
+         |  ORDER BY rq1m.m, e.vec_id LIMIT $RvqK1),
+         |rd1 AS (SELECT e.vec_id, s.c1,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, 65), i ->
+         |      (e.ed[CAST(i AS INT)] - s.cv1[CAST(i AS INT)]) *
+         |      (e.ed[CAST(i AS INT)] - s.cv1[CAST(i AS INT)]))),
+         |    (a, b) -> a + b) AS dist
+         |  FROM remb e, rs1 s),
+         |ra1 AS (SELECT vec_id, c1, dist AS d1 FROM (
+         |  SELECT vec_id, c1, dist, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, c1) AS rn FROM rd1)
+         |  WHERE rn = 1),
+         |rres AS (SELECT a.vec_id, a.d1,
+         |    list_transform(range(1, 65), i ->
+         |      e.ed[CAST(i AS INT)] - s.cv1[CAST(i AS INT)]) AS rv
+         |  FROM ra1 a JOIN remb e ON a.vec_id = e.vec_id
+         |  JOIN rs1 s ON a.c1 = s.c1),
+         |rq2_in AS (SELECT vec_id,
+         |  xor(CAST(vec_id AS HUGEINT), CAST('$s2' AS HUGEINT)) AS h0
+         |  FROM embeddings),
+         |${mixCtes("rq2", "h0", "h1", Seq("vec_id"))},
+         |rq2m AS (SELECT vec_id, ${toSigned("h1")} AS m FROM rq2),
+         |rs2id AS (SELECT vec_id,
+         |    row_number() OVER (ORDER BY m, vec_id) AS c2
+         |  FROM rq2m ORDER BY m, vec_id LIMIT $RvqK2),
+         |rs2 AS (SELECT i.c2, r.rv AS cv2
+         |  FROM rs2id i JOIN rres r ON i.vec_id = r.vec_id
+         |  UNION ALL SELECT 0 AS c2,
+         |    list_transform(range(1, 65), i -> 0.0::DOUBLE) AS cv2),
+         |rd2 AS (SELECT r.vec_id, r.d1, s.c2,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, 65), i ->
+         |      (r.rv[CAST(i AS INT)] - s.cv2[CAST(i AS INT)]) *
+         |      (r.rv[CAST(i AS INT)] - s.cv2[CAST(i AS INT)]))),
+         |    (a, b) -> a + b) AS dist2
+         |  FROM rres r, rs2 s),
+         |ra2 AS (SELECT vec_id, d1, c2, dist2 AS d2 FROM (
+         |  SELECT vec_id, d1, c2, dist2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist2, c2) AS rn FROM rd2)
+         |  WHERE rn = 1),
+         |rint AS (SELECT vec_id, c2,
+         |    CAST(floor(d1 * 1000000.0 + 0.5) AS BIGINT) AS d1i,
+         |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS d2i
+         |  FROM ra2)
+         |SELECT CAST(c2 AS BIGINT) AS codeword, count(*) AS n,
+         |  CAST(sum(d1i) AS BIGINT) AS coarse_sse_micro,
+         |  CAST(sum(d2i) AS BIGINT) AS rvq_sse_micro,
+         |  round(CAST(sum(d1i) AS BIGINT) / (count(*) * 1000000.0), 4)
+         |    AS coarse_mse,
+         |  round(CAST(sum(d2i) AS BIGINT) / (count(*) * 1000000.0), 4)
+         |    AS rvq_mse,
+         |  CASE WHEN sum(d1i) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(sum(d1i) AS BIGINT) - CAST(sum(d2i) AS BIGINT))
+         |      * 10000 // CAST(sum(d1i) AS BIGINT) AS BIGINT) END AS gain_bp
+         |FROM rint GROUP BY c2 ORDER BY codeword""".stripMargin
+    },
     // nearest-codeword min per (vector, subspace) off the shared dists
     // CTE, micro-quantized scan-side so the cross-vector sum is exact
     "e2_pq_distortion" ->

@@ -110,6 +110,51 @@ class Round12bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rvq: the zero codeword makes stage 2 dominate stage 1 everywhere") {
+    val rows = Similarity.e2Rvq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6)))
+    assert(rows.map(_._2).sum ==
+      graft.Tables.embeddings(spark, d).count(), "every vector coded once")
+    assert(rows.map(_._1).forall(c => c >= 0 && c <= Similarity.RvqK2))
+    rows.foreach { case (cw, _, coarse, rvq, gainBp) =>
+      // per vector d2 ≤ d1 (codeword 0 IS the coarse-only residual), so
+      // every per-codeword aggregate inherits the dominance
+      assert(rvq <= coarse, s"residual stage lost ground at codeword $cw")
+      assert(gainBp >= 0 && gainBp <= 10000)
+      if (coarse > 0) assert(gainBp == (coarse - rvq) * 10000 / coarse)
+    }
+    // the sampled codewords are real residuals, so at least the sampled
+    // vectors themselves quantize exactly — some strict gain must exist
+    assert(rows.map(p => p._3 - p._4).sum > 0, "no gain anywhere")
+  }
+
+  test("moments: exact recompute of the integer-micro central moments") {
+    val rows = Analysis.e8Moments(spark, d).collect()
+    val mv = graft.Tables.events(spark, d)
+      .selectExpr("event_type", "CAST(round(value * 10000) AS BIGINT) AS mi")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_.getString(0)).toSet == mv.keySet)
+    rows.foreach { r =>
+      val ms = mv(r.getString(0))
+      val n = ms.size.toLong
+      val mu = ms.sum / n
+      val ds = ms.map(_ - mu).map(BigInt(_))
+      val (s2, s3, s4) =
+        (ds.map(x => x * x).sum, ds.map(x => x * x * x).sum,
+          ds.map(x => x * x * x * x).sum)
+      assert(r.getLong(1) == n)
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val m2 = s2.toDouble / n
+      assert(math.abs(r.getDouble(3) - r4(math.sqrt(m2) / 10000.0)) < 1e-12)
+      assert(math.abs(r.getDouble(4) -
+        r4((s3.toDouble / n) / (m2 * math.sqrt(m2)))) < 1e-12)
+      assert(math.abs(r.getDouble(5) -
+        r4((s4.toDouble / n) / (m2 * m2) - 3.0)) < 1e-12)
+    }
+  }
+
   test("aspect buckets: lossless integerization, 8-grid targets, area law") {
     val rows = Multimodal.e5AspectBuckets(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
