@@ -302,7 +302,11 @@ class RelationalPlanSpec extends AnyFunSuite {
       // reviewed round 11: the running sum consumes the per-first-day
       // digest — bounded by the |days| domain (the per-user min fold
       // collapses the event mass before the window; q58 Scaladoc)
-      "q58_running_distinct" -> "day-domain first-touch aggregate")
+      "q58_running_distinct" -> "day-domain first-touch aggregate",
+      // reviewed round 12: both codebook-index windows run over the
+      // GlobalLimit'd splitmix seed samples — ≤ RvqK1/RvqK2 rows at any
+      // corpus size (the pqSeeds pattern; Similarity.e2Rvq)
+      "e2_rvq" -> "limit-bounded codebook seed ranks")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
