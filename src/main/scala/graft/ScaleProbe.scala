@@ -241,7 +241,11 @@ object ScaleProbe {
       "q59_percent_rank", "e5_aspect_buckets",
       // rvq: two broadcast-codebook scan passes + an id-keyed residual
       // join (linear); moments: two scans folding to |types| keys
-      "e2_rvq", "e8_moments")
+      "e2_rvq", "e8_moments",
+      // backoff: vocab-bounded model tables broadcast onto one scoring
+      // scan; doremi runs on its |sources|-row fold; eff-diameter is
+      // seeds× the pair-table BFS rounds
+      "e3_stupid_backoff", "e7_doremi_step", "e9_effective_diameter")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

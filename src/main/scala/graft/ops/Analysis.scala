@@ -1420,6 +1420,51 @@ object Analysis {
       .orderBy("dist")
   }
 
+  /** E9 — EFFECTIVE DIAMETER (sampled): per-seed hop-distance
+    * distribution over the dedup pair graph from the BfsSeeds top-degree
+    * seeds, each running its OWN BFS (contrast e9_bfs, whose joint
+    * frontier measures distance to the seed SET) — the d90 readout
+    * (smallest d with ≥ 90% of reachable (seed, vertex) pairs within d)
+    * is the standard small-world summary (Leskovec, Kleinberg & Faloutsos,
+    * "Graphs over time", KDD 2005), and on a dedup graph it is the
+    * transitive-contamination horizon: how many near-dup hops connect a
+    * typical contaminated pair. Deterministic: hop counts and the cum_bp
+    * shares are integers; seeds are the (degree desc, id) top-K.
+    * Plan at 100 TB: the frontier tables are (seed, vertex) pairs — at
+    * most BfsSeeds× e9_bfs's — with one edge-sized shuffle per unrolled
+    * round over the checkpointed pair graph; the distribution fold is
+    * ≤ BfsRounds+1 keys and the cumulative window runs on that bounded
+    * digest (allowlisted in the unpartitioned-window audit). */
+  def e9EffectiveDiameter(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.minhashPairTable(s, d)
+    val e = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    val seeds = deg.orderBy(col("dg").desc, col("src")).limit(BfsSeeds)
+      .select(col("src").as("sd"))
+    var dist = seeds.select(col("sd"), col("sd").as("v"), lit(0).as("dist"))
+    for (k <- 1 to BfsRounds) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+        .select(col("sd"), col("v").as("fv"))
+      val next = e.join(frontier, col("src") === col("fv"))
+        .select(col("sd"), col("dst").as("v")).distinct()
+        .join(dist.select("sd", "v"), Seq("sd", "v"), "left_anti")
+        .withColumn("dist", lit(k))
+      dist = dist.unionByName(next).localCheckpoint(true)
+    }
+    val hist = dist.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val wc = Window.orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(wc))
+      .crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("t_pairs"))))
+      .select(asLong(col("dist")).as("dist"), col("n_pairs"),
+        col("cum_pairs"),
+        expr("cum_pairs * 10000 div t_pairs").as("cum_bp"))
+      .orderBy("dist")
+  }
+
   /** BFS to EXHAUSTION — the deployment loop the fixed-round declared
     * query documents (kcoreConverged discipline): expand until a round's
     * frontier is EMPTY, the driver reading one frontier-count scalar per
@@ -2038,6 +2083,7 @@ object Analysis {
     "e9_link_pred" -> (e9LinkPred _),
     "e9_hits" -> (e9Hits _),
     "e9_bfs" -> (e9Bfs _),
+    "e9_effective_diameter" -> (e9EffectiveDiameter _),
     "e9_assortativity" -> (e9Assortativity _),
     "e9_local_clustering" -> (e9LocalClustering _),
     "e9_conductance" -> (e9Conductance _),
@@ -2746,6 +2792,41 @@ object Analysis {
          |    AS conductance
          |FROM vol LEFT JOIN cut USING (community) CROSS JOIN mm
          |ORDER BY community""".stripMargin,
+    // the e9_bfs scaffold keyed per seed (sd): each top-degree seed runs
+    // its own unrolled frontier; the distribution + cum_bp are integer
+    "e9_effective_diameter" -> {
+      val base =
+        s"""efd_e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+           |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+           |efd_deg AS (SELECT src, count(*) AS dg FROM efd_e GROUP BY src),
+           |efd_seeds AS MATERIALIZED (SELECT src AS sd FROM efd_deg
+           |  ORDER BY dg DESC, src LIMIT $BfsSeeds),
+           |efd_d0 AS MATERIALIZED (SELECT sd, sd AS v, 0 AS dist
+           |  FROM efd_seeds)""".stripMargin
+      val iters = (1 to BfsRounds).map { k =>
+        s"""efd_f$k AS MATERIALIZED (SELECT DISTINCT f.sd, e.dst AS v
+           |  FROM efd_e e JOIN efd_d${k - 1} f
+           |    ON e.src = f.v AND f.dist = ${k - 1}
+           |  LEFT JOIN efd_d${k - 1} p ON f.sd = p.sd AND e.dst = p.v
+           |  WHERE p.v IS NULL),
+           |efd_d$k AS MATERIALIZED (SELECT sd, v, dist FROM efd_d${k - 1}
+           |  UNION ALL SELECT sd, v, $k AS dist FROM efd_f$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashCtes},
+         |$base,
+         |$iters,
+         |efd_h AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM efd_d$BfsRounds GROUP BY dist),
+         |efd_c AS (SELECT dist, n_pairs,
+         |    CAST(sum(n_pairs) OVER (ORDER BY dist
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_pairs
+         |  FROM efd_h),
+         |efd_t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t_pairs FROM efd_h)
+         |SELECT CAST(dist AS BIGINT) AS dist, n_pairs, cum_pairs,
+         |  cum_pairs * 10000 // t_pairs AS cum_bp
+         |FROM efd_c CROSS JOIN efd_t ORDER BY dist""".stripMargin
+    },
     "e9_bfs" -> {
       // Unrolled synchronous frontier expansion; anti-joins are LEFT JOIN
       // ... IS NULL (DuckDB's plan for NOT EXISTS on a materialized CTE).

@@ -616,7 +616,54 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Multiplicative-weights learning rate η in basis points —
+    * interpolated into BOTH engines. */
+  val DoremiEtaBp = 1000L
+
+  /** E7 — one DOMAIN-REWEIGHTING step (the DoReMi recipe — Xie et al.,
+    * "DoReMi: Optimizing data mixtures speeds up language model
+    * pretraining", NeurIPS 2023 — in its first-order multiplicative-
+    * weights form, Freund & Schapire 1997): sources whose held-out LM
+    * score trails the corpus mean ("excess loss" — here the
+    * e3_stupid_backoff per-source mean, composed VERBATIM from the same
+    * builder) are UP-weighted multiplicatively and the mixture
+    * renormalizes; the output is the weight-update ledger (base share,
+    * excess, factor, new weight) a pretraining mixer feeds to the next
+    * epoch's e7_mixture_sample. DoReMi proper exponentiates
+    * (w·exp(η·excess)); the linearized factor 1 + η·excess is its
+    * first-order form, chosen here because it keeps the WHOLE update in
+    * exact integer arithmetic — no exp() whose libm-vs-JVM last ulp is
+    * unpinned crosses an engine. Exactness: base weights are doc-share
+    * bp, excess is an integer-bp ratio of two exact micro means, the
+    * factor clamps at 0 (a source > 2× better than the mean at η = 0.1
+    * would otherwise go negative), and the renormalization divides exact
+    * long products. Plan at 100 TB: everything downstream of the
+    * backoffSourceScores fold runs on the |sources|-row table — the
+    * corpus is scanned exactly as often as e3_stupid_backoff scans it,
+    * and the two 1-row corpus aggregates broadcast. */
+  def e7DoremiStep(s: SparkSession, d: String): DataFrame = {
+    val src = TextOps.backoffSourceScores(s, d)
+    val tot = broadcast(src.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("sum_s_micro")).as("t_sum"), sum(col("n_pos")).as("t_pos")))
+    val staged = src.crossJoin(tot)
+      .withColumn("w_bp", expr("n_docs * 10000 div t_docs"))
+      .withColumn("mean_s_micro", expr("sum_s_micro div n_pos"))
+      .withColumn("corpus_s_micro", expr("t_sum div t_pos"))
+      .withColumn("excess_bp", expr(
+        "(corpus_s_micro - mean_s_micro) * 10000 div corpus_s_micro"))
+      .withColumn("factor_bp", expr(
+        s"greatest(CAST(0 AS BIGINT), 10000 + $DoremiEtaBp * excess_bp div 10000)"))
+      .withColumn("unnorm", expr("w_bp * factor_bp"))
+    val norm = broadcast(staged.agg(sum(col("unnorm")).as("t_unnorm")))
+    staged.crossJoin(norm)
+      .select(col("source"), col("n_docs"), col("w_bp"),
+        col("mean_s_micro"), col("excess_bp"), col("factor_bp"),
+        expr("unnorm * 10000 div t_unnorm").as("new_w_bp"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_doremi_step" -> (e7DoremiStep _),
     "e7_shard_plan" -> (e7ShardPlan _),
     "e7_release_gate" -> (e7ReleaseGate _),
     "e7_anneal_plan" -> (e7AnnealPlan _),
@@ -634,6 +681,31 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // composes TextOps.backoffCtes verbatim (can't-drift); the whole
+    // update is integer bp/micro arithmetic — no exp crosses engines
+    "e7_doremi_step" ->
+      s"""WITH ${TextOps.backoffCtes},
+         |dm_tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         |    CAST(sum(sum_s_micro) AS BIGINT) AS t_sum,
+         |    CAST(sum(n_pos) AS BIGINT) AS t_pos FROM bo_src),
+         |dm_st AS (SELECT source, n_docs,
+         |    n_docs * 10000 // t_docs AS w_bp,
+         |    sum_s_micro // n_pos AS mean_s_micro,
+         |    t_sum // t_pos AS corpus_s_micro
+         |  FROM bo_src CROSS JOIN dm_tot),
+         |dm_f AS (SELECT source, n_docs, w_bp, mean_s_micro,
+         |    (corpus_s_micro - mean_s_micro) * 10000 // corpus_s_micro
+         |      AS excess_bp
+         |  FROM dm_st),
+         |dm_g AS (SELECT dm_f.*,
+         |    greatest(CAST(0 AS BIGINT),
+         |      10000 + $DoremiEtaBp * excess_bp // 10000) AS factor_bp
+         |  FROM dm_f),
+         |dm_u AS (SELECT dm_g.*, w_bp * factor_bp AS unnorm FROM dm_g),
+         |dm_n AS (SELECT CAST(sum(unnorm) AS BIGINT) AS t_unnorm FROM dm_u)
+         |SELECT source, n_docs, w_bp, mean_s_micro, excess_bp, factor_bp,
+         |  unnorm * 10000 // t_unnorm AS new_w_bp
+         |FROM dm_u CROSS JOIN dm_n ORDER BY source""".stripMargin,
     // shard = slot mod NShards off the shared splitmix chain; signed-bp
     // balance arithmetic on the N-row result (see e7ShardPlan)
     "e7_shard_plan" ->

@@ -1212,7 +1212,82 @@ object TextOps {
       .orderBy(col("df_bp").desc, col("stopword"))
   }
 
+  /** Stupid-backoff discount α — interpolated into BOTH engines as the
+    * literal 0.4 of Brants et al. (EMNLP 2007). */
+  val BackoffAlpha = "0.4"
+
+  /** Purpose-salt for the 50/50 train/held-out gate. A doc_id-parity
+    * split would CONFOUND with the fixture's source assignment (parity
+    * picks exactly half the sources); the salted mix64 slot is
+    * independent of every column — the e6 split discipline. */
+  val BackoffSalt = 0x4ba8e21d7c5f9036L
+
+  /** The per-source held-out backoff score table behind
+    * [[e3StupidBackoff]] and Curation's e7_doremi_step (consumers
+    * COMPOSE this builder verbatim — the can't-drift rule). Columns:
+    * (source, n_docs, n_pos, n_backoff, sum_s_micro); n_docs counts the
+    * SCORED (held-out) docs. */
+  private[ops] def backoffSourceScores(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"),
+        Sampling.slot(col("doc_id"), BackoffSalt).as("sl"))
+    val bi = toks.select(col("doc_id"), col("source"), col("sl"),
+      explode(expr("""transform(sequence(1, size(toks) - 1),
+                      i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"""))
+        .as("b"))
+      .select(col("doc_id"), col("source"), col("sl"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.filter(col("sl") < 50)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val ntot = uni.agg(sum(col("cw")).as("ntot"))
+    val big = bi.filter(col("sl") < 50)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bi.filter(col("sl") >= 50)
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("cw1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cw2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(ntot))
+      .withColumn("s_micro", expr(
+        s"""CAST(floor(CASE WHEN cb IS NOT NULL
+           |    THEN CAST(cb AS DOUBLE) / cw1
+           |    ELSE $BackoffAlpha * coalesce(cw2, 0) / ntot END
+           |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pos"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("s_micro")).as("sum_s_micro"))
+  }
+
+  /** E3 — STUPID-BACKOFF bigram LM scoring (Brants, Popat, Xu, Och &
+    * Dean, "Large language models in machine translation", EMNLP 2007 —
+    * THE web-scale LM: no discounting to train, score = c(w₁w₂)/c(w₁)
+    * with α·c(w₂)/N on backoff): the bigram and unigram tables train on
+    * the EVEN-doc_id half and every ODD-doc_id document scores against
+    * them held-out, so unseen bigrams actually occur and the backoff
+    * path is exercised (a same-corpus model would have c ≥ 1 everywhere
+    * — the e1_contamination train/test lesson applied to LM eval). Read
+    * next to e3_lm_score (char-trigram hit-rate): this is the WORD-level
+    * fluency screen, and its per-source mean is the "loss" proxy
+    * e7_doremi_step reweights on. Exactness: each position's score is
+    * one double ratio of exact longs, integerized (floor(S·1e6 + 0.5))
+    * scan-side BEFORE the fold, so cross-row summation is exact long
+    * arithmetic — no float sum, no transcendental. Plan at 100 TB: both
+    * model tables are vocab-bounded (Heaps-saturating) and BROADCAST;
+    * scoring is three scan-side hash joins on word keys + one broadcast
+    * scalar; the per-source fold partial-combines map-side. */
+  def e3StupidBackoff(s: SparkSession, d: String): DataFrame =
+    backoffSourceScores(s, d)
+      .select(col("source"), col("n_docs"), col("n_pos"), col("n_backoff"),
+        expr("n_backoff * 10000 div n_pos").as("backoff_bp"),
+        expr("sum_s_micro div n_pos").as("mean_s_micro"))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_stupid_backoff" -> (e3StupidBackoff _),
     "e3_stopwords" -> (e3Stopwords _),
     "e3_bpe_vocab" -> (e3BpeVocab _),
     "e3_bpe_apply" -> (e3BpeApply _),
@@ -1333,7 +1408,60 @@ object TextOps {
        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
        |FROM r GROUP BY source, shard, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** The held-out stupid-backoff chain ending in CTE `bo_src` (source,
+    * n_docs, n_pos, n_backoff, sum_s_micro) — shared VERBATIM by the
+    * e3_stupid_backoff and e7_doremi_step oracles (can't-drift). Each
+    * position's score is one double ratio of exact longs, integerized
+    * before any cross-row sum — the Spark builder's exact arithmetic. */
+  private[ops] lazy val backoffCtes: String = {
+    import OracleSql._
+    val saltU = java.lang.Long.toUnsignedString(BackoffSalt)
+    s"""bo_mx_in AS (SELECT doc_id,
+       |  xor(CAST(doc_id AS HUGEINT), CAST('$saltU' AS HUGEINT)) AS h0
+       |  FROM documents),
+       |${mixCtes("bo_mx", "h0", "h1", Seq("doc_id"))},
+       |bo_sl AS (SELECT doc_id,
+       |    CAST((h1 % CAST(power(2, 63) AS HUGEINT)) % 100 AS BIGINT) AS sl
+       |  FROM bo_mx),
+       |bo_t AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS toks,
+       |    s.sl
+       |  FROM documents d JOIN bo_sl s USING (doc_id)),
+       |bo_bi AS (SELECT doc_id, source, sl, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, source, sl, toks,
+       |      unnest(range(1, len(toks))) AS i FROM bo_t)),
+       |bo_uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+       |  SELECT unnest(toks) AS w FROM bo_t WHERE sl < 50)
+       |  GROUP BY w),
+       |bo_n AS (SELECT CAST(sum(cw) AS BIGINT) AS ntot FROM bo_uni),
+       |bo_big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       |  FROM bo_bi WHERE sl < 50 GROUP BY w1, w2),
+       |bo_sc AS (SELECT b.doc_id, b.source,
+       |    CAST(floor(CASE WHEN g.cb IS NOT NULL
+       |        THEN CAST(g.cb AS DOUBLE) / u1.cw
+       |        ELSE $BackoffAlpha * coalesce(u2.cw, 0) / bo_n.ntot END
+       |      * 1000000.0 + 0.5) AS BIGINT) AS s_micro,
+       |    CASE WHEN g.cb IS NULL THEN 1 ELSE 0 END AS backoff
+       |  FROM bo_bi b
+       |  LEFT JOIN bo_big g ON b.w1 = g.w1 AND b.w2 = g.w2
+       |  LEFT JOIN bo_uni u1 ON b.w1 = u1.w
+       |  LEFT JOIN bo_uni u2 ON b.w2 = u2.w
+       |  CROSS JOIN bo_n
+       |  WHERE b.sl >= 50),
+       |bo_src AS (SELECT source,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_pos,
+       |    CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       |    CAST(sum(s_micro) AS BIGINT) AS sum_s_micro
+       |  FROM bo_sc GROUP BY source)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e3_stupid_backoff" ->
+      s"""WITH $backoffCtes
+         |SELECT source, n_docs, n_pos, n_backoff,
+         |  n_backoff * 10000 // n_pos AS backoff_bp,
+         |  sum_s_micro // n_pos AS mean_s_micro
+         |FROM bo_src ORDER BY source""".stripMargin,
     // per-doc DISTINCT df + raw tf over the same split; integer bp
     // shares and the bp threshold (see e3Stopwords)
     "e3_stopwords" ->

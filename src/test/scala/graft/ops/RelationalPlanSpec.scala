@@ -306,7 +306,10 @@ class RelationalPlanSpec extends AnyFunSuite {
       // reviewed round 12: both codebook-index windows run over the
       // GlobalLimit'd splitmix seed samples — ≤ RvqK1/RvqK2 rows at any
       // corpus size (the pqSeeds pattern; Similarity.e2Rvq)
-      "e2_rvq" -> "limit-bounded codebook seed ranks")
+      "e2_rvq" -> "limit-bounded codebook seed ranks",
+      // reviewed round 12: the cumulative window consumes the groupBy(dist)
+      // histogram — ≤ BfsRounds+1 rows (Analysis.e9EffectiveDiameter)
+      "e9_effective_diameter" -> "hop-histogram aggregate")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan

@@ -155,6 +155,86 @@ class Round12bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stupid backoff: driver replica of the held-out scorer") {
+    val rows = TextOps.e3StupidBackoff(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20, "every source must have held-out docs")
+    // recompute on the fixture driver-side
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def sl(id: Long) = java.lang.Math.floorMod(
+      mix64(id ^ TextOps.BackoffSalt) & Long.MaxValue, 100L)
+    val train = docs.filter(p => sl(p._1) < 50)
+    val uni = train.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+    val n = uni.values.sum
+    val big = train.flatMap(p => p._3.sliding(2).filter(_.length == 2)
+      .map(a => (a(0), a(1)))).groupBy(identity).view.mapValues(_.length.toLong)
+    val scored = docs.filter(p => sl(p._1) >= 50)
+    val bySrc = scored.groupBy(_._2)
+    rows.foreach { case (src, nDocs, nPos, nBk, bkBp, meanMicro) =>
+      val ds = bySrc(src).filter(_._3.length >= 2)
+      assert(nDocs == ds.length)
+      val pos = ds.flatMap(p => p._3.sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+      assert(nPos == pos.length)
+      val micros = pos.map { case (w1, w2) =>
+        big.get((w1, w2)) match {
+          case Some(cb) => math.floor(cb.toDouble / uni(w1) * 1e6 + 0.5).toLong
+          case None => math.floor(
+            0.4 * uni.getOrElse(w2, 0L) / n * 1e6 + 0.5).toLong
+        }
+      }
+      assert(nBk == pos.count(p => !big.contains(p)))
+      assert(bkBp == nBk * 10000 / nPos)
+      assert(meanMicro == micros.sum / nPos)
+    }
+  }
+
+  test("doremi step: exact MW update over the backoff table, renormalized") {
+    val sc = TextOps.e3StupidBackoff(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+    val up = Curation.e7DoremiStep(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(up.map(_._1).toSet == sc.keySet)
+    up.foreach { case (src, nDocs, _, meanMicro, _, _, _) =>
+      assert((nDocs, meanMicro) == sc(src), s"backoff table drifted at $src")
+    }
+    // a source scoring BELOW the corpus mean gets excess > 0 and factor
+    // > 10000; above-mean gets factor < 10000 — and the mixture shifts
+    // toward the hard sources while staying a distribution
+    up.foreach { case (src, _, _, _, excess, factor, _) =>
+      assert(factor == math.max(0L, 10000L + Curation.DoremiEtaBp * excess / 10000L),
+        s"factor law at $src")
+    }
+    val tot = up.map(_._7).sum
+    assert(tot >= 10000 - up.length && tot <= 10000,
+      "renormalized weights must sum to 1 up to integer-div slack")
+    assert(up.exists(_._5 > 0) && up.exists(_._5 < 0),
+      "fixture must exercise both update directions")
+  }
+
+  test("effective diameter: distribution closes at 10000 bp and d90 is readable") {
+    val rows = Analysis.e9EffectiveDiameter(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.head._1 == 0L)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.last._4 == 10000L, "cumulative share must close")
+    // cum_pairs is the running sum of n_pairs
+    assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq == rows.map(_._3).toSeq)
+    // seed rows: one dist-0 entry per seed
+    assert(rows.head._2 == Analysis.BfsSeeds ||
+      rows.head._2 <= Analysis.BfsSeeds) // fewer seeds if graph is smaller
+  }
+
   test("aspect buckets: lossless integerization, 8-grid targets, area law") {
     val rows = Multimodal.e5AspectBuckets(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
