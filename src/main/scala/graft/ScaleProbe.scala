@@ -245,7 +245,10 @@ object ScaleProbe {
       // backoff: vocab-bounded model tables broadcast onto one scoring
       // scan; doremi runs on its |sources|-row fold; eff-diameter is
       // seeds× the pair-table BFS rounds
-      "e3_stupid_backoff", "e7_doremi_step", "e9_effective_diameter")
+      "e3_stupid_backoff", "e7_doremi_step", "e9_effective_diameter",
+      // saturation: one fp-keyed exchange then 10 rows; closeness rides
+      // the efd BFS; mutual_info is the chi2 contingency shape
+      "e1_saturation_curve", "e9_closeness", "e8_mutual_info")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

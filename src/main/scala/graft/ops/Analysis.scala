@@ -1435,7 +1435,10 @@ object Analysis {
     * round over the checkpointed pair graph; the distribution fold is
     * ≤ BfsRounds+1 keys and the cumulative window runs on that bounded
     * digest (allowlisted in the unpartitioned-window audit). */
-  def e9EffectiveDiameter(s: SparkSession, d: String): DataFrame = {
+  /** Per-seed BFS distance table (sd, v, dist ≤ BfsRounds) from the
+    * BfsSeeds top-degree seeds — the builder e9_effective_diameter and
+    * e9_closeness COMPOSE verbatim (can't-drift). */
+  private def perSeedBfsDist(s: SparkSession, d: String): DataFrame = {
     val p = Dedup.minhashPairTable(s, d)
     val e = p.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
@@ -1453,6 +1456,11 @@ object Analysis {
         .withColumn("dist", lit(k))
       dist = dist.unionByName(next).localCheckpoint(true)
     }
+    dist
+  }
+
+  def e9EffectiveDiameter(s: SparkSession, d: String): DataFrame = {
+    val dist = perSeedBfsDist(s, d)
     val hist = dist.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     val wc = Window.orderBy("dist")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1464,6 +1472,26 @@ object Analysis {
         expr("cum_pairs * 10000 div t_pairs").as("cum_bp"))
       .orderBy("dist")
   }
+
+  /** E9 — HARMONIC CLOSENESS centrality of the sampled seeds (Boldi &
+    * Vigna, "Axioms for centrality", Internet Math. 2014 — the
+    * closeness variant that handles disconnected graphs, which dedup
+    * pair graphs always are): per seed, Σ 1/d over its ≤ BfsRounds-hop
+    * reachability — how CENTRAL each top-degree near-dup hub is, the
+    * per-seed drill-down of e9_effective_diameter's pooled distribution
+    * (one seed with a deep tail and one with a tight clique read the
+    * same pooled d90; this table separates them). Composes
+    * perSeedBfsDist verbatim. All-integer: 1/d in exact micro units
+    * (1e6 div d — d ≤ BfsRounds keeps every weight exact), so the fold
+    * is a long sum. Plan at 100 TB: the BFS builder's cost (pair-table
+    * × rounds); the fold is ≤ BfsSeeds keys. */
+  def e9Closeness(s: SparkSession, d: String): DataFrame =
+    perSeedBfsDist(s, d)
+      .filter(col("dist") >= 1)
+      .groupBy(col("sd").as("seed_doc"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("CAST(1000000 div dist AS BIGINT)")).as("harmonic_micro"))
+      .orderBy("seed_doc")
 
   /** BFS to EXHAUSTION — the deployment loop the fixed-round declared
     * query documents (kcoreConverged discipline): expand until a round's
@@ -1874,6 +1902,49 @@ object Analysis {
           .as("cramers_v"))
   }
 
+  /** E8 — MUTUAL INFORMATION I(source; lang) in nats, with both marginal
+    * entropies and the normalized coefficient — the information-theoretic
+    * face of e8_chi2's same contingency table (χ² asks "is there ANY
+    * dependence?"; MI says HOW MANY BITS of a document's language its
+    * source identity carries — the number a mixture designer reads to
+    * know whether balancing sources also balances languages for free).
+    * Determinism follows the e8_chi2 contract exactly: every cell term
+    * is computed from exact integer (o, rs, cs, n) through the identical
+    * double expression (one ln per cell — the e8_heaps/e8_tail_index ln
+    * precedent), zero cells contribute exactly 0 (filtered, the
+    * 0·ln 0 = 0 convention), the ≤ |sources|·|langs| terms fold like
+    * χ²'s, and everything rounds at 4 dp. Plan at 100 TB: identical to
+    * e8_chi2 — one (source, lang) aggregate partial-combines map-side;
+    * marginals and the fold run on the bounded table. */
+  def e8MutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rs = cells.groupBy("source").agg(sum(col("o")).as("rs"))
+    val cs = cells.groupBy("lang").agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("source")).as("nr"),
+      countDistinct(col("lang")).as("nc"))
+    val mi = cells.join(rs, "source").join(broadcast(cs), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("t",
+        expr("""(CAST(o AS DOUBLE) / n) *
+                ln(CAST(o AS DOUBLE) * n / (CAST(rs AS DOUBLE) * cs))"""))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("t")).as("mi"))
+    def entropy(m: DataFrame, c: String): DataFrame =
+      m.crossJoin(broadcast(tot.select("n")))
+        .withColumn("h",
+          expr(s"-(CAST($c AS DOUBLE) / n) * ln(CAST($c AS DOUBLE) / n)"))
+        .agg(sum(col("h")).as(s"h_$c"))
+    mi.crossJoin(broadcast(entropy(rs, "rs")))
+      .crossJoin(broadcast(entropy(cs, "cs")))
+      .select(col("n").as("n_docs"), col("nr").as("n_sources"),
+        col("nc").as("n_langs"), round(col("mi"), 4).as("mi_nats"),
+        round(col("h_rs"), 4).as("h_source"),
+        round(col("h_cs"), 4).as("h_lang"),
+        round(col("mi") / least(col("h_rs"), col("h_cs")), 4).as("nmi"))
+  }
+
   /** Tail-sample size for the Hill estimator — interpolated into BOTH
     * engines. 20 keeps the order statistic inside every fixture source
     * at sf0.001 (each source holds ≥ 21 docs at the smallest scale). */
@@ -2084,6 +2155,8 @@ object Analysis {
     "e9_hits" -> (e9Hits _),
     "e9_bfs" -> (e9Bfs _),
     "e9_effective_diameter" -> (e9EffectiveDiameter _),
+    "e9_closeness" -> (e9Closeness _),
+    "e8_mutual_info" -> (e8MutualInfo _),
     "e9_assortativity" -> (e9Assortativity _),
     "e9_local_clustering" -> (e9LocalClustering _),
     "e9_conductance" -> (e9Conductance _),
@@ -2173,6 +2246,32 @@ object Analysis {
       |  round((psum + n_s * (n - pc)) /
       |    (CAST(2 AS DOUBLE) * n_s * n), 4) AS tvd
       |FROM pr)""".stripMargin
+
+  /** The per-seed unrolled BFS CTE chain (requires Dedup.minhashCtes'
+    * `mhp` in the same WITH; ends at `efd_d$BfsRounds`: sd, v, dist) —
+    * the oracle twin of [[perSeedBfsDist]], shared by the
+    * effective-diameter and closeness oracles. lazy: referenced by the
+    * `oracles` map literal. */
+  private lazy val perSeedBfsCtes: String = {
+    val base =
+      s"""efd_e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
+         |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
+         |efd_deg AS (SELECT src, count(*) AS dg FROM efd_e GROUP BY src),
+         |efd_seeds AS MATERIALIZED (SELECT src AS sd FROM efd_deg
+         |  ORDER BY dg DESC, src LIMIT $BfsSeeds),
+         |efd_d0 AS MATERIALIZED (SELECT sd, sd AS v, 0 AS dist
+         |  FROM efd_seeds)""".stripMargin
+    val iters = (1 to BfsRounds).map { k =>
+      s"""efd_f$k AS MATERIALIZED (SELECT DISTINCT f.sd, e.dst AS v
+         |  FROM efd_e e JOIN efd_d${k - 1} f
+         |    ON e.src = f.v AND f.dist = ${k - 1}
+         |  LEFT JOIN efd_d${k - 1} p ON f.sd = p.sd AND e.dst = p.v
+         |  WHERE p.v IS NULL),
+         |efd_d$k AS MATERIALIZED (SELECT sd, v, dist FROM efd_d${k - 1}
+         |  UNION ALL SELECT sd, v, $k AS dist FROM efd_f$k)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
 
   val oracles: Map[String, String] = Map(
     // complete sources×langs cross join (observed-zero cells included);
@@ -2792,29 +2891,12 @@ object Analysis {
          |    AS conductance
          |FROM vol LEFT JOIN cut USING (community) CROSS JOIN mm
          |ORDER BY community""".stripMargin,
-    // the e9_bfs scaffold keyed per seed (sd): each top-degree seed runs
-    // its own unrolled frontier; the distribution + cum_bp are integer
+    // the e9_bfs scaffold keyed per seed (sd) — chain shared verbatim by
+    // the effective-diameter and closeness oracles (can't-drift); the
+    // distribution + cum_bp / harmonic weights are integer
     "e9_effective_diameter" -> {
-      val base =
-        s"""efd_e AS MATERIALIZED (SELECT da AS src, db AS dst FROM mhp
-           |  UNION ALL SELECT db AS src, da AS dst FROM mhp),
-           |efd_deg AS (SELECT src, count(*) AS dg FROM efd_e GROUP BY src),
-           |efd_seeds AS MATERIALIZED (SELECT src AS sd FROM efd_deg
-           |  ORDER BY dg DESC, src LIMIT $BfsSeeds),
-           |efd_d0 AS MATERIALIZED (SELECT sd, sd AS v, 0 AS dist
-           |  FROM efd_seeds)""".stripMargin
-      val iters = (1 to BfsRounds).map { k =>
-        s"""efd_f$k AS MATERIALIZED (SELECT DISTINCT f.sd, e.dst AS v
-           |  FROM efd_e e JOIN efd_d${k - 1} f
-           |    ON e.src = f.v AND f.dist = ${k - 1}
-           |  LEFT JOIN efd_d${k - 1} p ON f.sd = p.sd AND e.dst = p.v
-           |  WHERE p.v IS NULL),
-           |efd_d$k AS MATERIALIZED (SELECT sd, v, dist FROM efd_d${k - 1}
-           |  UNION ALL SELECT sd, v, $k AS dist FROM efd_f$k)""".stripMargin
-      }.mkString(",\n")
       s"""WITH ${Dedup.minhashCtes},
-         |$base,
-         |$iters,
+         |$perSeedBfsCtes,
          |efd_h AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
          |  FROM efd_d$BfsRounds GROUP BY dist),
          |efd_c AS (SELECT dist, n_pairs,
@@ -2827,6 +2909,41 @@ object Analysis {
          |  cum_pairs * 10000 // t_pairs AS cum_bp
          |FROM efd_c CROSS JOIN efd_t ORDER BY dist""".stripMargin
     },
+    // composes the per-seed BFS chain verbatim; 1/d in exact micro units
+    "e9_closeness" ->
+      s"""WITH ${Dedup.minhashCtes},
+         |$perSeedBfsCtes
+         |SELECT sd AS seed_doc, CAST(count(*) AS BIGINT) AS n_reach,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |FROM efd_d$BfsRounds WHERE dist >= 1
+         |GROUP BY sd ORDER BY seed_doc""".stripMargin,
+    // the e8_chi2 contingency shape; one ln per non-zero cell on exact
+    // integer inputs (the e8_heaps ln precedent); 4-dp rounds
+    "e8_mutual_info" ->
+      """WITH mic AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |mir AS (SELECT source, CAST(sum(o) AS BIGINT) AS rs FROM mic
+        |  GROUP BY source),
+        |mis AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cs FROM mic
+        |  GROUP BY lang),
+        |mit AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nc FROM mic),
+        |mim AS (SELECT n, nr, nc, sum((CAST(o AS DOUBLE) / n) *
+        |      ln(CAST(o AS DOUBLE) * n / (CAST(rs AS DOUBLE) * cs))) AS mi
+        |  FROM mic JOIN mir USING (source) JOIN mis USING (lang)
+        |  CROSS JOIN mit GROUP BY n, nr, nc),
+        |mihr AS (SELECT sum(-(CAST(rs AS DOUBLE) / n)
+        |    * ln(CAST(rs AS DOUBLE) / n)) AS h_rs
+        |  FROM mir CROSS JOIN (SELECT n FROM mit)),
+        |mihc AS (SELECT sum(-(CAST(cs AS DOUBLE) / n)
+        |    * ln(CAST(cs AS DOUBLE) / n)) AS h_cs
+        |  FROM mis CROSS JOIN (SELECT n FROM mit))
+        |SELECT n AS n_docs, nr AS n_sources, nc AS n_langs,
+        |  round(mi, 4) AS mi_nats, round(h_rs, 4) AS h_source,
+        |  round(h_cs, 4) AS h_lang,
+        |  round(mi / least(h_rs, h_cs), 4) AS nmi
+        |FROM mim CROSS JOIN mihr CROSS JOIN mihc""".stripMargin,
     "e9_bfs" -> {
       // Unrolled synchronous frontier expansion; anti-joins are LEFT JOIN
       // ... IS NULL (DuckDB's plan for NOT EXISTS on a materialized CTE).

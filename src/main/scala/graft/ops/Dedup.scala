@@ -98,6 +98,44 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy("keeper")
 
+  /** E1 — NOVELTY SATURATION curve: walk the corpus in doc_id order
+    * (ingestion order in the fixture) in ten equal-width deciles and
+    * count how many content fingerprints are NEW in each — the
+    * diminishing-returns curve of continued crawling (the corpus-level
+    * Heaps law at document granularity, read next to e1_source_novelty's
+    * per-source increments and e8_heaps' vocabulary fit): a flattening
+    * tail says further ingestion of this stream buys mostly duplicates,
+    * which is what decides whether the NEXT 10 TB is worth storing.
+    * All-integer: the decile is doc_id·10 div (max_id+1) (exact, no
+    * rank window over the corpus), news are first-decile counts of the
+    * exact-dedup fingerprint, shares are bp divisions. Plan at 100 TB:
+    * one scan computing (fp, decile) scan-side; the min-decile fold
+    * shuffles 16-byte fingerprints once (the e1_exact_dedup exchange);
+    * everything after is ≤10 rows, including the cumulative window
+    * (allowlisted: decile-histogram input). */
+  def e1SaturationCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val dd = docs.crossJoin(broadcast(mx))
+      .withColumn("decile", expr("doc_id * 10 div (mx + 1)"))
+    val firsts = dd.groupBy("fp").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new"))
+    val per = dd.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per.join(firsts, Seq("decile"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_new"),
+        expr("n_new * 10000 div n_docs").as("new_bp"),
+        col("cum_docs"), col("cum_new"),
+        expr("cum_new * 10000 div cum_docs").as("cum_new_bp"))
+      .orderBy("decile")
+  }
+
   /** Bloom filter geometry for e1_bloom_audit — interpolated into both
     * engines. m = 2^14 bits / k = 4 hashes sizes the fixture into the
     * informative fill range (≈45% fill, a measurable few-hundred-bp FP
@@ -1776,6 +1814,7 @@ object Dedup {
     "e1_shingle_profile" -> (e1ShingleProfile _),
     "e1_source_novelty" -> (e1SourceNovelty _),
     "e1_exact_dedup" -> (e1ExactDedup _),
+    "e1_saturation_curve" -> (e1SaturationCurve _),
     "e1_bloom_audit" -> (e1BloomAudit _),
     "e1_dup_inflation" -> (e1DupInflation _),
     "e1_retention_curve" -> (e1RetentionCurve _),
@@ -2293,6 +2332,30 @@ object Dedup {
     "e1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // exact-width deciles (doc_id·10 // (max+1)); news = first-decile
+    // counts of the same md5 fingerprint; all shares integer bp
+    "e1_saturation_curve" ->
+      """WITH sat_d AS (SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |    doc_id * 10 // ((SELECT max(doc_id) FROM documents) + 1)
+        |      AS decile
+        |  FROM documents),
+        |sat_f AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |  SELECT fp, min(decile) AS decile FROM sat_d GROUP BY fp)
+        |  GROUP BY decile),
+        |sat_p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM sat_d GROUP BY decile),
+        |sat_c AS (SELECT p.decile, p.n_docs,
+        |    coalesce(f.n_new, 0) AS n_new,
+        |    CAST(sum(p.n_docs) OVER (ORDER BY p.decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_docs,
+        |    CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_new
+        |  FROM sat_p p LEFT JOIN sat_f f ON p.decile = f.decile)
+        |SELECT decile, n_docs, n_new, n_new * 10000 // n_docs AS new_bp,
+        |  cum_docs, cum_new, cum_new * 10000 // cum_docs AS cum_new_bp
+        |FROM sat_c ORDER BY decile""".stripMargin,
     // md5 prefix folds to int64 via the list_reduce hex fold; positions
     // via one mix chain per side over (fp × seeds); all counts integer
     "e1_bloom_audit" -> {

@@ -309,7 +309,10 @@ class RelationalPlanSpec extends AnyFunSuite {
       "e2_rvq" -> "limit-bounded codebook seed ranks",
       // reviewed round 12: the cumulative window consumes the groupBy(dist)
       // histogram — ≤ BfsRounds+1 rows (Analysis.e9EffectiveDiameter)
-      "e9_effective_diameter" -> "hop-histogram aggregate")
+      "e9_effective_diameter" -> "hop-histogram aggregate",
+      // reviewed round 12: both cumulative windows run on the 10-row
+      // decile histogram (Dedup.e1SaturationCurve)
+      "e1_saturation_curve" -> "decile-histogram aggregate")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan

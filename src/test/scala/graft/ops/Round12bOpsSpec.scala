@@ -235,6 +235,62 @@ class Round12bOpsSpec extends AnyFunSuite {
       rows.head._2 <= Analysis.BfsSeeds) // fewer seeds if graph is smaller
   }
 
+  test("saturation curve: decile mass conserves and novelty sums to distincts") {
+    val rows = Dedup.e1SaturationCurve(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = graft.Tables.documents(spark, d)
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.map(_._3).sum ==
+      docs.selectExpr("md5(lower(trim(text)))").distinct().count(),
+      "every distinct fingerprint is new in exactly one decile")
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    // cumulative columns are running sums; the novelty RATE must not
+    // grow once duplicates start arriving only in expectation — pin
+    // only the exact arithmetic, not the fixture's shape
+    assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq == rows.map(_._5).toSeq)
+    assert(rows.scanLeft(0L)(_ + _._3).tail.toSeq == rows.map(_._6).toSeq)
+    rows.foreach { r =>
+      assert(r._4 == r._3 * 10000 / r._2 && r._7 == r._6 * 10000 / r._5)
+    }
+  }
+
+  test("closeness composes the effective-diameter BFS: mass reconciles") {
+    val efd = Analysis.e9EffectiveDiameter(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cl = Analysis.e9Closeness(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Σ per-seed reach == pooled non-zero pair mass
+    assert(cl.map(_._2).sum == efd.filterNot(_._1 == 0L).values.sum)
+    cl.foreach { case (sd, nReach, harm) =>
+      // harmonic mass is bounded by the all-at-distance-1 extreme and
+      // the all-at-max-distance extreme
+      assert(harm <= nReach * 1000000L &&
+        harm >= nReach * (1000000L / Analysis.BfsRounds), s"bounds at $sd")
+    }
+  }
+
+  test("mutual info agrees with a driver-side recompute and chi2's table") {
+    val r = Analysis.e8MutualInfo(spark, d).collect().head
+    val cells = graft.Tables.documents(spark, d)
+      .groupBy("source", "lang").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val rs = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cs = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val mi = cells.map { case ((s0, l), o) =>
+      (o / n) * math.log(o * n / (rs(s0).toDouble * cs(l))) }.sum
+    val hr = rs.values.map(v => -(v / n) * math.log(v / n)).sum
+    val hc = cs.values.map(v => -(v / n) * math.log(v / n)).sum
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == rs.size &&
+      r.getLong(2) == cs.size)
+    assert(math.abs(r.getDouble(3) - r4(mi)) < 1e-9)
+    assert(math.abs(r.getDouble(6) - r4(mi / math.min(hr, hc))) < 1e-9)
+    // MI ≥ 0 and bounded by both entropies (Jensen)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= math.min(hr, hc) + 1e-9)
+  }
+
   test("aspect buckets: lossless integerization, 8-grid targets, area law") {
     val rows = Multimodal.e5AspectBuckets(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
