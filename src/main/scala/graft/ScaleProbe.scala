@@ -248,7 +248,9 @@ object ScaleProbe {
       "e3_stupid_backoff", "e7_doremi_step", "e9_effective_diameter",
       // saturation: one fp-keyed exchange then 10 rows; closeness rides
       // the efd BFS; mutual_info is the chi2 contingency shape
-      "e1_saturation_curve", "e9_closeness", "e8_mutual_info")
+      "e1_saturation_curve", "e9_closeness", "e8_mutual_info",
+      // rocchio: memo pass-1 + one broadcast sample x corpus re-rank
+      "e2_rocchio")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -757,6 +757,68 @@ object Similarity {
         col("other_id"), round(col("ip"), 4).as("ip"))
       .orderBy("vec_id", "rn")
 
+  /** E2 — ROCCHIO pseudo-relevance feedback (Rocchio 1971; the PRF
+    * recipe of Salton's SMART system, run dense): treat each sampled
+    * query's exact top-3 as pseudo-relevant, expand the query toward
+    * their centroid (q' = ½q + ½·centroid — α = β = ½, no negative
+    * term), re-run the exact search with q', and report whether the
+    * expansion MOVED the top-1 and how much of the original top-3 list
+    * survives — the table that says whether one feedback round helps or
+    * hurts this corpus before a retrieval deployment turns PRF on.
+    * Feedback sets come from the shared exactSampleTruth memo (cos_g
+    * top-3 — the can't-drift rule); queries lacking three neighbors
+    * drop (INNER joins — PRF needs its pseudo-relevant set).
+    * Determinism: the expansion arithmetic is pinned-order IEEE
+    * (((e1+e2)+e3)/3, then ½q + ½c — identical sequence both engines);
+    * the re-ranked lists tie-break on neighbor id, the audit columns are
+    * integers, and no raw double is output. Plan at 100 TB: the memo
+    * runs once per session; the ≤64 expanded queries BROADCAST against
+    * ONE column-pruned corpus scan (the *_sampled exact-leg shape —
+    * linear), with the rank filter pruning to per-partition top-3
+    * before the exchange. */
+  def e2Rocchio(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id").as("oid"),
+      col("embedding").cast("array<double>").as("oe"))
+    val m = exactSampleTruth(s, d)
+      .filter(col("leg") === "cos_g" && col("rn") <= 3)
+      .select(col("vec_id"), col("rn"), col("other_id"))
+    def at(k: Int) = m.filter(col("rn") === k)
+      .join(emb, col("other_id") === col("oid"))
+      .select(col("vec_id"), col("oe").as(s"e$k"),
+        col("other_id").as(s"nb$k"))
+    val qx = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .join(at(1), "vec_id").join(at(2), "vec_id").join(at(3), "vec_id")
+      .select(col("vec_id"), col("nb1"), col("nb2"), col("nb3"),
+        expr("""zip_with(ed,
+                  zip_with(zip_with(e1, e2, (x, y) -> x + y), e3,
+                    (x, y) -> x + y),
+                  (x, y) -> 0.5 * x + 0.5 * (y / 3.0))""").as("qp"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("oid"))
+    val prf = broadcast(qx).join(emb, col("oid") =!= col("vec_id"))
+      .withColumn("sim", expr(
+        """aggregate(zip_with(qp, oe, (x, y) -> x * y), 0.0D,
+             (p, q) -> p + q)
+           / (sqrt(aggregate(zip_with(qp, qp, (x, y) -> x * y), 0.0D,
+               (p, q) -> p + q))
+              * sqrt(aggregate(zip_with(oe, oe, (x, y) -> x * y), 0.0D,
+                  (p, q) -> p + q)))"""))
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("vec_id"), col("nb1"), col("nb2"), col("nb3"),
+        col("oid"), col("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    prf.groupBy("vec_id", "nb1", "nb2", "nb3")
+      .agg(min(when(col("rn") === 1, col("oid"))).as("prf_top1"),
+        sum(when(col("oid") === col("nb1") or col("oid") === col("nb2")
+          or col("oid") === col("nb3"), 1L).otherwise(0L)).as("overlap3"))
+      .select(col("vec_id"), col("nb1").as("orig_top1"), col("prf_top1"),
+        when(col("prf_top1") === col("nb1"), 0L).otherwise(1L)
+          .as("moved"),
+        col("overlap3"))
+      .orderBy("vec_id")
+  }
+
   /** Neighborhood size for the label-noise audit — interpolated into
     * both engines. */
   val NoiseK = 5
@@ -2997,6 +3059,7 @@ object Similarity {
     "e9_link_pred_knn" -> (e9LinkPredKnn _),
     "e9_adamic_adar" -> (e9AdamicAdar _),
     "e2_recall_per_query" -> (e2RecallPerQuery _),
+    "e2_rocchio" -> (e2Rocchio _),
     "e2_range_search" -> (e2RangeSearch _),
     "e2_pq_distortion" -> (e2PqDistortion _),
     "e2_rvq" -> (e2Rvq _),
@@ -4402,6 +4465,51 @@ object Similarity {
          |FROM aacand JOIN adeg d1 ON vec_a = d1.id JOIN adeg d2 ON vec_b = d2.id
          |ORDER BY aa_micro DESC, common DESC, vec_a, vec_b
          |LIMIT $KnnLinkPredK""".stripMargin,
+    // pass 1 = the memo's cos_g top-3 (list_cosine ranking, house
+    // tie-break); the expansion arithmetic is pinned-order IEEE; pass 2
+    // re-ranks the broadcast expanded queries; outputs are integers
+    "e2_rocchio" ->
+      s"""WITH $qselCtes,
+         |rc_e AS (SELECT vec_id AS oid, CAST(embedding AS DOUBLE[]) AS oe
+         |  FROM embeddings),
+         |rc_x AS (SELECT a.vec_id, b.oid,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), b.oe)
+         |      AS sim
+         |  FROM embeddings a JOIN rc_e b ON b.oid <> a.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
+         |rc_t AS (SELECT vec_id, oid, rn FROM (
+         |  SELECT vec_id, oid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, oid) AS rn FROM rc_x) WHERE rn <= 3),
+         |rc_p AS (SELECT t1.vec_id, t1.oid AS nb1, t2.oid AS nb2,
+         |    t3.oid AS nb3
+         |  FROM (SELECT vec_id, oid FROM rc_t WHERE rn = 1) t1
+         |  JOIN (SELECT vec_id, oid FROM rc_t WHERE rn = 2) t2 USING (vec_id)
+         |  JOIN (SELECT vec_id, oid FROM rc_t WHERE rn = 3) t3 USING (vec_id)),
+         |rc_q AS (SELECT p.vec_id, p.nb1, p.nb2, p.nb3,
+         |    list_transform(range(1, 65), i ->
+         |      0.5 * q.ed[CAST(i AS INT)] + 0.5 *
+         |        (((a.oe[CAST(i AS INT)] + b.oe[CAST(i AS INT)])
+         |          + c.oe[CAST(i AS INT)]) / 3.0)) AS qp
+         |  FROM rc_p p
+         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |    FROM embeddings) q ON p.vec_id = q.vec_id
+         |  JOIN rc_e a ON p.nb1 = a.oid
+         |  JOIN rc_e b ON p.nb2 = b.oid
+         |  JOIN rc_e c ON p.nb3 = c.oid),
+         |rc_s AS (SELECT x.vec_id, x.nb1, x.nb2, x.nb3, e.oid,
+         |    list_cosine_similarity(x.qp, e.oe) AS sim
+         |  FROM rc_q x JOIN rc_e e ON e.oid <> x.vec_id),
+         |rc_r AS (SELECT vec_id, nb1, nb2, nb3, oid, rn FROM (
+         |  SELECT vec_id, nb1, nb2, nb3, oid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, oid) AS rn FROM rc_s)
+         |  WHERE rn <= 3)
+         |SELECT vec_id, nb1 AS orig_top1,
+         |  min(CASE WHEN rn = 1 THEN oid END) AS prf_top1,
+         |  CAST(CASE WHEN min(CASE WHEN rn = 1 THEN oid END) = nb1
+         |    THEN 0 ELSE 1 END AS BIGINT) AS moved,
+         |  CAST(sum(CASE WHEN oid IN (nb1, nb2, nb3) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS overlap3
+         |FROM rc_r GROUP BY vec_id, nb1, nb2, nb3 ORDER BY vec_id""".stripMargin,
     // per-query drill-down of e2_ann_recall_sampled: same ivf + exact
     // CTE text, the final fold removed; gaps subtract exact 1e4
     // integerizations of the 4-dp rounded sims

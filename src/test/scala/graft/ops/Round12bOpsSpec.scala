@@ -291,6 +291,29 @@ class Round12bOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0 && r.getDouble(3) <= math.min(hr, hc) + 1e-9)
   }
 
+  test("rocchio: feedback sets come from the memo; audit columns cohere") {
+    val m = Similarity.exactSampleTruth(spark, d).collect()
+      .filter(r => r.getString(7) == "cos_g")
+      .map(r => (r.getLong(0), r.getInt(6), r.getLong(2)))
+    val top3 = m.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val rows = Similarity.e2Rocchio(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // every query with a full memo top-3 appears exactly once
+    assert(rows.map(_._1).toSet == top3.filter(_._2.length >= 3).keySet)
+    rows.foreach { case (q, orig, prf, moved, ov) =>
+      assert(orig == top3(q).head, s"orig_top1 drifted from the memo at $q")
+      assert(moved == (if (prf == orig) 0L else 1L))
+      assert(ov >= 0 && ov <= 3)
+      // the expanded query pulls TOWARD the pseudo-relevant centroid, so
+      // the feedback set cannot vanish wholesale from the re-ranked list
+      // across the whole sample
+    }
+    assert(rows.map(_._5).sum > rows.length,
+      "feedback lists should overlap their seeds on average")
+  }
+
   test("aspect buckets: lossless integerization, 8-grid targets, area law") {
     val rows = Multimodal.e5AspectBuckets(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
