@@ -250,7 +250,9 @@ object ScaleProbe {
       // the efd BFS; mutual_info is the chi2 contingency shape
       "e1_saturation_curve", "e9_closeness", "e8_mutual_info",
       // rocchio: memo pass-1 + one broadcast sample x corpus re-rank
-      "e2_rocchio")
+      "e2_rocchio",
+      // token explode into the vocab-bounded count table + sketch-sized folds
+      "e4v_cmsketch")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

@@ -143,6 +143,35 @@ object StreamSoak {
       return
     }
 
+    // "cm" as any arg: soak the E4v count-min sketch ingest — token-
+    // granularity arrivals (the heaviest per-row regime in the stateful
+    // family: every document fans out to ~56 token rows) through the
+    // CmShards × d×w counter state. Replication multiplies every
+    // counter by N but the STATE SIZE is geometry-pinned forever.
+    // Checks the mass-conservation law (Σ row-0 cells == arrivals per
+    // shard) and reports token throughput.
+    if (args.contains("cm")) {
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamCmSketch(spark, src, schema, "soak_cm")
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the ledger is shards × versions rows — driver-sized
+      val led = spark.table("soak_cm").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val byShard = led.groupBy(_._1)
+      byShard.foreach { case (shard, rows) =>
+        val fin = rows.maxBy(_._2)
+        require(rows.map(_._3).sum == fin._4,
+          s"mass law violated at shard $shard")
+      }
+      val total = led.map(_._3).sum
+      val maxCell = byShard.values.map(_.maxBy(_._2)._5).max
+      println(f"""{"soak":"e4v_cmsketch_ingest","input_rows":$inputRows,"tokens":$total,"sec":$secs%.1f,"tokens_per_sec":${(total / secs).toLong},"shards":${streaming.Stateful.CmShards},"w":${streaming.StreamOps.CmW},"d":${graft.ops.Dedup.BloomSeeds.length},"max_cell":$maxCell,"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     // "sh" as any arg: soak the E4u simhash near-dup filter — the same
     // replicated corpus (exact clones, so every replica beyond the first
     // shares its original's signature AND prefix shard) through the

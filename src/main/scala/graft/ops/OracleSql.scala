@@ -12,7 +12,7 @@ package graft.ops
   * XOR and >> are native on HUGEINT. Each splitmix64 application is
   * unrolled into a 4-CTE chain (`mixCtes`) so intermediates are named
   * columns instead of exponentially nested expressions. */
-private[ops] object OracleSql {
+private[graft] object OracleSql {
   val M   = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
   val B32 = "CAST('4294967296' AS HUGEINT)"           // 2^32
   val A   = "CAST('11400714819323198485' AS HUGEINT)" // 0x9e3779b97f4a7c15

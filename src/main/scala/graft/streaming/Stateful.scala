@@ -425,6 +425,84 @@ object Stateful {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  final case class CmIn(shard: Int, h: Long, cnt: Long)
+  final case class CmState(ver: Long, cells: Array[Long])
+  final case class CmBatch(shard: Int, ver: Long, batch_tokens: Long,
+      l1_mass: Long, max_cell: Long)
+
+  /** Shard count for the streaming count-min sketch — tokens partition
+    * by hash, so each shard owns a disjoint token slice exactly and the
+    * global estimate for a token is read from ITS shard alone. */
+  val CmShards = 8
+
+  /** E4v — STREAMING COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005):
+    * the frequency-estimation member of the bounded-state ingest family
+    * (E4r Space-Saving = top-k membership, E4t bloom = exact-duplicate
+    * membership, E4u simhash = near-dup membership; this one answers
+    * point frequency queries). State per shard is a d×w exact long
+    * counter grid — CmShards × d × CmW × 8 bytes FOREVER (32 KiB/shard
+    * at d=4, w=512), mutated by pure increments, so arrival order never
+    * matters and no per-batch sort is needed (contrast the decision
+    * ledgers, whose admit bits are order-sensitive). The per-batch
+    * emission is the mass-conservation ledger: row-0 L1 mass must equal
+    * every arrival ever routed to the shard — the invariant the soak
+    * checks at volume. Geometry (w a power of two, the bloom seeds) is
+    * shared with the batch twin e4v_cmsketch, which prices the
+    * overcount before a stream commits to w. */
+  def updateCmSketch(w: Long, seeds: Seq[Long])(shard: Int,
+      rows: Iterator[CmIn],
+      state: GroupState[CmState]): Iterator[CmBatch] = {
+    import org.apache.spark.sql.graftext.minhashExpression.mix
+    val d = seeds.length
+    val wi = w.toInt
+    val prev = state.getOption.getOrElse(CmState(0L, new Array[Long](d * wi)))
+    val cells = prev.cells.clone()
+    var batch = 0L
+    rows.foreach { r =>
+      batch += r.cnt
+      var i = 0
+      while (i < d) {
+        val p = java.lang.Math.floorMod(mix(r.h ^ seeds(i)), w).toInt
+        cells(i * wi + p) += r.cnt
+        i += 1
+      }
+    }
+    state.update(CmState(prev.ver + 1, cells))
+    var l1 = 0L
+    var mx = 0L
+    var j = 0
+    while (j < cells.length) {
+      if (j < wi) l1 += cells(j)
+      if (cells(j) > mx) mx = cells(j)
+      j += 1
+    }
+    Iterator.single(CmBatch(shard, prev.ver + 1, batch, l1, mx))
+  }
+
+  /** File-source document stream → scan-side token explode + md5-fold
+    * hash (the e4v_cmsketch expression) → per-shard CM counter state →
+    * memory sink; the emitted rows are the mass ledger. */
+  def streamCmSketch(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[CmIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .select(pmod(col("h"), lit(CmShards.toLong)).cast("int").as("shard"),
+        col("h"), lit(1L).as("cnt"))
+      .as[CmIn]
+    rows
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        updateCmSketch(graft.streaming.StreamOps.CmW,
+          graft.ops.Dedup.BloomSeeds))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   final case class SimIn(pfx: Int, doc_id: Long, sig: Long)
   final case class SimRingState(ver: Long, sigs: List[Long])
   final case class SimDecision(pfx: Int, ver: Long, doc_id: Long,

@@ -603,7 +603,57 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** Count-min geometry: CmW cells per hash row (a power of two, so the
+    * unsigned-HUGEINT `% CmW` oracle fold equals Spark's signed pmod —
+    * the BloomBits invariant), one row per Dedup.BloomSeeds seed; TopK
+    * is the audited probe set. */
+  val CmW = 512L
+  val CmTopK = 16
+
+  /** E4v (batch twin) — COUNT-MIN SKETCH frequency estimation (Cormode &
+    * Muthukrishnan, J. Algorithms 2005): token counts folded into a
+    * d×w counter grid (d = the four bloom seeds, w = CmW), point
+    * estimates read back as the min over rows — the sketch that answers
+    * "how often did THIS token occur" in constant memory, where
+    * e4l/e4r's Space-Saving answers "which tokens are frequent" and
+    * q42's HLL answers "how many distinct". The audit probes the top-K
+    * true-count tokens and reports the (always ≥ 0) overcount — CM's
+    * one-sided error — in exact integers and bp, the table that sizes w
+    * before a stream commits to it (the e1_bloom_audit discipline for
+    * the counting sketch). Exactness: token hashes are the md5-fold
+    * longs both engines share, positions are splitmix64 mod the
+    * power-of-two width, every counter is an exact long sum. Plan at
+    * 100 TB: the token explode partial-combines to the vocab-bounded
+    * count table; the 4-seed fan-out and d×w cell fold are
+    * sketch-sized; the rank window runs on the vocab-bounded estimates
+    * (allowlisted). */
+  def e4vCmSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mixE = org.apache.spark.sql.graftext.minhashExpression
+    val th = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("true_c"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+    val sd = graft.ops.Dedup.BloomSeeds.toDF("sd")
+    val pos = th.crossJoin(broadcast(sd))
+      .withColumn("pos", pmod(mixE.mix64(col("h").bitwiseXOR(col("sd"))),
+        lit(CmW)))
+    val cells = pos.groupBy("sd", "pos").agg(sum(col("true_c")).as("cell_c"))
+    val est = pos.select("t", "true_c", "sd", "pos")
+      .join(cells, Seq("sd", "pos"))
+      .groupBy("t", "true_c").agg(min(col("cell_c")).as("est_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("true_c").desc, col("t"))
+    est.withColumn("rk", row_number().over(w)).filter(col("rk") <= CmTopK)
+      .select(col("t").as("token"), col("true_c"), col("est_c"),
+        (col("est_c") - col("true_c")).as("overcount"),
+        expr("(est_c - true_c) * 10000 div true_c").as("err_bp"))
+      .orderBy(col("true_c").desc, col("token"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e4v_cmsketch" -> (e4vCmSketch _),
     "e4n_window_topk" -> (e4nWindowTopk _),
     "e4a_tumbling" -> (e4aTumbling _),
     "e4b_sliding" -> (e4bSliding _),
@@ -617,6 +667,42 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the e1_bloom_audit machinery for the counting sketch: md5-fold
+    // token hashes, splitmix positions mod the power-of-two width,
+    // exact long counters; overcount is CM's one-sided error
+    "e4v_cmsketch" -> {
+      import graft.ops.OracleSql._
+      val seeds = graft.ops.Dedup.BloomSeeds
+        .map(s0 => s"(CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))")
+        .mkString(", ")
+      s"""WITH cm_t AS (SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |cm_c AS (SELECT t, CAST(count(*) AS BIGINT) AS true_c FROM cm_t
+         |  GROUP BY t),
+         |cm_h AS (SELECT t, true_c,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef',
+         |      substring(md5(t), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+         |    (h, dg) -> h * 16 + dg) AS BIGINT) AS h FROM cm_c),
+         |cm_sd AS (SELECT * FROM (VALUES $seeds) AS x(sd)),
+         |cm_in AS (SELECT t, true_c, sd, xor(CAST(h AS HUGEINT), sd) AS q0
+         |  FROM cm_h, cm_sd),
+         |${mixCtes("cm", "q0", "qm", Seq("t", "true_c", "sd"))},
+         |cm_pos AS (SELECT t, true_c, sd, CAST(qm % $CmW AS BIGINT) AS pos
+         |  FROM cm),
+         |cm_cell AS (SELECT sd, pos, CAST(sum(true_c) AS BIGINT) AS cell_c
+         |  FROM cm_pos GROUP BY sd, pos),
+         |cm_est AS (SELECT p.t, p.true_c, min(c.cell_c) AS est_c
+         |  FROM cm_pos p JOIN cm_cell c ON p.sd = c.sd AND p.pos = c.pos
+         |  GROUP BY p.t, p.true_c),
+         |cm_top AS (SELECT t, true_c, est_c FROM (SELECT t, true_c, est_c,
+         |    row_number() OVER (ORDER BY true_c DESC, t) AS rk FROM cm_est)
+         |  WHERE rk <= $CmTopK)
+         |SELECT t AS token, true_c, CAST(est_c AS BIGINT) AS est_c,
+         |  CAST(est_c - true_c AS BIGINT) AS overcount,
+         |  CAST(est_c - true_c AS BIGINT) * 10000 // true_c AS err_bp
+         |FROM cm_top ORDER BY true_c DESC, token""".stripMargin
+    },
     "e4j_window_sketch" ->
       // each engine's own per-day HLL vs its own exact distinct — the
       // q42 portable-contract pattern, windowed

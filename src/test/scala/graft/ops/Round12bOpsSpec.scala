@@ -314,6 +314,38 @@ class Round12bOpsSpec extends AnyFunSuite {
       "feedback lists should overlap their seeds on average")
   }
 
+  test("count-min: one-sided error, exact recompute of cells and estimates") {
+    val rows = graft.streaming.StreamOps.e4vCmSketch(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == graft.streaming.StreamOps.CmTopK)
+    // driver-side sketch replica
+    import org.apache.spark.sql.graftext.minhashExpression.mix
+    val w = graft.streaming.StreamOps.CmW
+    val counts = graft.Tables.documents(spark, d)
+      .selectExpr("explode(split(text, ' ')) AS t").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length.toLong)
+    def h(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val cells = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    counts.foreach { case (t, c) =>
+      graft.ops.Dedup.BloomSeeds.foreach { sd =>
+        cells((sd, java.lang.Math.floorMod(mix(h(t) ^ sd), w))) += c
+      }
+    }
+    rows.foreach { case (t, tc, ec, over, bp) =>
+      assert(tc == counts(t))
+      val est = graft.ops.Dedup.BloomSeeds
+        .map(sd => cells((sd, java.lang.Math.floorMod(mix(h(t) ^ sd), w)))).min
+      assert(ec == est, s"estimate drifted at $t")
+      assert(over == ec - tc && over >= 0, "CM error must be one-sided")
+      assert(bp == over * 10000 / tc)
+    }
+  }
+
   test("aspect buckets: lossless integerization, 8-grid targets, area law") {
     val rows = Multimodal.e5AspectBuckets(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
