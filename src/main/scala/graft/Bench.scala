@@ -40,6 +40,35 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    def readLoad1: Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    // Load gate (round-12 verdict task 3): BENCH_r12 — the artifact of
+    // record — ran at load1 8.81 on 32 cpus, and the co-tenant noise
+    // manufactured that round's outlier hunt (five flags that isolated
+    // clean). Before touching Spark, wait for the host to go quiet
+    // (load1/cpus ≤ MaxLoadRatio, re-polled every 20 s up to LoadWaitS);
+    // if it never does, still run — the driver needs an artifact — but
+    // stamp load_gate:"FAIL" so the round's numbers are read as
+    // noise-class, not regressions. load1_start is the gated reading;
+    // the later load1 field (post-anchor, kept for cross-round
+    // continuity) includes the bench's own activity.
+    val nCpus = Runtime.getRuntime.availableProcessors
+    val maxLoadRatio =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD_RATIO", "0.15").toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "300").toInt
+    var load1Start = readLoad1
+    var waitedS = 0
+    while (load1Start >= 0 && load1Start / nCpus > maxLoadRatio
+      && waitedS < loadWaitS) {
+      System.err.println(f"[bench] load1 $load1Start%.2f / $nCpus cpus > " +
+        f"$maxLoadRatio%.2f; waiting (${waitedS}s/${loadWaitS}s)")
+      Thread.sleep(20000); waitedS += 20; load1Start = readLoad1
+    }
+    val loadGate =
+      if (load1Start < 0 || load1Start / nCpus <= maxLoadRatio) "PASS"
+      else "FAIL"
     // Anchor FIRST (fresh JVM, nothing else warmed) — see AnchorQuery.
     val anchorS: Option[Double] =
       if (only.isDefined) None
@@ -47,10 +76,7 @@ object Bench {
         run1(AnchorQuery, warmDir); run1(AnchorQuery, sfDir) // warm reps
         Some((0 until 3).map(_ => run1(AnchorQuery, sfDir)).sorted.apply(1))
       }
-    val load1 =
-      try java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
+    val load1 = readLoad1
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (n, _) => run1(n, warmDir) }
@@ -99,10 +125,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val cpus = Runtime.getRuntime.availableProcessors
+    val cpus = nCpus
     val anchorFields = anchorS
       .map(a => f""""anchor_s":$a%.3f,"anchor_q":"$AnchorQuery",""")
-      .getOrElse("")
+      .getOrElse("") +
+      f""""load_gate":"$loadGate","load1_start":$load1Start%.2f,"load_wait_s":$waitedS,"max_load_ratio":$maxLoadRatio%.2f,"""
     // Compact summary: totals + the normalization context, NO per-query
     // dict — short enough that no capture window clips it.
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$anchorFields"cpus":$cpus,"load1":$load1%.2f,"sf":"$sfDir","method":"per-query warm rep + median-of-3; divide totals by anchor_s to compare across hosts; full per-query medians in bench_full.json"}"""

@@ -252,7 +252,10 @@ object ScaleProbe {
       // rocchio: memo pass-1 + one broadcast sample x corpus re-rank
       "e2_rocchio",
       // token explode into the vocab-bounded count table + sketch-sized folds
-      "e4v_cmsketch")
+      "e4v_cmsketch",
+      // round 13: serve from the standing IVF release — min-of-2 makes the
+      // second rep the SERVING cell (the first pays the one-time build)
+      "e2_ivf_serve")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
@@ -288,7 +291,10 @@ object ScaleProbe {
         val rows = SparkEntry.queries(q)(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      println(f"$label%-28s ${times.map(_._1).min}%8.2f s   ${times.head._2}%10d rows")
+      // first rep alongside the min: for ops with a one-time term (memo
+      // build, standing-index release) first−min is that term's price
+      println(f"$label%-28s ${times.map(_._1).min}%8.2f s   " +
+        f"${times.head._2}%10d rows   (first ${times.head._1}%.2f s)")
     }
     probes.foreach(q => timeQuery(q, out, q))
 

@@ -749,24 +749,29 @@ object Analysis {
     * (periodic structure) and e8_autocorr (serial structure): this is
     * the marginal-dispersion cell of that monitor family, and the one
     * that fires on aperiodic bursts both of them miss. Exactness: daily
-    * counts are integers, so n·Σc² − (Σc)² and n·Σc are exact long
-    * arithmetic; the single double division rounds at 4 dp. Plan at
+    * counts are integers; the quadratic form n·Σc² − (Σc)² folds in
+    * DECIMAL(38,0) (the e8_gini/e8_moments widening rule — (Σc)² would
+    * wrap a long once one type exceeds ~3e9 events, well inside the
+    * 100 TB plan); the single double division rounds at 4 dp. Plan at
     * 100 TB: the (type, day) count partial-combines map-side to a
     * types×days-bounded digest; the per-type fold runs on that digest,
     * never on events. */
   def e8Burstiness(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
       .groupBy("event_type")
       .agg(asLong(count(lit(1))).as("n_days"), sum(col("c")).as("n_events"),
         max(col("c")).as("peak_day"), min(col("c")).as("trough_day"),
-        sum(col("c") * col("c")).as("ss"))
+        sum(col("c").cast(d38) * col("c")).as("ss"))
       .select(col("event_type"), col("n_days"), col("n_events"),
         col("peak_day"), col("trough_day"),
         round(col("n_events") / col("n_days").cast("double"), 4)
           .as("mean_per_day"),
-        round((col("n_days") * col("ss") - col("n_events") * col("n_events"))
+        round((col("n_days").cast(d38) * col("ss")
+            - col("n_events").cast(d38) * col("n_events"))
+          .cast("double")
           / (col("n_days") * col("n_events")).cast("double"), 4).as("fano"))
       .orderBy("event_type")
   }
@@ -2481,9 +2486,11 @@ object Analysis {
         |  round(n / CAST(t AS DOUBLE)
         |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS dev
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
-    // integer daily counts → exact long quadratic form; one double
-    // division rounds at 4 dp (sums CAST BIGINT out of DuckDB's HUGEINT
-    // widening before the arithmetic so both engines fold in long space)
+    // integer daily counts; the quadratic form n·Σc² − (Σc)² folds
+    // exact-wide in BOTH engines — DECIMAL(38,0) Spark-side, HUGEINT
+    // (exact int128, same value domain at these magnitudes) DuckDB-side
+    // (the e8_gini/e8_moments widening rule — (Σc)² wraps a BIGINT past
+    // ~3e9 events/type); one double division rounds at 4 dp
     "e8_burstiness" ->
       """WITH bday AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    CAST(count(*) AS BIGINT) AS c
@@ -2494,8 +2501,10 @@ object Analysis {
         |  CAST(min(c) AS BIGINT) AS trough_day,
         |  round(CAST(sum(c) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
         |    AS mean_per_day,
-        |  round((count(*) * CAST(sum(c * c) AS BIGINT)
-        |      - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+        |  round(CAST(CAST(count(*) AS HUGEINT)
+        |        * sum(CAST(c AS HUGEINT) * c)
+        |      - CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS BIGINT)
+        |      AS DOUBLE)
         |    / CAST(count(*) * CAST(sum(c) AS BIGINT) AS DOUBLE), 4) AS fano
         |FROM bday GROUP BY event_type ORDER BY event_type""".stripMargin,
     // centered powers in DECIMAL(38,0) about the integer-micro mean

@@ -635,9 +635,11 @@ object Curation {
     * exact integer arithmetic — no exp() whose libm-vs-JVM last ulp is
     * unpinned crosses an engine. Exactness: base weights are doc-share
     * bp, excess is an integer-bp ratio of two exact micro means, the
-    * factor clamps at 0 (a source > 2× better than the mean at η = 0.1
-    * would otherwise go negative), and the renormalization divides exact
-    * long products. Plan at 100 TB: everything downstream of the
+    * factor clamps at 0 to guard the pathological tail (at η = 0.1 the
+    * factor 10000 + excess_bp/10 reaches 0 only at excess_bp ≤ −100000,
+    * i.e. a source whose mean is ~11× the corpus mean — a 2×-better
+    * source lands at factor_bp 9000, nowhere near the clamp), and the
+    * renormalization divides exact long products. Plan at 100 TB: everything downstream of the
     * backoffSourceScores fold runs on the |sources|-row table — the
     * corpus is scanned exactly as often as e3_stupid_backoff scans it,
     * and the two 1-row corpus aggregates broadcast. */

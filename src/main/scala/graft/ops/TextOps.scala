@@ -1231,7 +1231,12 @@ object TextOps {
     val toks = documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"),
         Sampling.slot(col("doc_id"), BackoffSalt).as("sl"))
-    val bi = toks.select(col("doc_id"), col("source"), col("sl"),
+    // size >= 2 guard (the e8_heaps precedent): a 1-token doc would make
+    // sequence(1, 0) DESCEND to [1, 0] and index toks[1]/toks[-1] — an
+    // ANSI INVALID_ARRAY_INDEX crash — while the oracle's range(1, len)
+    // emits nothing; the guard makes both engines emit nothing.
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("sl"),
       explode(expr("""transform(sequence(1, size(toks) - 1),
                       i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"""))
         .as("b"))
@@ -1266,8 +1271,10 @@ object TextOps {
     * Dean, "Large language models in machine translation", EMNLP 2007 —
     * THE web-scale LM: no discounting to train, score = c(w₁w₂)/c(w₁)
     * with α·c(w₂)/N on backoff): the bigram and unigram tables train on
-    * the EVEN-doc_id half and every ODD-doc_id document scores against
-    * them held-out, so unseen bigrams actually occur and the backoff
+    * the salted-mix64 slot<50 half and every slot≥50 document scores
+    * against them held-out ([[BackoffSalt]] — doc_id parity was
+    * rejected as confounded with source assignment), so unseen bigrams
+    * actually occur and the backoff
     * path is exercised (a same-corpus model would have c ≥ 1 everywhere
     * — the e1_contamination train/test lesson applied to LM eval). Read
     * next to e3_lm_score (char-trigram hit-rate): this is the WORD-level

@@ -625,8 +625,9 @@ object StreamOps {
     * power-of-two width, every counter is an exact long sum. Plan at
     * 100 TB: the token explode partial-combines to the vocab-bounded
     * count table; the 4-seed fan-out and d×w cell fold are
-    * sketch-sized; the rank window runs on the vocab-bounded estimates
-    * (allowlisted). */
+    * sketch-sized; the top-K probe set is an orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, K-row merge, no
+    * global sort). */
   def e4vCmSketch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val mixE = org.apache.spark.sql.graftext.minhashExpression
@@ -643,9 +644,9 @@ object StreamOps {
     val est = pos.select("t", "true_c", "sd", "pos")
       .join(cells, Seq("sd", "pos"))
       .groupBy("t", "true_c").agg(min(col("cell_c")).as("est_c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("true_c").desc, col("t"))
-    est.withColumn("rk", row_number().over(w)).filter(col("rk") <= CmTopK)
+    // top-K as orderBy+limit → TakeOrderedAndProject: per-partition
+    // heaps + a K-row merge, no single-partition global sort window
+    est.orderBy(col("true_c").desc, col("t")).limit(CmTopK)
       .select(col("t").as("token"), col("true_c"), col("est_c"),
         (col("est_c") - col("true_c")).as("overcount"),
         expr("(est_c - true_c) * 10000 div true_c").as("err_bp"))

@@ -312,10 +312,7 @@ class RelationalPlanSpec extends AnyFunSuite {
       "e9_effective_diameter" -> "hop-histogram aggregate",
       // reviewed round 12: both cumulative windows run on the 10-row
       // decile histogram (Dedup.e1SaturationCurve)
-      "e1_saturation_curve" -> "decile-histogram aggregate",
-      // reviewed round 12: the top-K probe rank runs on the vocab-bounded
-      // estimate table (Heaps-saturating; StreamOps.e4vCmSketch)
-      "e4v_cmsketch" -> "vocab-bounded estimate rank")
+      "e1_saturation_curve" -> "decile-histogram aggregate")
     val found = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
