@@ -67,6 +67,77 @@ object StreamSoak {
       return
     }
 
+    // "kll" as any arg: soak the E4w KLL quantile ingest — sf0.1 EVENTS
+    // replicated N× with event_id offsets but UNCHANGED values, through
+    // the per-shard logarithmic compactor state. Checks (a) count
+    // conservation (Σ batch_n per shard == final n), (b) the state bound
+    // items ≤ K·(log₂(n/K)+2), and (c) the accuracy law: the final
+    // median estimate per shard lies inside the exact [p45, p55] of
+    // everything that shard ever saw (a batch recount over the same
+    // replica corpus). Dispatched before the documents corpus build —
+    // this branch consumes only events.
+    if (args.contains("kll")) {
+      import streaming.Stateful.KllShards
+      val esrc = s"$root/esrc"
+      val ebase = spark.read.parquet(s"$sf/events.parquet")
+      val chunkE = 100
+      var e0 = 0
+      while (e0 < n) {
+        val hi = math.min(e0 + chunkE, n)
+        (e0 until hi).map(i => ebase.withColumn("event_id",
+            col("event_id") + lit(i.toLong * 1000000000L)))
+          .reduce(_.unionByName(_))
+          .repartition(16)
+          .write.mode(if (e0 == 0) "overwrite" else "append").parquet(esrc)
+        e0 = hi
+      }
+      val eRows = spark.read.parquet(esrc).count()
+      val eSchema = spark.read.parquet(esrc).schema
+      val t0 = System.nanoTime()
+      val q = streaming.Stateful.streamKllQuantile(
+        spark, esrc, eSchema, "soak_kll")
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the ledger is shards × versions rows — driver-sized
+      val led = spark.table("soak_kll").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      val byShard = led.groupBy(_._1)
+      val k = graft.functions.KllSketch.K
+      // exact per-shard rank windows from a batch recount
+      val exact = spark.read.parquet(esrc)
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.lit(KllShards.toLong)).cast("int")
+          .as("shard"), col("value"))
+        .groupBy("shard")
+        .agg(expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"),
+          count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toMap
+      var maxItems = 0L
+      byShard.foreach { case (shard, rows) =>
+        val fin = rows.maxBy(_._2)
+        require(rows.map(_._3).sum == fin._4,
+          s"count conservation violated at shard $shard")
+        val (lo, hi0, nEx) = exact(shard)
+        require(fin._4 == nEx, s"shard $shard n mismatch vs batch recount")
+        val bound = k.toLong *
+          (math.ceil(math.log(math.max(fin._4, k).toDouble / k) /
+            math.log(2.0)).toLong + 2L)
+        require(fin._5 <= bound,
+          s"state bound violated at shard $shard: ${fin._5} > $bound")
+        require(fin._6 >= lo && fin._6 <= hi0,
+          s"median estimate outside exact [p45,p55] at shard $shard")
+        if (fin._5 > maxItems) maxItems = fin._5
+      }
+      val total = led.map(_._3).sum
+      println(f"""{"soak":"e4w_kll_ingest","input_rows":$eRows,"arrivals":$total,"sec":$secs%.1f,"arrivals_per_sec":${(total / secs).toLong},"shards":$KllShards,"k":$k,"max_items":$maxItems,"sf":"$sf","replicas":$n}""")
+      spark.stop()
+      return
+    }
+
     val base = spark.read.parquet(s"$sf/documents.parquet")
     // Chunked replication (round 12, for the 1000x soak): a single
     // 1000-branch union blows up plan analysis (the ScaleProbe two-level

@@ -1768,7 +1768,34 @@ object Similarity {
     * session's ContextCleaner once unreferenced). */
   def clearMemos(): Unit = {
     pqCodesCache.clear(); corpusCount.clear(); exactTruthCache.clear()
+    abttResidualCache.clear()
   }
+
+  /** Per-(session, corpus) memo of e2_abtt's residual table
+    * (vec_id, rd, rn): the top-PC direction (3 power scans) and the
+    * scan-side residual projection run ONCE and checkpoint at corpus
+    * width; both audit legs then read the memo. Un-memoized, every leg
+    * of every execution re-ran the power scans + residual compute —
+    * 79 s PER EXECUTION at 1000× (5M vectors) in the r13 probe; with the
+    * memo the build is a 95 s once-per-session term and every execution
+    * after reads it in 0.60 s. Same IMMUTABLE-CORPUS-PATH assumption as
+    * exactSampleTruth. */
+  private val abttResidualCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def abttResiduals(s: SparkSession, d: String): DataFrame =
+    abttResidualCache.computeIfAbsent((s, d), _ => {
+      val dir = topPcDirection(s, d) // 1-row (varr, lam)
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+        .crossJoin(broadcast(dir.select(col("varr"))))
+        .withColumn("pv",
+          expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
+        .withColumn("rd", expr("zip_with(ed, varr, (x, y) -> x - pv * y)"))
+        .select(col("vec_id"), col("rd"),
+          expr("sqrt(aggregate(rd, 0.0D, (a, x) -> a + x * x))").as("rn"))
+        .localCheckpoint(false)
+    })
 
   private def pqCodeRows(s: SparkSession, d: String): DataFrame =
     // Memoized per (session, corpus) with a LAZY checkpoint, like the dedup
@@ -2955,26 +2982,21 @@ object Similarity {
     * derive from exact integer sums; residuals are scalar double
     * arithmetic in identical order; both top-1s are the map-side
     * min(struct) fold with vec_id tie-break. Plan at 100 TB: the three
-    * power-iteration scans plus TWO sample × corpus passes (raw and
-    * residual legs) — the residual is computed scan-side from the
-    * broadcast direction, never materialized corpus-wide. */
+    * power-iteration scans run ONCE into the per-(session, corpus)
+    * residual memo (corpus-width — vec_id + the 64-double residual +
+    * its norm, NOT a 2×-width raw+residual copy: the raw leg reads the
+    * shared exact-truth memo), and the audit's steady-state cost is one
+    * memo scan × the broadcast sample. Un-memoized, the residual was
+    * recomputed (with the power-scan subtree under it) once per LEG per
+    * EXECUTION — 79 s per execution at 1000× in the r13 probe; the
+    * memoized steady state measures 0.60 s there (one-time build 95 s,
+    * paid once per session next to the exact-truth memo). */
   def e2Abtt(s: SparkSession, d: String): DataFrame = {
-    val dir = topPcDirection(s, d) // 1-row (varr, lam)
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .crossJoin(broadcast(dir.select(col("varr"))))
-      .withColumn("pv",
-        expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
-      .withColumn("rd", expr("zip_with(ed, varr, (x, y) -> x - pv * y)"))
-      .select(col("vec_id"), col("ed"), col("rd"),
-        expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))").as("en"),
-        expr("sqrt(aggregate(rd, 0.0D, (a, x) -> a + x * x))").as("rn"))
-    // NOT checkpointed: each leg recomputes the scan-side residual from
-    // the broadcast direction instead of pinning a 2×-width corpus copy
+    val e = abttResiduals(s, d)
     val qs = broadcast(sampledQueryIds(s, d))
     val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("qid"), col("ed").as("qed"),
-        col("rd").as("qrd"), col("en").as("qen"), col("rn").as("qrn")))
+      .select(col("vec_id").as("qid"),
+        col("rd").as("qrd"), col("rn").as("qrn")))
     def top1(vec: String, qvec: String, nrm: String, qnrm: String) =
       e.join(qe, col("qid") =!= col("vec_id"))
         .select(col("qid"),

@@ -633,6 +633,68 @@ object Stateful {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  final case class KllIn(shard: Int, id: Long, v: Double)
+  final case class KllShardState(ver: Long, st: graft.functions.KllState)
+  final case class KllLedger(shard: Int, ver: Long, batch_n: Long, n: Long,
+      items: Long, est_p50: Double)
+
+  /** Shard fan-out for the KLL ingest (hash of the arrival id). */
+  val KllShards = 8
+
+  /** E4w — STREAMING KLL QUANTILE INGEST (the q43/e4w_kll_quantile rank
+    * sketch as per-shard state): every arrival's value folds into the
+    * shard's [[graft.functions.KllState]] compactor — the MERGEABLE
+    * sketch, so the per-shard states can later union into one corpus
+    * summary exactly like the batch UDAF's map-side partials. Completes
+    * the bounded-state family's answer matrix: E4r answers which values
+    * are frequent, E4v how often THIS value occurred, q42/HLL how many
+    * distinct — this answers WHERE IN THE DISTRIBUTION a value sits
+    * (quantiles/rank), the ingest-side monitor a drifting feature
+    * pipeline alarms on. State per shard is ≤ K·(log₂(n/K)+2) doubles —
+    * logarithmic FOREVER (≈5 KB at a billion arrivals), the only
+    * sub-linear-but-not-constant state in the family, with the bound
+    * soaked at volume. Within a micro-batch, arrivals fold in id order
+    * (the E4q determinism discipline); the per-batch emission is the
+    * count-conservation + state-bound ledger with the running median
+    * estimate — the accuracy law (est within the exact [p45, p55] of
+    * everything the shard ever saw) is checked by the soak against a
+    * batch recount. */
+  def updateKll(shard: Int, rows: Iterator[KllIn],
+      state: GroupState[KllShardState]): Iterator[KllLedger] = {
+    import graft.functions.KllSketch
+    val prev = state.getOption.getOrElse(
+      KllShardState(0L, KllSketch.empty))
+    var st = prev.st
+    var batch = 0L
+    rows.toSeq.sortBy(_.id).foreach { r =>
+      st = KllSketch.add(st, r.v); batch += 1
+    }
+    val ver = prev.ver + 1
+    state.update(KllShardState(ver, st))
+    Iterator.single(KllLedger(shard, ver, batch, st.n,
+      KllSketch.items(st).toLong, KllSketch.quantile(st, 0.5)))
+  }
+
+  /** File-source event stream → id-hash shard → per-shard KLL compactor
+    * state → memory sink; the emitted rows are the conservation/bound
+    * ledger. */
+  def streamKllQuantile(s: SparkSession, dir: String, schema: StructType,
+      sinkName: String): StreamingQuery = {
+    import s.implicits._
+    val rows: Dataset[KllIn] = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(pmod(col("event_id"), lit(KllShards.toLong)).cast("int")
+        .as("shard"),
+        col("event_id").as("id"), col("value").cast("double").as("v"))
+      .as[KllIn]
+    rows
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateKll)
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** File-source stream (one file per micro-batch, so winners are
     * maintained incrementally across arrivals) → per-source quota state →
     * memory sink in update mode. */

@@ -653,7 +653,44 @@ object StreamOps {
       .orderBy(col("true_c").desc, col("token"))
   }
 
+  /** E4w (batch twin) — KLL QUANTILE SKETCH accuracy audit: the
+    * house-built mergeable rank sketch ([[graft.functions.KllAgg]] —
+    * Karnin, Lang & Liberty, FOCS 2016) estimating p50/p90 of the event
+    * value per type, judged by the q43 err_ok CONTRACT: each engine's
+    * own sketch estimate must land inside its own exact [p45, p55] /
+    * [p85, p95] rank window (±5 percentile points — the natural bound
+    * for a RANK sketch; a value-relative bound would break at medians
+    * near 0). Estimates never cross engines — DuckDB audits its t-digest
+    * approx_quantile under the same window — so rows/schema/hash match
+    * end-to-end while each engine is judged against itself; the sketch's
+    * numeric rank error is pinned tighter in ScalaTest (Round13OpsSpec,
+    * < 2pp on the fixtures). This is the audit that sizes K before the
+    * E4w streaming ingest (streaming.Stateful.streamKllQuantile) commits
+    * to it — the e4v_cmsketch/e1_bloom_audit discipline for the rank
+    * sketch. Plan at 100 TB: the UDAF partial-aggregates map-side to one
+    * ≤5 KB sketch per (partition, type) — constant shuffle bytes like
+    * percentile_approx; the exact percentiles exist only to close the
+    * contract and are the audit's documented cost, not the sketch's. */
+  def e4wKllQuantile(s: SparkSession, d: String): DataFrame = {
+    val kll = udaf(new graft.functions.KllAgg(Seq(0.5, 0.9)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"),
+        kll(col("value")).as("est"))
+      .select(col("event_type"), col("n"),
+        (col("est")(0) >= col("lo50") && col("est")(0) <= col("hi50"))
+          .as("p50_ok"),
+        (col("est")(1) >= col("lo90") && col("est")(1) <= col("hi90"))
+          .as("p90_ok"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e4w_kll_quantile" -> (e4wKllQuantile _),
     "e4v_cmsketch" -> (e4vCmSketch _),
     "e4n_window_topk" -> (e4nWindowTopk _),
     "e4a_tumbling" -> (e4aTumbling _),
@@ -668,6 +705,19 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // each engine's own rank sketch judged against its own exact rank
+    // window (the q43 err_ok contract): DuckDB audits approx_quantile
+    // (t-digest) where Spark audits the house KLL — ±5pp is satisfied
+    // by both at any fixture scale
+    "e4w_kll_quantile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
+        |    AS p50_ok,
+        |  approx_quantile(value, 0.9)
+        |    BETWEEN quantile_cont(value, 0.85) AND quantile_cont(value, 0.95)
+        |    AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the e1_bloom_audit machinery for the counting sketch: md5-fold
     // token hashes, splitmix positions mod the power-of-two width,
     // exact long counters; overcount is CM's one-sided error

@@ -61,4 +61,52 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(limits.forall(_ == Similarity.AnnQueryK),
       s"serving plan re-derives the seed set (limits: $limits)")
   }
+
+  test("KLL sketch is exact below K and ≤2pp rank error at fixture scale") {
+    import graft.functions.KllSketch
+    // below K nothing has compacted: quantile = the exact order statistic
+    val small = (1 to 100).map(_.toDouble)
+    val stS = small.foldLeft(KllSketch.empty)(KllSketch.add)
+    assert(KllSketch.quantile(stS, 0.5) == 50.0)
+    assert(KllSketch.quantile(stS, 0.9) == 90.0)
+    // 100k values through the compactor: the estimate's TRUE rank must
+    // sit within 2pp of the target (the contract e4w_kll_quantile gates
+    // at 5pp); deterministic input → bit-reproducible state
+    val xs = (0 until 100000).map { i =>
+      val z = org.apache.spark.sql.graftext.minhashExpression.mix(i.toLong)
+      (java.lang.Math.floorMod(z, 1000000L)).toDouble
+    }
+    val st = xs.foldLeft(KllSketch.empty)(KllSketch.add)
+    assert(st.n == 100000L)
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = KllSketch.quantile(st, q)
+      val rank = sorted.count(_ <= est).toDouble / sorted.size
+      assert(math.abs(rank - q) <= 0.02, s"rank error at q=$q: $rank")
+    }
+    // state is logarithmic: items within K·(log2(n/K)+2)
+    val bound = KllSketch.K *
+      (math.ceil(math.log(100000.0 / KllSketch.K) / math.log(2.0)) + 2)
+    assert(KllSketch.items(st) <= bound)
+  }
+
+  test("KLL merge preserves count and the rank contract (mergeability)") {
+    import graft.functions.KllSketch
+    val xs = (0 until 60000).map { i =>
+      val z = org.apache.spark.sql.graftext.minhashExpression
+        .mix(i.toLong ^ 0x5ca1ab1eL)
+      (java.lang.Math.floorMod(z, 1000000L)).toDouble
+    }
+    val (a, b) = xs.splitAt(17321) // deliberately not a K multiple
+    val stA = a.foldLeft(KllSketch.empty)(KllSketch.add)
+    val stB = b.foldLeft(KllSketch.empty)(KllSketch.add)
+    val m = KllSketch.merge(stA, stB)
+    assert(m.n == 60000L)
+    val sorted = xs.sorted
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val est = KllSketch.quantile(m, q)
+      val rank = sorted.count(_ <= est).toDouble / sorted.size
+      assert(math.abs(rank - q) <= 0.02, s"merged rank error at q=$q: $rank")
+    }
+  }
 }
