@@ -255,7 +255,10 @@ object ScaleProbe {
       "e4v_cmsketch",
       // round 13: serve from the standing IVF release — min-of-2 makes the
       // second rep the SERVING cell (the first pays the one-time build)
-      "e2_ivf_serve")
+      "e2_ivf_serve",
+      // the KLL UDAF partial-aggregates to one sketch per (partition, type);
+      // the exact-percentile contract legs are the audit's documented cost
+      "e4w_kll_quantile")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline
