@@ -255,7 +255,7 @@ object ScaleProbe {
       "e4v_cmsketch",
       // round 13: serve from the standing IVF release — min-of-2 makes the
       // second rep the SERVING cell (the first pays the one-time build)
-      "e2_ivf_serve",
+      "e2_ivf_serve", "e2_ivf_serve2",
       // the KLL UDAF partial-aggregates to one sketch per (partition, type);
       // the exact-percentile contract legs are the audit's documented cost
       "e4w_kll_quantile")

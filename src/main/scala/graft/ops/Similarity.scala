@@ -2033,6 +2033,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** E2 — MULTI-PROBE serving from the standing IVF index: the
+    * serve-time RECALL DIAL (FAISS nprobe). Same released snapshot as
+    * [[e2IvfServe]], but each query fans to its top-2 cells before the
+    * candidate join — recall rises with zero rebuild and zero index
+    * bytes written, which is exactly why production ANN tunes nprobe at
+    * the serving tier, not the build tier. The seed set is
+    * RECONSTRUCTED from the release itself (a seed is the index row
+    * whose vec_id IS a cell id — √n rows, broadcast), so serving still
+    * never scans the corpus or re-derives anything: one √n self-lookup,
+    * a 64×√n query-assignment rank (sample-sized), and ONE index scan
+    * against the doubled probe set. Result ≡ e2_ann_ivf2 restricted to
+    * the sample (per-query independence — the ivfSearchFor lemma),
+    * which the oracle replays. */
+  def e2IvfServe2(s: SparkSession, d: String): DataFrame = {
+    val idx = standingIvfIndex(s, d)
+    val qs = broadcast(sampledQueryIds(s, d))
+    val seeds = broadcast(
+      idx.join(idx.select(col("cell").as("c0")).distinct(),
+          col("vec_id") === col("c0"))
+        .select(col("vec_id").as("scell"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")))
+    val assignW = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("scell"))
+    val probe = broadcast(idx.join(qs, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .join(seeds)
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("qe"), col("c_emb")) /
+          (col("qn") * col("c_nrm")))
+      .select(col("qid"), col("qe"), col("qn"), col("scell"), col("c_sim"))
+      .withColumn("c_rn", row_number().over(assignW))
+      .filter(col("c_rn") <= 2)
+      .select(col("qid"), col("qe"), col("qn"), col("scell")))
+    idx.join(probe,
+        col("cell") === col("scell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (-(graft.functions.Vectors.dot(col("embedding"), col("qe")) /
+          (col("nrm") * col("qn")))).as("ns"),
+        col("vec_id").as("nb"))
+      .groupBy("qid")
+      .agg(min(struct(col("ns"), col("nb"))).as("m"))
+      .select(col("qid").as("vec_id"), col("m.nb").as("neighbor_id"),
+        round(-col("m.ns"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Probe width for the combined IVF-PQ index. */
   val IvfPqProbe = 2
 
@@ -3131,6 +3178,7 @@ object Similarity {
     "e2_ann_ivfpq" -> (e2AnnIvfPq _),
     "e2_ivf_ingest" -> (e2IvfIngest _),
     "e2_ivf_serve" -> (e2IvfServe _),
+    "e2_ivf_serve2" -> (e2IvfServe2 _),
     "e2_pq_rerank" -> (e2PqRerank _),
     "e2_ann_recall" -> (e2AnnRecall _),
     "e2_ann_recall_sampled" -> (e2AnnRecallSampled _),
@@ -4206,6 +4254,19 @@ object Similarity {
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
          |  FROM build a JOIN build b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // multi-probe serving: same recipe replay with the top-2 probe CTE
+    "e2_ivf_serve2" ->
+      s"""WITH ${ivfCtes(2)},
+         |$qselCtes
+         |SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    list_cosine_similarity(a.e, b.e) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+         |  FROM probe a JOIN build b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id IN (SELECT vec_id FROM qsel))
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,

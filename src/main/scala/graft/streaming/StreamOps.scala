@@ -425,6 +425,36 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
 
+  /** E4x — STREAMING ANN SERVING against the standing IVF index: the
+    * serving tier as a stream. Arriving query ids join the STATIC
+    * released index twice — once by id to fetch the query's vector and
+    * standing cell (an id-pushdown probe at scale), once by cell for the
+    * in-cell candidates — and the per-query top-1 is ONE streaming
+    * min(struct) aggregation (update mode): no windows, no custom state,
+    * state = one (ns, nb) pair per in-flight query. This is the
+    * deployment shape e2_ivf_serve prices in batch: the index is built
+    * and RELEASED elsewhere (Versioned pointer swap), the serving job
+    * never scans the corpus, and a new release is picked up by restarting
+    * against the new snapshot path. Equality with the batch serve is
+    * asserted in StreamingSpec. */
+  def streamIvfServe(s: SparkSession, dir: String, schema: StructType,
+      idx: org.apache.spark.sql.DataFrame, sinkName: String): StreamingQuery = {
+    val q = s.readStream.schema(schema).parquet(dir)
+      .select(col("vec_id").as("qid"))
+      .join(idx.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell").as("qcell")), "qid")
+    q.join(idx, col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (-(graft.functions.Vectors.dot(col("embedding"), col("qe")) /
+          (col("nrm") * col("qn")))).as("ns"),
+        col("vec_id").as("nb"))
+      .groupBy("qid")
+      .agg(min(struct(col("ns"), col("nb"))).as("m"))
+      .select(col("qid"), col("m.ns").as("ns"), col("m.nb").as("neighbor_id"))
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** E4k — streaming anomaly scoring: the e8_outliers monitoring pass run
     * on the ingest stream. The (mean, sd) stats table is computed BATCH-
     * side (the deployed pattern: stats refresh nightly over the corpus,

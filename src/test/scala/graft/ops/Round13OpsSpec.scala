@@ -62,6 +62,25 @@ class Round13OpsSpec extends AnyFunSuite {
       s"serving plan re-derives the seed set (limits: $limits)")
   }
 
+  test("multi-probe serving ≡ ann_ivf2 restricted, and can only improve") {
+    val sample = Similarity.sampledQueryIds(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val s2 = Similarity.e2IvfServe2(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full2 = Similarity.e2AnnIvf2(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s2.nonEmpty)
+    assert(s2.keySet == full2.keySet.intersect(sample))
+    s2.foreach { case (q, v) =>
+      assert(v == full2(q), s"serve2 drifted from ann_ivf2 at $q") }
+    // the recall dial is monotone: the top-2-cell candidate set contains
+    // the top-1-cell set, so the served best sim can only rise
+    val s1 = Similarity.e2IvfServe(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    s1.foreach { case (q, sim1) =>
+      assert(s2(q)._2 >= sim1 - 1e-9, s"probe widening LOWERED sim at $q") }
+  }
+
   test("KLL sketch is exact below K and ≤2pp rank error at fixture scale") {
     import graft.functions.KllSketch
     // below K nothing has compacted: quantile = the exact order statistic

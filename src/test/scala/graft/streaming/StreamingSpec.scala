@@ -465,6 +465,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("stream-static ANN serving equals the batch standing-index serve (E4x)") {
+    import spark.implicits._
+    // batch serve first: builds + releases the standing index if absent
+    val want = graft.ops.Similarity.e2IvfServe(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = "/tmp/graft_ivf_index/i1_" +
+      TestSpark.sf0001.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = graft.sources.Versioned.readCurrent(spark, root)
+    // the query stream: the served ids staged as a 4-file parquet source
+    val qdir = java.nio.file.Files.createTempDirectory("qserve").toString
+    want.keys.toSeq.sorted.toDF("vec_id")
+      .repartition(4).write.mode("overwrite").parquet(qdir)
+    val qschema = spark.read.parquet(qdir).schema
+    val q = StreamOps.streamIvfServe(spark, qdir, qschema, idx, "serve_sink")
+    assert(q.awaitTermination(60000), "serving stream did not finish in 60s")
+    val got = spark.table("serve_sink").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.minBy(x => (x._2, x._3))._3 }
+    assert(got.nonEmpty && got == want,
+      "streamed top-1s differ from the batch standing-index serve")
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs (E4e)") {
     // sf0.001 has no click->view pair inside 5 minutes; stage sf0.01
     val dir = TestSpark.tmpDir("ssj") + "/events"
