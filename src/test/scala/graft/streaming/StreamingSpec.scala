@@ -836,6 +836,32 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("user_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(got.nonEmpty && got.sameElements(want))
+      // KLL compactor state on RocksDB (E4w): the sketch round-trips the
+      // provider (nested-array state) and the final ledger still honors
+      // count conservation and the exact [p45, p55] accuracy window
+      val edir = TestSpark.tmpDir("rockskll") + "/events"
+      ev.write.mode("overwrite").parquet(edir)
+      val q3 = Stateful.streamKllQuantile(spark, edir,
+        spark.read.parquet(edir).schema, "rocks_kll_sink")
+      assert(q3.awaitTermination(60000), "RocksDB KLL stream did not finish in 60s")
+      val led = spark.table("rocks_kll_sink").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(5)))
+      val exact = ev.select(pmod(col("event_id"),
+          lit(Stateful.KllShards.toLong)).cast("int").as("shard"), col("value"))
+        .groupBy("shard")
+        .agg(expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+      led.groupBy(_._1).foreach { case (shard, rows) =>
+        val fin = rows.maxBy(_._2)
+        assert(rows.map(_._3).sum == fin._4 && fin._4 == exact(shard)._3,
+          s"RocksDB KLL count conservation broke at shard $shard")
+        assert(fin._5 >= exact(shard)._1 && fin._5 <= exact(shard)._2,
+          s"RocksDB KLL median outside [p45,p55] at shard $shard")
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
