@@ -335,6 +335,28 @@ object ScaleProbe {
       timeQuery("e1_span_dedup", skewOut, "e1_span_dedup[hot-5gram]")
     }
 
+    // "cellskew" as any arg: the HOT-CELL probe for the standing-index
+    // serving path. Collapse 90% of vectors onto ONE embedding (then
+    // one IVF cell), so a query probing that cell joins against 0.9·n
+    // candidates instead of ~n/√n — the imbalance e2_ivf_stats flags and
+    // e2_ivf_rebalance exists to split. Serving cost should degrade to
+    // ~one sample × hot-cell scan (linear, the exact-leg price), never
+    // quadratic; the probe prices exactly what an unrebalanced index
+    // costs the serving tier.
+    if (args.contains("cellskew")) {
+      val skewOut = s"$out-cellskew"
+      val e0 = spark.read.parquet(s"$out/embeddings.parquet")
+      val hot = e0.orderBy("vec_id").limit(1)
+        .select(col("embedding").as("hot_emb"))
+      e0.crossJoin(broadcast(hot))
+        .withColumn("embedding",
+          when(col("vec_id") % 10 < 9, col("hot_emb")).otherwise(col("embedding")))
+        .drop("hot_emb")
+        .write.mode("overwrite").parquet(s"$skewOut/embeddings.parquet")
+      timeQuery("e2_ivf_serve", skewOut, "e2_ivf_serve[90%-one-cell]")
+      timeQuery("e2_ivf_stats", skewOut, "e2_ivf_stats[90%-one-cell]")
+    }
+
     // "chain" as any arg: the DEEP-COMPONENT probe for the two
     // connected-components passes. The LSH pair graphs of the replicated
     // corpora are clone-cliques (diameter 1), which never separates the
