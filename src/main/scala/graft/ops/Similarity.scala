@@ -1990,10 +1990,17 @@ object Similarity {
     val root = ivfIndexRoot(d)
     if (Versioned.current(s, root).isEmpty) {
       val e = withNorm(embeddings(s, d))
-      Versioned.write(
+      try Versioned.write(
         ivfAssigned(e, ivfSeeds(s, d, e), 1)
           .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")),
         root)
+      catch {
+        // two processes raced the same first release: Versioned.write
+        // refuses to clobber the staged dir, so the loser lands here —
+        // serve the winner's committed pointer (content is identical:
+        // the build recipe is a pure function of the corpus)
+        case e: Throwable if Versioned.current(s, root).isDefined => ()
+      }
     }
     Versioned.readCurrent(s, root)
   }
