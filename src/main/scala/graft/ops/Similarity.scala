@@ -266,6 +266,41 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
+  /** Top-1 assignment as a map-side min(struct) PARTIAL FOLD (round 13):
+    * the n·√n scored candidates collapse to one row per vec_id per
+    * partition BEFORE any exchange, where the window form exchanges +
+    * sorts the entire candidate set with the vector arrays riding along.
+    * Tie semantics match the window ordering exactly — min(struct(
+    * -c_sim, cell)) ≡ rank 1 of (c_sim DESC, cell), including signed
+    * zeros — and first(embedding/nrm) is deterministic in VALUE
+    * (constant per key). OPT-IN, not the default: consumers that
+    * SELF-JOIN the assignment wide (build×build on cell — the search/
+    * mining family) measured SLOWER on the fold because the window
+    * subtree's exchange is reused across the self-join while the
+    * aggregate re-runs per side; consumers that fold or broadcast-join
+    * the assignment NARROW — only (vec_id, cell) downstream — measured
+    * up to 10× faster (e2_ivf_stats 4.53→0.41–0.58 s across probe
+    * sessions at 100×) because ColumnPruning drops the unused
+    * first(embedding/nrm) aggregates, so no array crosses the exchange;
+    * e2_ivf_ingest's per-cell counts are the same shape. Consumers that
+    * MATERIALIZE or re-join the wide assignment measured the fold at
+    * parity-to-worse (the standing-index build: 596 s window vs 700 s
+    * fold at 1000× — nothing prunes, and the object-hash fold costs
+    * more than the sort) — they keep the window form. */
+  private def ivfAssignedFold(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.join(broadcast(seeds))
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")))
+      .select(col("vec_id"), (-col("c_sim")).as("ns"), col("cell"),
+        col("embedding"), col("nrm"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("ns"), col("cell"))).as("m"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("m.cell").as("cell"))
+
   /** E2 — embedding-space OUTLIER detection for data cleaning: flag, per
     * IVF cell, the 5% of vectors LEAST similar to their own cell seed —
     * the curation gate that catches corrupt embeddings, mojibake text
@@ -1954,9 +1989,9 @@ object Similarity {
       .limit(ivfCells(countOnce(s, d + "#ivf_ingest", corpus)))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val cp = ivfAssigned(corpus, seeds, 1)
+    val cp = ivfAssignedFold(corpus, seeds)
       .groupBy("cell").agg(count(lit(1)).as("corpus_pop"))
-    val bp = ivfAssigned(batch, seeds, 1)
+    val bp = ivfAssignedFold(batch, seeds)
       .groupBy("cell").agg(count(lit(1)).as("ingested"))
     cp.join(bp, Seq("cell"), "left")
       .select(col("cell"), col("corpus_pop"),
@@ -2363,7 +2398,7 @@ object Similarity {
   def e2IvfStats(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val seeds = ivfSeeds(s, d, e)
-    ivfAssigned(e, seeds, 1)
+    ivfAssignedFold(e, seeds)
       .groupBy("cell").agg(count(lit(1)).as("pop"))
       .agg(count(lit(1)).as("n_cells"),
         min(col("pop")).as("min_pop"),
