@@ -1192,17 +1192,15 @@ object Similarity {
       .orderBy("label")
   }
 
-  /** Directed KnnGraphK-NN edges (vec_id, other_id) off the IVF in-cell
-    * join, and their MUTUAL (symmetric) subset — the shared graph builder
-    * of e2_knn_graph and e9_link_pred_knn, extracted so the audited graph
-    * and the prediction graph cannot drift (the e3_pack_stats rule,
-    * applied to a DataFrame stage instead of oracle SQL). */
-  private[ops] def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The directed-kNN BUILD plan (the n·√n IVF in-cell join + per-vector
+    * top-K rank) — the producing side of [[standingKnnGraph]], separate
+    * so plan specs can assert its shape without touching the release. */
+  private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val build = ivfAssigned(e, ivfSeeds(s, d, e), 1)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("other_id"))
-    val knn = build.as("a")
+    build.as("a")
       .join(build.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", cosine)
@@ -1212,6 +1210,48 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KnnGraphK)
       .select("vec_id", "other_id")
+  }
+
+  /** Release root for the STANDING kNN edge graph of a corpus dir. `g1`
+    * names the build recipe (the i-recipe IVF assignment + in-cell
+    * cosine top-[[KnnGraphK]], ties to the lower neighbor id) — bump on
+    * recipe change, like the IVF index's i-tag. Same [[corpusStamp]] +
+    * per-user-root staleness discipline. */
+  private[graft] def knnGraphRoot(d: String): String =
+    s"/tmp/graft_knn_graph_${sys.props.getOrElse("user.name", "u")}/g1_" +
+      corpusStamp(d) + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The standing directed kNN edge table (vec_id, other_id): built once
+    * and RELEASED via the Versioned atomic pointer (the i2 standing-index
+    * discipline applied to the graph — round-14 verdict task 3: the edge
+    * build was this family's last per-job n·√n term, and e2_graph_search
+    * paid it on every execution as the bench's slowest query). Consumers
+    * (the walk, the mutuality audit, both link predictors) serve the
+    * snapshot; edges are exact long pairs, so parquet round-trips the
+    * graph bit-identically and the oracles keep replaying the build
+    * recipe. At 100 TB the release is n·K 16-byte rows — write it sorted
+    * by vec_id so the per-round candidate fetch of a serving walk is an
+    * id-pushdown range read, not a full scan. */
+  private[graft] def standingKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val root = knnGraphRoot(d)
+    if (Versioned.current(s, root).isEmpty)
+      Versioned.publishOnce(s, root) { dir =>
+        knnEdgesPlan(s, d).sortWithinPartitions("vec_id")
+          .write.parquet(dir + "/edges")
+      }
+    s.read.parquet(Versioned.currentPath(s, root) + "/edges")
+  }
+
+  /** Directed KnnGraphK-NN edges (vec_id, other_id) and their MUTUAL
+    * (symmetric) subset — the shared graph stage of e2_knn_graph,
+    * e2_graph_search and the e9 link predictors, extracted so the
+    * audited graph and the prediction graph cannot drift (the
+    * e3_pack_stats rule, applied to a DataFrame stage instead of oracle
+    * SQL). Since round 14 the directed edges come from the
+    * [[standingKnnGraph]] release — one snapshot read; only the
+    * edge-list-sized mutuality semi-join runs per job. */
+  private[ops] def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val knn = standingKnnGraph(s, d)
     val mut = knn.join(
       knn.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
       Seq("vec_id", "other_id"), "left_semi")
@@ -1242,8 +1282,9 @@ object Similarity {
   def e9LinkPredKnn(s: SparkSession, d: String): DataFrame = {
     // checkpointed: referenced 4× below (degrees, both wedge legs, the
     // adjacency anti-join) — without the memo each reference re-runs
-    // the whole n·√n kNN build (the e9_pagerank MATERIALIZED rule,
-    // Spark side); the memo is edge-list-sized (≤ n·K 16-byte rows)
+    // the mutuality semi-join over the standing-graph release (the
+    // e9_pagerank MATERIALIZED rule, Spark side); the memo is
+    // edge-list-sized (≤ n·K 16-byte rows)
     val mut = knnEdges(s, d)._2.localCheckpoint(true)
     val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
     val cn = mut.as("e1")
@@ -2001,43 +2042,88 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Fixed bucket count for the standing index's cell partitioning:
+    * pmod(cell, 64) is the release's PARTITION column, so a serving
+    * batch prunes its scan to the buckets holding its probed cells
+    * (dynamic partition pruning off the broadcast probe set) while the
+    * directory count stays bounded at any corpus size. 64 is sized to
+    * the local fixtures (≈1 cell/bucket at sf0.01); at 100 TB the dial
+    * rises ∝ √n so a single-query serve touches ~nProbe/buckets of the
+    * index — the posting-list read every disk-resident IVF does. */
+  val IvfIndexBuckets = 64
+
+  /** Content stamp of a corpus' embeddings table from FILE METADATA
+    * (names, lengths, mtimes — no data read, no Spark job): folded into
+    * the release root so a regenerated corpus at the same path gets a
+    * FRESH index instead of silently serving stale neighbors while the
+    * oracle replays the live data (the round-13 advisor's staleness
+    * hole: /tmp releases outlive fixture regeneration and ScaleProbe
+    * corpus rebuilds). The stamp is the cheap deployed discipline —
+    * table formats validate snapshot ids the same way — and it also
+    * means iterating on fixtures needs no manual rm -rf. */
+  private def corpusStamp(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    var h = 0x9e3779b97f4a7c15L
+    walk(new java.io.File(d, "embeddings.parquet")).foreach { f =>
+      h = org.apache.spark.sql.graftext.minhashExpression.mix(
+        h ^ f.getName.hashCode.toLong ^ (f.length * 31L) ^ f.lastModified)
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Release root for the STANDING IVF index of a corpus dir (the
     * Versioned layout — immutable vNNNNN snapshots + an atomic _CURRENT
-    * pointer). `i1` is the index FORMAT tag: it names the exact build
-    * recipe (splitmix seed order, ceil(√n) cells, top-1 cosine assign,
-    * ties to the lower cell) so a future recipe change bumps the tag
-    * instead of silently serving a stale-format index. */
-  private def ivfIndexRoot(d: String): String =
-    "/tmp/graft_ivf_index/i1_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    * pointer). `i2` is the index FORMAT tag: it names the exact build
+    * recipe AND layout (splitmix seed order, ceil(√n) cells, top-1
+    * cosine assign, ties to the lower cell; assignment partitioned by
+    * pmod(cell, [[IvfIndexBuckets]]) with the seed table persisted
+    * alongside — the round-14 layout change that bumped i1 → i2) so a
+    * future recipe change bumps the tag instead of silently serving a
+    * stale-format index. The root carries the [[corpusStamp]] and a
+    * per-user segment (a fixed world-writable path is pre-plantable by
+    * another local user). Test-visible (private[graft]) so specs pin
+    * the production path instead of duplicating the mangling. */
+  private[graft] def ivfIndexRoot(d: String): String =
+    s"/tmp/graft_ivf_index_${sys.props.getOrElse("user.name", "u")}/i2_" +
+      corpusStamp(d) + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** The standing IVF index table (vec_id, cell, embedding, nrm) for a
-    * corpus dir: build-and-RELEASE once (Versioned.write — the same
-    * atomic-pointer discipline the compaction/SCD sinks use), then every
-    * later call serves the committed snapshot. The build is the one
-    * n·√n assignment pass every per-job IVF query pays; publishing it
-    * turns that from a per-query term into a once-per-corpus-release
-    * term (e2_ivf_ingest assigns the nightly delta against these frozen
-    * seeds; e2_ivf_rebalance/merge maintain the cells; a drifted index
-    * re-releases as v+1 and _CURRENT swaps atomically). Parquet
+  /** The standing IVF index for a corpus dir — (assignment, seeds):
+    * build-and-RELEASE once under the [[Versioned.publishOnce]] lock
+    * (exactly one writer even across processes), then every later call
+    * serves the committed snapshot. The build is the one n·√n
+    * assignment pass every per-job IVF query pays; publishing it turns
+    * that from a per-query term into a once-per-corpus-release term
+    * (e2_ivf_ingest assigns the nightly delta against these frozen
+    * seeds; e2_ivf_rebalance/merge maintain the cells; e2_ivf_publish
+    * demonstrates the v+1 pointer swap). The snapshot holds TWO tables:
+    * `assign/` (vec_id, cell, embedding, nrm) partitioned by
+    * pcell = pmod(cell, [[IvfIndexBuckets]]) so serving prunes to its
+    * probed cells' buckets, and `seeds/` — the COMPLETE ceil(√n) seed
+    * set, persisted so multi-probe serving ranks against every seed
+    * (including empty-cell seeds, which the round-13 reconstruct-from-
+    * assignment shortcut dropped) without rescanning anything. Parquet
     * round-trips float arrays and doubles bit-exactly, so serving reads
     * the identical values the build computed. */
-  private def standingIvfIndex(s: SparkSession, d: String): DataFrame = {
+  private[graft] def standingIvfIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = ivfIndexRoot(d)
-    if (Versioned.current(s, root).isEmpty) {
-      val e = withNorm(embeddings(s, d))
-      try Versioned.write(
-        ivfAssigned(e, ivfSeeds(s, d, e), 1)
-          .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")),
-        root)
-      catch {
-        // two processes raced the same first release: Versioned.write
-        // refuses to clobber the staged dir, so the loser lands here —
-        // serve the winner's committed pointer (content is identical:
-        // the build recipe is a pure function of the corpus)
-        case e: Throwable if Versioned.current(s, root).isDefined => ()
+    if (Versioned.current(s, root).isEmpty)
+      Versioned.publishOnce(s, root) { dir =>
+        val e = withNorm(embeddings(s, d))
+        val seeds = ivfSeeds(s, d, e)
+        seeds.write.parquet(dir + "/seeds")
+        ivfAssigned(e, seeds, 1)
+          .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"),
+            pmod(col("cell"), lit(IvfIndexBuckets.toLong)).cast("int")
+              .as("pcell"))
+          .write.partitionBy("pcell").parquet(dir + "/assign")
       }
-    }
-    Versioned.readCurrent(s, root)
+    val cur = Versioned.currentPath(s, root)
+    (s.read.parquet(cur + "/assign"), s.read.parquet(cur + "/seeds"))
   }
 
   /** E2 — SERVE from the standing IVF index: the 64-query sample
@@ -2049,21 +2135,75 @@ object Similarity {
     * definitionally identical to ivfSearchFor(nProbe=1) restricted to
     * the sample — the index is a pure function of the corpus — so the
     * oracle replays the build recipe while the Spark plan never does.
-    * Serving plan: ONE parquet scan of the index joined to the 64
-    * broadcast probe rows on cell (~64·n/√n candidates), top-1 as a
-    * map-side min(struct) partial fold — no window exchange, no seed
-    * assignment, no corpus-sized shuffle. At 100 TB the index release
-    * is bucketed by cell so a query batch prunes to its probed cells;
-    * the probe-row fetch is an id-pushdown read, not the second full
-    * scan local[32] shows. */
-  def e2IvfServe(s: SparkSession, d: String): DataFrame = {
-    val idx = standingIvfIndex(s, d)
+    * Serving plan (the i2 layout): ONE scan of the released assignment
+    * — PRUNED to the probed cells' pcell buckets — joined to the 64
+    * broadcast probe rows on (pcell, cell) (~64·n/√n candidates),
+    * top-1 as a map-side min(struct) partial fold; query assignment is
+    * a 64 × √n broadcast rank against the release's persisted seed
+    * table (itself a min-struct fold here, so the plan stays
+    * window-free); no corpus-sized shuffle anywhere. */
+  def e2IvfServe(s: SparkSession, d: String): DataFrame =
+    ivfServeFrom(s, d, 1)
+
+  /** The shared serving path behind e2_ivf_serve / e2_ivf_serve2: the
+    * query batch is fetched from the corpus by id (the only id-keyed
+    * read — at scale an id-pushdown fetch, and the shape real serving
+    * has anyway: query vectors arrive from OUTSIDE the index), assigned
+    * to its top-`nProbe` cells against the release's PERSISTED seed
+    * table (√n broadcast rows — never a corpus or index scan; nProbe=1
+    * assigns via the map-side min-struct fold, keeping the single-probe
+    * plan window-free), then answered by ONE scan of the released
+    * assignment, joined on (pcell, cell) so dynamic partition pruning
+    * restricts the scan to the probed cells' buckets — the pruned
+    * posting-list read the i2 layout exists for. Top-1 is the map-side
+    * min(struct) partial fold; nothing corpus-sized shuffles. */
+  private def ivfServeFrom(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val (idx, seedsT) = standingIvfIndex(s, d)
     val qs = broadcast(sampledQueryIds(s, d))
-    val probe = broadcast(idx.join(qs, Seq("vec_id"), "left_semi")
+    val seeds = broadcast(seedsT.select(col("cell").as("scell"),
+      col("c_emb"), col("c_nrm")))
+    val qvec = withNorm(embeddings(s, d))
+      .join(qs, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cell").as("qcell")))
+        col("nrm").as("qn"))
+    val scored = qvec.join(seeds)
+      .withColumn("c_sim",
+        graft.functions.Vectors.dot(col("qe"), col("c_emb")) /
+          (col("qn") * col("c_nrm")))
+    // top-nProbe cells per query; min(struct(-sim, cell)) ≡ rank 1 of
+    // (sim DESC, cell) — the ivfAssignedFold tie identity
+    val assigned =
+      if (nProbe == 1)
+        scored
+          .select(col("qid"), col("qe"), col("qn"),
+            (-col("c_sim")).as("ns"), col("scell"))
+          .groupBy("qid")
+          .agg(min(struct(col("ns"), col("scell"))).as("m"),
+            first(col("qe")).as("qe"), first(col("qn")).as("qn"))
+          .select(col("qid"), col("qe"), col("qn"),
+            col("m.scell").as("scell"))
+      else {
+        val assignW = Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("scell"))
+        scored
+          .select(col("qid"), col("qe"), col("qn"), col("scell"),
+            col("c_sim"))
+          .withColumn("c_rn", row_number().over(assignW))
+          .filter(col("c_rn") <= nProbe)
+          .select(col("qid"), col("qe"), col("qn"), col("scell"))
+      }
+    // the spcell >= 0 predicate is a tautology (pmod is nonnegative) kept
+    // for the OPTIMIZER: Catalyst's PartitionPruning rule only plants a
+    // dynamic-pruning subquery on the partitioned scan when the filtering
+    // side carries a likely-selective predicate, and the probe subtree
+    // ends in an aggregate — without this marker the serve scan reads
+    // every pcell bucket (verified on the executed plan both ways)
+    val probe = broadcast(assigned.withColumn("spcell",
+        pmod(col("scell"), lit(IvfIndexBuckets.toLong)).cast("int"))
+      .filter(col("spcell") >= 0))
     idx.join(probe,
-        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        col("pcell") === col("spcell") && col("cell") === col("scell") &&
+          col("vec_id") =!= col("qid"))
       .select(col("qid"),
         (-(graft.functions.Vectors.dot(col("embedding"), col("qe")) /
           (col("nrm") * col("qn")))).as("ns"),
@@ -2080,47 +2220,16 @@ object Similarity {
     * [[e2IvfServe]], but each query fans to its top-2 cells before the
     * candidate join — recall rises with zero rebuild and zero index
     * bytes written, which is exactly why production ANN tunes nprobe at
-    * the serving tier, not the build tier. The seed set is
-    * RECONSTRUCTED from the release itself (a seed is the index row
-    * whose vec_id IS a cell id — √n rows, broadcast), so serving still
-    * never scans the corpus or re-derives anything: one √n self-lookup,
-    * a 64×√n query-assignment rank (sample-sized), and ONE index scan
-    * against the doubled probe set. Result ≡ e2_ann_ivf2 restricted to
-    * the sample (per-query independence — the ivfSearchFor lemma),
-    * which the oracle replays. */
-  def e2IvfServe2(s: SparkSession, d: String): DataFrame = {
-    val idx = standingIvfIndex(s, d)
-    val qs = broadcast(sampledQueryIds(s, d))
-    val seeds = broadcast(
-      idx.join(idx.select(col("cell").as("c0")).distinct(),
-          col("vec_id") === col("c0"))
-        .select(col("vec_id").as("scell"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm")))
-    val assignW = Window.partitionBy(col("qid"))
-      .orderBy(col("c_sim").desc, col("scell"))
-    val probe = broadcast(idx.join(qs, Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-      .join(seeds)
-      .withColumn("c_sim",
-        graft.functions.Vectors.dot(col("qe"), col("c_emb")) /
-          (col("qn") * col("c_nrm")))
-      .select(col("qid"), col("qe"), col("qn"), col("scell"), col("c_sim"))
-      .withColumn("c_rn", row_number().over(assignW))
-      .filter(col("c_rn") <= 2)
-      .select(col("qid"), col("qe"), col("qn"), col("scell")))
-    idx.join(probe,
-        col("cell") === col("scell") && col("vec_id") =!= col("qid"))
-      .select(col("qid"),
-        (-(graft.functions.Vectors.dot(col("embedding"), col("qe")) /
-          (col("nrm") * col("qn")))).as("ns"),
-        col("vec_id").as("nb"))
-      .groupBy("qid")
-      .agg(min(struct(col("ns"), col("nb"))).as("m"))
-      .select(col("qid").as("vec_id"), col("m.nb").as("neighbor_id"),
-        round(-col("m.ns"), 4).as("sim"))
-      .orderBy("vec_id")
-  }
+    * the serving tier, not the build tier. Queries rank against the
+    * release's PERSISTED seed table — the complete ceil(√n) set, so a
+    * seed whose own cell is empty still competes exactly as the oracle's
+    * full probe ranking does (the round-13 reconstruct-from-assignment
+    * shortcut silently dropped empty-cell seeds AND rescanned the whole
+    * index to find √n rows; both fixed by shipping seeds in the i2
+    * release). Result ≡ e2_ann_ivf2 restricted to the sample (per-query
+    * independence — the ivfSearchFor lemma), which the oracle replays. */
+  def e2IvfServe2(s: SparkSession, d: String): DataFrame =
+    ivfServeFrom(s, d, 2)
 
   /** Probe width for the combined IVF-PQ index. */
   val IvfPqProbe = 2
@@ -2913,10 +3022,13 @@ object Similarity {
     * the exact-baseline leg pays the sample × corpus scan every
     * *_sampled audit pays. */
   def e2GraphSearch(s: SparkSession, d: String): DataFrame = {
-    // the walk references the edge table once per unrolled round — memo
-    // it (the e9_link_pred_knn localCheckpoint discipline) so the IVF
-    // build + rank window run ONCE, not GraphSearchSteps times
-    val knn = knnEdges(s, d)._1.localCheckpoint(true)
+    // the walk references the edge table once per unrolled round — since
+    // round 14 that table is the standingKnnGraph RELEASE, so every
+    // round re-reads a committed n·K-row parquet snapshot and the n·√n
+    // build + rank window run in NO serving plan at all (they ran once,
+    // at release time — verdict task 3; the localCheckpoint memo this
+    // replaces still rebuilt per JVM)
+    val knn = standingKnnGraph(s, d)
     val e = withNorm(embeddings(s, d))
     val qs = broadcast(sampledQueryIds(s, d))
     val qe = broadcast(e.join(qs, Seq("vec_id"), "left_semi")

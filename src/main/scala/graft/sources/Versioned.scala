@@ -105,6 +105,74 @@ object Versioned {
   def read(s: SparkSession, root: String, v: Int): DataFrame =
     s.read.parquet(vdir(root, v))
 
+  /** Directory of the live version — for MULTI-TABLE releases (an index
+    * snapshot holding an assignment table AND its seed table) whose
+    * readers compose their own sub-paths under the committed dir. */
+  def currentPath(s: SparkSession, root: String): String = {
+    val v = current(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    vdir(root, v)
+  }
+
+  /** Serialized FIRST publish of a root: exactly one caller builds, every
+    * concurrent caller waits for the winner's commit. The pre-hardening
+    * shape (bare `write` + catch-if-current) had two holes: (a) two
+    * processes could both pass the staged-dir existence check before
+    * either created it and then write INTERLEAVED part files into the
+    * same snapshot via the Hadoop committer, and (b) a loser whose write
+    * failed while the winner was still writing saw no _CURRENT at catch
+    * time and rethrew — the exact race the catch claimed to tolerate.
+    * Here the winner is chosen by an ATOMIC create-no-overwrite of
+    * `_BUILD_LOCK` (the HDFS/posix single-object primitive, same class
+    * as the _CURRENT tmp+rename): only the lock holder stages + writes +
+    * commits, so a snapshot can never hold two writers' files; losers
+    * poll for _CURRENT up to `waitMs` (sized by the caller to the build
+    * cost) and then fail DESCRIPTIVELY — never steal, because a lock
+    * older than the wait is indistinguishable from a winner mid-build
+    * (the standing-index build is minutes at 1000×), and a stolen lock
+    * re-opens hazard (a). A crashed winner leaves the lock + an orphan
+    * dir and no pointer: the remedy is the printed manual unlock, the
+    * same operator action every lock-file protocol bottoms out in.
+    * No-op (one metadata read) when the root is already committed. */
+  def publishOnce(s: SparkSession, root: String, waitMs: Long = 120000L)(
+      write: String => Unit): Unit =
+    publishAfter(s, root, 0, waitMs)(write)
+
+  /** The general serialized-publish primitive behind [[publishOnce]]:
+    * publish the next version IF the pointer currently reads `ifVersion`
+    * (0 = uncommitted root). Concurrent callers with the same `ifVersion`
+    * compute the same pure-function snapshot, so exactly one builds and
+    * the rest adopt its pointer — the shape the index maintenance loop
+    * (ingest → rebalance → publish v+1) shares with the first release. */
+  def publishAfter(s: SparkSession, root: String, ifVersion: Int,
+      waitMs: Long = 120000L)(write: String => Unit): Unit = {
+    def cur: Int = current(s, root).getOrElse(0)
+    if (cur != ifVersion) return
+    val f = fs(s, root)
+    f.mkdirs(new Path(root))
+    val lock = new Path(s"$root/_BUILD_LOCK")
+    val won =
+      try { f.create(lock, false).close(); true }
+      catch { case _: Throwable => false }
+    if (won) {
+      try {
+        if (cur == ifVersion) { // re-check under the lock
+          val (v, dir) = stage(s, root)
+          write(dir)
+          setCurrent(s, root, v)
+        }
+      } finally f.delete(lock, false)
+    } else {
+      val deadline = System.nanoTime + waitMs * 1000000L
+      while (cur == ifVersion && System.nanoTime < deadline)
+        Thread.sleep(200)
+      if (cur == ifVersion)
+        throw new IllegalStateException(
+          s"release build under $root held by another writer for >${waitMs}ms" +
+            s" with no commit; if that writer crashed, delete $lock to retry")
+    }
+  }
+
   /** Read the live version. */
   def readCurrent(s: SparkSession, root: String): DataFrame = {
     val v = current(s, root).getOrElse(

@@ -36,9 +36,12 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   test("ivf_serve builds once: repeat serving reuses the committed release") {
+    // the PRODUCTION root (test-visible since round 14 — the advisor's
+    // duplicated-path-mangling hole), wiped first so this pins a genuine
+    // fresh build-and-release, not a leftover from an earlier run/suite
+    val root = Similarity.ivfIndexRoot(d)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     Similarity.e2IvfServe(spark, d).count()
-    val root = "/tmp/graft_ivf_index/i1_" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")
     val v1 = Versioned.current(spark, root)
     assert(v1.isDefined, "first serve must publish a release")
     val again = Similarity.e2IvfServe(spark, d)

@@ -470,9 +470,10 @@ class StreamingSpec extends AnyFunSuite {
     // batch serve first: builds + releases the standing index if absent
     val want = graft.ops.Similarity.e2IvfServe(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val root = "/tmp/graft_ivf_index/i1_" +
-      TestSpark.sf0001.replaceAll("[^A-Za-z0-9._-]", "_")
-    val idx = graft.sources.Versioned.readCurrent(spark, root)
+    // the released assignment table, via the production builder (the
+    // i2 root is content-stamped, so a path literal here would silently
+    // decouple from fixtures — the round-13 advisor's hole)
+    val idx = graft.ops.Similarity.standingIvfIndex(spark, TestSpark.sf0001)._1
     // the query stream: the served ids staged as a 4-file parquet source
     val qdir = java.nio.file.Files.createTempDirectory("qserve").toString
     want.keys.toSeq.sorted.toDF("vec_id")
