@@ -2020,6 +2020,26 @@ object Similarity {
     * assignment passes; vectors never shuffle — per-cell counts
     * partial-aggregate map-side. */
   def e2IvfIngest(s: SparkSession, d: String): DataFrame = {
+    val (corpus, batch, seeds) = ivfIngestSplit(s, d)
+    val cp = ivfAssignedFold(corpus, seeds)
+      .groupBy("cell").agg(count(lit(1)).as("corpus_pop"))
+    val bp = ivfAssignedFold(batch, seeds)
+      .groupBy("cell").agg(count(lit(1)).as("ingested"))
+    cp.join(bp, Seq("cell"), "left")
+      .select(col("cell"), col("corpus_pop"),
+        coalesce(col("ingested"), lit(0L)).as("ingested"),
+        round(lit(100.0) * coalesce(col("ingested"), lit(0L)) /
+          col("corpus_pop"), 2).as("growth_pct"))
+      .orderBy("cell")
+  }
+
+  /** The shared (corpus, batch, seeds) stage of the maintenance family —
+    * the deterministic 90/10 splitmix split with the frozen quantizer
+    * trained on the corpus side only — extracted so the ingest AUDIT
+    * (e2_ivf_ingest) and the publish LOOP (e2_ivf_publish) cannot drift
+    * (the e3_pack_stats rule, DataFrame side). */
+  private def ivfIngestSplit(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e = withNorm(embeddings(s, d))
       .withColumn("slot", Sampling.slot(col("vec_id"), IvfIngestSalt))
     val corpus = e.filter(col("slot") < 90).drop("slot")
@@ -2030,15 +2050,67 @@ object Similarity {
       .limit(ivfCells(countOnce(s, d + "#ivf_ingest", corpus)))
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val cp = ivfAssignedFold(corpus, seeds)
-      .groupBy("cell").agg(count(lit(1)).as("corpus_pop"))
-    val bp = ivfAssignedFold(batch, seeds)
-      .groupBy("cell").agg(count(lit(1)).as("ingested"))
-    cp.join(bp, Seq("cell"), "left")
-      .select(col("cell"), col("corpus_pop"),
-        coalesce(col("ingested"), lit(0L)).as("ingested"),
-        round(lit(100.0) * coalesce(col("ingested"), lit(0L)) /
-          col("corpus_pop"), 2).as("growth_pct"))
+    (corpus, batch, seeds)
+  }
+
+  /** Maintenance release root (`m1` recipe tag: v1 = the 90%-split corpus
+    * assigned to its own frozen ceil(√n₉₀) quantizer; v+1 = previous
+    * version ∪ the delta batch assigned to the SAME seeds). Separate
+    * root family from the serving index (i2), whose recipe covers the
+    * full corpus. */
+  private[graft] def ivfMaintRoot(d: String): String =
+    s"/tmp/graft_ivf_maint_${sys.props.getOrElse("user.name", "u")}/m1_" +
+      corpusStamp(d) + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** E2 — PUBLISH the maintained index as v+1: the step the round-13
+    * maintenance family audited but never performed. e2_ivf_ingest
+    * measures the delta, rebalance/merge compute new cell maps — this
+    * query CLOSES the loop: v1 (the standing corpus assignment + its
+    * frozen seed table) is released once, then the ingest batch is
+    * assigned against the seeds READ FROM THE RELEASE and the union is
+    * published as v2 via the same atomic _CURRENT swap every sink here
+    * uses — serving reads v2 the instant the pointer lands, v1 stays
+    * pinned for audit/rollback. Idempotent by pointer state (publishAfter
+    * fires only while the pointer reads v1), so re-execution — bench
+    * reps, verify passes, concurrent processes — converges on the same
+    * two-version history instead of growing one. The output is read
+    * back FROM THE RELEASES (pop_v1 from pinned v1, pop_v2 from
+    * _CURRENT), keyed by the v1 population table; the oracle replays
+    * the pure-function recipe (split → seeds → both assignments) that
+    * produced them. Plan at 100 TB: the v2 write shuffles nothing — v1
+    * rows stream from its snapshot, the delta's fold is batch-sized —
+    * and the audit output is two narrow per-cell counts. */
+  def e2IvfPublish(s: SparkSession, d: String): DataFrame = {
+    val root = ivfMaintRoot(d)
+    val (corpus, batch, _) = ivfIngestSplit(s, d)
+    if (Versioned.current(s, root).isEmpty)
+      Versioned.publishOnce(s, root) { dir =>
+        val seeds = ivfIngestSplit(s, d)._3
+        seeds.write.parquet(dir + "/seeds")
+        ivfAssignedFold(corpus, seeds).select(col("vec_id"), col("cell"))
+          .write.parquet(dir + "/assign")
+      }
+    if (Versioned.current(s, root).contains(1))
+      Versioned.publishAfter(s, root, 1) { dir =>
+        // the frozen quantizer travels WITH the release: the batch is
+        // assigned against v1's persisted seeds (bit-identical to the
+        // build's — parquet round-trips exactly), and v2 carries them
+        // forward for the next delta
+        val seedsV1 = s.read.parquet(Versioned.path(root, 1) + "/seeds")
+        seedsV1.write.parquet(dir + "/seeds")
+        s.read.parquet(Versioned.path(root, 1) + "/assign")
+          .unionByName(ivfAssignedFold(batch, seedsV1)
+            .select(col("vec_id"), col("cell")))
+          .write.parquet(dir + "/assign")
+      }
+    val cur = Versioned.currentPath(s, root)
+    val v1 = s.read.parquet(Versioned.path(root, 1) + "/assign")
+      .groupBy("cell").agg(count(lit(1)).as("pop_v1"))
+    val v2 = s.read.parquet(cur + "/assign")
+      .groupBy("cell").agg(count(lit(1)).as("pop_v2"))
+    v1.join(v2, Seq("cell"), "left")
+      .select(col("cell"), col("pop_v1"),
+        (col("pop_v2") - col("pop_v1")).as("ingested"), col("pop_v2"))
       .orderBy("cell")
   }
 
@@ -3331,6 +3403,7 @@ object Similarity {
     "e2_pq_search" -> (e2PqSearch _),
     "e2_ann_ivfpq" -> (e2AnnIvfPq _),
     "e2_ivf_ingest" -> (e2IvfIngest _),
+    "e2_ivf_publish" -> (e2IvfPublish _),
     "e2_ivf_serve" -> (e2IvfServe _),
     "e2_ivf_serve2" -> (e2IvfServe2 _),
     "e2_pq_rerank" -> (e2PqRerank _),
@@ -3429,6 +3502,43 @@ object Similarity {
   /** The nProbe=1 IVF chain exposed for the cross-family e1_hybrid_dedup
     * oracle (Dedup.scala) — same text as every e2 consumer uses. */
   private[ops] lazy val ivfCtesForHybrid: String = ivfCtes(1)
+
+  /** Shared maintenance-split oracle chain (the twin of
+    * [[ivfIngestSplit]]): the 90/10 splitmix split, the frozen
+    * ceil(√n₉₀) quantizer, and BOTH ranked assignments — ending in `ca`
+    * (corpus, crn) and `ba` (batch, crn). Composed verbatim by the
+    * ingest audit and the publish loop so they cannot drift. */
+  private lazy val ivfIngestSplitCtes: String = {
+    import OracleSql._
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |sl_in AS (SELECT vec_id,
+       |  xor(CAST(vec_id AS HUGEINT), CAST('$IvfIngestSalt' AS HUGEINT)) AS h0
+       |  FROM embeddings),
+       |${mixCtes("sl", "h0", "hs", Seq("vec_id"))},
+       |sided AS (SELECT vec_id,
+       |  CAST((hs % CAST(power(2, 63) AS HUGEINT)) % 100 AS BIGINT) AS slot
+       |  FROM sl),
+       |corp AS (SELECT e.vec_id, e.e FROM emb e
+       |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot < 90),
+       |btch AS (SELECT e.vec_id, e.e FROM emb e
+       |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot >= 90),
+       |ivm_in AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h0 FROM corp),
+       |${mixCtes("ivm", "h0", "hm", Seq("vec_id"))},
+       |ivs AS (SELECT vec_id, ${toSigned("hm")} AS m FROM ivm),
+       |seeds AS (SELECT c.vec_id AS cell, c.e AS ce
+       |  FROM corp c JOIN ivs ON c.vec_id = ivs.vec_id
+       |  ORDER BY ivs.m, c.vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM corp)),
+       |ca AS (SELECT c.vec_id, s.cell, row_number() OVER (
+       |    PARTITION BY c.vec_id
+       |    ORDER BY list_cosine_similarity(c.e, s.ce) DESC, s.cell) AS crn
+       |  FROM corp c, seeds s),
+       |ba AS (SELECT b.vec_id, s.cell, row_number() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY list_cosine_similarity(b.e, s.ce) DESC, s.cell) AS crn
+       |  FROM btch b, seeds s)""".stripMargin
+  }
 
   /** IVF oracle CTE prefix ending in `build` (vec_id, e, cell — every
     * vector under its top-1 cell) and `probe` (top-`nProbe` cells). */
@@ -3959,36 +4069,8 @@ object Similarity {
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
-    "e2_ivf_ingest" -> {
-      import OracleSql._
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings),
-         |sl_in AS (SELECT vec_id,
-         |  xor(CAST(vec_id AS HUGEINT), CAST('$IvfIngestSalt' AS HUGEINT)) AS h0
-         |  FROM embeddings),
-         |${mixCtes("sl", "h0", "hs", Seq("vec_id"))},
-         |sided AS (SELECT vec_id,
-         |  CAST((hs % CAST(power(2, 63) AS HUGEINT)) % 100 AS BIGINT) AS slot
-         |  FROM sl),
-         |corp AS (SELECT e.vec_id, e.e FROM emb e
-         |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot < 90),
-         |btch AS (SELECT e.vec_id, e.e FROM emb e
-         |  JOIN sided ON e.vec_id = sided.vec_id WHERE slot >= 90),
-         |ivm_in AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h0 FROM corp),
-         |${mixCtes("ivm", "h0", "hm", Seq("vec_id"))},
-         |ivs AS (SELECT vec_id, ${toSigned("hm")} AS m FROM ivm),
-         |seeds AS (SELECT c.vec_id AS cell, c.e AS ce
-         |  FROM corp c JOIN ivs ON c.vec_id = ivs.vec_id
-         |  ORDER BY ivs.m, c.vec_id
-         |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM corp)),
-         |ca AS (SELECT c.vec_id, s.cell, row_number() OVER (
-         |    PARTITION BY c.vec_id
-         |    ORDER BY list_cosine_similarity(c.e, s.ce) DESC, s.cell) AS crn
-         |  FROM corp c, seeds s),
-         |ba AS (SELECT b.vec_id, s.cell, row_number() OVER (
-         |    PARTITION BY b.vec_id
-         |    ORDER BY list_cosine_similarity(b.e, s.ce) DESC, s.cell) AS crn
-         |  FROM btch b, seeds s),
+    "e2_ivf_ingest" ->
+      s"""WITH $ivfIngestSplitCtes,
          |cp AS (SELECT cell, count(*) AS corpus_pop FROM ca WHERE crn = 1
          |  GROUP BY cell),
          |bp AS (SELECT cell, count(*) AS ingested FROM ba WHERE crn = 1
@@ -3998,8 +4080,24 @@ object Similarity {
          |  round(100.0 * coalesce(bp.ingested, 0) / cp.corpus_pop, 2)
          |    AS growth_pct
          |FROM cp LEFT JOIN bp ON cp.cell = bp.cell
-         |ORDER BY cp.cell""".stripMargin
-    },
+         |ORDER BY cp.cell""".stripMargin,
+    // the publish loop's RELEASED tables (v1 = corpus assignment, v2 =
+    // v1 ∪ batch assignment against the frozen v1 seeds) are pure
+    // functions of the corpus, so the oracle replays the shared split
+    // chain VERBATIM (can't-drift with e2_ivf_ingest) and reconstructs
+    // both versions' per-cell populations; the Spark side reads them
+    // back from the committed snapshots
+    "e2_ivf_publish" ->
+      s"""WITH $ivfIngestSplitCtes,
+         |pv1 AS (SELECT cell, count(*) AS pop_v1 FROM ca WHERE crn = 1
+         |  GROUP BY cell),
+         |pin AS (SELECT cell, count(*) AS ingested FROM ba WHERE crn = 1
+         |  GROUP BY cell)
+         |SELECT pv1.cell, pv1.pop_v1,
+         |  CAST(coalesce(pin.ingested, 0) AS BIGINT) AS ingested,
+         |  pv1.pop_v1 + CAST(coalesce(pin.ingested, 0) AS BIGINT) AS pop_v2
+         |FROM pv1 LEFT JOIN pin ON pv1.cell = pin.cell
+         |ORDER BY pv1.cell""".stripMargin,
     // adCtes supplies the codebook/codes/query-table chain; the IVF stage
     // is rebuilt against its `emb` (no-salt splitmix seed order, same
     // tie-breaks as the e2_ann_ivf oracle), then ADC runs only where the

@@ -35,6 +35,10 @@ object Versioned {
 
   private def vdir(root: String, v: Int) = f"$root/v$v%05d"
 
+  /** Directory of a pinned version — for multi-table snapshots whose
+    * readers compose sub-paths (see [[currentPath]]). */
+  def path(root: String, v: Int): String = vdir(root, v)
+
   /** All published versions, ascending (directories with a committed
     * pointer history; orphans from crashed writers are excluded by
     * convention of reading only ≤ current). */
@@ -144,8 +148,22 @@ object Versioned {
     * compute the same pure-function snapshot, so exactly one builds and
     * the rest adopt its pointer — the shape the index maintenance loop
     * (ingest → rebalance → publish v+1) shares with the first release. */
+  /** Per-root in-process monitors: HDFS `create(overwrite=false)` is an
+    * atomic winner-election primitive, but RawLocalFileSystem's is
+    * check-then-create — two THREADS of one JVM can both win it. The
+    * monitor serializes same-process callers (the common race: a query
+    * map traversed concurrently); the lock file serializes processes. */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def publishAfter(s: SparkSession, root: String, ifVersion: Int,
-      waitMs: Long = 120000L)(write: String => Unit): Unit = {
+      waitMs: Long = 120000L)(write: String => Unit): Unit =
+    publishMonitors.computeIfAbsent(root, _ => new Object).synchronized {
+      publishAfterLocked(s, root, ifVersion, waitMs)(write)
+    }
+
+  private def publishAfterLocked(s: SparkSession, root: String, ifVersion: Int,
+      waitMs: Long)(write: String => Unit): Unit = {
     def cur: Int = current(s, root).getOrElse(0)
     if (cur != ifVersion) return
     val f = fs(s, root)

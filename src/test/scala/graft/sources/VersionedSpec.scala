@@ -43,4 +43,65 @@ class VersionedSpec extends AnyFunSuite {
       Versioned.setCurrent(spark, root, 7)
     }
   }
+
+  test("publishOnce serializes the first release across concurrent writers") {
+    val root = TestSpark.tmpDir("versioned3")
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 4 threads race the same first release; exactly one write callback
+    // may run, the rest must adopt the winner's committed pointer
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            Versioned.publishOnce(spark, root) { dir =>
+              writes.incrementAndGet()
+              Thread.sleep(200) // widen the race window
+              Seq((1, "a")).toDF("id", "x").write.parquet(dir)
+            }
+        })
+      }
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(writes.get() == 1, s"release built ${writes.get()} times")
+    assert(Versioned.current(spark, root).contains(1))
+    assert(Versioned.readCurrent(spark, root).count() == 1)
+  }
+
+  test("publishOnce loser fails descriptively if the lock never clears") {
+    val root = TestSpark.tmpDir("versioned4")
+    // plant a foreign lock (a winner mid-build, or crashed): the loser
+    // must WAIT then fail loud — never steal, never write alongside
+    val f = new java.io.File(root); f.mkdirs()
+    val lock = new java.io.File(f, "_BUILD_LOCK"); lock.createNewFile()
+    val ex = intercept[IllegalStateException] {
+      Versioned.publishOnce(spark, root, waitMs = 500) { dir =>
+        Seq((1, "a")).toDF("id", "x").write.parquet(dir)
+      }
+    }
+    assert(ex.getMessage.contains("_BUILD_LOCK"))
+    assert(Versioned.versions(spark, root).isEmpty, "loser must not write")
+    // the lock clearing (winner commit) unblocks the same call
+    lock.delete()
+    Versioned.publishOnce(spark, root) { dir =>
+      Seq((1, "a")).toDF("id", "x").write.parquet(dir)
+    }
+    assert(Versioned.current(spark, root).contains(1))
+  }
+
+  test("publishAfter fires only at its pointer state (maintenance v+1 swap)") {
+    val root = TestSpark.tmpDir("versioned5")
+    Versioned.publishOnce(spark, root) { dir =>
+      Seq((1, "a")).toDF("id", "x").write.parquet(dir) }
+    var ran = 0
+    Versioned.publishAfter(spark, root, 1) { dir =>
+      ran += 1; Seq((1, "a"), (2, "b")).toDF("id", "x").write.parquet(dir) }
+    assert(ran == 1 && Versioned.current(spark, root).contains(2))
+    // idempotent: the pointer moved past 1, so a replay is a no-op
+    Versioned.publishAfter(spark, root, 1) { _ => ran += 1 }
+    assert(ran == 1 && Versioned.versions(spark, root) == Seq(1, 2))
+    // v1 stays pinned and readable after the swap
+    assert(Versioned.read(spark, root, 1).count() == 1)
+    assert(Versioned.readCurrent(spark, root).count() == 2)
+  }
 }
