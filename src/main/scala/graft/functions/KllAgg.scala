@@ -47,27 +47,66 @@ object KllSketch {
     promote(st.copy(l0 = new Array[Double](K), n0 = 0), sorted, 0)
   }
 
-  /** Compact the FULL sorted buffer at level i: keep the alternating
-    * parity half, promote it into level i+1 (sorted merge), cascade if
-    * that overflows. Level i empties (for i ≥ 1). */
+  /** Compact the FULL sorted buffer at level i: pair adjacent items, keep
+    * one survivor per pair at doubled weight (alternating parity picks
+    * which), promote the survivors into level i+1 (sorted merge), cascade
+    * if that overflows. An ODD buffer leaves its last item UNPAIRED: it
+    * keeps its own weight at its own level (standard KLL — round-14
+    * advisor fix; the previous `(len−start+1)/2` survivor count let
+    * retained weight drift ±1 unit per odd compaction, reachable through
+    * merge(), so quantile() targeted ceil(q·n) against a cumulative
+    * weight that no longer summed to n). Compaction is now exactly
+    * weight-preserving — `KllSketch.weight(st) == st.n` always, pinned
+    * in spec. */
   private def promote(st0: KllState, full: Array[Double], i: Int): KllState = {
     var st = st0
     while (st.flips.length <= i) st = st.copy(flips = st.flips :+ false)
     val start = if (st.flips(i)) 1 else 0
-    val half = Array.tabulate((full.length - start + 1) / 2)(j => full(start + 2 * j))
+    val nPairs = full.length / 2
+    val half = Array.tabulate(nPairs)(j => full(2 * j + start))
     val flips2 = st.flips.clone(); flips2(i) = !flips2(i)
     var levels2 = st.levels
     while (levels2.length <= i) levels2 = levels2 :+ Array.empty[Double]
     val merged = mergeSorted(levels2(i), half)
     levels2 = levels2.clone()
-    if (merged.length <= K) {
-      levels2(i) = merged
-      st.copy(levels = levels2, flips = flips2)
-    } else {
-      levels2(i) = Array.empty
-      promote(st.copy(levels = levels2, flips = flips2), merged, i + 1)
-    }
+    val st1 =
+      if (merged.length <= K) {
+        levels2(i) = merged
+        st.copy(levels = levels2, flips = flips2)
+      } else {
+        levels2(i) = Array.empty
+        promote(st.copy(levels = levels2, flips = flips2), merged, i + 1)
+      }
+    if (full.length % 2 == 0) st1
+    else stash(st1, full(full.length - 1), i)
   }
+
+  /** Retain an unpaired item of weight 2^i at its own home: l0 for the
+    * weight-1 level, levels(i−1) otherwise. Every call site has just
+    * emptied that home (compactL0 empties l0; a cascade empties the level
+    * below before promoting), so the insert cannot itself overflow —
+    * defensively, an overflowing home re-compacts through promote. */
+  private def stash(st: KllState, x: Double, i: Int): KllState =
+    if (i == 0) {
+      val st1 = if (st.n0 >= K) compactL0(st) else st // unreachable guard
+      st1.l0(st1.n0) = x
+      st1.copy(n0 = st1.n0 + 1)
+    } else {
+      val merged = mergeSorted(st.levels(i - 1), Array(x))
+      if (merged.length <= K) {
+        val levels2 = st.levels.clone(); levels2(i - 1) = merged
+        st.copy(levels = levels2)
+      } else {
+        val levels2 = st.levels.clone(); levels2(i - 1) = Array.empty
+        promote(st.copy(levels = levels2), merged, i) // unreachable; safe
+      }
+    }
+
+  /** Total retained weight — equals `n` by the weight-preserving
+    * compaction invariant (the observable the spec pins). */
+  def weight(st: KllState): Long =
+    st.n0.toLong + st.levels.zipWithIndex.map { case (lv, i) =>
+      lv.length.toLong << (i + 1) }.sum
 
   private def mergeSorted(a: Array[Double], b: Array[Double]): Array[Double] = {
     val out = new Array[Double](a.length + b.length)

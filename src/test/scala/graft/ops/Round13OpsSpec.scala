@@ -110,6 +110,9 @@ class Round13OpsSpec extends AnyFunSuite {
     val bound = KllSketch.K *
       (math.ceil(math.log(100000.0 / KllSketch.K) / math.log(2.0)) + 2)
     assert(KllSketch.items(st) <= bound)
+    // compaction is exactly weight-preserving (round-14 advisor fix):
+    // the cumulative weight quantile() walks always sums to n
+    assert(KllSketch.weight(st) == st.n)
   }
 
   test("KLL merge preserves count and the rank contract (mergeability)") {
@@ -124,6 +127,15 @@ class Round13OpsSpec extends AnyFunSuite {
     val stB = b.foldLeft(KllSketch.empty)(KllSketch.add)
     val m = KllSketch.merge(stA, stB)
     assert(m.n == 60000L)
+    // merge drives the ODD-length compactions (mergeSorted produces odd
+    // buffers); weight must still be exactly conserved — the ±1-unit
+    // drift the round-14 fix removed grew with merge depth
+    assert(KllSketch.weight(m) == m.n)
+    val deep = (0 until 16).map { k =>
+      xs.drop(k * 3750).take(3750)
+        .foldLeft(KllSketch.empty)(KllSketch.add)
+    }.reduce(KllSketch.merge)
+    assert(deep.n == 60000L && KllSketch.weight(deep) == deep.n)
     val sorted = xs.sorted
     for (q <- Seq(0.25, 0.5, 0.75)) {
       val est = KllSketch.quantile(m, q)
