@@ -258,7 +258,15 @@ object ScaleProbe {
       "e2_ivf_serve", "e2_ivf_serve2",
       // the KLL UDAF partial-aggregates to one sketch per (partition, type);
       // the exact-percentile contract legs are the audit's documented cost
-      "e4w_kll_quantile")
+      "e4w_kll_quantile",
+      // round 14: the maintenance publish — first rep pays the v1+v2
+      // release builds (two fold assignments + snapshot writes, the
+      // `first` term), the second rep is the pointer-state no-op + the
+      // released-table read-back (the steady cell)
+      "e2_ivf_publish",
+      // PQ serving: first rep pays the codes+codebook release, the
+      // steady cell is one released-codes scan × broadcast ADC tables
+      "e2_pq_serve")
     // Exact verifiers (quadratic under replication BY DESIGN) are excluded
     // from the ≥100× run: ngram_jaccard is pairwise-exact over shingle
     // co-occurrence; cosine_topk is the exact per-label-block baseline

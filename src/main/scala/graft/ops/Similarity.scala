@@ -1969,7 +1969,15 @@ object Similarity {
     * assembled in index order via sorted struct collect, the
     * centroidArrays pattern. */
   private def adcTables(s: SparkSession, d: String): DataFrame =
-    pqQueries(s, d).join(broadcast(pqSeeds(s, d)))
+    adcTablesFrom(s, d, pqSeeds(s, d))
+
+  /** adcTables against an explicit codebook (seed_idx, cd) — the shared
+    * table builder of the build-per-job ADC queries (codebook = the
+    * in-plan pqSeeds derivation) and the released-index serve (codebook
+    * = the p1 snapshot's persisted table), so the two cannot drift. */
+  private def adcTablesFrom(
+      s: SparkSession, d: String, codebook: DataFrame): DataFrame =
+    pqQueries(s, d).join(broadcast(codebook))
       .select(col("qid"), col("seed_idx"),
         posexplode(expr(subDists("qd", "cd"))).as(Seq("sub", "pd")))
       .groupBy("qid")
@@ -2004,6 +2012,63 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topC)
       .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+  }
+
+  /** Release root for the STANDING PQ index (codes + codebook). `p1`
+    * names the build recipe (splitmix codebook sample, per-subspace
+    * argmin codes, ties to the lower codeword); same [[corpusStamp]] +
+    * per-user-root staleness discipline as the i2/g1 releases. */
+  private[graft] def pqIndexRoot(d: String): String =
+    s"/tmp/graft_pq_index_${sys.props.getOrElse("user.name", "u")}/p1_" +
+      corpusStamp(d) + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The standing PQ index — (codes, codebook): the codes table IS the
+    * index payload (PqM one-byte codewords per vector, 32× smaller than
+    * the raw vectors) and the codebook is the ≤PqKsub-row decode side;
+    * both released once under the Versioned pointer. Integer codes and
+    * double codewords round-trip parquet exactly, so serving ranks the
+    * identical ADC distances the build-per-job scan computes. */
+  private[graft] def standingPqIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = pqIndexRoot(d)
+    if (Versioned.current(s, root).isEmpty)
+      Versioned.publishOnce(s, root) { dir =>
+        pqSeeds(s, d).write.parquet(dir + "/codebook")
+        codesArr(s, d).write.parquet(dir + "/codes")
+      }
+    val cur = Versioned.currentPath(s, root)
+    (s.read.parquet(cur + "/codes"), s.read.parquet(cur + "/codebook"))
+  }
+
+  /** E2 — SERVE PQ search from the standing index (round-14: the IVF
+    * serving pattern applied to the compression half — verdict task 8):
+    * the ADC query e2_pq_search prices with the encode in the plan, now
+    * answered from the RELEASED codes + codebook with zero encode work
+    * at serve time. The per-query lookup tables are computed against the
+    * snapshot's codebook (the asymmetric full-precision side — always
+    * query-time work, PqNQueries × PqKsub·PqM lambda evaluations), then
+    * ONE scan of the released codes ranks every candidate by PqM table
+    * lookups; the rank filter pushes into WindowGroupLimit so each input
+    * partition ships ≤ PqTopK rows per query. Result ≡ e2_pq_search
+    * (codes and codebook are pure functions of the corpus; parquet
+    * round-trips them exactly), so the oracle IS the e2_pq_search
+    * replay, and the row-for-row identity is pinned in Round14OpsSpec.
+    * At 100 TB this is the deployed read: the 32×-compressed codes scan
+    * replaces the vector scan entirely, and a cell-partitioned IVF-PQ
+    * release composes this with the i2 bucket pruning. */
+  def e2PqServe(s: SparkSession, d: String): DataFrame = {
+    val (codes, codebook) = standingPqIndex(s, d)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(adcTablesFrom(s, d, codebook)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", adcDistExpr)
+      // narrow before the rank exchange (the pre-window projection rule)
+      .select(col("qid"), col("vec_id"), col("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqTopK)
+      .select(col("qid"), asLong(col("rn")).as("rn"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "rn")
   }
 
   /** Purpose salt for the ingest corpus/batch split. */
@@ -3401,6 +3466,7 @@ object Similarity {
     "e2_vq_assign" -> (e2VqAssign _),
     "e2_pq_codes" -> (e2PqCodes _),
     "e2_pq_search" -> (e2PqSearch _),
+    "e2_pq_serve" -> (e2PqServe _),
     "e2_ann_ivfpq" -> (e2AnnIvfPq _),
     "e2_ivf_ingest" -> (e2IvfIngest _),
     "e2_ivf_publish" -> (e2IvfPublish _),
@@ -4069,6 +4135,10 @@ object Similarity {
       s"""WITH $pqCtes
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
     "e2_pq_search" -> pqSearchOracle,
+    // the released codes/codebook are pure functions of the corpus, so
+    // serving from the snapshot answers EXACTLY what the build-per-job
+    // ADC answers — the oracle is the same replay, verbatim
+    "e2_pq_serve" -> pqSearchOracle,
     "e2_ivf_ingest" ->
       s"""WITH $ivfIngestSplitCtes,
          |cp AS (SELECT cell, count(*) AS corpus_pop FROM ca WHERE crn = 1

@@ -91,6 +91,30 @@ class Round14OpsSpec extends AnyFunSuite {
       s"serving plan re-derives build stages (limits: $limits)")
   }
 
+  test("pq_serve answers exactly what the build-per-job ADC answers") {
+    val root = Similarity.pqIndexRoot(d)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val served = Similarity.e2PqServe(spark, d).collect().map(_.toString)
+    val built = Similarity.e2PqSearch(spark, d).collect().map(_.toString)
+    assert(served.nonEmpty && served.toSeq == built.toSeq,
+      "serve drifted from the in-plan ADC search")
+    // build-once: the release committed once and a replay keeps it
+    val v1 = graft.sources.Versioned.current(spark, root)
+    assert(v1.isDefined)
+    val again = Similarity.e2PqServe(spark, d)
+    again.count()
+    assert(graft.sources.Versioned.current(spark, root) == v1)
+    // the serving plan scans the released codes — the corpus is touched
+    // exactly once (the PqNQueries query fetch for the ADC tables'
+    // full-precision side); a second embeddings scan would be the
+    // encode stage sneaking back in
+    val phys = again.queryExecution.executedPlan.toString
+    assert(phys.contains("graft_pq_index"),
+      "serve must scan the standing PQ release")
+    assert(phys.split("embeddings\\.parquet").length - 1 <= 1,
+      "serve plan re-encodes the corpus (second embeddings scan)")
+  }
+
   test("knn release round-trips the build exactly (graph consumers agree)") {
     // the released directed edge set must be row-identical to what the
     // consumers would have built per job — parquet round-trips longs
