@@ -1029,7 +1029,14 @@ object Analysis {
     * shows the loop discipline. */
   def e9Kcore(s: SparkSession, d: String): DataFrame = {
     val p = Dedup.minhashPairTable(s, d)
-    var edges = p.select(col("da"), col("db"))
+    // Per-round eager localCheckpoint (the kcoreConverged loop's own
+    // discipline, applied to the declared fixed-round form): each round
+    // references `edges` three times (two degree legs + the prune input),
+    // so left lazy the unrolled plan re-evaluates the previous round's
+    // subtree per reference — ~3^KcorePeels duplicated prune chains (the
+    // plan dump was 424 KB and the query read 1.5 s; checkpointed, each
+    // round's prune runs once over the pair-table-sized frame).
+    var edges = p.select(col("da"), col("db")).localCheckpoint(true)
     for (_ <- 1 to KcorePeels) {
       val deg = edges.select(col("da").as("v"))
         .unionByName(edges.select(col("db").as("v")))
@@ -1039,6 +1046,7 @@ object Analysis {
         .join(keep.select(col("v").as("da")), "da")
         .join(keep.select(col("v").as("db")), "db")
         .select("da", "db")
+        .localCheckpoint(true)
     }
     edges.select(col("da").as("doc_id"))
       .unionByName(edges.select(col("db").as("doc_id")))

@@ -3195,6 +3195,15 @@ object Similarity {
       .select(col("qid"), col("qemb"), col("qnrm"),
         col("cid").as("cur"), qsim(col("cemb"), col("cnrm")).as("sim"),
         lit(0L).as("hops"))
+    // Each round references `st` THREE times (candidate probe, the
+    // {current} leg of the argmax union, and the state join) — left lazy,
+    // the unrolled plan re-evaluates the previous round's subtree per
+    // reference, ~3^rounds copies of the knn-release and vector scans
+    // (the measured plan dump was 741 KB of duplicated subtrees and the
+    // query read 4.1 s). The walk state is |sample| rows, so an eager
+    // per-round localCheckpoint (the kcoreConverged / CC-star loop
+    // discipline) makes every round's work run exactly once.
+    st = st.localCheckpoint(true)
     for (_ <- 1 to GraphSearchSteps) {
       val cand = st
         .join(knn.select(col("vec_id").as("cur"),
@@ -3216,6 +3225,7 @@ object Similarity {
           (col("hops") +
             when(col("ncur") =!= col("cur"), 1L).otherwise(0L)).as("hops"))
         .withColumnRenamed("ncur2", "cur").withColumnRenamed("nsim2", "sim")
+        .localCheckpoint(true)
     }
     // exact global cosine top-1 from the shared exact-truth memo (round
     // 12) — the walk's own state/edge plumbing is untouched; only the
