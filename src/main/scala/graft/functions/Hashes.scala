@@ -34,4 +34,17 @@ object Vectors {
     org.apache.spark.sql.graftext.vectorExpressions.dotProduct(a, b)
   def l2Norm(c: Column): Column =
     org.apache.spark.sql.graftext.vectorExpressions.l2Norm(c)
+  /** array<double> twins — same index-ordered folds as the HOF
+    * `aggregate(zip_with(...))` spellings they replace (bit-identical),
+    * evaluated as fused codegen loops instead of interpreted lambdas. */
+  def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.dotProductD(a, b)
+  def l2NormD(c: Column): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.l2NormD(c)
+  def sqDistD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.sqDistD(a, b)
+  def subSqDistsD(a: Column, b: Column, m: Int, dsub: Int): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.subSqDistsD(a, b, m, dsub)
+  def adcDistD(codes: Column, dt: Column, m: Int, ksub: Int): Column =
+    org.apache.spark.sql.graftext.vectorExpressions.adcDistD(codes, dt, m, ksub)
 }

@@ -443,7 +443,7 @@ object Multimodal {
     * secondary hash before the self-join. */
   def e5ImageNeardup(s: SparkSession, d: String): DataFrame = {
     val v = bandVectors(s, d).toDF()
-      .withColumn("nrm", expr("sqrt(aggregate(vec, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", graft.functions.Vectors.l2NormD(col("vec")))
       .filter(col("nrm") > 0)
     val nCells = Similarity.ivfCells(
       docCount.computeIfAbsent((s, d),
@@ -457,7 +457,7 @@ object Multimodal {
       .partitionBy(col("doc_id")).orderBy(col("c_sim").desc, col("cell"))
     val assigned = v.join(broadcast(seeds))
       .withColumn("c_sim",
-        expr("aggregate(zip_with(vec, cvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("vec"), col("cvec")) /
           (col("nrm") * col("cnrm")))
       // narrow before the assign exchange: drop the broadcast seed
       // vectors from the scored rows (the pre-window projection rule —
@@ -472,7 +472,7 @@ object Multimodal {
     assigned.join(right, Seq("cell"))
       .filter(col("doc_id") < col("dup_id"))
       .withColumn("sim", round(
-        expr("aggregate(zip_with(vec, bvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("vec"), col("bvec")) /
           (col("nrm") * col("bnrm")), 4))
       .filter(col("sim") >= NeardupSimThreshold)
       .select(col("doc_id"), col("dup_id"), col("sim"))

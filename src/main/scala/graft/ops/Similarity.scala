@@ -441,7 +441,7 @@ object Similarity {
       .groupBy(col("label").as("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x("c")).as("cen"))
-      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", graft.functions.Vectors.l2NormD(col("cen")))
 
   /** E2 — nearest-centroid assignment (the k-means E-step, and the
     * prototype classifier a labeling pipeline runs over unlabeled vectors):
@@ -456,7 +456,7 @@ object Similarity {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("ed"))
-      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("enrm", graft.functions.Vectors.l2NormD(col("ed")))
     // argmax as a regular aggregate — max(struct(sim, -label)) picks the
     // highest sim with ties to the LOWER label — so the n·k candidate rows
     // partial-combine map-side to one row per vector BEFORE the shuffle;
@@ -464,7 +464,7 @@ object Similarity {
     // on vec_id.
     e.join(broadcast(cen))
       .withColumn("sim",
-        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("ed"), col("cen")) /
           (col("enrm") * col("cnrm")))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"))
@@ -822,6 +822,11 @@ object Similarity {
       .join(emb, col("other_id") === col("oid"))
       .select(col("vec_id"), col("oe").as(s"e$k"),
         col("other_id").as(s"nb$k"))
+    // qnrm once per EXPANDED QUERY (≤64 rows) and onrm once per CORPUS row
+    // — the PRF pass previously re-folded both self-dots inside the
+    // sample × corpus pair expression (3 interpreted HOF folds per pair);
+    // the pair now pays one fused-loop vec_dot_d. sqrt of the same
+    // index-ordered fold, divided in the same order — bit-identical sims.
     val qx = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
       .join(at(1), "vec_id").join(at(2), "vec_id").join(at(3), "vec_id")
@@ -830,16 +835,15 @@ object Similarity {
                   zip_with(zip_with(e1, e2, (x, y) -> x + y), e3,
                     (x, y) -> x + y),
                   (x, y) -> 0.5 * x + 0.5 * (y / 3.0))""").as("qp"))
+      .withColumn("qnrm", graft.functions.Vectors.l2NormD(col("qp")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("oid"))
-    val prf = broadcast(qx).join(emb, col("oid") =!= col("vec_id"))
-      .withColumn("sim", expr(
-        """aggregate(zip_with(qp, oe, (x, y) -> x * y), 0.0D,
-             (p, q) -> p + q)
-           / (sqrt(aggregate(zip_with(qp, qp, (x, y) -> x * y), 0.0D,
-               (p, q) -> p + q))
-              * sqrt(aggregate(zip_with(oe, oe, (x, y) -> x * y), 0.0D,
-                  (p, q) -> p + q)))"""))
+    val prf = broadcast(qx)
+      .join(emb.withColumn("onrm", graft.functions.Vectors.l2NormD(col("oe"))),
+        col("oid") =!= col("vec_id"))
+      .withColumn("sim",
+        graft.functions.Vectors.dotD(col("qp"), col("oe")) /
+          (col("qnrm") * col("onrm")))
       // narrow before the rank exchange (the pre-window projection rule)
       .select(col("vec_id"), col("nb1"), col("nb2"), col("nb3"),
         col("oid"), col("sim"))
@@ -1706,12 +1710,11 @@ object Similarity {
   val RvqSalt1 = 0x51c6a7e39b04d8f2L
   val RvqSalt2 = 0x7d092c4f6e8b13a5L
 
-  /** Full-vector squared L2 between double arrays `a` and `b` —
-    * subtraction and accumulation in index order so the DuckDB
-    * list_reduce replica (0.0-prepended left fold) is bit-identical. */
-  private def fullL2(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-       |          0.0D, (p, q) -> p + q)""".stripMargin
+  // Full-vector squared L2 between double arrays: subtraction and
+  // accumulation in index order so the DuckDB list_reduce replica
+  // (0.0-prepended left fold) is bit-identical — since round 14 the
+  // native fused loop Vectors.sqDistD (same IEEE sequence as the old
+  // `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0D, +)` HOF).
 
   /** E2 — RESIDUAL VECTOR QUANTIZATION (RVQ) distortion: the two-stage
     * additive quantizer (Chen, Guan & Wang, "Approximate nearest
@@ -1753,7 +1756,7 @@ object Similarity {
       .select(col("c1"), col("ed").as("cv1")))
     val a1 = emb.join(seeds1)
       .select(col("vec_id"), col("c1"),
-        expr(fullL2("ed", "cv1")).as("dist"))
+        graft.functions.Vectors.sqDistD(col("ed"), col("cv1")).as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("c1"))).as("s"))
       .select(col("vec_id"), col("s.dist").as("d1"), col("s.c1").as("c1"))
@@ -1772,7 +1775,7 @@ object Similarity {
       .unionByName(zeroRow))
     resid.join(seeds2)
       .select(col("vec_id"), col("d1"), col("c2"),
-        expr(fullL2("rv", "cv2")).as("dist2"))
+        graft.functions.Vectors.sqDistD(col("rv"), col("cv2")).as("dist2"))
       .groupBy("vec_id")
       .agg(min(col("d1")).as("d1"),
         min(struct(col("dist2"), col("c2"))).as("s"))
@@ -1810,15 +1813,13 @@ object Similarity {
         row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
       .select(col("seed_idx"), col("cd"))
 
-  /** Array of the PqM per-subspace squared L2 distances between double
-    * arrays `a` and `b` — subtraction and accumulation in index order so
-    * the DuckDB lambda replica is bit-identical. */
-  private def subDists(a: String, b: String): String =
-    s"""transform(sequence(0, ${PqM - 1}), j ->
-       |  aggregate(zip_with(slice($a, j * $PqDsub + 1, $PqDsub),
-       |                     slice($b, j * $PqDsub + 1, $PqDsub),
-       |                     (x, y) -> (x - y) * (x - y)),
-       |            0.0D, (p, q) -> p + q))""".stripMargin
+  // Array of the PqM per-subspace squared L2 distances between double
+  // arrays: subtraction and accumulation in index order so the DuckDB
+  // lambda replica is bit-identical — since round 14 the native fused
+  // loop Vectors.subSqDistsD (same IEEE sequence as the old
+  // `transform(sequence(0, PqM-1), j -> aggregate(zip_with(slice(a),
+  // slice(b), (x, y) -> (x-y)*(x-y)), 0.0D, +))` HOF, without
+  // materializing 2·PqM slice arrays per pair).
 
   /** (vec_id, sub, code): each vector's nearest codeword per subspace
     * (ties → lower codeword index). Candidates are scan-side rows against
@@ -1866,10 +1867,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
         .crossJoin(broadcast(dir.select(col("varr"))))
         .withColumn("pv",
-          expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
+          graft.functions.Vectors.dotD(col("ed"), col("varr")))
         .withColumn("rd", expr("zip_with(ed, varr, (x, y) -> x - pv * y)"))
         .select(col("vec_id"), col("rd"),
-          expr("sqrt(aggregate(rd, 0.0D, (a, x) -> a + x * x))").as("rn"))
+          graft.functions.Vectors.l2NormD(col("rd")).as("rn"))
         .localCheckpoint(false)
     })
 
@@ -1884,7 +1885,8 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
         .join(broadcast(pqSeeds(s, d)))
         .select(col("vec_id"), col("seed_idx"),
-          posexplode(expr(subDists("ed", "cd"))).as(Seq("sub", "dist")))
+          posexplode(graft.functions.Vectors.subSqDistsD(
+            col("ed"), col("cd"), PqM, PqDsub)).as(Seq("sub", "dist")))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("dist"), col("seed_idx"))).as("m"))
         .select(col("vec_id"), asLong(col("sub")).as("sub"),
@@ -1913,7 +1915,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
       .join(broadcast(pqSeeds(s, d)))
       .select(col("vec_id"),
-        posexplode(expr(subDists("ed", "cd"))).as(Seq("sub", "dist")))
+        posexplode(graft.functions.Vectors.subSqDistsD(
+            col("ed"), col("cd"), PqM, PqDsub)).as(Seq("sub", "dist")))
       .groupBy("vec_id", "sub").agg(min(col("dist")).as("md"))
       .withColumn("md_i", expr("CAST(floor(md * 1000000.0 + 0.5) AS BIGINT)"))
       .groupBy("sub")
@@ -1979,7 +1982,8 @@ object Similarity {
       s: SparkSession, d: String, codebook: DataFrame): DataFrame =
     pqQueries(s, d).join(broadcast(codebook))
       .select(col("qid"), col("seed_idx"),
-        posexplode(expr(subDists("qd", "cd"))).as(Seq("sub", "pd")))
+        posexplode(graft.functions.Vectors.subSqDistsD(
+            col("qd"), col("cd"), PqM, PqDsub)).as(Seq("sub", "pd")))
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(
         (col("sub") * PqKsub + col("seed_idx")).as("ix"), col("pd")))),
@@ -1994,11 +1998,8 @@ object Similarity {
 
   /** The ADC distance of a (codes, dt) row pair — PqM table lookups summed
     * in index order inside ONE expression (no cross-row float accumulation). */
-  private def adcDistExpr: org.apache.spark.sql.Column = expr(
-    s"""aggregate(sequence(0, ${PqM - 1}), 0.0D, (acc, j) ->
-       |  acc + element_at(dt,
-       |    CAST(j * $PqKsub + element_at(codes, j + 1) + 1 AS INT)))"""
-      .stripMargin)
+  private def adcDistExpr: org.apache.spark.sql.Column =
+    graft.functions.Vectors.adcDistD(col("codes"), col("dt"), PqM, PqKsub)
 
   private def adcRanked(s: SparkSession, d: String, topC: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
@@ -2492,10 +2493,10 @@ object Similarity {
       cen: DataFrame): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("enrm", graft.functions.Vectors.l2NormD(col("ed")))
     e.join(broadcast(cen))
       .withColumn("sim",
-        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("ed"), col("cen")) /
           (col("enrm") * col("cnrm")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"),
@@ -2515,7 +2516,7 @@ object Similarity {
       cb: Seq[(Long, Seq[Double])]): (Seq[(Long, Seq[Double])], Double) = {
     import s.implicits._
     val cen = cb.toDF("clabel", "cen")
-      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", graft.functions.Vectors.l2NormD(col("cen")))
     val rows = assignToCodebook(s, d, cen)
       .select(col("cluster"), posexplode(col("ed")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
@@ -2543,7 +2544,7 @@ object Similarity {
       .groupBy(col("cluster").as("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x("c")).as("cen"))
-      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", graft.functions.Vectors.l2NormD(col("cen")))
 
   /** E2 — THREE unrolled k-means iterations ending in the refined
     * codebook: the declared, oracle-checked form of the kmeansTrained
@@ -2585,10 +2586,10 @@ object Similarity {
       cen: DataFrame): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("enrm", graft.functions.Vectors.l2NormD(col("ed")))
     e.join(broadcast(cen))
       .withColumn("sim",
-        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("ed"), col("cen")) /
           (col("enrm") * col("cnrm")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"))
@@ -2607,7 +2608,7 @@ object Similarity {
       cb: Seq[(Long, Seq[Double])]): Long = {
     import s.implicits._
     val cen = cb.toDF("clabel", "cen")
-      .withColumn("cnrm", expr("sqrt(aggregate(cen, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", graft.functions.Vectors.l2NormD(col("cen")))
     objectiveOf(s, d, cen).agg(sum(col("obj_e6"))).head().getLong(0)
   }
 
@@ -2983,7 +2984,7 @@ object Similarity {
       .groupBy("vec_id", "label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("r")))),
         x => x("r")).as("re"))
-      .withColumn("rn2", expr("sqrt(aggregate(re, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("rn2", graft.functions.Vectors.l2NormD(col("re")))
     val qs = broadcast(sampledQueryIds(s, d))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("other_id"))
@@ -2991,7 +2992,7 @@ object Similarity {
       .join(recon.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim",
-        expr("aggregate(zip_with(a.re, b.re, (x, y) -> x * y), 0.0D, (p, q) -> p + q)") /
+        graft.functions.Vectors.dotD(col("a.re"), col("b.re")) /
           (col("a.rn2") * col("b.rn2")))
       // narrow before the rank exchange (the pre-window projection rule)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
@@ -3264,10 +3265,10 @@ object Similarity {
     val cen = centroidArrays(s, d)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .withColumn("enrm", expr("sqrt(aggregate(ed, 0.0D, (a, x) -> a + x * x))"))
+      .withColumn("enrm", graft.functions.Vectors.l2NormD(col("ed")))
     e.join(broadcast(cen))
       .withColumn("sim",
-        expr("aggregate(zip_with(ed, cen, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+        graft.functions.Vectors.dotD(col("ed"), col("cen")) /
           (col("enrm") * col("cnrm")))
       .groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("sim"),
@@ -3348,7 +3349,7 @@ object Similarity {
     def top1(vec: String, qvec: String, nrm: String, qnrm: String) =
       e.join(qe, col("qid") =!= col("vec_id"))
         .select(col("qid"),
-          (-(expr(s"aggregate(zip_with($vec, $qvec, (x, y) -> x * y), 0.0D, (a, b) -> a + b)") /
+          (-(graft.functions.Vectors.dotD(col(vec), col(qvec)) /
             (col(nrm) * col(qnrm)))).as("ns"),
           col("vec_id").as("nb"))
         .groupBy("qid")
@@ -3383,7 +3384,7 @@ object Similarity {
     for (_ <- 1 to TopPcIters) {
       val sums = e.crossJoin(broadcast(v))
         .withColumn("sv",
-          expr("aggregate(zip_with(ed, varr, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"))
+          graft.functions.Vectors.dotD(col("ed"), col("varr")))
         .select(posexplode(col("ed")).as(Seq("dim", "x")), col("sv"))
         .withColumn("mic",
           floor(col("sv") * col("x") * lit(1000000.0) + lit(0.5)).cast(d38))
