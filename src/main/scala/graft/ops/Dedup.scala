@@ -64,7 +64,7 @@ object Dedup {
     * between points). */
   def clearMemos(): Unit = {
     shingleCache.clear(); pairCache.clear(); interCache.clear()
-    srcShingleCache.clear()
+    srcShingleCache.clear(); clusterCache.clear()
   }
 
   /** Per-(session, corpus) memo of the EXACT co-occurrence intersection
@@ -562,9 +562,25 @@ object Dedup {
     * (equi-join + min-agg) is unchanged. The driver-side convergence
     * check reads ONE count per round — no data is collected. */
   def e1DedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      documents(s, d).select(col("doc_id")), minhashPairTable(s, d))
-      .orderBy("doc_id")
+    dedupClusterTable(s, d).orderBy("doc_id")
+
+  /** The cluster label table (doc_id, cluster), memoized per (session,
+    * corpus) — round 14: SIX declared queries (the cluster query itself,
+    * cluster stats, keeper quality, the curated composite, the funnel,
+    * dedup weights, the cluster-keyed split) consume these labels, and
+    * the docstrings above already state the deployment shape: the cluster
+    * table is a STORED artifact produced once per corpus release and read
+    * by every downstream stage (e1_incremental_clusters even treats it as
+    * such). The propagation loop (eager per-round actions) therefore runs
+    * once per session, not once per consumer execution. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def dedupClusterTable(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent((s, d), _ =>
+      connectedComponents(
+        documents(s, d).select(col("doc_id")), minhashPairTable(s, d))
+        .localCheckpoint(false))
 
   /** Near-dup pair table (da, db), materialized once per corpus (lazy
     * localCheckpoint) like the shingle table it derives from: the cluster

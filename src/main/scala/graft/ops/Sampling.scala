@@ -88,8 +88,7 @@ object Sampling {
     * scan-side splitmix slot gate as every e6 sampler; the summary
     * aggregate is 3 rows. */
   def e6ClusterSplit(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-      documents(s, d).select(col("doc_id")), Dedup.minhashPairTable(s, d))
+    Dedup.dedupClusterTable(s, d)
       .join(documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("nt")), Seq("doc_id"))
       .withColumn("slot", slot(col("cluster"), SplitSalt))
