@@ -1536,35 +1536,73 @@ object Similarity {
     * the driver ships one (vec_id, sim) row per round — the
     * kmeansTrained model-fetch discipline, K·n dot products total,
     * LINEAR in the corpus. */
-  def e2Kcenter(s: SparkSession, d: String): DataFrame = {
+  /** The greedy farthest-point traversal shared by [[e2Kcenter]] and
+    * [[kcenterTrained]] — INCREMENTAL coverage maintenance (round 14,
+    * and what the Scaladoc's "K·n dot products total" cost model always
+    * described): the state is one (vec_id, embedding, nrm, ms) row per
+    * unselected vector where ms = max similarity to the selected set so
+    * far; each round TakeOrdered(1)s the state for the farthest point,
+    * then folds ONLY the new pick in (ms' = greatest(ms, sim-to-pick) —
+    * the max over the identical pair multiset the old rescan-everything
+    * round reduced, so the trajectory is bit-identical, ties and all),
+    * checkpointed per round like the other driver loops. The old form
+    * re-scored every candidate against ALL k−1 picks per round — n·K²/2
+    * dots; this is the documented n·K. `stop` (on the 4-dp ROUNDED ms,
+    * the RangeTau grid discipline) ends the traversal WITHOUT taking the
+    * offending pick — kcenterTrained's coverage gate; e2Kcenter passes
+    * `_ => false`. Exhaustion (fewer than maxK distinct vectors) degrades
+    * to fewer picks, as before. */
+  private def kcenterPicks(s: SparkSession, d: String, maxK: Int,
+      stop: Double => Boolean): Vector[(Long, Long, Option[Double])] = {
     val e = withNorm(embeddings(s, d))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val seedId = embeddings(s, d).select(col("vec_id"),
         org.apache.spark.sql.graftext.minhashExpression
           .mix64(col("vec_id").bitwiseXOR(lit(KcenterSalt))).as("m"))
       .orderBy("m", "vec_id").limit(1).head().getLong(0)
+    def pickVec(id: Long) = broadcast(e.filter(col("vec_id") === id)
+      .select(col("embedding").as("semb"), col("nrm").as("snrm")))
     var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
-    // collect()+isEmpty (the kcenterTrained guard): a corpus with fewer
-    // than KcenterK distinct vectors exhausts the candidate set, and the
-    // query degrades to emitting fewer than K picks instead of throwing.
-    var exhausted = false
-    for (k <- 2 to KcenterK if !exhausted) {
-      val ids = picks.map(_._2)
-      val sel = broadcast(e.filter(col("vec_id").isin(ids: _*))
-        .select(col("embedding").as("semb"), col("nrm").as("snrm")))
-      val rows = e.filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(sel)
-        .withColumn("sim",
-          graft.functions.Vectors.dot(col("embedding"), col("semb")) /
-            (col("nrm") * col("snrm")))
-        .groupBy("vec_id").agg(max(col("sim")).as("ms"))
-        .orderBy(col("ms"), col("vec_id")).limit(1).collect()
-      if (rows.isEmpty) exhausted = true
-      else picks :+= ((k.toLong, rows.head.getLong(0),
-        Some(rows.head.getDouble(1))))
+    // persist (lazy cache), not an eager checkpoint: each round's ONE
+    // action — the TakeOrdered(1) below — materializes the state as a
+    // side effect, so a round costs one job; the lineage stays linear
+    // (one parent reference per round), never the 3^rounds tower the
+    // walk/peel loops checkpoint against.
+    var st = e.filter(col("vec_id") =!= seedId)
+      .crossJoin(pickVec(seedId))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (graft.functions.Vectors.dot(col("embedding"), col("semb")) /
+          (col("nrm") * col("snrm"))).as("ms"))
+      .persist()
+    var done = false
+    for (k <- 2 to maxK if !done) {
+      val rows = st.orderBy(col("ms"), col("vec_id"))
+        .limit(1).select("vec_id", "ms").collect()
+      if (rows.isEmpty) done = true
+      else {
+        val pid = rows.head.getLong(0)
+        val pms = rows.head.getDouble(1)
+        val rounded = BigDecimal(pms)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (stop(rounded)) done = true
+        else {
+          picks :+= ((k.toLong, pid, Some(pms)))
+          if (k < maxK) st = st.filter(col("vec_id") =!= pid)
+            .crossJoin(pickVec(pid))
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              greatest(col("ms"),
+                graft.functions.Vectors.dot(col("embedding"), col("semb")) /
+                  (col("nrm") * col("snrm"))).as("ms"))
+            .persist()
+        }
+      }
     }
+    picks
+  }
+
+  def e2Kcenter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    picks.toDF("k", "vec_id", "ms")
+    kcenterPicks(s, d, KcenterK, _ => false).toDF("k", "vec_id", "ms")
       .select(col("k"), col("vec_id"), round(col("ms"), 4).as("cover_sim"))
       .orderBy("k")
   }
@@ -1581,38 +1619,14 @@ object Similarity {
     * round. Returns (picks DataFrame like e2_kcenter, rounds run). */
   def kcenterTrained(s: SparkSession, d: String, tauSim: Double,
       maxK: Int = 64): (DataFrame, Int) = {
-    val e = withNorm(embeddings(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val seedId = embeddings(s, d).select(col("vec_id"),
-        org.apache.spark.sql.graftext.minhashExpression
-          .mix64(col("vec_id").bitwiseXOR(lit(KcenterSalt))).as("m"))
-      .orderBy("m", "vec_id").limit(1).head().getLong(0)
-    var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
-    var done = false
-    while (picks.length < maxK && !done) {
-      val ids = picks.map(_._2)
-      val sel = broadcast(e.filter(col("vec_id").isin(ids: _*))
-        .select(col("embedding").as("semb"), col("nrm").as("snrm")))
-      val rows = e.filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(sel)
-        .withColumn("sim",
-          graft.functions.Vectors.dot(col("embedding"), col("semb")) /
-            (col("nrm") * col("snrm")))
-        .groupBy("vec_id").agg(max(col("sim")).as("ms"))
-        .orderBy(col("ms"), col("vec_id")).limit(1).collect()
-      // Stop on the 4-dp ROUNDED similarity (BigDecimal half-up — same
-      // shortest-decimal rounding as Spark's round(col, 4), so the
-      // boundary lives on the canonical grid the emitted cover_sim
-      // column uses; the RangeTau rounded-grid discipline). Comparing
-      // the raw double instead let a pick whose raw sim was just under
-      // tau display cover_sim == tau, breaking "all emitted < tau".
-      val rounded = rows.headOption.map(r =>
-        BigDecimal(r.getDouble(1))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      if (rows.isEmpty || rounded.get >= tauSim) done = true
-      else picks :+= ((picks.length + 1L, rows.head.getLong(0),
-        Some(rows.head.getDouble(1))))
-    }
+    // Stop on the 4-dp ROUNDED similarity (BigDecimal half-up — same
+    // shortest-decimal rounding as Spark's round(col, 4), so the
+    // boundary lives on the canonical grid the emitted cover_sim
+    // column uses; the RangeTau rounded-grid discipline). Comparing
+    // the raw double instead let a pick whose raw sim was just under
+    // tau display cover_sim == tau, breaking "all emitted < tau".
+    // Traversal/state maintenance shared with e2Kcenter (kcenterPicks).
+    val picks = kcenterPicks(s, d, maxK, rounded => rounded >= tauSim)
     import s.implicits._
     val df = picks.toDF("k", "vec_id", "ms")
       .select(col("k"), col("vec_id"), round(col("ms"), 4).as("cover_sim"))
