@@ -28,23 +28,39 @@ object Similarity {
   /** E2 — brute-force cosine top-3 neighbors per vector within its label
     * block. The label blocking bounds the pairwise work (this mirrors a
     * sharded ANN index: at 100 TB the "label" is the IVF cell / LSH bucket). */
-  def e2CosineTopk(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("other_id"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("sim", cosine)
-      // narrow before the rank exchange (the pre-window projection rule)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
-        col("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id"), asLong(col("rn")).as("rn"),
-        col("other_id"), round(col("sim"), 4).as("sim"))
-      .orderBy("vec_id", "rn")
-  }
+  def e2CosineTopk(s: SparkSession, d: String): DataFrame =
+    labelExactTop3(s, d).orderBy("vec_id", "rn")
+
+  /** The FULL label-blocked exact cosine top-3 (vec_id, rn, other_id,
+    * sim 4-dp), memoized per (session, corpus) — round 14: this is the
+    * exact ground-truth table four declared queries consume (the top-k
+    * query itself, e2_ann_recall, e2_ann_pareto, e2_recall_at_k), the
+    * unsampled twin of the exactSampleTruth memo with the same
+    * can't-drift rationale — every audit scores against the ONE truth
+    * table a verification run materializes. The quadratic pairwise pass
+    * (the reason this family carries the ≥100× ScaleProbe exclusion)
+    * runs once per session, not once per consumer execution. */
+  private val cosTopkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def labelExactTop3(s: SparkSession, d: String): DataFrame =
+    cosTopkCache.computeIfAbsent((s, d), _ => {
+      val e = withNorm(embeddings(s, d))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("other_id"))
+      e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim", cosine)
+        // narrow before the rank exchange (the pre-window projection rule)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other_id"),
+          col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id"), asLong(col("rn")).as("rn"),
+          col("other_id"), round(col("sim"), 4).as("sim"))
+        .localCheckpoint(false)
+    })
 
   /** E2 — ANN via random-hyperplane LSH: 12-bit signatures bucket the
     * vectors; the top-1 neighbor is searched within the bucket only. The
@@ -1870,7 +1886,7 @@ object Similarity {
     * session's ContextCleaner once unreferenced). */
   def clearMemos(): Unit = {
     pqCodesCache.clear(); corpusCount.clear(); exactTruthCache.clear()
-    abttResidualCache.clear(); ivfAssignCache.clear()
+    abttResidualCache.clear(); ivfAssignCache.clear(); cosTopkCache.clear()
   }
 
   /** Per-(session, corpus) memo of e2_abtt's residual table
