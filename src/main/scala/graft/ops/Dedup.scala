@@ -948,9 +948,9 @@ object Dedup {
     * (source, h) table is UNCHANGED (replicas repeat their source's
     * vocabulary), so everything after the scan is flat. */
   def e1SourceNovelty(s: SparkSession, d: String): DataFrame = {
-    val src = documents(s, d).select(col("doc_id"), col("source"))
-    val srcH = rareShingleHashes(s, d).join(src, "doc_id")
-      .select("source", "h").distinct()
+    // the per-source distinct shingle table IS the shared KMV-source memo
+    // (same join + distinct; the hu/ud sketch keys just don't ride along)
+    val srcH = sourceShingleTable(s, d).select("source", "h")
     val nSrc = srcH.groupBy("h").agg(count(lit(1)).as("n_sources"))
     val nDocs = documents(s, d).groupBy("source")
       .agg(count(lit(1)).as("n_docs"))

@@ -1283,11 +1283,22 @@ object Similarity {
     * SQL). Since round 14 the directed edges come from the
     * [[standingKnnGraph]] release — one snapshot read; only the
     * edge-list-sized mutuality semi-join runs per job. */
+  /** The mutual (symmetric-closure) edge list, memoized per (session,
+    * corpus) — round 14: three declared queries (knn_graph,
+    * link_pred_knn, adamic_adar) derive it from the g1 release with the
+    * same semi-join, and two of them eagerly checkpointed it per
+    * EXECUTION; like the release it derives from, it is a build-once
+    * artifact (≤ n·K 16-byte rows). */
+  private val mutKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[ops] def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val knn = standingKnnGraph(s, d)
-    val mut = knn.join(
-      knn.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
-      Seq("vec_id", "other_id"), "left_semi")
+    val mut = mutKnnCache.computeIfAbsent((s, d), _ =>
+      knn.join(
+        knn.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
+        Seq("vec_id", "other_id"), "left_semi")
+        .localCheckpoint(false))
     (knn, mut)
   }
 
@@ -1313,12 +1324,11 @@ object Similarity {
     * small scale, shuffles on 8-byte keys at large), and the fixed-K
     * output is TakeOrderedAndProject. */
   def e9LinkPredKnn(s: SparkSession, d: String): DataFrame = {
-    // checkpointed: referenced 4× below (degrees, both wedge legs, the
-    // adjacency anti-join) — without the memo each reference re-runs
-    // the mutuality semi-join over the standing-graph release (the
-    // e9_pagerank MATERIALIZED rule, Spark side); the memo is
-    // edge-list-sized (≤ n·K 16-byte rows)
-    val mut = knnEdges(s, d)._2.localCheckpoint(true)
+    // the shared mutual-edge memo (knnEdges) is already a lazy
+    // checkpoint: the 4 references below (degrees, both wedge legs, the
+    // adjacency anti-join) read it without re-running the mutuality
+    // semi-join, and it persists across executions and consumers
+    val mut = knnEdges(s, d)._2
     val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
     val cn = mut.as("e1")
       .join(mut.as("e2"),
@@ -1375,8 +1385,8 @@ object Similarity {
     * narrow id-keyed join against the ≤ n-row degree table before the
     * (a,b) fold, and the fixed-K output is TakeOrderedAndProject. */
   def e9AdamicAdar(s: SparkSession, d: String): DataFrame = {
-    // checkpointed for the same 4-reference reason as e9_link_pred_knn
-    val mut = knnEdges(s, d)._2.localCheckpoint(true)
+    // the shared mutual-edge memo, as in e9_link_pred_knn
+    val mut = knnEdges(s, d)._2
     val deg = mut.groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("deg"))
     val wedges = mut.as("e1")
       .join(mut.as("e2"),
@@ -1887,6 +1897,7 @@ object Similarity {
   def clearMemos(): Unit = {
     pqCodesCache.clear(); corpusCount.clear(); exactTruthCache.clear()
     abttResidualCache.clear(); ivfAssignCache.clear(); cosTopkCache.clear()
+    mutKnnCache.clear()
   }
 
   /** Per-(session, corpus) memo of e2_abtt's residual table
